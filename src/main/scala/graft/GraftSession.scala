@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference's single entry environment
+  * (`StreamExecutionEnvironment.getExecutionEnvironment` +
+  * `StreamTableEnvironment.create`, e.g. reference
+  * ods/ProduceKafkaLogDataToODS.scala:27-29) as one tuned SparkSession
+  * builder. All knobs are chosen for the 100 TB posture:
+  *   - AQE on (runtime shuffle coalescing, skew-join splitting),
+  *   - shuffle partitions sized to the local core count (a real cluster
+  *     deployment overrides via `spark.sql.shuffle.partitions`),
+  *   - UTC session timezone so date formatting is deterministic across
+  *     engines (oracle parity).
+  */
+object GraftSession {
+
+  /** Defaults applied to any session the engine builds or adopts. */
+  val tuning: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    // classic permissive eval (Spark 4 defaults ANSI on): cast-on-fail →
+    // null, java-long overflow wrap (simhash bit packing relies on it).
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    // dims in this workload are small (≤ a few MB); raise the broadcast
+    // threshold so every dim join is a broadcast hash join, never SMJ.
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    // documents/embeddings parquet at sf0.1 are tens of MB; default 128MB
+    // maxPartitionBytes would give 1 partition — cap lower so local[32]
+    // actually parallelizes scans. On a real cluster this is re-tuned.
+    "spark.sql.files.maxPartitionBytes" -> (32L * 1024 * 1024).toString,
+    // the testdata events table is nanosecond-precision parquet, which
+    // Spark's vectorized reader rejects; read as long (ns) and convert
+    // to µs timestamps in the loader — the same truncation DuckDB does.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.filterPushdown" -> "true",
+  )
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+    tuning.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine tuning to an externally-created session (Verify/Bench
+    * own their builder; runtime-settable confs only). */
+  def tune(spark: SparkSession): SparkSession = {
+    tuning.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    spark
+  }
+}

@@ -1,0 +1,423 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Cleanse, Text, Vectors}
+import graft.operators._
+
+/** The engine's query catalog: one entry per implemented operator from
+  * SURVEY.md §2 plus the training-data pipeline extensions, each with an
+  * ANSI-SQL oracle the driver replays in DuckDB over the same parquet.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *   - money/points sums go through DECIMAL (order-independent exact
+  *     sums), surfaced as double;
+  *   - vector math is double-precision sequential folds (bit-identical
+  *     to DuckDB's `list_cosine_similarity(CAST(… AS DOUBLE[]), …)`);
+  *   - every computed column is aliased identically in both dialects.
+  */
+object Queries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- core
+
+  /** q01 — A2/F8 + P2 (TPC-H Q1 shape): grouped exact sums with casts.
+    * Reference analog: offlineanls/ProcessUserPoints.scala:35-41. */
+  val q01: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — A1: tumbling-window grouped count+sum (10 min windows over
+    * events). Reference analog: dm/ProcessBrowseLogInfoToDM.scala:71-96. */
+  val q02: Q = (s, dir) =>
+    Aggregations.windowedCount(Tables(s, dir).events, "ts", 600,
+      Seq("event_type"), Some("value"))
+  val q02Sql: String =
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/600)*600*1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      | event_type, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q03 — J2: broadcast left-outer dim-chain enrichment (fact keeps its
+    * partitioning; dims broadcast — no per-record lookups).
+    * Reference analog: dws/ProcessUserlogInToDWS.scala:107-225. */
+  val q03: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val enriched = Enrichment.enrichOn(
+      Enrichment.enrichOn(
+        Enrichment.enrichOn(t.orders, t.customer, col("o_custkey") === col("c_custkey")),
+        t.nation, col("c_nationkey") === col("n_nationkey")),
+      t.region, col("n_regionkey") === col("r_regionkey"))
+    enriched.select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+      col("c_mktsegment"), col("n_name"), col("r_name"), col("o_totalprice"))
+  }
+  val q03Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, n.n_name, r.r_name, o.o_totalprice
+      |FROM orders o
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  /** q04 — J3: equi self-join (adjacent line numbers within an order),
+    * aggregated. Reference analog: category self-join,
+    * dws/ProduceBrowseLogToDWS.scala:169-178. */
+  val q04: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val a = t.lineitem
+    val b = t.lineitem
+    a.join(b,
+        a("l_orderkey") === b("l_orderkey") &&
+          (a("l_linenumber") + 1) === b("l_linenumber"))
+      .groupBy(a("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("pair_cnt"),
+        sum(a("l_quantity").cast(DecimalType(18, 2)) +
+          b("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty2"))
+  }
+  val q04Sql: String =
+    """SELECT l1.l_returnflag AS flag, COUNT(*) AS pair_cnt,
+      | CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,2)) + CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty2
+      |FROM lineitem l1 JOIN lineitem l2
+      | ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber + 1 = l2.l_linenumber
+      |GROUP BY l1.l_returnflag""".stripMargin
+
+  /** q05 — J1 + R1/R3: config-broadcast dim/fact routing with target
+    * binding. Reference analog: ods/ProduceKafkaDBDataToODS.scala:160-217. */
+  val q05: Q = (s, dir) => {
+    val config = Routing.configDf(s, "event_type", Seq(
+      Routing.DimRoute("signup", "DIM_SIGNUP"),
+      Routing.DimRoute("error", "DIM_ERROR")))
+    Routing.routed(Tables(s, dir).events, config, "event_type", "ODS_EVENTS")
+      .groupBy(col("event_type"), col("route"), col("target_table"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+  val q05Sql: String =
+    """SELECT e.event_type,
+      | CASE WHEN c.dim_table IS NOT NULL THEN 'dim' ELSE 'fact' END AS route,
+      | COALESCE(c.dim_table, 'ODS_EVENTS') AS target_table,
+      | COUNT(*) AS cnt
+      |FROM events e
+      |LEFT JOIN (VALUES ('signup','DIM_SIGNUP'), ('error','DIM_ERROR')) c(event_type, dim_table)
+      | ON e.event_type = c.event_type
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q06 — P4/P6 + F1/F2/F4/F6: timestamp cleanse with null sentinels,
+    * date part, null/empty guard. Reference analog:
+    * dwd/ProcessODSDataToDWD.scala:79-105, utils/DateUtil.scala:16-41. */
+  val q06: Q = (s, dir) =>
+    Tables(s, dir).events.select(
+      col("event_id"),
+      Cleanse.formatDateTime(col("ts")).as("event_tm"),
+      Cleanse.formatDate(col("ts")).as("dt"),
+      Cleanse.datePart(Cleanse.formatDateTime(col("ts"))).as("day_part"),
+      when(Cleanse.isNullOrEmpty(col("props")), 1).otherwise(0).as("props_empty"))
+  val q06Sql: String =
+    """SELECT event_id,
+      | COALESCE(strftime(ts, '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS event_tm,
+      | COALESCE(strftime(ts, '%Y-%m-%d'), '1970-01-01') AS dt,
+      | substr(COALESCE(strftime(ts, '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00'), 1, 10) AS day_part,
+      | CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END AS props_empty
+      |FROM events""".stripMargin
+
+  /** q07 — F5/P1: JSON payload field extraction with numeric cast.
+    * Reference analog: fastjson parse at dwd/ProcessODSDataToDWD.scala:86-105. */
+  val q07: Q = (s, dir) =>
+    Tables(s, dir).events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+  val q07Sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  /** q08 — P7/P9 (+K3 shape): routing-envelope construction with a JSON
+    * payload. Reference analog: ods/ProduceKafkaLogDataToODS.scala:86-112. */
+  val q08: Q = (s, dir) =>
+    Tables(s, dir).events.select(
+      col("event_id"),
+      lit("ODS_EVENTS").as("iceberg_ods_tbl_name"),
+      lit("KAFKA-DWD-EVENTS-TOPIC").as("kafka_dwd_topic"),
+      to_json(struct(col("event_id"), col("event_type"))).as("data"))
+  val q08Sql: String =
+    """SELECT event_id,
+      | 'ODS_EVENTS' AS iceberg_ods_tbl_name,
+      | 'KAFKA-DWD-EVENTS-TOPIC' AS kafka_dwd_topic,
+      | concat('{"event_id":', CAST(event_id AS VARCHAR), ',"event_type":"', event_type, '"}') AS data
+      |FROM events""".stripMargin
+
+  /** q09 — A2 (direct ProcessUserPoints analog): day+entity grouped
+    * exact sum. Reference: offlineanls/ProcessUserPoints.scala:35-44. */
+  val q09: Q = (s, dir) =>
+    Aggregations.groupedPoints(Tables(s, dir).events,
+      Cleanse.formatDate(col("ts")), Seq("user_id", "event_type"), "value")
+  val q09Sql: String =
+    """SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '1970-01-01') AS log_date, user_id, event_type,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_points,
+      | COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------- dedup extensions
+
+  /** q10 — exact dedup by content hash. */
+  val q10: Q = (s, dir) => Dedup.exact(Tables(s, dir).documents, "text", "doc_id")
+  val q10Sql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** q11 — MinHash+LSH near-dup candidates (no SQL oracle: hash-seeded
+    * signatures; driver records rows-only). */
+  val q11: Q = (s, dir) =>
+    Dedup.minHashLsh(Tables(s, dir).documents, "text", "doc_id",
+      numHashes = 64, bands = 16, estThreshold = 0.2)
+
+  /** q12 — SimHash near-dup candidates (rows-only). */
+  val q12: Q = (s, dir) =>
+    Dedup.simHashDup(Tables(s, dir).documents, "text", "doc_id", maxHamming = 8)
+
+  /** q13 — exact word-3-gram Jaccard over a fixed candidate block
+    * (doc_id < 30 pairs). */
+  val q13: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ids = t.documents.filter(col("doc_id") < 30).select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    Dedup.ngramJaccard(t.documents, pairs, "text", "doc_id", n = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+  val q13Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 30
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    END AS sh
+      |  FROM w
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin
+
+  // -------------------------------------------- similarity extensions
+
+  /** q14 — brute-force cosine top-5 for query vectors vec_id<10.
+    * Scores are bit-identical double sequential folds in both engines. */
+  val q14: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5)
+      .withColumnRenamed("rank", "rnk")
+  }
+  val q14Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+      | c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      | scored AS (
+      |  SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS score
+      |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+      | ranked AS (
+      |  SELECT query_id, corpus_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, rnk, corpus_id, score FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** q15 — LSH-bucketed approximate top-k (rows-only: recall depends on
+    * hash-seeded buckets). */
+  val q15: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, planes = 6)
+  }
+
+  /** q16 — embedding-cosine near-dup pairs via LSH blocking (rows-only). */
+  val q16: Q = (s, dir) =>
+    Dedup.embeddingNearDup(Tables(s, dir).embeddings, "embedding", "vec_id",
+      threshold = 0.3, planes = 6)
+
+  // ------------------------------------------------ text extensions
+
+  private def markerCountSql(m: String): String =
+    s"CAST((length(text) - length(replace(text, '$m', ''))) / ${m.length} AS BIGINT)"
+  private def langScoreSql(lang: String): String =
+    Text.langMarkers.toMap.apply(lang).map(markerCountSql).mkString("(", " + ", ")")
+
+  /** q17 — language-ID heuristic (marker-word argmax). */
+  val q17: Q = (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+  val q17Sql: String = {
+    val scores = Text.langMarkers.map { case (l, _) => s"${langScoreSql(l)} AS s_$l" }
+    val maxE = Text.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = Text.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = m AND m > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, ${scores.mkString(", ")} FROM documents),
+       | sm AS (SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh, $maxE AS m FROM s)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM sm""".stripMargin
+  }
+
+  private val wordsSql =
+    "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+  private val punctSql =
+    Seq(".", ",", "!", "?", ";", ":").map(markerCountSql).mkString("(", " + ", ")")
+  private val stopSql =
+    Seq(" the ", " a ", " and ", " of ", " to ", " in ").map(markerCountSql).mkString("(", " + ", ")")
+
+  /** q18 — quality scoring: length/stopword/punctuation heuristics. */
+  val q18: Q = (s, dir) =>
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars2"),
+      Text.wordCount(col("text")).as("n_words"),
+      Text.punctCount(col("text")).as("punct_cnt"),
+      Text.stopwordCount(col("text")).as("stop_cnt"),
+      Text.qualityScore(col("text")).as("q_score"))
+  val q18Sql: String =
+    s"""SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS n_chars2,
+       | CAST($wordsSql AS BIGINT) AS n_words,
+       | $punctSql AS punct_cnt,
+       | $stopSql AS stop_cnt,
+       | round(0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       |     + 0.5 * least(CAST($stopSql AS DOUBLE) * 8.0 / greatest(CAST($wordsSql AS DOUBLE), 1.0), 1.0)
+       |     - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score
+       |FROM documents""".stripMargin
+
+  /** q19 — token counting (whitespace) + mean word length. */
+  val q19: Q = (s, dir) =>
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      Text.wordCount(col("text")).as("n_words"),
+      length(col("text")).cast("long").as("n_chars2"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        greatest(Text.wordCount(col("text")).cast("double"), lit(1.0)), 4).as("avg_wlen"))
+  val q19Sql: String =
+    s"""SELECT doc_id,
+       | CAST($wordsSql AS BIGINT) AS n_words,
+       | CAST(length(text) AS BIGINT) AS n_chars2,
+       | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(CAST($wordsSql AS DOUBLE), 1.0), 4) AS avg_wlen
+       |FROM documents""".stripMargin
+
+  /** q20 — normalized-content fingerprint (case/punct/whitespace
+    * insensitive md5). */
+  val q20: Q = (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+  val q20Sql: String =
+    """SELECT doc_id,
+      | md5(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------- state/session + media
+
+  /** q21 — gap-based sessionization (batch analog of keyed state /
+    * mapGroupsWithState — SURVEY §2.9 T5): 30-min inactivity gap. */
+  val q21: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+    val newSession = when(gap.isNull || gap > 1800, 1).otherwise(0)
+    ev.withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Cleanse.formatDateTime(min(col("ts"))).as("s_start"),
+        Cleanse.formatDateTime(max(col("ts"))).as("s_end"))
+  }
+  val q21Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+      |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |), y AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM x
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | COALESCE(strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS s_start,
+      | COALESCE(strftime(MAX(ts), '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS s_end
+      |FROM y GROUP BY user_id, session_id""".stripMargin
+
+  /** q22 — multimodal plumbing: text → opaque binary media column with
+    * deterministic fake-decoded metadata (builder brief: decode stubbed,
+    * Spark-side schema/partitioning real). */
+  val q22: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .select(col("doc_id"),
+        length(col("media")).cast("long").as("media_bytes"),
+        (lit(64) + pmod(length(col("media")), lit(128))).cast("long").as("fake_width"),
+        (lit(64) + pmod(length(col("media")) * 7, lit(128))).cast("long").as("fake_height"))
+  val q22Sql: String =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+      | CAST(64 + octet_length(encode(text)) % 128 AS BIGINT) AS fake_width,
+      | CAST(64 + (octet_length(encode(text)) * 7) % 128 AS BIGINT) AS fake_height
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "q01_agg_sum" -> q01,
+    "q02_window_count" -> q02,
+    "q03_enrich_join" -> q03,
+    "q04_selfjoin" -> q04,
+    "q05_routing" -> q05,
+    "q06_cleanse" -> q06,
+    "q07_json_extract" -> q07,
+    "q08_envelope" -> q08,
+    "q09_points" -> q09,
+    "q10_dedup_exact" -> q10,
+    "q11_dedup_minhash" -> q11,
+    "q12_dedup_simhash" -> q12,
+    "q13_ngram_jaccard" -> q13,
+    "q14_ann_topk" -> q14,
+    "q15_ann_lsh" -> q15,
+    "q16_embed_neardup" -> q16,
+    "q17_langid" -> q17,
+    "q18_quality" -> q18,
+    "q19_tokens" -> q19,
+    "q20_fingerprint" -> q20,
+    "q21_sessionize" -> q21,
+    "q22_media_meta" -> q22,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_sum" -> q01Sql,
+    "q02_window_count" -> q02Sql,
+    "q03_enrich_join" -> q03Sql,
+    "q04_selfjoin" -> q04Sql,
+    "q05_routing" -> q05Sql,
+    "q06_cleanse" -> q06Sql,
+    "q07_json_extract" -> q07Sql,
+    "q08_envelope" -> q08Sql,
+    "q09_points" -> q09Sql,
+    "q10_dedup_exact" -> q10Sql,
+    "q13_ngram_jaccard" -> q13Sql,
+    "q14_ann_topk" -> q14Sql,
+    "q17_langid" -> q17Sql,
+    "q18_quality" -> q18Sql,
+    "q19_tokens" -> q19Sql,
+    "q20_fingerprint" -> q20Sql,
+    "q21_sessionize" -> q21Sql,
+    "q22_media_meta" -> q22Sql,
+  )
+}

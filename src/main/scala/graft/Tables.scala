@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated parquet star schema (TESTDATA.md).
+  *
+  * Stands in for the reference's lakehouse catalog scans
+  * (`useCatalog`/`useDatabase` + SQL over Iceberg tables, reference
+  * offlineanls/ProcessUserPoints.scala:30-41 — SURVEY §2.1 S4): one
+  * parquet directory per scale factor, one file per table. Column
+  * pruning and predicate pushdown reach the parquet scan because
+  * everything downstream is a declarative DataFrame plan.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** events.ts is TIMESTAMP(NANOS) parquet: read as long ns (legacy
+    * conf set in GraftSession.tuning) and floor-convert to µs — the
+    * identical truncation DuckDB applies, so formatted/derived values
+    * hash-match the oracle. */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

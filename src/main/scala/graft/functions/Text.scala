@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function library for the training-data pipeline
+  * extensions (builder brief; SURVEY §2.11 extension slots): tokenizing,
+  * shingling, language-ID scoring, quality scoring, fingerprinting,
+  * MinHash/SimHash signatures.
+  *
+  * Everything is a pure `Column` expression tree — codegen'd, no UDFs,
+  * no driver-side work — so each scales linearly over a 100 TB corpus
+  * with zero shuffle until an explicit groupBy/join.
+  */
+object Text {
+
+  /** Whitespace word count via length arithmetic (oracle-parity form:
+    * identical semantics are expressible in ANSI SQL). Counts
+    * single-space-separated words; empty string → 0. */
+  def wordCount(c: Column): Column =
+    when(length(c) === 0, lit(0L))
+      .otherwise((length(c) - length(regexp_replace(c, " ", ""))).cast("long") + 1L)
+
+  /** Whitespace tokens (split on runs of whitespace). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword-boundary token count: words + digits + punctuation
+    * as separate tokens (GPT-2-style pre-tokenizer shape, simplified). */
+  def bpeishTokens(c: Column): Column =
+    filter(split(c, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""), t => t =!= "" && t =!= " ")
+
+  /** Word n-gram shingles: contiguous n-word windows joined by a space.
+    * Documents shorter than n words yield the whole doc as one shingle. */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) <= n, array(concat_ws(" ", w)))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Occurrences of a literal marker substring (length arithmetic —
+    * ANSI-expressible, deterministic). */
+  def markerCount(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)).cast("long")
+
+  /** Language-ID heuristic: argmax over per-language marker-word hit
+    * counts, ties and all-zero broken toward English. The marker sets are
+    * function-word n-grams; the scoring is exactly reproducible in SQL. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "zh" -> Seq("的", "是", "了"),
+  )
+
+  def langScore(c: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang).map(m => markerCount(c, m)).reduce(_ + _)
+
+  /** Predicted language = first language (in langMarkers order) with the
+    * maximal marker score; "und" when every score is zero. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), e) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(e)
+    }
+    pick
+  }
+
+  /** Quality metrics (heuristic quality scoring per builder brief):
+    * chars, words, mean word length, punctuation ratio, stopword ratio.
+    * All length-arithmetic — oracle-parity safe. */
+  def punctCount(c: Column): Column =
+    Seq(".", ",", "!", "?", ";", ":").map(markerCount(c, _)).reduce(_ + _)
+
+  def stopwordCount(c: Column): Column =
+    Seq(" the ", " a ", " and ", " of ", " to ", " in ")
+      .map(markerCount(c, _)).reduce(_ + _)
+
+  /** Composite quality score in [0,1]: penalize too-short docs, reward
+    * stopword presence, penalize punctuation soup. Deterministic double
+    * arithmetic (single expression, no reordering). */
+  def qualityScore(c: Column): Column = {
+    val chars = length(c).cast("double")
+    val words = wordCount(c).cast("double")
+    val lenScore  = least(chars / lit(400.0), lit(1.0))
+    val stopScore = least(stopwordCount(c).cast("double") * lit(8.0) / greatest(words, lit(1.0)), lit(1.0))
+    val punctPen  = least(punctCount(c).cast("double") * lit(4.0) / greatest(chars, lit(1.0)), lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.5) * stopScore - lit(0.25) * punctPen, 6)
+  }
+
+  /** Normalized-content fingerprint: lowercase, strip [.,!?;:], collapse
+    * runs of spaces, md5. Two docs differing only in case/punct/spacing
+    * collide — the canonical "document fingerprint" dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(
+      regexp_replace(lower(c), "[.,!?;:]", ""),
+      " +", " "))
+
+  /** 64-bit rolling (polynomial) hash of the normalized text, base 31
+    * over UTF-8 bytes of each token, combined left-to-right. Cheap
+    * near-exact dedup key that is order-sensitive. */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** MinHash signature: array of `k` minima of seeded xxhash64 over the
+    * doc's `n`-word shingles. Permutation i is xxhash64(seed=i, shingle).
+    * Empty docs get Long.MaxValue entries.
+    *
+    * Single fold over the shingle array (k hashes per shingle, one
+    * evaluation of the shingle expression) — the naive
+    * `k × array_min(transform(...))` shape re-evaluates the shingling
+    * k times and is ~60× slower at bench scale. */
+  def minHashSignature(c: Column, k: Int, shingleN: Int = 3): Column =
+    aggregate(
+      shingles(c, shingleN),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+        (m, i) => least(m, xxhash64(i, s))))
+
+  /** LSH band keys for a minhash signature: `bands` hashes, each over
+    * `rowsPerBand` consecutive signature entries. Docs sharing any band
+    * key become dedup candidates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** SimHash (64-bit) over whitespace tokens: per-token xxhash64, each
+    * bit votes ±1, signature bit = sign of the vote sum. One pass over
+    * the token hashes (array-accumulator fold); bit tests via `getbit`
+    * so the whole thing stays a codegen'd expression tree. */
+  def simHash(c: Column): Column = {
+    val hashes = transform(tokens(c), t => xxhash64(t))
+    // votes[i] = sum over tokens of (bit i set ? 1 : -1)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(getbit(h, i) === 1, 1).otherwise(-1)))
+    // LSB-first sign bits -> one long, folding MSB-first: acc*2 + bit
+    // (top bit wraps into the sign bit, java-long semantics)
+    aggregate(
+      reverse(transform(votes, v => when(v > 0, lit(1L)).otherwise(lit(0L)))),
+      lit(0L),
+      (acc, b) => acc * lit(2L) + b)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` embedding columns.
+  *
+  * Built from codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), not UDFs, so Catalyst keeps the whole pipeline in
+  * whole-stage codegen and the scan stays columnar.
+  *
+  * Numerics contract: every element is cast to double BEFORE any
+  * arithmetic and folds run sequentially left-to-right — this makes the
+  * result bit-identical to a reference double-precision sequential loop
+  * (and to DuckDB's `list_cosine_similarity(CAST(x AS DOUBLE[]), …)`),
+  * which is what the correctness oracle hashes.
+  */
+object Vectors {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm, double. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot/(|a|*|b|), double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given precomputed norms (per-row, so an N×Q similarity join
+    * computes each norm once instead of per pair). */
+  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
+  /** Euclidean distance, double. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Sign-random-projection (SimHash-for-vectors) LSH bucket id.
+    *
+    * `planes` pseudo-random hyperplanes are derived deterministically
+    * from (planeIdx, dim) via a 64-bit avalanche hash — no stored model,
+    * so every executor computes identical planes with zero shuffle.
+    * Returns a long whose bit j is sign(v · plane_j).
+    */
+  def rpBucket(v: Column, numPlanes: Int, seed: Long = 42L): Column = {
+    require(numPlanes <= 63, "bucket fits in one long")
+    val bits = (0 until numPlanes).map { j =>
+      // plane_j[i] = centered hash in [-0.5, 0.5), derived from (seed,j,i)
+      val proj = aggregate(
+        transform(v, (x, i) => {
+          val h = xxhash64(lit(seed), lit(j), i)
+          x.cast("double") * (pmod(h, lit(100000L)).cast("double") / lit(100000.0) - lit(0.5))
+        }),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+}

