@@ -1,0 +1,149 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sink layer — SURVEY §2.2.
+  *
+  * The reference's sinks: Iceberg `insert into` (K1), fixed-topic and
+  * per-record-dynamic-topic Kafka producers (K2/K3), batched JDBC to
+  * ClickHouse/MySQL (K4/K5), Phoenix upsert with lazy DDL (K6), console
+  * (K7). Spark-first mapping:
+  *   - K1 → parquet/lakehouse append, partitioned by a date column so a
+  *     100 TB table prunes on day (reference tables are Iceberg
+  *     `partitioned by days(ts)` in spirit);
+  *   - K2/K3 → Kafka writeStream; dynamic routing is just a `topic`
+  *     column (no per-record serializer subclass);
+  *   - K4/K5 → `foreachBatch { _.write.jdbc }` (per-partition
+  *     connections, default 1000-row batches — vs the reference's 5);
+  *   - K6 → per-batch MERGE-style upsert (latest record per key wins);
+  *   - K7 → console/memory.
+  */
+object Sinks {
+
+  /** K1: streaming append to a parquet table directory, partitioned by
+    * `partitionCols` (date-partitioning = partition pruning at scale).
+    * On an Iceberg-enabled cluster swap `format("parquet")` for
+    * `.toTable("lh.icebergdb.T")` — the plan is identical. */
+  def streamAppend(df: DataFrame, path: String, checkpoint: String,
+                   partitionCols: Seq[String] = Nil,
+                   triggerMs: Long = 5000L): StreamingQuery = {
+    var w: DataStreamWriter[Row] = df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.start()
+  }
+
+  /** Batch append with date partitioning (batch analog of K1). */
+  def batchAppend(df: DataFrame, path: String,
+                  partitionCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("append").format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.save(path)
+  }
+
+  /** K2: fixed-topic Kafka JSON sink — all columns wrapped to one JSON
+    * `value` (at-least-once, matching the reference's semantic T2). */
+  def kafkaJson(df: DataFrame, bootstrap: String, topic: String,
+                checkpoint: String): StreamingQuery =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** K3: dynamic-topic Kafka sink — the topic comes from a per-record
+    * column (reference reads it from the routing envelope at serialize
+    * time, dwd/ProcessODSDataToDWD.scala:143-148). No `topic` option:
+    * Spark's Kafka sink honors the `topic` column. */
+  def kafkaDynamicTopic(df: DataFrame, bootstrap: String, topicCol: String,
+                        checkpoint: String): StreamingQuery =
+    df.select(col(topicCol).as("topic"),
+        to_json(struct(df.columns.filter(_ != topicCol).map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Shape-only variant of K3 for harnesses without a broker: the exact
+    * (topic, value) frame Spark's Kafka sink consumes. */
+  def kafkaDynamicTopicFrame(df: DataFrame, topicCol: String): DataFrame =
+    df.select(col(topicCol).as("topic"),
+      to_json(struct(df.columns.filter(_ != topicCol).map(col): _*)).as("value"))
+
+  /** R2: dual-sink — one stream, two targets, reading the source once.
+    * The micro-batch is persisted, written to both, unpersisted
+    * (reference uses a side-output tag for the second copy,
+    * dwd/ProcessODSDataToDWD.scala:77,108). */
+  def dualSink(df: DataFrame, checkpoint: String,
+               writeA: DataFrame => Unit, writeB: DataFrame => Unit,
+               triggerMs: Long = 5000L): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.persist()
+        try { writeA(batch.toDF()); writeB(batch.toDF()) }
+        finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** K4/K5: JDBC micro-batch sink (ClickHouse/MySQL in the reference;
+    * any JDBC url here). Connections are per-partition, batched. */
+  def jdbcBatchSink(df: DataFrame, url: String, table: String,
+                    checkpoint: String, batchSize: Int = 1000,
+                    props: java.util.Properties = new java.util.Properties())
+      : StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append")
+          .option("batchsize", batchSize.toString)
+          .jdbc(url, table, props)
+      }
+      .start()
+
+  /** K6/T7: keyed upsert into a parquet dim table — per batch, the
+    * latest record per key (by `versionCol`) wins over both the batch
+    * and the existing table (MERGE INTO semantics; the reference does
+    * per-record Phoenix `upsert into`, dim/DimDataToHBase.scala:95-110,
+    * with insert/update/bootstrap-insert all upserting). Partition-safe:
+    * the dedup is a window over the key, not a driver loop. */
+  def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
+                    key: String, versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], batch.schema) }
+    val all = existing.unionByName(batch, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc_nulls_last)
+    val merged = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    // write-then-swap for atomicity on a filesystem without table commits
+    val tmp = path + "_tmp_" + System.nanoTime()
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
+  /** K7: console debug sink. */
+  def console(df: DataFrame, numRows: Int = 20): StreamingQuery =
+    df.writeStream.format("console").option("numRows", numRows.toString).start()
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.Cleanse
+import org.apache.spark.sql.functions._
+
+class RoutingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("J1/R1: config hit -> dim with target, miss -> fact; split is a partition") {
+    val records = Seq(("a", 1), ("b", 2), ("c", 3), ("a", 4)).toDF("tbl", "v")
+    val config = Routing.configDf(spark, "tbl",
+      Seq(Routing.DimRoute("a", "DIM_A")))
+    val routed = Routing.routed(records, config, "tbl", "ODS_FACT")
+    val (dims, facts) = Routing.split(routed)
+    assert(dims.count() == 2 && facts.count() == 2)
+    assert(dims.select("target_table").distinct().as[String].collect().toSeq == Seq("DIM_A"))
+    assert(facts.select("target_table").distinct().as[String].collect().toSeq == Seq("ODS_FACT"))
+    // partition: every record lands in exactly one side
+    assert(dims.count() + facts.count() == records.count())
+  }
+}
+
+class EnrichmentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("J2: left-outer enrich keeps facts with missing dims (null attrs)") {
+    val facts = Seq(("u1", 10), ("u2", 20)).toDF("user_id", "v")
+    val dim = Seq(("u1", "gold")).toDF("user_id", "level")
+    val out = Enrichment.enrich(facts, Seq((dim, Seq("user_id"))))
+      .orderBy("user_id")
+    val rows = out.as[(String, Int, Option[String])].collect()
+    assert(rows.toSeq == Seq(("u1", 10, Some("gold")), ("u2", 20, None)))
+  }
+
+  test("J3: hierarchy self-join yields child+parent levels") {
+    val cat = Seq(("1", "0", "root"), ("2", "1", "mid"), ("3", "2", "leaf"))
+      .toDF("id", "p_id", "name")
+    val h = Enrichment.hierarchySelfJoin(cat, "id", "p_id", "name")
+      .orderBy("second_id")
+    val rows = h.as[(String, String, String, String)].collect()
+    assert(rows.toSeq == Seq(("1", "root", "2", "mid"), ("2", "mid", "3", "leaf")))
+  }
+
+  test("J2 plan: dim side is broadcast (no shuffle on fact)") {
+    val facts = spark.range(1000).toDF("user_id")
+    val dim = Seq((1L, "x")).toDF("user_id", "attr")
+    val plan = Enrichment.enrich(facts, Seq((dim, Seq("user_id"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
+
+class AggregationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("A1: tumbling window counts per key") {
+    val df = Seq(
+      ("2024-01-01 00:00:01", "a"), ("2024-01-01 00:00:05", "a"),
+      ("2024-01-01 00:00:11", "a"), ("2024-01-01 00:00:03", "b"))
+      .toDF("s", "k").select(to_timestamp($"s").as("ts"), $"k")
+    val out = Aggregations.windowedCount(df, "ts", 10, Seq("k"))
+      .orderBy("k", "window_start")
+    val rows = out.as[(String, String, Long)].collect()
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00", "a", 2L),
+      ("2024-01-01 00:00:10", "a", 1L),
+      ("2024-01-01 00:00:00", "b", 1L)))
+  }
+
+  test("A2: grouped points sums string-typed values exactly") {
+    val df = Seq(("2024-01-01", "u1", "p1", "10.5"), ("2024-01-01", "u1", "p1", "0.25"))
+      .toDF("d", "user_id", "product", "points")
+    val out = Aggregations.groupedPoints(df, $"d", Seq("user_id", "product"), "points")
+    val r = out.select("total_points").as[Double].head()
+    assert(r == 10.75)
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+  private val near = base.replace("tonight", "tomorrow")
+  private val far1 = "catalyst optimizes logical plans into physical plans with pushdown pruning and codegen stages"
+  private val far2 = "completely different content about benchmarking parquet scans and shuffle partitions at scale"
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, base), (2L, base), (3L, far1)).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("keep_id")
+    val rows = out.select("keep_id", "dup_cnt").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-dup and not the unrelated pair") {
+    val df = Seq((1L, base), (2L, near), (3L, far1), (4L, far2)).toDF("doc_id", "text")
+    val out = Dedup.minHashLsh(df, "text", "doc_id", numHashes = 64,
+      bands = 16, estThreshold = 0.3)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash blocks the near-dup pair") {
+    val df = Seq((1L, base), (2L, near), (3L, far1)).toDF("doc_id", "text")
+    val out = Dedup.simHashDup(df, "text", "doc_id", maxHamming = 8)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact value for hand-computed pair") {
+    val df = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(df, pairs, "text", "doc_id", n = 3)
+      .select("jaccard").as[Double].head()
+    // shingles: {abc,bcd} vs {bcd,cde}: intersect 1, union 3
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("embedding near-dup finds an identical vector pair") {
+    val v = Array.tabulate(8)(i => i.toFloat / 8f)
+    val w = Array.tabulate(8)(i => (7 - i).toFloat / 8f)
+    val df = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, w.toSeq)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      threshold = 0.99, planes = 4)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("brute-force topk ranks the near-identical vector first, excludes self") {
+    val q = Array(1f, 0f, 0f, 0f)
+    val close = Array(0.99f, 0.1f, 0f, 0f)
+    val mid = Array(0.5f, 0.5f, 0f, 0f)
+    val orth = Array(0f, 0f, 1f, 0f)
+    val df = Seq((0L, q.toSeq), (1L, close.toSeq), (2L, mid.toSeq), (3L, orth.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0L),
+      "embedding", "vec_id", k = 3)
+    val ranked = out.orderBy("rank").select("corpus_id").as[Long].collect()
+    assert(ranked.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lsh topk returns a subset of brute-force candidates with same scoring") {
+    val emb = graft.Tables(spark, sf).embeddings.limit(200)
+    val qs = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id", "score").as[(Long, Long, Double)].collect().toMap2
+    val lsh = Similarity.lshTopK(emb, qs, "embedding", "vec_id", 5, planes = 4)
+      .select("query_id", "corpus_id", "score").collect()
+    // every LSH score must equal the exact cosine for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(exact => assert(exact == r.getDouble(2)))
+    }
+  }
+
+  private implicit class PairsOps(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, s) => (a, b) -> s }.toMap
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("media frame -> decode stub -> typed metadata + features") {
+    val df = Seq((1L, "hello media bytes"), (2L, "")).toDF("doc_id", "payload")
+    val frame = Multimodal.asMediaFrame(df, "doc_id", "payload", "fake/raw")
+    assert(frame.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val dec = Multimodal.decodeAndFeaturize(frame).orderBy("media_id")
+    val rows = dec.collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[Int]("width") == 64 + 17 % 128)
+    assert(r0.getSeq[Float](r0.fieldIndex("features")).length == 8)
+  }
+
+  test("frame sampling explodes stride-spaced frame indices") {
+    val df = Seq((1L, "0123456789")).toDF("doc_id", "payload") // 10 bytes -> 3 frames
+    val dec = Multimodal.decodeAndFeaturize(
+      Multimodal.asMediaFrame(df, "doc_id", "payload", "fake/raw"))
+    val frames = Multimodal.frameSample(dec, stride = 2)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames == Seq(0, 2))
+  }
+}

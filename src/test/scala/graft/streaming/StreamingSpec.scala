@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.sinks.Sinks
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_stream_").toString
+
+  test("ODS->DWD e2e: browse-log envelope, cleanse, memory sink") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Map[String, String])]
+    val logs = in.toDF().toDF("logtype", "data")
+    val ods = Pipelines.odsBrowseLog(logs, "KAFKA-DWD-BROWSE-LOG-TOPIC")
+    val dwd = Pipelines.dwdCleanse(ods,
+      requiredCols = Seq("user_id"), tsCols = Seq("log_time"))
+    val q = dwd.writeStream.format("memory").queryName("dwd_out")
+      .outputMode("append").start()
+    in.addData(
+      ("browselog", Map(
+        "logTime" -> "1655274222161", "userId" -> "uid813665",
+        "userIp" -> "30.121.149.246", "obtainPoints" -> "42",
+        "browseProductCode" -> "demHQ6TADV", "browseProductTpCode" -> "14000",
+        "frontProductUrl" -> "", "browseProductUrl" -> "https://x/y")),
+      ("otherlog", Map("userId" -> "drop-me")),
+      ("browselog", Map("logTime" -> null, "userId" -> "uid2")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dwd_out").orderBy("user_id")
+    val rows = out.select("user_id", "log_time", "iceberg_ods_tbl_name", "kafka_dwd_topic")
+      .as[(String, String, String, String)].collect()
+    assert(rows.length == 2) // non-browselog dropped
+    assert(rows(0) == ("uid2", "1970-01-01 00:00:00", "ODS_BROWSELOG", "KAFKA-DWD-BROWSE-LOG-TOPIC"))
+    assert(rows(1)._2 == "2022-06-15 06:23:42")
+  }
+
+  test("DWS enrich: stream-static broadcast left join keeps unmatched facts") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val facts = in.toDF().toDF("user_id", "ip")
+    val dim = Seq(("uid1", "4", "9371")).toDF("uid", "member_level", "member_points")
+    val wide = Pipelines.dwsEnrich(facts, Seq((dim, "user_id", "uid")))
+    val q = wide.writeStream.format("memory").queryName("dws_out")
+      .outputMode("append").start()
+    in.addData(("uid1", "1.2.3.4"), ("uid-miss", "5.6.7.8"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dws_out").orderBy("user_id")
+      .as[(String, String, Option[String], Option[String])].collect()
+    assert(rows.toSeq == Seq(
+      ("uid-miss", "5.6.7.8", None, None),
+      ("uid1", "1.2.3.4", Some("4"), Some("9371"))))
+  }
+
+  test("DM: event-time tumbling window counts with watermark (append)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val facts = in.toDF().toDF("ts", "product")
+    val counted = Pipelines.dmWindowCounts(facts, "ts", Seq("product"),
+      windowSec = 10, watermark = "5 seconds")
+    val q = counted.writeStream.format("memory").queryName("dm_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 00:00:01"), "p1"), (t("2024-01-01 00:00:04"), "p1"))
+    q.processAllAvailable()
+    // advance watermark past the first window
+    in.addData((t("2024-01-01 00:00:30"), "p1"))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 00:01:00"), "p2"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dm_out")
+      .select("current_dt", "window_start", "window_end", "product", "cnt")
+      .as[(String, String, String, String, Long)].collect().toSet
+    assert(rows.contains(
+      ("2024-01-01", "2024-01-01 00:00:00", "2024-01-01 00:00:10", "p1", 2L)))
+  }
+
+  test("streaming sessionization via flatMapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val sessions = Sessionize.sessions(spark, in.toDS(), gapSec = 100L)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    in.addData((7L, 1000L), (7L, 1050L))
+    q.processAllAvailable()
+    in.addData((7L, 5000L)) // gap > 100 -> new session
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("sess_out")
+      .groupBy("user_id", "session_id").agg(max("n_events").as("n"))
+      .orderBy("session_id")
+      .as[(Long, Long, Long)].collect()
+    assert(last.toSeq == Seq((7L, 1L, 2L), (7L, 2L, 1L)))
+  }
+
+  test("R2 dual sink writes both targets from one stream") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Int]
+    val dirA = tmp() + "/a"; val dirB = tmp() + "/b"
+    val q = Sinks.dualSink(in.toDF().toDF("v"), tmp() + "/cp",
+      b => b.write.mode("append").parquet(dirA),
+      b => b.write.mode("append").parquet(dirB),
+      triggerMs = 100L)
+    in.addData(1, 2, 3)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(dirA).count() == 3)
+    assert(spark.read.parquet(dirB).count() == 3)
+  }
+
+  test("K3 dynamic-topic frame: per-record topic column + JSON value") {
+    val df = Seq(("t-a", "x", 1), ("t-b", "y", 2)).toDF("kafka_dwd_topic", "k", "v")
+    val frame = Sinks.kafkaDynamicTopicFrame(df, "kafka_dwd_topic").orderBy("topic")
+    val rows = frame.as[(String, String)].collect()
+    assert(rows.toSeq == Seq(
+      ("t-a", """{"k":"x","v":1}"""), ("t-b", """{"k":"y","v":2}""")))
+  }
+
+  test("K1 streaming parquet append with date partitioning") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val dir = tmp() + "/ods"
+    val q = Sinks.streamAppend(in.toDF().toDF("dt", "payload"), dir,
+      tmp() + "/cp2", partitionCols = Seq("dt"), triggerMs = 100L)
+    in.addData(("2024-01-01", "a"), ("2024-01-02", "b"))
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("dt=")))
+  }
+}
