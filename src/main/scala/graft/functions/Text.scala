@@ -106,20 +106,23 @@ object Text {
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
-  /** MinHash signature: array of `k` minima of seeded xxhash64 over the
-    * doc's `n`-word shingles. Permutation i is xxhash64(seed=i, shingle).
-    * Empty docs get Long.MaxValue entries.
+  /** MinHash signature: array of `k` minima over the doc's `n`-word
+    * shingles, permutation i being a universal-hash mix
+    * `a_i * xxhash64(shingle) + b_i` (odd multiplier per i). Empty docs
+    * get Long.MaxValue entries.
     *
-    * Single fold over the shingle array (k hashes per shingle, one
-    * evaluation of the shingle expression) — the naive
-    * `k × array_min(transform(...))` shape re-evaluates the shingling
-    * k times and is ~60× slower at bench scale. */
+    * Two deliberate shapes for scale: each shingle string is hashed
+    * exactly ONCE (the k permutations are integer mixes of that one
+    * hash — k string-hashes per shingle is ~10× slower), and the whole
+    * signature is a single fold over the shingle array (re-evaluating
+    * the shingling per permutation is ~60× slower). Long overflow wraps
+    * (non-ANSI), which is exactly what a hash mix wants. */
   def minHashSignature(c: Column, k: Int, shingleN: Int = 3): Column =
     aggregate(
-      shingles(c, shingleN),
+      transform(shingles(c, shingleN), s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
-        (m, i) => least(m, xxhash64(i, s))))
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+        (m, i) => least(m, h * (i * lit(2L) + lit(1L)) + i * lit(-7046029254386353131L))))
 
   /** LSH band keys for a minhash signature: `bands` hashes, each over
     * `rowsPerBand` consecutive signature entries. Docs sharing any band

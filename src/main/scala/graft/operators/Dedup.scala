@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.expressions.TextSignatures
 import graft.functions.{Text, Vectors}
 
 /** Deduplication operators for the training-data pipeline extensions
@@ -41,9 +42,13 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  estThreshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // persist: the self-join references the signatures from both sides;
+    // without it the k-hash shingling runs twice per doc (signatures are
+    // ~0.5 KB/doc — at lake scale swap for a checkpoint to storage).
     val sigs = df.select(
       col(idCol).as("id"),
-      Text.minHashSignature(col(textCol), numHashes).as("sig"))
+      TextSignatures.minHashSig(col(textCol), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(Text.lshBands(col("sig"), bands, rows)))
@@ -71,7 +76,8 @@ object Dedup {
     * at least one of 4 bands), verified by full hamming distance. */
   def simHashDup(df: DataFrame, textCol: String, idCol: String,
                  maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), Text.simHash(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), TextSignatures.simHashSig(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { q =>
         // 16-bit quarter q of the signature

@@ -103,10 +103,14 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhash blocks the near-dup pair") {
-    val df = Seq((1L, base), (2L, near), (3L, far1)).toDF("doc_id", "text")
-    val out = Dedup.simHashDup(df, "text", "doc_id", maxHamming = 8)
+    // longer docs -> stabler bit votes -> low hamming for 1-word edits
+    val longBase = (base + " " + far1 + " " + base).trim
+    val longNear = longBase.replaceFirst("tonight", "tomorrow")
+    val df = Seq((1L, longBase), (2L, longNear), (3L, far2)).toDF("doc_id", "text")
+    val out = Dedup.simHashDup(df, "text", "doc_id", maxHamming = 16)
     val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
   test("ngram jaccard: exact value for hand-computed pair") {
