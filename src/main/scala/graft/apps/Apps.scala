@@ -1,0 +1,206 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Cleanse
+import graft.maintenance.Compaction
+import graft.operators.Enrichment
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.streaming.Pipelines
+
+/** Job-for-job equivalents of the reference's runnable mains, wired from
+  * the engine's modules. Each reference `main` built one Flink topology;
+  * here each is a thin composition over `graft.streaming/operators/
+  * sinks`, reading file-backed streams (drop-in Kafka via
+  * `Sources.kafkaJsonStream` on a cluster with the connector jar) and
+  * writing parquet lakehouse dirs (drop-in Iceberg via `writeTo`).
+  *
+  * | Reference job                                   | Here |
+  * |-------------------------------------------------|------|
+  * | ods/ProduceKafkaDBDataToODS                     | [[OdsDbIngest]] |
+  * | ods/ProduceKafkaLogDataToODS                    | [[OdsLogIngest]] |
+  * | dim/DimDataToHBase                              | [[DimUpsert]] |
+  * | dwd/ProcessODSDataToDWD                         | [[DwdRoute]] |
+  * | dws/Process+ProduceUserlogInToDWS (pair)        | [[DwsLoginEnrich]] |
+  * | dws/Produce+ProductBrowseLogToDWS (pair)        | [[DwsBrowseEnrich]] |
+  * | dm/ProcessUserLoginInfoToDM                     | [[DmLoginServe]] |
+  * | dm/ProcessBrowseLogInfoToDM                     | [[DmVisitWindow]] |
+  * | offlineanls/ProcessUserPoints                   | [[UserPointsBatch]] |
+  * | offlineanls/CombinDataAndRemoveOldSnap          | [[MaintenanceJob]] |
+  *
+  * The reference's guava-conflict job pairs (SURVEY §0) collapse: one
+  * streaming query enriches AND lands the wide rows, so the Kafka
+  * round-trip jobs have no reason to exist here.
+  */
+object Layout {
+  def ods(work: String, t: String): String = s"$work/lake/ODS_$t"
+  def dwd(work: String, t: String): String = s"$work/lake/DWD_$t"
+  def dws(work: String, t: String): String = s"$work/lake/DWS_$t"
+  def dim(work: String, t: String): String = s"$work/dims/$t"
+  def dm(work: String, t: String): String  = s"$work/serve/$t"
+  def cp(work: String, job: String): String = s"$work/cp/$job"
+}
+
+/** ODS ingest of CDC data with config-driven dim/fact routing (J1+R1).
+  * Facts land in their ODS table; dims go to the dim upsert path. */
+object OdsDbIngest {
+  def run(spark: SparkSession, cdc: DataFrame, config: DataFrame,
+          work: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val routed = Pipelines.odsRouteCdc(cdc, config, sourceDb = "lakehousedb",
+      factTableFor = when(col("table") === "mc_user_login", lit("ODS_USER_LOGIN")),
+      factTopicFor = when(col("table") === "mc_user_login", lit("KAFKA-DWD-USER-LOGIN-TOPIC")))
+    Sinks.dualSink(routed, Layout.cp(work, "ods_db"),
+      b => b.filter(col("route") === "fact" && col("iceberg_ods_tbl_name").isNotNull)
+        .select(Cleanse.payload(col("data"), "id").as("id"),
+          Cleanse.payload(col("data"), "user_id").as("user_id"),
+          Cleanse.payload(col("data"), "ip").as("ip"),
+          Cleanse.payload(col("data"), "login_tm").as("login_tm"),
+          Cleanse.payload(col("data"), "logout_tm").as("logout_tm"))
+        .write.mode("append").parquet(Layout.ods(work, "USER_LOGIN")),
+      b => b.filter(col("route") === "dim")
+        .select(col("phoenix_tbl_name"), col("pk_col"), col("type").as("tp"),
+          to_json(col("data")).as("data"))
+        .write.mode("append").parquet(s"$work/topics/dim_envelope"),
+      triggerMs = 200L)
+  }
+}
+
+/** ODS ingest of browse logs (reference ProduceKafkaLogDataToODS). */
+object OdsLogIngest {
+  def run(spark: SparkSession, logs: DataFrame, work: String) = {
+    val ods = Pipelines.odsBrowseLog(logs, "KAFKA-DWD-BROWSE-LOG-TOPIC")
+    Sinks.dualSink(ods, Layout.cp(work, "ods_log"),
+      b => b.write.mode("append").parquet(Layout.ods(work, "BROWSELOG")),
+      b => Sinks.kafkaDynamicTopicFrame(b, "kafka_dwd_topic")
+        .write.mode("append").parquet(s"$work/topics/ods_envelope"),
+      triggerMs = 200L)
+  }
+}
+
+/** Dim stream → keyed upsert per target table (reference DimDataToHBase;
+  * Phoenix DDL-and-upsert becomes idempotent parquet MERGE). */
+object DimUpsert {
+  def run(spark: SparkSession, dimStream: DataFrame, work: String,
+          key: String = "user_id") =
+    dimStream.writeStream
+      .option("checkpointLocation", Layout.cp(work, "dim_upsert"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tables = batch.select("phoenix_tbl_name").distinct()
+          .collect().map(_.getString(0))
+        tables.foreach { tbl =>
+          val slice = batch.filter(col("phoenix_tbl_name") === tbl)
+            .drop("phoenix_tbl_name")
+            .withColumn("_ver", lit(id))
+          Sinks.upsertParquet(spark, slice, Layout.dim(work, tbl), key, "_ver")
+        }
+      }
+      .start()
+}
+
+/** DWD cleanse + per-table routing (reference ProcessODSDataToDWD). */
+object DwdRoute {
+  def run(spark: SparkSession, ods: DataFrame, work: String) = {
+    val cleansed = Pipelines.dwdCleanse(ods,
+      requiredCols = Seq("user_id"), tsCols = Seq("login_tm", "logout_tm"))
+    Sinks.dualSink(cleansed, Layout.cp(work, "dwd"),
+      b => b.filter(col("iceberg_ods_tbl_name") === "ODS_USER_LOGIN")
+        .drop("iceberg_ods_tbl_name", "kafka_dwd_topic")
+        .write.mode("append").parquet(Layout.dwd(work, "USER_LOGIN")),
+      b => Sinks.kafkaDynamicTopicFrame(b, "kafka_dwd_topic")
+        .write.mode("append").parquet(s"$work/topics/dwd"),
+      triggerMs = 200L)
+  }
+}
+
+/** DWS login enrichment (reference ProcessUserlogInToDWS + its pure-SQL
+  * twin): facts ⋈ member dim ⋈ address dim, broadcast left joins. */
+object DwsLoginEnrich {
+  def run(spark: SparkSession, logins: DataFrame, work: String) = {
+    val member  = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_INFO"))
+    val address = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_ADDRESS"))
+    val wide = Pipelines.dwsEnrich(logins, Seq(
+      (member, "user_id", "user_id"), (address, "user_id", "user_id")))
+    wide.writeStream.format("parquet").outputMode("append")
+      .option("path", Layout.dws(work, "USER_LOGIN"))
+      .option("checkpointLocation", Layout.cp(work, "dws_login"))
+      .start()
+  }
+}
+
+/** DWS browse enrichment incl. the category parent self-join (J3)
+  * (reference ProduceBrowseLogToDWS + its twin). */
+object DwsBrowseEnrich {
+  def run(spark: SparkSession, browse: DataFrame, work: String) = {
+    val product = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_INFO"))
+    val category = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_CATEGORY"))
+    val cats = Enrichment.hierarchySelfJoin(category, "id", "p_id", "name")
+      .withColumnRenamed("first_name", "first_category_name")
+      .withColumnRenamed("second_name", "second_category_name")
+    // category key on the fact is the browse tp-code (the reference
+    // probes DIM_PRODUCT_CATEGORY with it, ProduceBrowseLogToDWS:169-178)
+    val wide = Pipelines.dwsEnrich(browse,
+        Seq((product, "browse_product_code", "product_id")))
+      .join(broadcast(cats), col("browse_product_tpcode") === col("second_id"), "left_outer")
+      .drop("first_id", "second_id")
+    wide.writeStream.format("parquet").outputMode("append")
+      .option("path", Layout.dws(work, "BROWSE_INFO"))
+      .option("checkpointLocation", Layout.cp(work, "dws_browse"))
+      .start()
+  }
+}
+
+/** DM login serving rows (reference ProcessUserLoginInfoToDM): project
+  * the wide row + stamp current date; JDBC on a cluster, parquet here. */
+object DmLoginServe {
+  def run(spark: SparkSession, dwsLogin: DataFrame, work: String) =
+    dwsLogin
+      .select(Cleanse.currentDateStr().as("dt"), col("province"), col("city"),
+        col("user_id"), col("login_tm"), col("gmt_create"))
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", Layout.dm(work, "dm_user_login_info"))
+      .option("checkpointLocation", Layout.cp(work, "dm_login"))
+      .start()
+}
+
+/** DM 10s product-visit window counts (reference ProcessBrowseLogInfoToDM). */
+object DmVisitWindow {
+  def run(spark: SparkSession, wide: DataFrame, work: String) =
+    Pipelines.dmWindowCounts(wide, "event_ts",
+        Seq("first_category_name", "second_category_name", "product_name"),
+        windowSec = 10, watermark = "30 seconds")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", Layout.dm(work, "dm_product_visit_info"))
+      .option("checkpointLocation", Layout.cp(work, "dm_visit"))
+      .start()
+}
+
+/** Batch user-points aggregation (reference ProcessUserPoints): grouped
+  * exact sum over the browse wide table → serving table. */
+object UserPointsBatch {
+  def run(spark: SparkSession, work: String): DataFrame = {
+    val browse = spark.read.parquet(Layout.dws(work, "BROWSE_INFO"))
+    val out = browse
+      .groupBy(Cleanse.datePart(col("log_time")).as("log_time"),
+        col("user_id"), col("product_name"))
+      .agg(sum(col("obtain_points").cast("int")).as("total_points"))
+    Sinks.batchAppend(out, Layout.dm(work, "user_points"))
+    out
+  }
+}
+
+/** Compaction + snapshot expiry over every lakehouse dir (reference
+  * CombinDataAndRemoveOldSnap). */
+object MaintenanceJob {
+  def run(spark: SparkSession, work: String,
+          targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    val root = new java.io.File(s"$work/lake")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getAbsolutePath).toSeq
+    dirs.map { d =>
+      val (before, after) = Compaction.rewriteDataFiles(spark, d, targetBytes)
+      Compaction.expireSnapshots(spark, d)
+      (d, before, after)
+    }
+  }
+}

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision (native expression;
+    * bit-identical to [[hofDot]] and to the DuckDB oracle). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorOps.arrayDot(a, b)
+
+  /** HOF formulation of [[dot]] — kept as the portable reference
+    * implementation (tests assert it matches the native one). */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

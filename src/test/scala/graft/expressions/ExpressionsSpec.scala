@@ -1,0 +1,36 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native array_dot is bit-identical to the HOF fold on real embeddings") {
+    val emb = graft.Tables(spark, sf).embeddings.limit(100)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"ia" < $"ib" && $"ib" < 10)
+    val diffs = pairs.select(
+      Vectors.dot($"ea", $"eb").as("native"),
+      Vectors.hofDot($"ea", $"eb").as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diffs.count() == 0)
+  }
+
+  test("native minhash: identical docs -> identical sigs; sig length k") {
+    val df = Seq("the quick brown fox jumps over it", "the quick brown fox jumps over it")
+      .toDF("t").select(TextSignatures.minHashSig($"t", 32).as("s"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0).length == 32 && sigs(0) == sigs(1))
+  }
+
+  test("native simhash: empty and null-safe") {
+    val df = Seq(Some(""), None, Some("a b c")).toDF("t")
+      .select(TextSignatures.simHashSig($"t").as("h"))
+    val rows = df.collect()
+    assert(rows(1).isNullAt(0)) // null in -> null out
+    assert(!rows(0).isNullAt(0) && !rows(2).isNullAt(0))
+  }
+}
