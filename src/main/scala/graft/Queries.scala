@@ -250,6 +250,22 @@ object Queries {
     Dedup.embeddingNearDup(Tables(s, dir).embeddings, "embedding", "vec_id",
       threshold = 0.3, planes = 6)
 
+  /** q23 — IVF approximate top-k (rows-only: centroid sample is
+    * hash-seeded). */
+  val q23: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, nCentroids = 16, nProbe = 4)
+  }
+
+  /** q24 — duplicate clustering: minhash candidate pairs collapsed into
+    * connected components (rows-only). */
+  val q24: Q = (s, dir) => {
+    val pairs = Dedup.minHashLsh(Tables(s, dir).documents, "text", "doc_id",
+      numHashes = 64, bands = 16, estThreshold = 0.2)
+    Dedup.clusterDuplicates(pairs, s)
+  }
+
   // ------------------------------------------------ text extensions
 
   private def markerCountSql(m: String): String =
@@ -398,6 +414,8 @@ object Queries {
     "q20_fingerprint" -> q20,
     "q21_sessionize" -> q21,
     "q22_media_meta" -> q22,
+    "q23_ann_ivf" -> q23,
+    "q24_dedup_cluster" -> q24,
   )
 
   val oracle: Map[String, String] = Map(

@@ -109,6 +109,23 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Collapse near-dup candidate pairs into duplicate clusters via
+    * GraphX connected components; survivors = the minimum id per
+    * cluster. This is the step after any blocking strategy (minhash /
+    * simhash / embedding): pairs are edges, docs are vertices, a
+    * cluster is everything transitively linked. Scales as GraphX Pregel
+    * (edge-partitioned iterative joins), not a driver-side union-find.
+    * Returns (id, keep_id) for every id that appears in some pair. */
+  def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges[Unit, Unit](edges, ())
+    val cc = graph.connectedComponents().vertices // (id, minIdInComponent)
+    spark.createDataFrame(cc.map { case (id, rep) => (id, rep) })
+      .toDF("id", "keep_id")
+  }
+
   /** Embedding-cosine near-dup pairs via sign-random-projection blocking:
     * vectors sharing an LSH bucket are compared exactly; pairs with
     * cosine ≥ threshold survive. */

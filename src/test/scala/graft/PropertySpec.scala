@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{Cleanse, Text}
+import graft.operators.Routing
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.4): generators feed one DataFrame pass per
+  * property — totality and invariants over adversarial inputs. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("F1 is total: never null; 19-char format for sane epochs") {
+    // (found by this property: epochs beyond year 9999 format with >4
+    // digit years — same behavior as the reference's SimpleDateFormat)
+    val inputs = sample(Gen.oneOf(
+      Gen.numStr, Gen.asciiPrintableStr, Gen.alphaStr,
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString)), 300)
+    val out = (inputs :+ null).toDF("s")
+      .select($"s", Cleanse.epochMillisToDateTime($"s").as("t"))
+      .as[(String, String)].collect()
+    assert(out.forall(_._2 != null))
+    val sane = out.filter { case (s, _) =>
+      s != null && s.matches("-?\\d{1,12}") }
+    assert(sane.forall(_._2.length == 19))
+  }
+
+  test("routing partitions the input exactly (dims ∪ facts, disjoint)") {
+    val keys = sample(Gen.oneOf("a", "b", "c", "d", ""), 200)
+    val records = keys.zipWithIndex.toDF("k", "v")
+    val config = Routing.configDf(spark, "k",
+      Seq(Routing.DimRoute("a", "DIM_A"), Routing.DimRoute("c", "DIM_C")))
+    val routed = Routing.routed(records, config, "k", "F")
+    val (dims, facts) = Routing.split(routed)
+    assert(dims.count() + facts.count() == records.count())
+    assert(routed.count() == records.count()) // broadcast join never fans out
+    val dimKeys = dims.select("k").distinct().as[String].collect().toSet
+    assert(dimKeys.subsetOf(Set("a", "c")))
+  }
+
+  test("wordCount matches naive tokenizer on single-spaced text") {
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val text = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val inputs = sample(text, 200)
+    val got = inputs.toDF("t").select(Text.wordCount($"t").as("w")).as[Long].collect()
+    inputs.zip(got).foreach { case (s, w) =>
+      assert(w == s.split(" ").count(_.nonEmpty), s"for '$s'")
+    }
+  }
+
+  test("minhash est-similarity of a doc with itself is 1; hamming(x,x)=0") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val text = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = sample(text, 50).distinct
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val doubled = df.union(df.withColumn("doc_id", $"doc_id" + 1000000L))
+    val pairs = graft.operators.Dedup
+      .minHashLsh(doubled, "text", "doc_id", estThreshold = 0.999)
+      .filter($"id_b" === $"id_a" + 1000000L)
+    assert(pairs.count() == docs.length) // every doc pairs with its copy at est 1.0
+  }
+}

@@ -122,6 +122,14 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
 
+  test("duplicate clustering: transitive pairs collapse to min-id clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterDuplicates(pairs, spark)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(clusters.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
   test("embedding near-dup finds an identical vector pair") {
     val v = Array.tabulate(8)(i => i.toFloat / 8f)
     val w = Array.tabulate(8)(i => (7 - i).toFloat / 8f)
@@ -160,6 +168,19 @@ class SimilaritySpec extends SparkTestBase {
     lsh.foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
       brute.get(key).foreach(exact => assert(exact == r.getDouble(2)))
+    }
+  }
+
+  test("ivf topk scores equal exact cosine; probes bound the search") {
+    val emb = graft.Tables(spark, sf).embeddings.limit(200)
+    val qs = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id", "score").as[(Long, Long, Double)].collect().toMap2
+    val ivf = Similarity.ivfTopK(emb, qs, "embedding", "vec_id", 5,
+      nCentroids = 8, nProbe = 2).select("query_id", "corpus_id", "score").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach(ex => assert(ex == r.getDouble(2)))
     }
   }
 
