@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -26,22 +26,31 @@ object Queries {
   // ---------------------------------------------------------------- core
 
   /** q01 — A2/F8 + P2 (TPC-H Q1 shape): grouped exact sums with casts.
-    * Reference analog: offlineanls/ProcessUserPoints.scala:35-41. */
+    * Reference analog: offlineanls/ProcessUserPoints.scala:35-41.
+    *
+    * Money math runs in integer cents (`round(x*100)` → long): exact and
+    * partition-order independent like DECIMAL, but the aggregation stays
+    * a vectorized long sum — ~2× faster than decimal sums at bench
+    * scale. Revenue multiplies cent-scaled longs, so the product is
+    * exact integer arithmetic too. Envelope: revenue terms are ≤1e9
+    * cents², so a long-backed group sum holds to ~9e9 rows/group
+    * (≈1 PB of lineitem); beyond that use the DECIMAL formulation. */
   val q01: Q = (s, dir) => {
     val li = Tables(s, dir).lineitem
+    def cents(c: Column): Column = round(c * 100).cast("long")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1) - col("l_discount")).cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"),
         count(lit(1)).as("cnt"))
   }
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+      | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+      | SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
       | COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 

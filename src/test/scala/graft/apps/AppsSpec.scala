@@ -37,6 +37,69 @@ class AppsSpec extends SparkTestBase {
       ("uid-miss", None, None), ("uid1", Some("4"), Some("Beijing"))))
   }
 
+  test("CDC path: ods routing -> dim envelope -> dim upsert") {
+    val w = work()
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, String, String, Map[String, String])]
+    val cdc = in.toDF().toDF("database", "table", "type", "ts", "data")
+    val config = Seq(("lakehousedb", "mc_member_info", "DIM_MEMBER_INFO", "id",
+      "user_id,member_level,balance"))
+      .toDF("tbl_db", "tbl_name", "phoenix_tbl_name", "pk_col", "cols")
+    val q = OdsDbIngest.run(spark, cdc, config, w)
+    in.addData(
+      // dim record (config hit)
+      ("lakehousedb", "mc_member_info", "insert", "1648300465",
+        Map("id" -> "9997", "user_id" -> "uid756103", "member_level" -> "4", "balance" -> "30804")),
+      // fact record (no config entry)
+      ("lakehousedb", "mc_user_login", "insert", "1648300467",
+        Map("id" -> "9992", "user_id" -> "uid185880", "ip" -> "54.223.109.158",
+          "login_tm" -> "1646741786000", "logout_tm" -> "1646747369000")),
+      // foreign database -> dropped
+      ("otherdb", "mc_user_login", "insert", "1", Map("id" -> "1")))
+    q.processAllAvailable(); q.stop()
+
+    val facts = spark.read.parquet(Layout.ods(w, "USER_LOGIN"))
+    assert(facts.count() == 1)
+    assert(facts.select("user_id").as[String].head() == "uid185880")
+
+    val dimEnv = spark.read.parquet(s"$w/topics/dim_envelope")
+    assert(dimEnv.count() == 1)
+    val env = dimEnv.select("phoenix_tbl_name", "pk_col", "tp").as[(String, String, String)].head()
+    assert(env == ("DIM_MEMBER_INFO", "id", "insert"))
+
+    // consume the envelope with DimUpsert (bootstrap-insert upserts too, T7)
+    val dimIn = MemoryStream[(String, String, String, String)]
+    val dimStream = dimIn.toDF().toDF("phoenix_tbl_name", "user_id", "member_level", "balance")
+    val q2 = DimUpsert.run(spark, dimStream, w)
+    dimIn.addData(("DIM_MEMBER_INFO", "uid756103", "4", "30804"),
+      ("DIM_MEMBER_INFO", "uid756103", "5", "31000")) // same batch: latest wins by _ver tie -> row_number picks one
+    q2.processAllAvailable(); q2.stop()
+    val dim = spark.read.parquet(Layout.dim(w, "DIM_MEMBER_INFO"))
+    assert(dim.count() == 1)
+  }
+
+  test("DM serving: visit window counts over the wide stream") {
+    val w = work()
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val wide = in.toDF().toDF("event_ts", "first_category_name",
+      "second_category_name", "product_name")
+    val q = DmVisitWindow.run(spark, wide, w)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2024-01-01 00:00:01"), "汽车用品", "维修保养", "汽车玻璃"),
+      (t("2024-01-01 00:00:09"), "汽车用品", "维修保养", "汽车玻璃"))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 00:05:00"), "a", "b", "c")) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(Layout.dm(w, "dm_product_visit_info"))
+    val r = out.filter($"product_name" === "汽车玻璃")
+      .select("current_dt", "window_start", "window_end", "cnt")
+      .as[(String, String, String, Long)].collect()
+    assert(r.toSeq == Seq(
+      ("2024-01-01", "2024-01-01 00:00:00", "2024-01-01 00:00:10", 2L)))
+  }
+
   test("browse path: category self-join enrich -> points batch -> maintenance") {
     val w = work()
     Sinks.upsertParquet(spark,
