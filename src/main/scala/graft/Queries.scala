@@ -242,7 +242,7 @@ object Queries {
       |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
       | ranked AS (
       |  SELECT query_id, corpus_id, score,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rnk
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS BIGINT) AS rnk
       |  FROM scored)
       |SELECT query_id, rnk, corpus_id, score FROM ranked WHERE rnk <= 5""".stripMargin
 

@@ -21,22 +21,25 @@ case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def reader(e: Expression): (ArrayData, Int) => Double = e.dataType match {
+    case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
+    case ArrayType(ByteType, _)    => (a, i) => a.getByte(i).toDouble
+    case ArrayType(ShortType, _)   => (a, i) => a.getShort(i).toDouble
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
+    case t => throw new IllegalArgumentException(s"array_dot: unsupported $t")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val rx = reader(left); val ry = reader(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += rx(x, i) * ry(y, i)
       i += 1
     }
     java.lang.Double.valueOf(acc)

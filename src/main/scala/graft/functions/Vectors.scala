@@ -51,6 +51,23 @@ object Vectors {
       lit(0.0),
       (acc, v) => acc + v))
 
+  /** Symmetric int8 quantization: struct(q: array<tinyint>, scale:
+    * double) with x ≈ q * scale, scale = max|x|/127. Cuts embedding
+    * storage and ANN shuffle bytes 4× vs float32; pair with
+    * [[dotQuantized]] for the candidate-scoring pass and re-rank the
+    * top candidates with exact [[dot]]. */
+  def quantizeInt8(v: Column): Column = {
+    val scale = greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
+    struct(
+      transform(v, x => round(x.cast("double") / scale).cast("byte")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Approximate dot product of two int8-quantized vectors. */
+  def dotQuantized(a: Column, b: Column): Column =
+    graft.expressions.VectorOps.arrayDot(
+      a.getField("q"), b.getField("q")) * a.getField("scale") * b.getField("scale")
+
   /** Sign-random-projection (SimHash-for-vectors) LSH bucket id.
     *
     * `planes` pseudo-random hyperplanes are derived deterministically

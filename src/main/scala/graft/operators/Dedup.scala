@@ -40,7 +40,8 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 64, bands: Int = 16,
-                 estThreshold: Double = 0.5): DataFrame = {
+                 estThreshold: Double = 0.5,
+                 maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     // persist: the self-join references the signatures from both sides;
     // without it the k-hash shingling runs twice per doc (signatures are
@@ -54,6 +55,12 @@ object Dedup {
       posexplode(Text.lshBands(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+      // skew guard: a bucket larger than maxBucket is boilerplate/template
+      // text, not near-duplication — joining it would fan out O(L²).
+      // Count per bucket rides the same partitioning as the join key.
+      .withColumn("_bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_bc") <= maxBucket).drop("_bc")
     val a = banded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"),

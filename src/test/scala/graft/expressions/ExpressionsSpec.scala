@@ -19,6 +19,23 @@ class ExpressionsSpec extends SparkTestBase {
     assert(diffs.count() == 0)
   }
 
+  test("int8 quantized dot approximates the exact dot within 2%") {
+    val emb = graft.Tables(spark, sf).embeddings.limit(50)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("ea"),
+      Vectors.quantizeInt8($"embedding").as("qa"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("eb"),
+      Vectors.quantizeInt8($"embedding").as("qb"))
+    val rows = a.join(b, $"ia" < $"ib" && $"ib" < 10)
+      .select(Vectors.dot($"ea", $"eb").as("exact"),
+        Vectors.dotQuantized($"qa", $"qb").as("approx"),
+        Vectors.norm($"ea").as("na"), Vectors.norm($"eb").as("nb"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (exact, approx, na, nb) =>
+      assert(math.abs(exact - approx) <= 0.02 * na * nb,
+        s"exact=$exact approx=$approx")
+    }
+  }
+
   test("native minhash: identical docs -> identical sigs; sig length k") {
     val df = Seq("the quick brown fox jumps over it", "the quick brown fox jumps over it")
       .toDF("t").select(TextSignatures.minHashSig($"t", 32).as("s"))

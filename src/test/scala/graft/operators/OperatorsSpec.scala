@@ -122,6 +122,15 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
 
+  test("minhash skew guard: oversized buckets are dropped, not joined") {
+    val df = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(df, "text", "doc_id",
+      estThreshold = 0.0, maxBucket = 2)
+    assert(capped.count() == 0) // all 3 ids share every bucket -> capped out
+    val uncapped = Dedup.minHashLsh(df, "text", "doc_id", estThreshold = 0.0)
+    assert(uncapped.count() == 3) // (1,2),(1,3),(2,3)
+  }
+
   test("duplicate clustering: transitive pairs collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val clusters = Dedup.clusterDuplicates(pairs, spark)
