@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * (HOF zip_with would null out; vectors in one table share a dim).
   */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   private def reader(e: Expression): (ArrayData, Int) => Double = e.dataType match {
@@ -44,6 +44,34 @@ case class ArrayDot(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Java element accessor for codegen, cast to double. */
+  private def javaGet(e: Expression, arr: String, i: String): String = e.dataType match {
+    case ArrayType(FloatType, _)   => s"(double) $arr.getFloat($i)"
+    case ArrayType(DoubleType, _)  => s"$arr.getDouble($i)"
+    case ArrayType(ByteType, _)    => s"(double) $arr.getByte($i)"
+    case ArrayType(ShortType, _)   => s"(double) $arr.getShort($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case ArrayType(LongType, _)    => s"(double) $arr.getLong($i)"
+    case t => throw new IllegalArgumentException(s"array_dot: unsupported $t")
+  }
+
+  /** Whole-stage-codegen body: a primitive fused multiply-add loop —
+    * no virtual call per row, no boxing per element. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (${javaGet(left, x, i)}) * (${javaGet(right, y, i)});
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)

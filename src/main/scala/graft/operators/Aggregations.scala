@@ -46,6 +46,26 @@ object Aggregations {
         (col("cnt") +: valueCol.map(_ => col("val_sum")).toSeq): _*)
   }
 
+  /** Skew-safe grouped aggregation: two-phase over a salted key.
+    *
+    * For decomposable aggregates (count/sum) on a key with hot values,
+    * phase 1 aggregates (key, salt) — spreading a hot key over
+    * `saltBuckets` reducers — and phase 2 merges the partials per key.
+    * Use when one key holds a large share of all rows (bot users,
+    * template documents); AQE's skew handling covers joins but not
+    * aggregations. Cost: one extra (tiny) shuffle of partials. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     saltBuckets: Int = 64): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_pc"), sum(valueCol.cast(DecimalType(18, 2))).as("_ps"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_pc")).as("cnt"), sum(col("_ps")).cast("double").as("val_sum"))
+  }
+
   /** A2: grouped exact sum of a (possibly string-typed) points column,
     * keyed by day + entity columns. */
   def groupedPoints(df: DataFrame, dayCol: Column, keys: Seq[String],

@@ -55,15 +55,18 @@ object Dedup {
       posexplode(Text.lshBands(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-      // skew guard: a bucket larger than maxBucket is boilerplate/template
-      // text, not near-duplication — joining it would fan out O(L²).
-      // Count per bucket rides the same partitioning as the join key.
-      .withColumn("_bc", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("_bc") <= maxBucket).drop("_bc")
-    val a = banded.select(col("band"), col("band_key"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skew guard: a bucket larger than maxBucket is boilerplate/template
+    // text, not near-duplication — joining it would fan out O(L²). The
+    // hot-bucket set is tiny by construction → broadcast anti-join (a
+    // window count would sort every banded row instead).
+    val hot = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("_bc")).filter(col("_bc") > maxBucket)
+      .select(col("band"), col("band_key"))
+    val guarded = banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    val a = guarded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
+    val b = guarded.select(col("band"), col("band_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))

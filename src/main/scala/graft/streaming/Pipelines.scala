@@ -92,6 +92,16 @@ object Pipelines {
       acc.join(broadcast(d), Seq(fk), "left_outer")
     }
 
+  /** Streaming exact dedup: drop repeats of `keys` arriving within the
+    * watermark horizon (state is bounded by the watermark — without it,
+    * streaming dedup state grows forever). The streaming member of the
+    * dedup family (builder brief): batch variants live in
+    * `operators.Dedup`. */
+  def streamingDedup(df: DataFrame, tsCol: String, keys: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
   /** DM window stage (reference ProcessBrowseLogInfoToDM:71-96): event
     * -time tumbling window counts with a watermark (the upgrade SURVEY
     * §2.9 T3/T4 prescribes over the reference's processing-time window).

@@ -69,6 +69,19 @@ class AggregationsSpec extends SparkTestBase {
       ("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("salted two-phase aggregation equals direct groupBy") {
+    val df = graft.Tables(spark, sf).events
+      .select($"event_type", $"value")
+    val direct = df.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("val_sum"))
+      .orderBy("event_type").collect()
+    val salted = Aggregations.saltedCountSum(df, Seq("event_type"), $"value")
+      .orderBy("event_type").collect()
+    assert(direct.toSeq == salted.toSeq)
+  }
+
   test("A2: grouped points sums string-typed values exactly") {
     val df = Seq(("2024-01-01", "u1", "p1", "10.5"), ("2024-01-01", "u1", "p1", "0.25"))
       .toDF("d", "user_id", "product", "points")

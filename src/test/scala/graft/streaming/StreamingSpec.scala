@@ -78,6 +78,22 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01", "2024-01-01 00:00:00", "2024-01-01 00:00:10", "p1", 2L)))
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = Pipelines.streamingDedup(
+      in.toDF().toDF("ts", "doc_key"), "ts", Seq("doc_key"), "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 00:00:01"), "k1"), (t("2024-01-01 00:00:01"), "k1"),
+      (t("2024-01-01 00:00:02"), "k2"))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 00:00:01"), "k1")) // duplicate across batches
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
   test("streaming sessionization via flatMapGroupsWithState") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
