@@ -347,6 +347,65 @@ object Queries {
       | md5(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** q25 — Gopher-style repetition quality signal: top-word frequency
+    * ratio per doc (explode → two-level agg, all map-side combinable). */
+  val q25: Q = (s, dir) => {
+    val words = Tables(s, dir).documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words2"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"),
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("rep_ratio"))
+  }
+  val q25Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+      |), wc AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words2, COUNT(*) AS n_distinct,
+      | CAST(MAX(c) AS BIGINT) AS top_cnt,
+      | round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio
+      |FROM wc GROUP BY doc_id""".stripMargin
+
+  /** q26 — TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln(N/df), rounded before ranking so cross-engine ulp noise in
+    * `ln` cannot flip ranks; ties break on the term. */
+  val q26: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val n = docs.count().toDouble // corpus size: model parameter, like centroids
+    val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("w"))
+      .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w"), col("score"))
+  }
+  val q26Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.w, CAST(tf.tf AS BIGINT) AS tf2,
+      |    round(tf.tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq ON tf.w = dfreq.w
+      |), ranked AS (
+      |  SELECT doc_id, w, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rnk
+      |  FROM scored
+      |)
+      |SELECT doc_id, rnk, w, score FROM ranked WHERE rnk <= 3""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -425,6 +484,8 @@ object Queries {
     "q22_media_meta" -> q22,
     "q23_ann_ivf" -> q23,
     "q24_dedup_cluster" -> q24,
+    "q25_word_rep" -> q25,
+    "q26_tfidf" -> q26,
   )
 
   val oracle: Map[String, String] = Map(
@@ -446,5 +507,7 @@ object Queries {
     "q20_fingerprint" -> q20Sql,
     "q21_sessionize" -> q21Sql,
     "q22_media_meta" -> q22Sql,
+    "q25_word_rep" -> q25Sql,
+    "q26_tfidf" -> q26Sql,
   )
 }

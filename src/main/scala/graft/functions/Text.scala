@@ -154,4 +154,20 @@ object Text {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Strip HTML/XML tags and collapse the leftover whitespace. */
+  def stripHtml(c: Column): Column =
+    regexp_replace(regexp_replace(c, "<[^>]*>", " "), " +", " ")
+
+  /** Scrub common PII spans (emails, then phone-number-ish digit runs,
+    * then IPv4 addresses — in that order) with typed placeholders.
+    * Patterns use syntax valid in both Java regex and RE2. */
+  def scrubPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+    regexp_replace(ip,
+      "\\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>")
+  }
 }

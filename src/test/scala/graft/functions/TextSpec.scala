@@ -65,6 +65,15 @@ class TextSpec extends SparkTestBase {
     assert(hs(0) != hs(1))
   }
 
+  test("stripHtml removes tags, scrubPii masks emails/phones/ips") {
+    val html = Seq("<p>Hello <b>world</b></p> done").toDF("t")
+      .select(Text.stripHtml($"t").as("s")).as[String].head()
+    assert(html.trim == "Hello world done")
+    val pii = Seq("mail a.b+c@example.org or call +1 (415) 555-0199 from 10.0.0.1 ok")
+      .toDF("t").select(Text.scrubPii($"t").as("s")).as[String].head()
+    assert(pii == "mail <EMAIL> or call <PHONE> from <IP> ok")
+  }
+
   test("bpeish token count splits punctuation") {
     val n = Seq("don't stop, now!").toDF("t")
       .select(size(Text.bpeishTokens($"t")).as("n")).as[Int].head()
