@@ -181,6 +181,68 @@ object Queries {
       | COUNT(*) AS cnt
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** q27 — TPC-H Q3 shape: segment-filtered 3-way join, grouped revenue,
+    * top-10 by (revenue desc, orderkey). Exercises join ordering with a
+    * broadcast dim, exact cents revenue, sort+limit (WindowGroupLimit-
+    * free: global top-k via ORDER BY+LIMIT is TakeOrderedAndProject). */
+  val q27: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_dt"),
+        col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+  val q27Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_dt, o_orderpriority,
+      | SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q28 — TPC-H Q5 shape: 5-way snowflake join through nation/region
+    * with all dims broadcast; revenue per nation. */
+  val q28: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+        .as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+  val q28Sql: String =
+    """SELECT n_name,
+      | SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+      | COUNT(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
   // ------------------------------------------------- dedup extensions
 
   /** q10 — exact dedup by content hash. */
@@ -486,6 +548,8 @@ object Queries {
     "q24_dedup_cluster" -> q24,
     "q25_word_rep" -> q25,
     "q26_tfidf" -> q26,
+    "q27_topk_revenue" -> q27,
+    "q28_snowflake_join" -> q28,
   )
 
   val oracle: Map[String, String] = Map(
@@ -509,5 +573,7 @@ object Queries {
     "q22_media_meta" -> q22Sql,
     "q25_word_rep" -> q25Sql,
     "q26_tfidf" -> q26Sql,
+    "q27_topk_revenue" -> q27Sql,
+    "q28_snowflake_join" -> q28Sql,
   )
 }
