@@ -468,6 +468,75 @@ object Queries {
       |)
       |SELECT doc_id, rnk, w, score FROM ranked WHERE rnk <= 3""".stripMargin
 
+  /** q29 — funnel analysis over the event stream: per user, first
+    * signup and the first purchase at-or-after it (conversion +
+    * seconds-to-convert). Ordered-event analytics via min-over-filter,
+    * one shuffle on user_id. */
+  val q29: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    signup.join(purchase, Seq("user_id"), "left_outer")
+      .filter(col("p_ts").isNull || col("p_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("signup_ts")).as("su"), min(col("p_ts")).as("fp"))
+      .select(
+        col("user_id"),
+        Cleanse.formatDateTime(col("su")).as("signup_tm"),
+        Cleanse.formatDateTime(col("fp")).as("first_purchase_tm"),
+        when(col("fp").isNotNull, 1).otherwise(0).as("converted"),
+        (unix_timestamp(col("fp")) - unix_timestamp(col("su"))).as("secs_to_convert"))
+  }
+  val q29Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), p AS (
+      |  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT su.user_id, su.signup_ts, p.p_ts
+      |  FROM su LEFT JOIN p ON su.user_id = p.user_id
+      |  WHERE p.p_ts IS NULL OR p.p_ts >= su.signup_ts
+      |), agg AS (
+      |  SELECT user_id, MIN(signup_ts) AS su2, MIN(p_ts) AS fp FROM j GROUP BY 1
+      |)
+      |SELECT user_id,
+      | COALESCE(strftime(su2, '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS signup_tm,
+      | COALESCE(strftime(fp, '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS first_purchase_tm,
+      | CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS converted,
+      | CAST(floor(epoch(fp)) AS BIGINT) - CAST(floor(epoch(su2)) AS BIGINT) AS secs_to_convert
+      |FROM agg""".stripMargin
+
+  /** q30 — ROLLUP revenue over (region, nation) with grouping flags:
+    * hierarchical subtotals in one pass (partial-aggregatable; the
+    * multi-level shape Catalyst expands to a single Expand+agg). */
+  val q30: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("base_rev"),
+        count(lit(1)).as("cnt"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("base_rev"), col("cnt"))
+  }
+  val q30Sql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS base_rev,
+      | COUNT(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -550,6 +619,8 @@ object Queries {
     "q26_tfidf" -> q26,
     "q27_topk_revenue" -> q27,
     "q28_snowflake_join" -> q28,
+    "q29_funnel" -> q29,
+    "q30_rollup" -> q30,
   )
 
   val oracle: Map[String, String] = Map(
@@ -575,5 +646,7 @@ object Queries {
     "q26_tfidf" -> q26Sql,
     "q27_topk_revenue" -> q27Sql,
     "q28_snowflake_join" -> q28Sql,
+    "q29_funnel" -> q29Sql,
+    "q30_rollup" -> q30Sql,
   )
 }
