@@ -537,6 +537,46 @@ object Queries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** q31 — corpus curation composition (the training-data flagship):
+    * quality-score filter → language gate → exact-fingerprint dedup
+    * (min-id survivor). The deterministic core of the curation pipeline
+    * (`apps.CorpusCuration` adds the hash-seeded near-dup stage on top). */
+  val q31: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val scored = docs.select(
+      col("doc_id"),
+      Text.qualityScore(col("text")).as("q_score"),
+      Text.langId(col("text")).as("pred_lang"),
+      Text.fingerprint(col("text")).as("fp"))
+      .filter(col("q_score") >= 0.3 && col("pred_lang") === "en")
+    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("fp"), col("q_score"))
+  }
+  val q31Sql: String = {
+    val scores = Text.langMarkers.map { case (l, _) => s"${langScoreSql(l)} AS s_$l" }
+    val maxE = Text.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = Text.langMarkers.map { case (l, _) => s"WHEN s_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |   round(0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       |       + 0.5 * least(CAST($stopSql AS DOUBLE) * 8.0 / greatest(CAST($wordsSql AS DOUBLE), 1.0), 1.0)
+       |       - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score,
+       |   md5(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS fp,
+       |   ${scores.mkString(", ")}
+       |  FROM documents
+       |), sm AS (
+       |  SELECT doc_id, q_score, fp, CASE $cases ELSE 'und' END AS pred_lang
+       |  FROM (SELECT *, $maxE AS m FROM s)
+       |), gated AS (
+       |  SELECT doc_id, fp, q_score FROM sm WHERE q_score >= 0.3 AND pred_lang = 'en'
+       |), keep AS (
+       |  SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+       |)
+       |SELECT g.doc_id, g.fp, g.q_score FROM gated g JOIN keep k
+       | ON g.fp = k.fp AND g.doc_id = k.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -621,6 +661,7 @@ object Queries {
     "q28_snowflake_join" -> q28,
     "q29_funnel" -> q29,
     "q30_rollup" -> q30,
+    "q31_curation" -> q31,
   )
 
   val oracle: Map[String, String] = Map(
@@ -648,5 +689,6 @@ object Queries {
     "q28_snowflake_join" -> q28Sql,
     "q29_funnel" -> q29Sql,
     "q30_rollup" -> q30Sql,
+    "q31_curation" -> q31Sql,
   )
 }

@@ -189,6 +189,45 @@ object UserPointsBatch {
   }
 }
 
+/** End-to-end training-corpus curation over a documents table: quality
+  * filter → language gate → exact-fingerprint dedup → MinHash-LSH
+  * near-dup clustering (connected components) → survivors. Returns
+  * (survivors, per-stage counts). Every stage is a DataFrame plan;
+  * the only iterative piece is the GraphX cluster collapse. */
+object CorpusCuration {
+  import graft.functions.Text
+  import graft.operators.Dedup
+
+  final case class Report(input: Long, afterQuality: Long, afterExact: Long,
+                          afterNearDup: Long)
+
+  def run(spark: SparkSession, docs: DataFrame,
+          minQuality: Double = 0.3, lang: String = "en",
+          nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
+    val input = docs.count()
+    val gated = docs
+      .withColumn("q_score", Text.qualityScore(col("text")))
+      .withColumn("pred_lang", Text.langId(col("text")))
+      .filter(col("q_score") >= minQuality && col("pred_lang") === lang)
+      .persist()
+    val afterQuality = gated.count()
+
+    val keep = gated.groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exact = gated.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist()
+    val afterExact = exact.count()
+
+    val pairs = Dedup.minHashLsh(exact, "text", "doc_id",
+      estThreshold = nearDupThreshold)
+    val clusters = Dedup.clusterDuplicates(pairs, spark)
+    val dupLosers = clusters.filter(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
+    val survivors = exact.join(dupLosers, Seq("doc_id"), "left_anti")
+    val afterNearDup = survivors.count()
+    (survivors, Report(input, afterQuality, afterExact, afterNearDup))
+  }
+}
+
 /** Compaction + snapshot expiry over every lakehouse dir (reference
   * CombinDataAndRemoveOldSnap). */
 object MaintenanceJob {

@@ -40,9 +40,10 @@ object Text {
   }
 
   /** Occurrences of a literal marker substring (length arithmetic —
-    * ANSI-expressible, deterministic). */
+    * ANSI-expressible, deterministic; plain `replace`, not a regex —
+    * the marker-count family evaluates ~27 of these per doc). */
   def markerCount(c: Column, marker: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
+    ((length(c) - length(replace(c, lit(marker), lit("")))) /
       lit(marker.length)).cast("long")
 
   /** Language-ID heuristic: argmax over per-language marker-word hit

@@ -100,6 +100,25 @@ class AppsSpec extends SparkTestBase {
       ("2024-01-01", "2024-01-01 00:00:00", "2024-01-01 00:00:10", 2L)))
   }
 
+  test("corpus curation: quality gate, exact dedup, near-dup clustering") {
+    val good = "the cat and the dog of the house ran to the park in the morning " * 8
+    val nearGood = good.replaceFirst("morning", "evening")
+    val short = "the a and"                      // fails length -> low quality
+    val nonEn = "der hund und die katze und der vogel und die maus laufen und spielen"
+    val docs = Seq(
+      (1L, good), (2L, good),                    // exact dup pair
+      (3L, nearGood),                            // near dup of 1
+      (4L, short), (5L, nonEn),
+      (6L, ("spark catalyst optimizer and the tungsten engine of the runtime " +
+        "compile the plans to the bytecode in the executors every day ") * 8))
+      .toDF("doc_id", "text")
+    val (survivors, rep) = CorpusCuration.run(spark, docs)
+    val ids = survivors.select("doc_id").as[Long].collect().toSet
+    assert(rep.input == 6 && rep.afterQuality == 4) // 4,5 gated out
+    assert(rep.afterExact == 3)                     // 2 collapses into 1
+    assert(rep.afterNearDup == 2 && ids == Set(1L, 6L)) // 3 clusters into 1
+  }
+
   test("browse path: category self-join enrich -> points batch -> maintenance") {
     val w = work()
     Sinks.upsertParquet(spark,
