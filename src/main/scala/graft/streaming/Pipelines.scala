@@ -92,6 +92,25 @@ object Pipelines {
       acc.join(broadcast(d), Seq(fk), "left_outer")
     }
 
+  /** Watermarked stream-stream inner join: both sides carry event-time
+    * watermarks and the join condition bounds the event-time distance,
+    * so each side's buffered state is evictable (unbounded state is the
+    * failure mode of naive stream-stream joins). The reference never
+    * joins two live streams — its enrichments are stream-static — but a
+    * lakehouse engine needs this for fact-to-fact correlation (e.g.
+    * click ↔ purchase attribution). */
+  def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                       rightTs: String, key: String, watermark: String,
+                       maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   /** Streaming exact dedup: drop repeats of `keys` arriving within the
     * watermark horizon (state is bounded by the watermark — without it,
     * streaming dedup state grows forever). The streaming member of the

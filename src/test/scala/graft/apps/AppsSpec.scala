@@ -100,6 +100,40 @@ class AppsSpec extends SparkTestBase {
       ("2024-01-01", "2024-01-01 00:00:00", "2024-01-01 00:00:10", 2L)))
   }
 
+  test("DWD route: cleanse + per-table filter + dynamic-topic copy") {
+    val w = work()
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, String, String, String, String)]
+    val ods = in.toDF().toDF("iceberg_ods_tbl_name", "kafka_dwd_topic",
+      "id", "user_id", "login_tm", "logout_tm")
+    val q = DwdRoute.run(spark, ods, w)
+    in.addData(
+      ("ODS_USER_LOGIN", "KAFKA-DWD-USER-LOGIN-TOPIC", "1", "uid1",
+        "1646741786000", "1646747369000"),
+      ("ODS_OTHER", "KAFKA-DWD-OTHER-TOPIC", "2", "uid2", "0", "0"),
+      ("ODS_USER_LOGIN", "KAFKA-DWD-USER-LOGIN-TOPIC", "3", null, "1", "2")) // null user dropped
+    q.processAllAvailable(); q.stop()
+    val dwd = spark.read.parquet(Layout.dwd(w, "USER_LOGIN"))
+    assert(dwd.count() == 1)
+    assert(dwd.select("login_tm").as[String].head() == "2022-03-08 12:16:26")
+    val topics = spark.read.parquet(s"$w/topics/dwd")
+      .select("topic").distinct().as[String].collect().toSet
+    assert(topics == Set("KAFKA-DWD-USER-LOGIN-TOPIC", "KAFKA-DWD-OTHER-TOPIC"))
+  }
+
+  test("DM login serve stamps the current date") {
+    val w = work()
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, String, String, String)]
+    val dws = in.toDF().toDF("province", "city", "user_id", "login_tm", "gmt_create")
+    val q = DmLoginServe.run(spark, dws, w)
+    in.addData(("Beijing", "Beijing", "uid1", "2022-03-08 12:03:06", "1645019079851"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(Layout.dm(w, "dm_user_login_info"))
+    val r = out.select("dt", "user_id").as[(String, String)].head()
+    assert(r._1.matches("\\d{4}-\\d{2}-\\d{2}") && r._2 == "uid1")
+  }
+
   test("corpus curation: quality gate, exact dedup, near-dup clustering") {
     val good = "the cat and the dog of the house ran to the park in the morning " * 8
     val nearGood = good.replaceFirst("morning", "evening")

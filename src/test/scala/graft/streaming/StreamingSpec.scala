@@ -94,6 +94,25 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-stream join correlates events within the time bound") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = Pipelines.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "user_id"), "click_ts",
+      buys.toDF().toDF("buy_ts", "user_id"), "buy_ts",
+      key = "user_id", watermark = "1 minute", maxDelay = "30 SECONDS")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((t("2024-01-01 00:00:00"), 1L), (t("2024-01-01 00:00:00"), 2L))
+    buys.addData((t("2024-01-01 00:00:10"), 1L),   // within 30s -> joins
+      (t("2024-01-01 00:05:00"), 2L))              // too late -> no join
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_out").select("user_id").as[Long].collect()
+    assert(rows.toSeq == Seq(1L))
+  }
+
   test("streaming sessionization via flatMapGroupsWithState") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
