@@ -549,8 +549,10 @@ object Queries {
       Text.langId(col("text")).as("pred_lang"),
       Text.fingerprint(col("text")).as("fp"))
       .filter(col("q_score") >= 0.3 && col("pred_lang") === "en")
-    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    scored.join(keep, Seq("fp", "doc_id"), "left_semi")
+    // min-id survivor per fingerprint via one window pass — a
+    // groupBy+semi-join shape evaluates the scoring projection twice
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("doc_id"), col("fp"), col("q_score"))
   }
   val q31Sql: String = {
