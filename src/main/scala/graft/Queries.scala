@@ -579,6 +579,19 @@ object Queries {
        | ON g.fp = k.fp AND g.doc_id = k.doc_id""".stripMargin
   }
 
+  /** q32 — deterministic per-group sampling via a typed Aggregator
+    * UDAF (bottom-k by content-independent hash): 3 docs per language,
+    * reproducible across engines/partitionings. */
+  val q32: Q = (s, dir) =>
+    Sampling.sampleByGroup(Tables(s, dir).documents, Seq("lang"), "doc_id", 3)
+  val q32Sql: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id FROM r WHERE rn <= 3""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -664,6 +677,7 @@ object Queries {
     "q29_funnel" -> q29,
     "q30_rollup" -> q30,
     "q31_curation" -> q31,
+    "q32_group_sample" -> q32,
   )
 
   val oracle: Map[String, String] = Map(
@@ -692,5 +706,6 @@ object Queries {
     "q29_funnel" -> q29Sql,
     "q30_rollup" -> q30Sql,
     "q31_curation" -> q31Sql,
+    "q32_group_sample" -> q32Sql,
   )
 }

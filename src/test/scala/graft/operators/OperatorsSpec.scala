@@ -91,6 +91,22 @@ class AggregationsSpec extends SparkTestBase {
   }
 }
 
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bottom-k group sample: deterministic, k per group, merge-safe") {
+    val df = graft.Tables(spark, sf).documents
+    val s1 = Sampling.sampleByGroup(df, Seq("lang"), "doc_id", 3)
+      .orderBy("lang", "rnk").as[(String, Long, Long)].collect()
+    // repartition wildly -> same sample (merge path exercised)
+    val s2 = Sampling.sampleByGroup(df.repartition(17), Seq("lang"), "doc_id", 3)
+      .orderBy("lang", "rnk").as[(String, Long, Long)].collect()
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.groupBy(_._1).forall(_._2.length == 3))
+    assert(s1.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
+}
+
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
