@@ -592,6 +592,21 @@ object Queries {
       |)
       |SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id FROM r WHERE rn <= 3""".stripMargin
 
+  /** q33 — distinct aggregation: per event type, distinct users and
+    * days active (Catalyst plans a two-stage distinct-expand — the
+    * shape approx sketches replace at extreme cardinality). */
+  val q33: Q = (s, dir) =>
+    Tables(s, dir).events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        countDistinct(Cleanse.formatDate(col("ts"))).as("active_days"),
+        count(lit(1)).as("cnt"))
+  val q33Sql: String =
+    """SELECT event_type,
+      | COUNT(DISTINCT user_id) AS distinct_users,
+      | COUNT(DISTINCT COALESCE(strftime(ts, '%Y-%m-%d'), '1970-01-01')) AS active_days,
+      | COUNT(*) AS cnt
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -678,6 +693,7 @@ object Queries {
     "q30_rollup" -> q30,
     "q31_curation" -> q31,
     "q32_group_sample" -> q32,
+    "q33_distinct_agg" -> q33,
   )
 
   val oracle: Map[String, String] = Map(
@@ -707,5 +723,6 @@ object Queries {
     "q30_rollup" -> q30Sql,
     "q31_curation" -> q31Sql,
     "q32_group_sample" -> q32Sql,
+    "q33_distinct_agg" -> q33Sql,
   )
 }

@@ -130,6 +130,25 @@ class StreamingSpec extends SparkTestBase {
     assert(last.toSeq == Seq((7L, 1L, 2L), (7L, 2L, 1L)))
   }
 
+  test("built-in session_window groups events by inactivity gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 00:00:00"), 1L), (t("2024-01-01 00:00:10"), 1L),
+      (t("2024-01-01 00:05:00"), 1L)) // gap > 30s -> second session
+    in.addData((t("2024-01-01 00:10:00"), 9L)) // advance watermark to close sessions
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sw_out").selectExpr("user_id", "n")
+      .as[(Long, Long)].collect().sorted
+    assert(rows.toSeq == Seq((1L, 1L), (1L, 2L)))
+  }
+
   test("R2 dual sink writes both targets from one stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Int]
