@@ -607,6 +607,29 @@ object Queries {
       | COUNT(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q34 — pivot: events value sums spread into one column per event
+    * type (Spark `pivot` with explicit values = a single hash aggregate
+    * of conditional sums; explicit value list keeps it one pass with no
+    * discovery job). */
+  val q34: Q = (s, dir) => {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables(s, dir).events
+      .groupBy(Cleanse.formatDate(col("ts")).as("dt"))
+      .pivot("event_type", types)
+      .agg(exactSumCol(col("value")))
+      .na.fill(0.0, types)
+  }
+  private def exactSumCol(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  val q34Sql: String =
+    """SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '1970-01-01') AS dt,
+      | COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS click,
+      | COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS view,
+      | COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase,
+      | COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS signup,
+      | COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -694,6 +717,7 @@ object Queries {
     "q31_curation" -> q31,
     "q32_group_sample" -> q32,
     "q33_distinct_agg" -> q33,
+    "q34_pivot" -> q34,
   )
 
   val oracle: Map[String, String] = Map(
@@ -724,5 +748,6 @@ object Queries {
     "q31_curation" -> q31Sql,
     "q32_group_sample" -> q32Sql,
     "q33_distinct_agg" -> q33Sql,
+    "q34_pivot" -> q34Sql,
   )
 }
