@@ -143,6 +143,18 @@ object Sinks {
     ()
   }
 
+  /** Bucketed+sorted table write: co-locates and pre-sorts rows by the
+    * join key so subsequent equi-joins between tables bucketed the same
+    * way run with NO shuffle and no sort — the storage-level answer to
+    * "this fact-fact join is too big to broadcast and too hot to
+    * re-shuffle every query" at lake scale (SCALING.md, enrichment
+    * section). Requires a catalog (`saveAsTable`); works with Spark's
+    * built-in in-memory catalog + parquet. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** K7: console debug sink. */
   def console(df: DataFrame, numRows: Int = 20): StreamingQuery =
     df.writeStream.format("console").option("numRows", numRows.toString).start()

@@ -6,6 +6,31 @@ import java.nio.file.Files
 class SinksSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("bucketed tables join with zero shuffle") {
+    val t = graft.Tables(spark, sf)
+    // unique names: the in-memory catalog forgets tables across JVMs but
+    // the warehouse dir survives, and saveAsTable refuses stale locations
+    val suffix = System.nanoTime()
+    val (tl, to) = (s"bk_lineitem_$suffix", s"bk_orders_$suffix")
+    Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
+      tl, "l_orderkey", 8)
+    Sinks.writeBucketed(t.orders.select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey"), to, "l_orderkey", 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(tl).join(spark.table(to), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() == t.lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+    }
+  }
+
   test("K6: upsert keeps latest version per key across batches") {
     val dir = Files.createTempDirectory("graft_dim_").toString + "/dim"
     val b1 = Seq(("u1", "lvl1", 100L), ("u2", "lvl2", 200L))
