@@ -66,6 +66,42 @@ object Aggregations {
       .agg(sum(col("_pc")).as("cnt"), sum(col("_ps")).cast("double").as("val_sum"))
   }
 
+  /** Skew-safe gap sessionization (SCALING debt #1): the direct form
+    * sorts ALL of a user's events in one partition — a hot user (bot)
+    * makes that partition unbounded. Here stage 1 sessionizes within
+    * (user, day) — partitions bounded by events/user/day — and stage 2
+    * merges sub-sessions across day boundaries on a frame with one row
+    * per sub-session (≈ sessions, not events). Output is provably
+    * identical to the direct form: within-day splits carry the same gap
+    * rule, and a cross-boundary pair merges iff its gap ≤ gapSec,
+    * exactly the direct criterion (asserted equal in the spec). */
+  def sessionizeScalable(df: DataFrame, tsCol: String, userCol: String,
+                         orderCol: String, gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = graft.functions.Cleanse.formatDate(col(tsCol))
+    val w1 = Window.partitionBy(col(userCol), day)
+      .orderBy(col(tsCol), col(orderCol))
+    val gap1 = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w1))
+    val sub = df
+      .withColumn("_new", when(gap1.isNull || gap1 > gapSec, 1).otherwise(0))
+      .withColumn("_sub", sum(col("_new")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), day.as("_day"), col("_sub"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("_min_ts"), max(col(tsCol)).as("_max_ts"))
+    val w2 = Window.partitionBy(col(userCol)).orderBy(col("_min_ts"))
+    val gap2 = unix_timestamp(col("_min_ts")) -
+      unix_timestamp(lag(col("_max_ts"), 1).over(w2))
+    sub
+      .withColumn("_new2", when(gap2.isNull || gap2 > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new2")).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        graft.functions.Cleanse.formatDateTime(min(col("_min_ts"))).as("s_start"),
+        graft.functions.Cleanse.formatDateTime(max(col("_max_ts"))).as("s_end"))
+  }
+
   /** A2: grouped exact sum of a (possibly string-typed) points column,
     * keyed by day + entity columns. */
   def groupedPoints(df: DataFrame, dayCol: Column, keys: Seq[String],

@@ -82,6 +82,18 @@ class AggregationsSpec extends SparkTestBase {
     assert(direct.toSeq == salted.toSeq)
   }
 
+  test("salted sessionization equals the direct window form on real events") {
+    val direct = graft.Queries.q21(spark, sf)
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, String, String)].collect()
+    val salted = Aggregations.sessionizeScalable(
+        graft.Tables(spark, sf).events, "ts", "user_id", "event_id", 1800L)
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(direct.length == salted.length)
+    assert(direct.toSeq == salted.toSeq)
+  }
+
   test("A2: grouped points sums string-typed values exactly") {
     val df = Seq(("2024-01-01", "u1", "p1", "10.5"), ("2024-01-01", "u1", "p1", "0.25"))
       .toDF("d", "user_id", "product", "points")
