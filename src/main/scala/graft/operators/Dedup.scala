@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expressions.TextSignatures
 import graft.functions.{Text, Vectors}
@@ -30,6 +30,30 @@ object Dedup {
     df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Banded minhash signature frame: (band, band_key, id, sig) — the
+    * shared LSH-blocking representation for batch self-join dedup
+    * ([[minHashLsh]]) and incremental new-vs-corpus dedup
+    * (graft.streaming.IncrementalDedup, which persists this frame as
+    * the corpus signature store). */
+  def bandFrame(df: DataFrame, textCol: String, idCol: String,
+                numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    df.select(
+        col(idCol).as("id"),
+        TextSignatures.minHashSig(col(textCol), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(Text.lshBands(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Estimated Jaccard = fraction of equal signature entries. */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+
   /** MinHash+LSH near-dup candidate pairs.
     *
     * shingle → k-permutation minhash signature → band keys → explode →
@@ -42,19 +66,10 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  estThreshold: Double = 0.5,
                  maxBucket: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
-    // persist: the self-join references the signatures from both sides;
-    // without it the k-hash shingling runs twice per doc (signatures are
-    // ~0.5 KB/doc — at lake scale swap for a checkpoint to storage).
-    val sigs = df.select(
-      col(idCol).as("id"),
-      TextSignatures.minHashSig(col(textCol), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(Text.lshBands(col("sig"), bands, rows)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    // persist: the self-join references the banded signatures from both
+    // sides; without it the k-hash shingling runs twice per doc (0.5
+    // KB/doc — at lake scale swap for a checkpoint to storage).
+    val banded = bandFrame(df, textCol, idCol, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: a bucket larger than maxBucket is boilerplate/template
     // text, not near-duplication — joining it would fan out O(L²). The
@@ -71,12 +86,7 @@ object Dedup {
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
-          .as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
   }

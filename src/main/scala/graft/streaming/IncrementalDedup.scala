@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Dedup
+
+/** Incremental near-dup detection: dedup newly arriving documents
+  * against the accumulated corpus — the shape a crawl-ingest pipeline
+  * actually needs (batch dedup answers "is this corpus internally
+  * unique"; ingest needs "is this NEW doc a dup of anything we already
+  * kept").
+  *
+  * Per micro-batch (`foreachBatch`):
+  *   1. band the batch's minhash signatures (one codegen'd projection);
+  *   2. join against the persisted band store — only matching buckets
+  *      are compared, so the probe cost scales with the batch, not the
+  *      corpus;
+  *   3. emit (new_id, corpus_id, est_jaccard) dup pairs plus
+  *      batch-internal pairs;
+  *   4. append the batch's bands to the store.
+  *
+  * The store is a parquet dir here (bands-partitionable; Iceberg
+  * drop-in); its size is ~bands×8B per doc, a tiny fraction of text. */
+object IncrementalDedup {
+
+  def processBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
+                   pairsDir: String, textCol: String, idCol: String,
+                   numHashes: Int, bands: Int, estThreshold: Double): Unit = {
+    val banded = Dedup.bandFrame(batch, textCol, idCol, numHashes, bands)
+      .persist()
+    try {
+      val newSide = banded.select(col("band"), col("band_key"),
+        col("id").as("new_id"), col("sig").as("new_sig"))
+
+      // new-vs-corpus pairs
+      val store =
+        try Some(spark.read.parquet(storeDir))
+        catch { case _: Exception => None }
+      val crossPairs = store.map { st =>
+        newSide.join(
+            st.select(col("band"), col("band_key"),
+              col("id").as("corpus_id"), col("sig").as("corpus_sig")),
+            Seq("band", "band_key"))
+          .select(col("new_id"), col("corpus_id"),
+            Dedup.estJaccard(col("new_sig"), col("corpus_sig"), numHashes)
+              .as("est_jaccard"))
+          .distinct()
+          .filter(col("est_jaccard") >= estThreshold)
+      }
+
+      // batch-internal pairs
+      val intra = newSide
+        .join(newSide.select(col("band"), col("band_key"),
+          col("new_id").as("corpus_id"), col("new_sig").as("corpus_sig")),
+          Seq("band", "band_key"))
+        .filter(col("new_id") < col("corpus_id"))
+        .select(col("new_id"), col("corpus_id"),
+          Dedup.estJaccard(col("new_sig"), col("corpus_sig"), numHashes)
+            .as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= estThreshold)
+
+      val pairs = crossPairs.map(_.unionByName(intra)).getOrElse(intra)
+      pairs.write.mode("append").parquet(pairsDir)
+      banded.write.mode("append").parquet(storeDir)
+    } finally { banded.unpersist(); () }
+  }
+
+  /** Wire over a streaming (idCol, textCol) frame. */
+  def run(spark: SparkSession, docs: DataFrame, storeDir: String,
+          pairsDir: String, checkpoint: String,
+          textCol: String = "text", idCol: String = "doc_id",
+          numHashes: Int = 64, bands: Int = 16,
+          estThreshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(spark, batch.toDF(), storeDir, pairsDir,
+          textCol, idCol, numHashes, bands, estThreshold)
+      }
+      .start()
+}

@@ -149,6 +149,28 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1L, 1L), (1L, 2L)))
   }
 
+  test("incremental dedup flags new docs against the accumulated corpus") {
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight again"
+    val near = base.replace("tonight", "tomorrow")
+    val far = "catalyst turns logical plans into physical plans with pushdown pruning and codegen"
+    val w = tmp()
+    val in = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.run(spark, in.toDF().toDF("doc_id", "text"),
+      s"$w/store", s"$w/pairs", s"$w/cp", estThreshold = 0.4)
+    in.addData((1L, base), (2L, far))          // corpus seed batch
+    q.processAllAvailable()
+    in.addData((3L, near), (4L, near))         // batch 2: near-dup of 1 + intra pair
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.read.parquet(s"$w/pairs")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1L)) || pairs.contains((4L, 1L))) // cross-batch hit
+    assert(pairs.contains((3L, 4L)))                             // intra-batch hit
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))         // unrelated doc clean
+    // store accumulated both batches' bands
+    assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
+  }
+
   test("R2 dual sink writes both targets from one stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Int]
