@@ -630,6 +630,31 @@ object Queries {
       | COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q35 — as-of join: each purchase event enriched with the user's
+    * latest signup at-or-before it (point-in-time/SCD semantics). One
+    * shuffle+sort via the union-window formulation
+    * (Enrichment.asOfJoin); oracle uses DuckDB's native ASOF JOIN. */
+  val q35: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("s_id"))
+    Enrichment.asOfJoin(purchases, "ts", signups, "ts", "user_id", Seq("s_id"))
+      .select(col("p_id"), col("user_id"),
+        Cleanse.formatDateTime(col("ts")).as("event_tm"), col("s_id"))
+  }
+  val q35Sql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), s AS (
+      |  SELECT user_id, ts, MAX(event_id) AS s_id FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+      |)
+      |SELECT p.p_id, p.user_id,
+      | COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS event_tm,
+      | s.s_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -718,6 +743,7 @@ object Queries {
     "q32_group_sample" -> q32,
     "q33_distinct_agg" -> q33,
     "q34_pivot" -> q34,
+    "q35_asof_join" -> q35,
   )
 
   val oracle: Map[String, String] = Map(
@@ -749,5 +775,6 @@ object Queries {
     "q32_group_sample" -> q32Sql,
     "q33_distinct_agg" -> q33Sql,
     "q34_pivot" -> q34Sql,
+    "q35_asof_join" -> q35Sql,
   )
 }

@@ -58,6 +58,15 @@ object Cleanse {
   /** F9: payload map access, `data['k']` → element_at. */
   def payload(m: Column, key: String): Column = element_at(m, key)
 
+  /** P8: reparse a Flink-`Row.toString`-style map literal
+    * `"{k=v, k2=v2}"` back into map<string,string>, tolerating empty
+    * values (`"k="`). Reference CommonUtil.scala:29-39 /
+    * ProduceKafkaLogDataToODS.scala:91-100 — an artifact of
+    * stringifying the payload; the rebuild never stringifies, but the
+    * function exists for parity with data written by the reference. */
+  def parseRowMap(c: Column): Column =
+    str_to_map(regexp_replace(c, "^\\{|\\}$", ""), lit(", "), lit("="))
+
   /** Tumbling-window start, as an epoch-floor. Deterministic analog of
     * `window(col, "N seconds").start` usable identically in the DuckDB
     * oracle. */

@@ -35,6 +35,37 @@ object Enrichment {
     dropCols.foldLeft(joined)(_.drop(_))
   }
 
+  /** As-of join: for each fact row, the latest `dim` row with
+    * `dimTs <= factTs` for the same key (SCD-style point-in-time
+    * enrichment — the brief's marquee "operator Spark lacks").
+    *
+    * Spark-first formulation — compose, don't hand-schedule: tag and
+    * union both sides, then one window per key ordered by (ts, side)
+    * carries the last dim payload forward onto each fact
+    * (`last(..., ignoreNulls)`). Cost: ONE shuffle + sort over
+    * facts+dims — the same budget as a sort-merge join, with none of
+    * the range-join fan-out; skew handling falls out of the normal
+    * window machinery. Dims at equal ts sort before facts (inclusive
+    * as-of). `dimCols` are the dim payload columns to carry. */
+  def asOfJoin(facts: DataFrame, factTs: String, dims: DataFrame,
+               dimTs: String, key: String, dimCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val factCols = facts.columns.toSeq
+    val f = facts.withColumn("_ts", col(factTs)).withColumn("_side", lit(1))
+    val d = dims.select(
+      (col(key) +: col(dimTs).as("_ts") +: lit(0).as("_side") +:
+        dimCols.map(c => col(c).as(s"_dim_$c"))): _*)
+    val unioned = f.unionByName(d, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = dimCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_dim_$c", last(col(s"_dim_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(factCols.map(col) ++ dimCols.map(c => col(s"_dim_$c").as(c)): _*)
+  }
+
   /** J3: parent-child self-join of a hierarchy dim (category → parent
     * category in the reference). Returns one row per child with both
     * levels' id/name, ready to broadcast into fact enrichment. */

@@ -41,6 +41,15 @@ class CleanseSpec extends SparkTestBase {
     assert(df.as[(String, String)].head() == ("123", "a$b"))
   }
 
+  test("P8: Flink Row.toString map literal reparses, empty values kept") {
+    val df = Seq("{browseProductCode=demHQ6TADV, frontProductUrl=, obtainPoints=42}")
+      .toDF("s").select(Cleanse.parseRowMap($"s").as("m"))
+    val m = df.as[Map[String, String]].head()
+    assert(m("browseProductCode") == "demHQ6TADV")
+    assert(m("obtainPoints") == "42")
+    assert(m.contains("frontProductUrl") && (m("frontProductUrl") == null || m("frontProductUrl") == ""))
+  }
+
   test("windowStart floors to the bucket") {
     val df = Seq("2024-01-01 00:16:57").toDF("s")
       .select(Cleanse.windowStart(to_timestamp($"s"), 600).as("w"))

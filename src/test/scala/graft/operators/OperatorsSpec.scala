@@ -42,6 +42,26 @@ class EnrichmentSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(("1", "root", "2", "mid"), ("2", "mid", "3", "leaf")))
   }
 
+  test("as-of join picks the latest dim at-or-before each fact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val facts = Seq(
+      (1L, "u1", t("2024-01-01 10:00:00")),
+      (2L, "u1", t("2024-01-01 12:00:00")),
+      (3L, "u2", t("2024-01-01 09:00:00")), // before any dim -> null
+      (4L, "u1", t("2024-01-01 11:00:00"))) // exactly at dim ts -> inclusive
+      .toDF("fact_id", "user_id", "ts")
+    val dims = Seq(
+      ("u1", t("2024-01-01 09:30:00"), "v1"),
+      ("u1", t("2024-01-01 11:00:00"), "v2"),
+      ("u2", t("2024-01-01 10:00:00"), "v3"))
+      .toDF("user_id", "dts", "state")
+    val out = Enrichment.asOfJoin(facts, "ts", dims, "dts", "user_id", Seq("state"))
+      .orderBy("fact_id")
+      .select("fact_id", "state").as[(Long, Option[String])].collect()
+    assert(out.toSeq == Seq(
+      (1L, Some("v1")), (2L, Some("v2")), (3L, None), (4L, Some("v2"))))
+  }
+
   test("J2 plan: dim side is broadcast (no shuffle on fact)") {
     val facts = spark.range(1000).toDF("user_id")
     val dim = Seq((1L, "x")).toDF("user_id", "attr")
