@@ -655,6 +655,29 @@ object Queries {
       | s.s_id
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin
 
+  /** q36 — keyless range join: events falling inside each error
+    * event's 10-minute incident window, counted per incident. Bucketized
+    * equi join (Enrichment.rangeJoin) instead of the nested-loop theta
+    * join the raw predicate would plan. */
+  val q36: Q = (s, dir) => {
+    val ev = Tables(s, dir).events
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    Enrichment.rangeJoin(ev.select(col("event_id"), col("ts")), "ts",
+        incidents, "w_start", "w_end", bucketSec = 600L)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+  val q36Sql: String =
+    """WITH inc AS (
+      |  SELECT event_id AS incident_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT inc.incident_id, COUNT(*) AS n_events
+      |FROM events e JOIN inc ON e.ts >= inc.w_start AND e.ts <= inc.w_end
+      |GROUP BY inc.incident_id""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -744,6 +767,7 @@ object Queries {
     "q33_distinct_agg" -> q33,
     "q34_pivot" -> q34,
     "q35_asof_join" -> q35,
+    "q36_range_join" -> q36,
   )
 
   val oracle: Map[String, String] = Map(
@@ -776,5 +800,6 @@ object Queries {
     "q33_distinct_agg" -> q33Sql,
     "q34_pivot" -> q34Sql,
     "q35_asof_join" -> q35Sql,
+    "q36_range_join" -> q36Sql,
   )
 }

@@ -66,6 +66,29 @@ object Enrichment {
       .select(factCols.map(col) ++ dimCols.map(c => col(s"_dim_$c").as(c)): _*)
   }
 
+  /** Keyless range join: match each event to every interval
+    * [startCol, endCol] containing it. Spark's planner would run the
+    * raw theta join as a broadcast-nested-loop (O(N·M) compares);
+    * bucketizing both sides onto `bucketSec`-wide time buckets turns it
+    * into an equi hash join on the bucket id — each interval explodes
+    * to the buckets it covers (choose bucketSec ≈ typical interval so
+    * the fan-out is 1-2 buckets), events map to exactly one bucket, and
+    * the exact predicate filters bucket-mates. Cost: one shuffle on the
+    * bucket id, fan-out bounded by interval/bucketSec. */
+  def rangeJoin(events: DataFrame, tsCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketSec: Long): DataFrame = {
+    val evB = events.withColumn("_bucket",
+      floor(unix_timestamp(col(tsCol)) / bucketSec))
+    val intB = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSec),
+        floor(unix_timestamp(col(endCol)) / bucketSec))))
+    evB.join(intB, Seq("_bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bucket")
+  }
+
   /** J3: parent-child self-join of a hierarchy dim (category → parent
     * category in the reference). Returns one row per child with both
     * levels' id/name, ready to broadcast into fact enrichment. */

@@ -62,6 +62,19 @@ class EnrichmentSpec extends SparkTestBase {
       (1L, Some("v1")), (2L, Some("v2")), (3L, None), (4L, Some("v2"))))
   }
 
+  test("bucketized range join equals the naive theta join") {
+    val ev = graft.Tables(spark, sf).events.select($"event_id", $"ts")
+    val intervals = graft.Tables(spark, sf).events
+      .filter($"event_type" === "error")
+      .select($"event_id".as("iid"), $"ts".as("s"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("e"))
+    val bucketized = Enrichment.rangeJoin(ev, "ts", intervals, "s", "e", 600L)
+      .select("iid", "event_id").as[(Long, Long)].collect().toSet
+    val naive = ev.join(intervals, $"ts" >= $"s" && $"ts" <= $"e")
+      .select("iid", "event_id").as[(Long, Long)].collect().toSet
+    assert(bucketized == naive && naive.nonEmpty)
+  }
+
   test("J2 plan: dim side is broadcast (no shuffle on fact)") {
     val facts = spark.range(1000).toDF("user_id")
     val dim = Seq((1L, "x")).toDF("user_id", "attr")
