@@ -678,6 +678,58 @@ object Queries {
       |FROM events e JOIN inc ON e.ts >= inc.w_start AND e.ts <= inc.w_end
       |GROUP BY inc.incident_id""".stripMargin
 
+  /** q37 — semi/anti joins (EXISTS / NOT EXISTS): per market segment,
+    * customers with and without orders. */
+  val q37: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val orders = t.orders.select(col("o_custkey").as("c_custkey"))
+    val withO = t.customer.join(orders, Seq("c_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutO = t.customer.join(orders, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+  val q37Sql: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY 1
+      |), wo AS (
+      |  SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY 1
+      |)
+      |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      | COALESCE(w.with_orders, 0) AS with_orders,
+      | COALESCE(wo.without_orders, 0) AS without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin
+
+  /** q38 — ranking analytics: top-3 customers per nation by account
+    * balance with rank and gap-to-previous (rank + lag window family). */
+  val q38: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t.customer
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("gap", round(lag(col("c_acctbal"), 1).over(w) - col("c_acctbal"), 2))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("gap"))
+  }
+  val q38Sql: String =
+    """WITH r AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |   CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk,
+      |   round(lag(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - c_acctbal, 2) AS gap
+      |  FROM customer
+      |)
+      |SELECT c_nationkey, rnk, c_custkey, round(c_acctbal, 2) AS acctbal, gap
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   // ----------------------------------------------- state/session + media
 
   /** q21 — gap-based sessionization (batch analog of keyed state /
@@ -768,6 +820,8 @@ object Queries {
     "q34_pivot" -> q34,
     "q35_asof_join" -> q35,
     "q36_range_join" -> q36,
+    "q37_semi_anti" -> q37,
+    "q38_rank_lag" -> q38,
   )
 
   val oracle: Map[String, String] = Map(
@@ -801,5 +855,7 @@ object Queries {
     "q34_pivot" -> q34Sql,
     "q35_asof_join" -> q35Sql,
     "q36_range_join" -> q36Sql,
+    "q37_semi_anti" -> q37Sql,
+    "q38_rank_lag" -> q38Sql,
   )
 }
