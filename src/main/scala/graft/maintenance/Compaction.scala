@@ -20,20 +20,38 @@ object Compaction {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** M1: compact a parquet dir's data files toward `targetBytes` each.
-    * Previous files are moved to `_snap_<epochMs>/` beside the data
-    * (the "old snapshot"), so readers of the new generation see only
-    * right-sized files. Returns (filesBefore, filesAfter). */
+  /** True for hive-partition-style child dirs (`k=v`, or anything not
+    * prefixed `_`/`.` — Spark treats those as data, not metadata). */
+  private def isPartitionDir(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** M1: compact a parquet table's data files toward `targetBytes` each.
+    * Hive-partitioned layouts (`dt=.../part-*.parquet`, as written by
+    * `Sinks.streamAppend(partitionCols)`) are compacted PER PARTITION
+    * LEAF — compacting the root of a partitioned table would read every
+    * partition's rows and promote a flattened copy next to the original
+    * partition dirs, duplicating the table. Previous files are moved to
+    * `_snap_<epochMs>/` beside the data (the "old snapshot"), so readers
+    * of the new generation see only right-sized files.
+    * Returns (filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, dir: String,
                        targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val hfs = fs(spark)
     val p = new Path(dir)
-    val dataFiles = hfs.listStatus(p).filter { st =>
+    val children = hfs.listStatus(p)
+    // recurse into partition subdirs first (handles nested dt=/hr=)
+    val (subBefore, subAfter) = children
+      .filter(st => st.isDirectory && isPartitionDir(st.getPath.getName))
+      .map(st => rewriteDataFiles(spark, st.getPath.toString, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (x, y)) => (b + x, a + y) }
+    val dataFiles = children.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
+    if (dataFiles.isEmpty) return (subBefore, subAfter)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(dir)
+    // read exactly this level's files — never the partition subdirs
+    val df = spark.read.parquet(dataFiles.map(_.getPath.toString).toSeq: _*)
     val tmp = dir.stripSuffix("/") + s"_compact_tmp"
     df.repartition(nOut).write.mode("overwrite").parquet(tmp)
     // move old generation into a snapshot dir, promote the new files
@@ -46,7 +64,7 @@ object Compaction {
     hfs.delete(new Path(tmp), true)
     val after = hfs.listStatus(p)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    (dataFiles.length, after)
+    (dataFiles.length + subBefore, after + subAfter)
   }
 
   /** M2: expire snapshot generations older than `olderThanMs`
@@ -55,12 +73,17 @@ object Compaction {
   def expireSnapshots(spark: SparkSession, dir: String,
                       olderThanMs: Long = System.currentTimeMillis()): Int = {
     val hfs = fs(spark)
-    val snaps = hfs.listStatus(new Path(dir)).filter { st =>
-      st.isDirectory && st.getPath.getName.startsWith("_snap_")
+    val children = hfs.listStatus(new Path(dir))
+    // snapshots of partitioned tables live inside the partition leaves
+    val nested = children
+      .filter(st => st.isDirectory && isPartitionDir(st.getPath.getName))
+      .map(st => expireSnapshots(spark, st.getPath.toString, olderThanMs))
+      .sum
+    val expired = children.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("_snap_") &&
+        st.getPath.getName.stripPrefix("_snap_").toLong < olderThanMs
     }
-    val expired = snaps.filter(
-      _.getPath.getName.stripPrefix("_snap_").toLong < olderThanMs)
     expired.foreach(st => hfs.delete(st.getPath, true))
-    expired.length
+    expired.length + nested
   }
 }

@@ -83,12 +83,20 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    val pairs = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
+    // Materialize the (small) pair set eagerly so the banded cache is
+    // freed NOW — without this, every invocation in a long-lived session
+    // leaks a cached signature frame into executor storage memory. The
+    // checkpointed blocks themselves are context-cleaned once the caller
+    // drops the returned frame.
+    val out = pairs.localCheckpoint(true)
+    banded.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal
@@ -107,12 +115,16 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    val pairs = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Text.hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // eager-materialize + unpersist: see minHashLsh — same leak shape
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by any

@@ -19,13 +19,33 @@ import org.apache.spark.sql.functions._
   */
 object Enrichment {
 
+  /** Deduplicate a dim on its key columns so a downstream left join can
+    * never fan out fact rows: the winner per key is the row with the
+    * highest `keepBy` value (e.g. a version/updated-at column); with no
+    * `keepBy`, an arbitrary-but-single row survives (`dropDuplicates`).
+    * Window + row_number, partition-parallel — no driver loop. */
+  def dedupKeyed(dim: DataFrame, keys: Seq[String],
+                 keepBy: Option[String] = None): DataFrame = keepBy match {
+    case Some(orderCol) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).desc_nulls_last)
+      dim.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    case None => dim.dropDuplicates(keys)
+  }
+
   /** J2: left-enrich `fact` with one or more broadcast dims on equi-keys.
-    * Each element: (dim, joinKeys). Dims are deduplicated on the key
-    * (first wins by `keep` ordering column, if given) so the join never
-    * fans out fact rows. */
-  def enrich(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    * Each element: (dim, joinKeys). Every dim is deduplicated on its
+    * join keys before the join (latest by `keepBy` when that column is
+    * present, otherwise single arbitrary survivor), so the join never
+    * fans out fact rows even if the dim carries duplicate keys. */
+  def enrich(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])],
+             keepBy: Option[String] = None): DataFrame =
     dims.foldLeft(fact) { case (acc, (dim, keys)) =>
-      acc.join(broadcast(dim), keys, "left_outer")
+      val unique = dedupKeyed(dim, keys,
+        keepBy.filter(dim.columns.contains))
+      acc.join(broadcast(unique), keys, "left_outer")
     }
 
   /** J2 with explicit condition (keys named differently on both sides). */

@@ -122,24 +122,36 @@ object Sinks {
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
                     key: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    // Only a genuinely absent table reads as empty; a transient read
+    // failure (permissions, corrupt footer) must propagate rather than
+    // silently discard the accumulated dim table.
     val existing =
-      try spark.read.parquet(path)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], batch.schema) }
+      if (fs.exists(dst)) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], batch.schema)
     val all = existing.unionByName(batch, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc_nulls_last)
     val merged = all
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    // write-then-swap for atomicity on a filesystem without table commits
-    val tmp = path + "_tmp_" + System.nanoTime()
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // Write the new generation, move the old one ASIDE (not deleted),
+    // promote, and only then drop the old generation — a failed promote
+    // rolls the old table back instead of leaving nothing.
+    val stamp = System.nanoTime()
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp_" + stamp)
+    val old = new org.apache.hadoop.fs.Path(path + "_old_" + stamp)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val hadOld = fs.exists(dst) && fs.rename(dst, old)
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld) fs.rename(old, dst)
+      throw new java.io.IOException(
+        s"upsertParquet: promoting $tmp to $path failed; old generation restored")
+    }
+    if (hadOld) fs.delete(old, true)
     ()
   }
 

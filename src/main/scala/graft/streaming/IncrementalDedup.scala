@@ -33,10 +33,15 @@ object IncrementalDedup {
       val newSide = banded.select(col("band"), col("band_key"),
         col("id").as("new_id"), col("sig").as("new_sig"))
 
-      // new-vs-corpus pairs
+      // new-vs-corpus pairs. Only a genuinely absent store means "first
+      // batch"; a transient read failure must propagate, not silently
+      // skip the corpus comparison and let dups through.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
       val store =
-        try Some(spark.read.parquet(storeDir))
-        catch { case _: Exception => None }
+        if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+          Some(spark.read.parquet(storeDir))
+        else None
       val crossPairs = store.map { st =>
         newSide.join(
             st.select(col("band"), col("band_key"),

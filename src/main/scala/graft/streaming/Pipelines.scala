@@ -112,14 +112,17 @@ object Pipelines {
   }
 
   /** Streaming exact dedup: drop repeats of `keys` arriving within the
-    * watermark horizon (state is bounded by the watermark — without it,
-    * streaming dedup state grows forever). The streaming member of the
+    * watermark horizon — a re-arrival with a DIFFERENT timestamp is
+    * still a duplicate, so the dedup state is keyed on `keys` alone
+    * (`dropDuplicatesWithinWatermark`), evicted once the key's last-seen
+    * event time falls behind the watermark. Without the watermark bound,
+    * streaming dedup state grows forever. The streaming member of the
     * dedup family (builder brief): batch variants live in
     * `operators.Dedup`. */
   def streamingDedup(df: DataFrame, tsCol: String, keys: Seq[String],
                      watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** DM window stage (reference ProcessBrowseLogInfoToDM:71-96): event
     * -time tumbling window counts with a watermark (the upgrade SURVEY

@@ -24,4 +24,26 @@ class CompactionSpec extends SparkTestBase {
     assert(removed == 1)
     assert(spark.read.parquet(dir).count() == before)
   }
+
+  test("M1 on a hive-partitioned table compacts per partition, no row duplication") {
+    val dir = Files.createTempDirectory("graft_compact_part_").toString + "/t"
+    // two dt= partitions, 4 tiny files each (the streamAppend layout)
+    (1 to 8).foreach { i =>
+      Seq((i, s"row$i", s"2024-01-0${i % 2 + 1}")).toDF("id", "s", "dt")
+        .coalesce(1).write.mode("append").partitionBy("dt").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).orderBy("id")
+      .select("id", "s", "dt").collect().toSeq
+    val (nBefore, nAfter) = Compaction.rewriteDataFiles(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore == 8 && nAfter == 2) // one file per partition leaf
+    val after = spark.read.parquet(dir).orderBy("id")
+      .select("id", "s", "dt").collect().toSeq
+    assert(after == before) // same rows, partition column intact, no dupes
+    // nested snapshots expire too
+    val removed = Compaction.expireSnapshots(spark, dir,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    assert(removed == 2)
+    assert(spark.read.parquet(dir).orderBy("id")
+      .select("id", "s", "dt").collect().toSeq == before)
+  }
 }

@@ -33,6 +33,20 @@ class EnrichmentSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(("u1", 10, Some("gold")), ("u2", 20, None)))
   }
 
+  test("J2: a dim with duplicate keys never fans out fact rows") {
+    val facts = Seq(("u1", 10), ("u2", 20)).toDF("user_id", "v")
+    val dupDim = Seq(("u1", "bronze", 1L), ("u1", "gold", 2L), ("u2", "silver", 1L))
+      .toDF("user_id", "level", "version")
+    val out = Enrichment.enrich(facts, Seq((dupDim, Seq("user_id"))),
+      keepBy = Some("version")).orderBy("user_id")
+    val rows = out.select("user_id", "v", "level")
+      .as[(String, Int, String)].collect()
+    // 2 facts in, 2 rows out; latest version wins per key
+    assert(rows.toSeq == Seq(("u1", 10, "gold"), ("u2", 20, "silver")))
+    // without keepBy: still exactly one row per fact
+    assert(Enrichment.enrich(facts, Seq((dupDim, Seq("user_id")))).count() == 2)
+  }
+
   test("J3: hierarchy self-join yields child+parent levels") {
     val cat = Seq(("1", "0", "root"), ("2", "1", "mid"), ("3", "2", "leaf"))
       .toDF("id", "p_id", "name")

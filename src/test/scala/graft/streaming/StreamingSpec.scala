@@ -89,7 +89,9 @@ class StreamingSpec extends SparkTestBase {
     in.addData((t("2024-01-01 00:00:01"), "k1"), (t("2024-01-01 00:00:01"), "k1"),
       (t("2024-01-01 00:00:02"), "k2"))
     q.processAllAvailable()
-    in.addData((t("2024-01-01 00:00:01"), "k1")) // duplicate across batches
+    // duplicate key across batches, re-arriving with a DIFFERENT
+    // timestamp — key-level dedup must still drop it
+    in.addData((t("2024-01-01 00:00:09"), "k1"))
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup_out").count() == 2)
   }
