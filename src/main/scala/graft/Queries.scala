@@ -87,18 +87,38 @@ object Queries {
 
   /** q04 — J3: equi self-join (adjacent line numbers within an order),
     * aggregated. Reference analog: category self-join,
-    * dws/ProduceBrowseLogToDWS.scala:169-178. */
+    * dws/ProduceBrowseLogToDWS.scala:169-178.
+    *
+    * The oracle documents the join semantics; the engine executes the
+    * same-key self-join as ONE shuffle of ONE copy of the fact:
+    * group by the join key, collect the (small, ≤ order-size) line
+    * list, and pair adjacent line numbers with higher-order functions
+    * — full fan-out semantics preserved (duplicate line numbers
+    * multiply, as in the join). A 100 TB fact can neither broadcast
+    * nor afford the second shuffle+sort a real self-join plans; this
+    * shape scales as long as a single group fits in memory (orders
+    * have bounded line counts). Quantity math runs in exact cents. */
   val q04: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    val a = t.lineitem
-    val b = t.lineitem
-    a.join(b,
-        a("l_orderkey") === b("l_orderkey") &&
-          (a("l_linenumber") + 1) === b("l_linenumber"))
-      .groupBy(a("l_returnflag").as("flag"))
-      .agg(count(lit(1)).as("pair_cnt"),
-        sum(a("l_quantity").cast(DecimalType(18, 2)) +
-          b("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty2"))
+    val li = Tables(s, dir).lineitem.select(
+      col("l_orderkey"),
+      struct(col("l_linenumber").as("ln"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        col("l_returnflag").as("flag")).as("r"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("r")).as("ls"))
+    // per left row: successors = lines with ln = a.ln + 1 (same order);
+    // the successor list binds once so the filter runs once per row
+    val perA = perOrder
+      .select(explode(col("ls")).as("a"), col("ls"))
+      .select(col("a.flag").as("flag"), col("a.qc").as("a_qc"),
+        filter(col("ls"), b => b.getField("ln") === col("a.ln") + 1).as("bs"))
+      .select(col("flag"), col("a_qc"),
+        size(col("bs")).cast("long").as("m_cnt"),
+        aggregate(col("bs"), lit(0L), (acc, b) => acc + b.getField("qc")).as("m_qc"))
+    perA.groupBy(col("flag"))
+      .agg(sum(col("m_cnt")).as("pair_cnt"),
+        ((sum(col("m_cnt") * col("a_qc")) + sum(col("m_qc"))) / 100.0).as("qty2"))
+      .filter(col("pair_cnt") > 0)
   }
   val q04Sql: String =
     """SELECT l1.l_returnflag AS flag, COUNT(*) AS pair_cnt,
@@ -188,11 +208,20 @@ object Queries {
   val q27: Q = (s, dir) => {
     val t = Tables(s, dir)
     def cents(c: Column): Column = round(c * 100).cast("long")
-    t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
-        col("o_custkey") === col("c_custkey"))
+    // Reduce orders BEFORE the fact join: the segment gate keeps ~1/5
+    // of orders, so the lineitem join probes a 5× smaller side. The
+    // customer side is key-only (left_semi + broadcast — no payload
+    // carried). Join strategy for lineitem⋈orders is left to Catalyst/
+    // AQE: broadcast at bench SF, sort-merge at lake scale.
+    val buildingOrders = t.orders
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_dt"),
         col("o_orderpriority"))
@@ -438,12 +467,18 @@ object Queries {
     * `ln` cannot flip ranks; ties break on the term. */
   val q26: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
-    val n = docs.count().toDouble // corpus size: model parameter, like centroids
+    // corpus size via a broadcast 1-row aggregate — same job, no
+    // separate count() action/scan
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, Seq("w"))
-      .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+    // dfreq is the vocabulary (≪ tf): broadcast it so tf keeps its
+    // (doc_id, w) partitioning instead of reshuffling on w. A lake-
+    // scale vocabulary beyond the broadcast threshold would drop the
+    // hint and take the shuffle — the plan is otherwise unchanged.
+    val scored = tf.join(broadcast(dfreq), Seq("w")).crossJoin(nDocs)
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w").asc)
     scored.withColumn("rnk", row_number().over(win).cast("long"))
@@ -509,19 +544,31 @@ object Queries {
       |FROM agg""".stripMargin
 
   /** q30 — ROLLUP revenue over (region, nation) with grouping flags:
-    * hierarchical subtotals in one pass (partial-aggregatable; the
-    * multi-level shape Catalyst expands to a single Expand+agg). */
+    * hierarchical subtotals.
+    *
+    * Two-level shape: the fact is first reduced to ONE row per
+    * (r_name, n_name) with a plain partial-aggregatable groupBy, and
+    * the ROLLUP's Expand runs over that tiny aggregate (|regions ×
+    * nations| rows), re-summing the decomposable sums. Rolling up the
+    * joined fact directly would push every fact row through Expand —
+    * 3× the fact volume into the aggregate at any scale. */
   val q30: Q = (s, dir) => {
     val t = Tables(s, dir)
     def cents(c: Column): Column = round(c * 100).cast("long")
-    t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+    val perNation = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
-      .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("base_rev"),
-        count(lit(1)).as("cnt"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice"))).as("cents_rev"),
+        count(lit(1)).as("n"))
+    perNation.rollup(col("r_name"), col("n_name"))
+      .agg((sum(col("cents_rev")) / 100.0).as("base_rev"),
+        sum(col("n")).as("cnt"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         col("base_rev"), col("cnt"))
@@ -781,6 +828,299 @@ object Queries {
       | CAST(64 + (octet_length(encode(text)) * 7) % 128 AS BIGINT) AS fake_height
       |FROM documents""".stripMargin
 
+  // ------------------------------------------- round-2 widening: OLAP
+
+  /** q39 — CUBE over (returnflag, linestatus) with grouping id: all
+    * four subtotal levels in one pass. Same two-level shape as q30:
+    * the fact reduces to one row per (flag, status) first, and the
+    * cube's Expand runs over that tiny aggregate, re-summing
+    * decomposable sums — never over the fact itself. */
+  val q39: Q = (s, dir) => {
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val base = Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("qc"), count(lit(1)).as("n"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(col("qc")) / 100.0).as("sum_qty"),
+        sum(col("n")).as("cnt"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"), col("gid"))
+  }
+  val q39Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+      | SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+      | COUNT(*) AS cnt,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q40 — exact discrete percentiles (p50/p95 of order value per
+    * priority) via explicit rank selection: value at 1-based rank
+    * ⌈p·n⌉ in (o_totalprice, o_orderkey) order — the SQL-standard
+    * percentile_disc, expressed as a window so the selection rule is
+    * bit-identical in both engines (continuous interpolation differs
+    * in last-ulp FP between implementations; discrete selection cannot).
+    * At sketch-friendly scale the approx path is q50 (rows-only). */
+  val q40: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.95))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), round(col("o_totalprice"), 2))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95), round(col("o_totalprice"), 2))).as("p95"),
+        max(col("n")).cast("long").as("cnt"))
+  }
+  val q40Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority,
+      | MAX(CASE WHEN rn = ceil(n * 0.5) THEN round(o_totalprice, 2) END) AS p50,
+      | MAX(CASE WHEN rn = ceil(n * 0.95) THEN round(o_totalprice, 2) END) AS p95,
+      | CAST(MAX(n) AS BIGINT) AS cnt
+      |FROM r WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.95)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q41 — set operators: customers ordering in 1995 vs 1996 —
+    * INTERSECT (both years), EXCEPT (1995 only), UNION (either).
+    * Each side is a pre-distinct key projection, so the set ops run
+    * on keys, not payloads. */
+  val q41: Q = (s, dir) => {
+    val o = Tables(s, dir).orders
+    def year(y: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val (a, b) = (year(1995), year(1996))
+    def cnt(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n_cust")).select(lit(tag).as("op"), col("n_cust"))
+    cnt(a.intersect(b), "intersect")
+      .unionAll(cnt(a.except(b), "except"))
+      .unionAll(cnt(a.union(b).distinct, "union"))
+  }
+  val q41Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+      |     b AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT 'intersect' AS op, COUNT(*) AS n_cust FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'except' AS op, COUNT(*) AS n_cust FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'union' AS op, COUNT(*) AS n_cust FROM (SELECT * FROM a UNION SELECT * FROM b)""".stripMargin
+
+  /** q42 — trailing 7-day moving average of daily order revenue via a
+    * rows-frame window. The window is global-ordered, but it runs over
+    * the DAILY aggregate (|distinct days| rows — bounded by calendar
+    * time, not data volume), so the single-partition sort is safe at
+    * any fact scale. Exact math: long cent sums; one double division
+    * at the end, identical formula both engines. */
+  val q42: Q = (s, dir) => {
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val daily = Tables(s, dir).orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"))
+      .agg(sum(cents(col("o_totalprice"))).as("qc"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("dt")).rowsBetween(-6, 0)
+    // the per-order average is emitted as an exact 4-decimal fraction
+    // (integer cent division, then one exact double divide) — a
+    // round()ed ratio of cent-sums ties at the rounding digit whenever
+    // the divisor shares factors with 10^k, and engines break .5 ties
+    // differently
+    daily
+      .select(col("dt"), (col("qc") / 100.0).as("day_rev"),
+        sum(col("qc")).over(w).as("s7"), sum(col("n")).over(w).as("n7"))
+      .select(col("dt"), col("day_rev"),
+        (expr("(s7 * 100) div n7") / 10000.0).as("ma7_per_order"),
+        col("n7"))
+  }
+  val q42Sql: String =
+    """WITH daily AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS qc,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT dt, qc / 100.0 AS day_rev,
+      | ((SUM(qc) OVER w * 100) // SUM(n) OVER w) / 10000.0 AS ma7_per_order,
+      | CAST(SUM(n) OVER w AS BIGINT) AS n7
+      |FROM daily
+      |WINDOW w AS (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q43 — distribution analytics: quartile (ntile), percent_rank and
+    * cume_dist of customers within their nation by balance. Unique
+    * (balance, custkey) ordering keeps every rank deterministic. */
+  val q43: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir).customer.select(
+      col("c_nationkey"), col("c_custkey"),
+      round(col("c_acctbal"), 2).as("acctbal"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+  }
+  val q43Sql: String =
+    """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS prank,
+      | round(cume_dist() OVER w, 6) AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin
+
+  /** q44 — per-user first/last event (session bookends): one shuffle on
+    * user_id, two window passes over the same partitioning (Spark
+    * reuses the exchange), survivors aggregated to one row per user. */
+  val q44: Q = (s, dir) => {
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wl = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        row_number().over(wf).as("rf"), row_number().over(wl).as("rl"))
+      .filter(col("rf") === 1 || col("rl") === 1)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rf") === 1, col("event_type"))).as("first_type"),
+        max(when(col("rl") === 1, col("event_type"))).as("last_type"),
+        Cleanse.formatDateTime(min(col("ts"))).as("first_tm"),
+        Cleanse.formatDateTime(max(col("ts"))).as("last_tm"))
+  }
+  val q44Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM events
+      |)
+      |SELECT user_id,
+      | MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+      | MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+      | COALESCE(strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS first_tm,
+      | COALESCE(strftime(MAX(ts), '%Y-%m-%d %H:%M:%S'), '1970-01-01 00:00:00') AS last_tm
+      |FROM r WHERE rf = 1 OR rl = 1
+      |GROUP BY user_id""".stripMargin
+
+  // ---------------------------------- round-2 widening: text + media
+
+  /** q45 — edit-distance near-dup scoring: Levenshtein over 100-char
+    * prefixes for a fixed candidate block (doc_id < 20 pairs). The
+    * candidate-pair pattern matches the LSH stages: edit distance is
+    * the (quadratic) refine step, so it only ever runs on candidate
+    * pairs, never the full cross product. */
+  val q45: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.filter(col("doc_id") < 20)
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("p"))
+    val a = d.select(col("doc_id").as("id_a"), col("p").as("p_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("p").as("p_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("p_a"), col("p_b")).cast("long").as("edit_dist"))
+  }
+  val q45Sql: String =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 100) AS p FROM documents WHERE doc_id < 20)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id""".stripMargin
+
+  /** q46 — multimodal frame sampling: every 4th frame index of each
+    * media row exploded via a generator (no driver materialization),
+    * with a deterministic per-frame fingerprint standing in for the
+    * decoded-frame feature (decode itself is stubbed — no codec libs
+    * in this environment; the Spark-side schema/fan-out is real).
+    * Frame count derives from media length, like q22's fake metadata. */
+  val q46: Q = (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        (lit(8) + pmod(length(col("text")), lit(32))).as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_fp"))
+  val q46Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, 8 + length(text) % 32 AS n_frames FROM documents
+      |)
+      |SELECT doc_id, CAST(u.frame_idx AS BIGINT) AS frame_idx,
+      | md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.frame_idx AS VARCHAR)) AS frame_fp
+      |FROM f, unnest(range(0, n_frames, 4)) AS u(frame_idx)""".stripMargin
+
+  /** q47 — value histogram: fixed-width buckets over order totals
+    * (one map-side-combinable aggregate; the profile primitive for
+    * any numeric column at lake scale). */
+  val q47: Q = (s, dir) => {
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    Tables(s, dir).orders
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        (min(cents(col("o_totalprice"))) / 100.0).as("lo"),
+        (max(cents(col("o_totalprice"))) / 100.0).as("hi"))
+  }
+  val q47Sql: String =
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS cnt,
+      | MIN(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS lo,
+      | MAX(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS hi
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q48 — BPE-ish tokenization: subword-shaped units (letter runs,
+    * single digits, single punctuation) counted per document with one
+    * regex pass — the byte-budget estimator for training-data
+    * pipelines (whitespace tokens are q19). */
+  val q48: Q = (s, dir) => {
+    val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"),
+      Text.wordCount(col("text")).as("n_words"))
+  }
+  val q48Sql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+       | CAST($wordsSql AS BIGINT) AS n_words
+       |FROM documents""".stripMargin
+
+  /** q49 — decorrelated scalar subquery: customers above their
+    * nation's average balance. The correlated EXISTS/scalar shape is
+    * planned as an aggregate + broadcast equi-join — no per-row
+    * subquery execution at any scale. Exact math: the average is a
+    * long cent sum divided once, same formula both engines. */
+  val q49: Q = (s, dir) => {
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val cust = Tables(s, dir).customer
+    val nav = cust.groupBy(col("c_nationkey"))
+      .agg(sum(cents(col("c_acctbal"))).as("sc"), count(lit(1)).as("n"))
+    cust.join(broadcast(nav), Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("sc") / (lit(100.0) * col("n")))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_above"),
+        round(max(col("sc") / (lit(100.0) * col("n"))), 6).as("nation_avg"))
+  }
+  val q49Sql: String =
+    """WITH nav AS (
+      |  SELECT c_nationkey, CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sc, COUNT(*) AS n
+      |  FROM customer GROUP BY 1
+      |)
+      |SELECT c.c_nationkey, COUNT(*) AS n_above,
+      | round(MAX(nav.sc / (100.0 * nav.n)), 6) AS nation_avg
+      |FROM customer c JOIN nav ON c.c_nationkey = nav.c_nationkey
+      |WHERE c.c_acctbal > nav.sc / (100.0 * nav.n)
+      |GROUP BY c.c_nationkey""".stripMargin
+
+  /** q50 — sketch aggregates (rows-only: HLL/KLL estimates are
+    * implementation-defined, so no cross-engine value oracle): per
+    * event type, approximate distinct users and an approximate p50 —
+    * the constant-memory path that replaces q33/q40 exact forms when
+    * cardinality makes exact distinct/rank shuffles uneconomical. */
+  val q50: Q = (s, dir) =>
+    Tables(s, dir).events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_p50"),
+        count(lit(1)).as("cnt"))
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -822,6 +1162,18 @@ object Queries {
     "q36_range_join" -> q36,
     "q37_semi_anti" -> q37,
     "q38_rank_lag" -> q38,
+    "q39_cube" -> q39,
+    "q40_percentile" -> q40,
+    "q41_setops" -> q41,
+    "q42_moving_avg" -> q42,
+    "q43_ntile" -> q43,
+    "q44_first_last" -> q44,
+    "q45_edit_distance" -> q45,
+    "q46_frame_sample" -> q46,
+    "q47_histogram" -> q47,
+    "q48_bpe_tokens" -> q48,
+    "q49_above_avg" -> q49,
+    "q50_sketch_agg" -> q50,
   )
 
   val oracle: Map[String, String] = Map(
@@ -857,5 +1209,17 @@ object Queries {
     "q36_range_join" -> q36Sql,
     "q37_semi_anti" -> q37Sql,
     "q38_rank_lag" -> q38Sql,
+    "q39_cube" -> q39Sql,
+    "q40_percentile" -> q40Sql,
+    "q41_setops" -> q41Sql,
+    "q42_moving_avg" -> q42Sql,
+    "q43_ntile" -> q43Sql,
+    "q44_first_last" -> q44Sql,
+    "q45_edit_distance" -> q45Sql,
+    "q46_frame_sample" -> q46Sql,
+    "q47_histogram" -> q47Sql,
+    "q48_bpe_tokens" -> q48Sql,
+    "q49_above_avg" -> q49Sql,
+    // q50_sketch_agg: rows-only (sketch estimates have no cross-engine oracle)
   )
 }
