@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Cleanse, Text, Vectors}
+import graft.functions.{Cleanse, Text, TextStats, Vectors}
 import graft.operators._
 
 /** The engine's query catalog: one entry per implemented operator from
@@ -373,9 +373,13 @@ object Queries {
   private def langScoreSql(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(markerCountSql).mkString("(", " + ", ")")
 
-  /** q17 — language-ID heuristic (marker-word argmax). */
+  /** q17 — language-ID heuristic (marker-word argmax). One
+    * MarkerCounts scan per doc feeds all 5 language scores (the
+    * replace-arithmetic form is the oracle's shape — 15 passes). */
   val q17: Q = (s, dir) =>
-    Tables(s, dir).documents.select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+    Tables(s, dir).documents
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .select(col("doc_id"), TextStats.langId(col("_mc")).as("pred_lang"))
   val q17Sql: String = {
     val scores = Text.langMarkers.map { case (l, _) => s"${langScoreSql(l)} AS s_$l" }
     val maxE = Text.langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
@@ -394,15 +398,18 @@ object Queries {
   private val stopSql =
     Seq(" the ", " a ", " and ", " of ", " to ", " in ").map(markerCountSql).mkString("(", " + ", ")")
 
-  /** q18 — quality scoring: length/stopword/punctuation heuristics. */
+  /** q18 — quality scoring: length/stopword/punctuation heuristics,
+    * all derived from one MarkerCounts scan. */
   val q18: Q = (s, dir) =>
-    Tables(s, dir).documents.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars2"),
-      Text.wordCount(col("text")).as("n_words"),
-      Text.punctCount(col("text")).as("punct_cnt"),
-      Text.stopwordCount(col("text")).as("stop_cnt"),
-      Text.qualityScore(col("text")).as("q_score"))
+    Tables(s, dir).documents
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        TextStats.wordCount(col("text"), col("_mc")).as("n_words"),
+        TextStats.punctCount(col("_mc")).as("punct_cnt"),
+        TextStats.stopwordCount(col("_mc")).as("stop_cnt"),
+        TextStats.qualityScore(col("text"), col("_mc")).as("q_score"))
   val q18Sql: String =
     s"""SELECT doc_id,
        | CAST(length(text) AS BIGINT) AS n_chars2,
@@ -414,14 +421,18 @@ object Queries {
        |     - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score
        |FROM documents""".stripMargin
 
-  /** q19 — token counting (whitespace) + mean word length. */
+  /** q19 — token counting (whitespace) + mean word length; the
+    * space-stripped length is chars − spaces from the shared scan. */
   val q19: Q = (s, dir) =>
-    Tables(s, dir).documents.select(
-      col("doc_id"),
-      Text.wordCount(col("text")).as("n_words"),
-      length(col("text")).cast("long").as("n_chars2"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
-        greatest(Text.wordCount(col("text")).cast("double"), lit(1.0)), 4).as("avg_wlen"))
+    Tables(s, dir).documents
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .select(
+        col("doc_id"),
+        TextStats.wordCount(col("text"), col("_mc")).as("n_words"),
+        length(col("text")).cast("long").as("n_chars2"),
+        round((length(col("text")) - TextStats.spaceCount(col("_mc"))).cast("double") /
+          greatest(TextStats.wordCount(col("text"), col("_mc")).cast("double"),
+            lit(1.0)), 4).as("avg_wlen"))
   val q19Sql: String =
     s"""SELECT doc_id,
        | CAST($wordsSql AS BIGINT) AS n_words,
@@ -590,11 +601,13 @@ object Queries {
     * (`apps.CorpusCuration` adds the hash-seeded near-dup stage on top). */
   val q31: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
-    val scored = docs.select(
-      col("doc_id"),
-      Text.qualityScore(col("text")).as("q_score"),
-      Text.langId(col("text")).as("pred_lang"),
-      Text.fingerprint(col("text")).as("fp"))
+    val scored = docs
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .select(
+        col("doc_id"),
+        TextStats.qualityScore(col("text"), col("_mc")).as("q_score"),
+        TextStats.langId(col("_mc")).as("pred_lang"),
+        Text.fingerprint(col("text")).as("fp"))
       .filter(col("q_score") >= 0.3 && col("pred_lang") === "en")
     // min-id survivor per fingerprint via one window pass — a
     // groupBy+semi-join shape evaluates the scoring projection twice

@@ -109,6 +109,49 @@ object Enrichment {
       .drop("_bucket")
   }
 
+  /** Skew-safe equi join for two LARGE sides (neither broadcastable):
+    * hot join keys are detected exactly (a map-side-combinable count —
+    * cheap precisely when the data is skewed, because the distinct-key
+    * set is small relative to the rows), then fact rows on hot keys
+    * scatter across `saltFactor` sub-keys while the other side
+    * replicates `saltFactor`× FOR THE HOT KEYS ONLY. Cold keys join
+    * 1:1, so the replication cost is bounded by hot-key dim rows ×
+    * saltFactor, not by the table.
+    *
+    * Complements AQE's skew-join splitting (which only rewrites
+    * sort-merge joins after a shuffle materializes): salting holds for
+    * any join type the shape supports and keeps working when the plan
+    * is a shuffled-hash join or the skew is in-flight. The salt is a
+    * deterministic hash of the fact's key+payload columns — task
+    * retries reproduce identical output.
+    *
+    * `joinType`: inner or left_outer (right/full would emit unmatched
+    * right rows once per replica). */
+  def saltedJoin(fact: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltFactor: Int, hotThreshold: Long,
+                 joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left_outer, got $joinType")
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val hot = fact.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_k_cnt"))
+      .filter(col("_k_cnt") > hotThreshold)
+      .select(keys.map(col): _*)
+      .withColumn("_hot", lit(true))
+    val f = fact.join(broadcast(hot), keys, "left_outer")
+      .withColumn("_salt",
+        when(col("_hot"),
+          pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot")
+    val o = other.join(broadcast(hot), keys, "left_outer")
+      .withColumn("_salt",
+        explode(when(col("_hot"), sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("_hot")
+    f.join(o, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** J3: parent-child self-join of a hierarchy dim (category → parent
     * category in the reference). Returns one row per child with both
     * levels' id/name, ready to broadcast into fact enrichment. */

@@ -97,6 +97,29 @@ class EnrichmentSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("salted join equals the plain join on skewed keys") {
+    import org.apache.spark.sql.functions.{col, when}
+    // 10k rows on one hot key, a smattering of cold keys
+    val fact = spark.range(10500).toDF("i")
+      .select(when(col("i") < 10000, "hot").otherwise(col("i").cast("string"))
+          .as("k"), col("i").as("v"))
+    val other = Seq(("hot", "H"), ("10001", "A"), ("10007", "B"), ("absent", "Z"))
+      .toDF("k", "attr")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "attr").as[(String, Long, Option[String])]
+        .collect().toSeq.sorted
+    val plainInner = normalize(fact.join(other, Seq("k")))
+    val saltedInner = normalize(
+      Enrichment.saltedJoin(fact, other, Seq("k"), saltFactor = 8,
+        hotThreshold = 100))
+    assert(saltedInner == plainInner && plainInner.size == 10002)
+    val plainLeft = normalize(fact.join(other, Seq("k"), "left_outer"))
+    val saltedLeft = normalize(
+      Enrichment.saltedJoin(fact, other, Seq("k"), saltFactor = 8,
+        hotThreshold = 100, joinType = "left_outer"))
+    assert(saltedLeft == plainLeft && plainLeft.size == 10500)
+  }
 }
 
 class AggregationsSpec extends SparkTestBase {
