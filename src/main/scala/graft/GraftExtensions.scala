@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{ArrayDot, MarkerCounts, MinHashSig, SimHashSig}
+
+/** SparkSessionExtensions hook: registers the engine's native
+  * expressions as SQL functions, so `spark.sql` users get the same hot
+  * paths as the Column API (builder brief: custom Catalyst work is
+  * registered via `SparkSessionExtensions`, not ad-hoc).
+  *
+  * Enable with `spark.sql.extensions=graft.GraftExtensions` (set by
+  * `GraftSession.local`), or pass to `SparkSession.builder
+  * .withExtensions`. Registered:
+  *
+  *   - `minhash_sig(text[, k[, shingleN]])` → array<bigint>
+  *   - `simhash_sig(text)` → bigint
+  *   - `array_dot(a, b)` → double
+  *   - `marker_counts(text, m1, m2, …)` → array<bigint>
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text[, k[, shingleN]]) - MinHash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSig(c, 64, 3)
+        case Seq(c, k) => MinHashSig(c, litInt(k, "k"), 3)
+        case Seq(c, k, n) => MinHashSig(c, litInt(k, "k"), litInt(n, "shingleN"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig expects (text[, k[, shingleN]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(text) - 64-bit SimHash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHashSig(c)
+        case _ => throw new IllegalArgumentException("simhash_sig expects (text)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      info("array_dot", "array_dot(a, b) - sequential-fold dot product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ArrayDot(a, b)
+        case _ => throw new IllegalArgumentException("array_dot expects (a, b)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("marker_counts"),
+      info("marker_counts",
+        "marker_counts(text, m1, m2, …) - one-pass substring counts"),
+      (args: Seq[Expression]) => args match {
+        case c +: ms if ms.nonEmpty =>
+          MarkerCounts(c, ms.map(litString(_, "marker")))
+        case _ => throw new IllegalArgumentException(
+          "marker_counts expects (text, marker, …)")
+      }))
+  }
+}

@@ -46,6 +46,9 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.ui.enabled", "false")
+      // native expressions as SQL functions (minhash_sig, simhash_sig,
+      // array_dot, marker_counts)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
     tuning.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -967,7 +967,11 @@ object Queries {
 
   /** q43 — distribution analytics: quartile (ntile), percent_rank and
     * cume_dist of customers within their nation by balance. Unique
-    * (balance, custkey) ordering keeps every rank deterministic. */
+    * (balance, custkey) ordering keeps every rank deterministic; the
+    * rank ratios are emitted RAW — both engines compute them with the
+    * same single IEEE division, so the doubles are bit-identical,
+    * whereas round()ing them hits .5 ties that engines break
+    * differently (rank/n terminates when n is 2^a·5^b·k). */
   val q43: Q = (s, dir) => {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -975,14 +979,14 @@ object Queries {
       col("c_nationkey"), col("c_custkey"),
       round(col("c_acctbal"), 2).as("acctbal"),
       ntile(4).over(w).cast("long").as("quartile"),
-      round(percent_rank().over(w), 6).as("prank"),
-      round(cume_dist().over(w), 6).as("cdist"))
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"))
   }
   val q43Sql: String =
     """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
       | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      | round(percent_rank() OVER w, 6) AS prank,
-      | round(cume_dist() OVER w, 6) AS cdist
+      | percent_rank() OVER w AS prank,
+      | cume_dist() OVER w AS cdist
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin
 

@@ -82,4 +82,41 @@ object Multimodal {
   def frameSample(decoded: DataFrame, stride: Int): DataFrame =
     decoded.select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** STUB resize kernel: deterministic byte subsampling to exactly
+    * targetW·targetH output bytes (real implementation: image codec
+    * scaling over the decoded pixel buffer). */
+  private[operators] def resizeStub(bytes: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    val n = if (bytes == null) 0 else bytes.length
+    if (n > 0) {
+      var i = 0
+      while (i < outLen) { out(i) = bytes(((i.toLong * n) / outLen).toInt); i += 1 }
+    }
+    out
+  }
+
+  private val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Resize each media row to targetW×targetH, partition-parallel with
+    * no shuffle (`mapPartitions`, same batch shape as
+    * [[decodeAndFeaturize]]). Output media is the stub-resized bytes;
+    * width/height record the target dimensions. At scale the knob is
+    * scan partition size vs decoded-buffer amplification
+    * (`files.maxPartitionBytes` per media table — SCALING.md). */
+  def resize(frame: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    implicit val enc: Encoder[Row] = Encoders.row(resizedSchema)
+    frame.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(id, resizeStub(bytes, targetW * targetH), targetW, targetH)
+        }
+      }(enc)
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, TextStats}
+
+/** The SQL surface of the native expressions (GraftExtensions is wired
+  * into the shared test session via spark.sql.extensions). Each SQL
+  * call must agree with its Column-API twin. */
+class GraftExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("simhash_sig/minhash_sig SQL functions match the Column API") {
+    Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      .createOrReplaceTempView("ext_t")
+    val sqlSim = spark.sql("SELECT simhash_sig(t) AS s FROM ext_t").as[Long].head()
+    val colSim = spark.table("ext_t")
+      .select(graft.expressions.TextSignatures.simHashSig($"t").as("s"))
+      .as[Long].head()
+    assert(sqlSim == colSim)
+    val sqlMin = spark.sql("SELECT minhash_sig(t, 16, 3) AS s FROM ext_t")
+      .as[Seq[Long]].head()
+    val colMin = spark.table("ext_t")
+      .select(graft.expressions.TextSignatures.minHashSig($"t", 16).as("s"))
+      .as[Seq[Long]].head()
+    assert(sqlMin == colMin)
+  }
+
+  test("array_dot SQL function: sequential double fold") {
+    val d = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(d == 32.0)
+  }
+
+  test("marker_counts SQL function matches replace arithmetic") {
+    Seq("the cat and the dog").toDF("t").createOrReplaceTempView("ext_m")
+    val got = spark.sql(
+      "SELECT marker_counts(t, ' the ', 'cat', 'q') AS c FROM ext_m")
+      .as[Seq[Long]].head()
+    val want = spark.table("ext_m").select(array(
+      Text.markerCount($"t", " the "),
+      Text.markerCount($"t", "cat"),
+      Text.markerCount($"t", "q")).as("c")).as[Seq[Long]].head()
+    assert(got == want && got == Seq(1L, 1L, 0L))
+  }
+}

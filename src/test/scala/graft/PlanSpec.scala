@@ -1,0 +1,39 @@
+package graft
+
+/** Plan-shape assertions for the round-2 rewrites: the point of the
+  * rewrite IS the plan, so pin it — a regression that silently
+  * reintroduces the join/shuffle would still pass the value oracle. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q04: adjacent-pair self-join runs with NO join operator") {
+    val p = plan("q04_selfjoin")
+    assert(!p.contains("Join"), s"expected join-free plan:\n$p")
+  }
+
+  test("q27: customer gate is a key-only semi join") {
+    val p = plan("q27_topk_revenue")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi gate:\n$p")
+  }
+
+  test("q30/q39: subtotal Expand sits above a pre-aggregate") {
+    // Expand present, and the first (bottom-up) aggregate keys are the
+    // finest grouping — i.e. Expand consumes aggregated rows, not the scan
+    Seq("q30_rollup", "q39_cube").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q: expected Expand:\n$p")
+      val expandAt = p.indexOf("Expand")
+      val aggBelow = p.indexOf("HashAggregate", expandAt)
+      assert(aggBelow > 0, s"$q: expected aggregate below Expand:\n$p")
+    }
+  }
+
+  test("q01: filters/projection reach the parquet scan") {
+    val p = Queries.all("q01_agg_sum")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema") &&
+      p.contains("l_returnflag") && !p.contains("l_shipmode"))
+  }
+}

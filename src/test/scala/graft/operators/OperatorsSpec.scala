@@ -351,4 +351,17 @@ class MultimodalSpec extends SparkTestBase {
       .select("frame_idx").as[Int].collect().toSeq
     assert(frames == Seq(0, 2))
   }
+
+  test("resize emits exactly targetW*targetH bytes, deterministic") {
+    val df = Seq((1L, "0123456789abcdef"), (2L, "")).toDF("doc_id", "payload")
+    val frame = Multimodal.asMediaFrame(df, "doc_id", "payload", "fake/raw")
+    val out = Multimodal.resize(frame, targetW = 4, targetH = 3).orderBy("media_id")
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("media").length == 12))
+    assert(rows.forall(r => r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 3))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(frame, 4, 3).orderBy("media_id").collect()
+    assert(rows.map(_.getAs[Array[Byte]]("media").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("media").toSeq).toSeq)
+  }
 }
