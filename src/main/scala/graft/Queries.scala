@@ -241,19 +241,36 @@ object Queries {
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   /** q28 — TPC-H Q5 shape: 5-way snowflake join through nation/region
-    * with all dims broadcast; revenue per nation. */
+    * with all dims broadcast; revenue per nation.
+    *
+    * Join order reduces earliest: the region gate shrinks nation to
+    * the ASIA rows, that gates customer to ~1/5, that gates orders to
+    * ~1/5 — so the side the fact joins against is 5× smaller before
+    * lineitem is touched. The supplier-nation equality rides along as
+    * the s_nationkey = c_nationkey condition on the supplier join. */
   val q28: Q = (s, dir) => {
     val t = Tables(s, dir)
     def cents(c: Column): Column = round(c * 100).cast("long")
+    val asiaNation = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaCust = t.customer
+      .join(broadcast(asiaNation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val asiaOrders = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    // join strategy for lineitem⋈asiaOrders is left to Catalyst/AQE:
+    // broadcast at bench SF, sort-merge at lake scale
     t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier),
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
         .as("revenue"),
@@ -1127,6 +1144,76 @@ object Queries {
       |WHERE c.c_acctbal > nav.sc / (100.0 * nav.n)
       |GROUP BY c.c_nationkey""".stripMargin
 
+  /** q51 — array aggregation: per event type, the sorted first-5
+    * distinct user ids. `collect_set` alone is partition-order
+    * nondeterministic — `sort_array` before `slice` makes the value
+    * reproducible (the list twin of "tie-break every rank"). Emitted
+    * comma-joined: the driver's compare sorts/hashes rows, which
+    * nested list cells would break. */
+  val q51: Q = (s, dir) =>
+    Tables(s, dir).events.groupBy(col("event_type"))
+      .agg(
+        concat_ws(",",
+          slice(sort_array(collect_set(col("user_id"))), 1, 5)).as("first_users"),
+        countDistinct(col("user_id")).as("n_users"))
+  val q51Sql: String =
+    """SELECT event_type,
+      | array_to_string((list_sort(list(DISTINCT user_id)))[1:5], ',') AS first_users,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** q52 — string-function surface over customer names: pad, case,
+    * reverse, slice, position, translate — every output a plain
+    * string/long so cross-engine parity is byte-exact. */
+  val q52: Q = (s, dir) =>
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      lpad(col("c_custkey").cast("string"), 12, "0").as("padded_key"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      reverse(col("c_name")).as("name_rev"),
+      substring(col("c_name"), 1, 8).as("name_left8"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      element_at(split(col("c_name"), "#"), 2).as("name_num"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_trans"),
+      concat_ws("|", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
+  val q52Sql: String =
+    """SELECT c_custkey,
+      | lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+      | upper(c_mktsegment) AS seg_upper,
+      | reverse(c_name) AS name_rev,
+      | substr(c_name, 1, 8) AS name_left8,
+      | CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      | split_part(c_name, '#', 2) AS name_num,
+      | translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans,
+      | c_mktsegment || '|' || CAST(c_custkey AS VARCHAR) AS seg_key
+      |FROM customer""".stripMargin
+
+  /** q53 — date/time-function surface over order dates: parts,
+    * arithmetic, boundary snapping — formatted/long outputs only
+    * (raw timestamps never cross the oracle boundary). */
+  val q53: Q = (s, dir) =>
+    Tables(s, dir).orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      dayofyear(col("o_orderdate")).cast("long").as("doy"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+  val q53Sql: String =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS BIGINT) AS yr,
+      | CAST(month(o_orderdate) AS BIGINT) AS mo,
+      | CAST(day(o_orderdate) AS BIGINT) AS dom,
+      | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      |FROM orders""".stripMargin
+
   /** q50 — sketch aggregates (rows-only: HLL/KLL estimates are
     * implementation-defined, so no cross-engine value oracle): per
     * event type, approximate distinct users and an approximate p50 —
@@ -1191,6 +1278,9 @@ object Queries {
     "q48_bpe_tokens" -> q48,
     "q49_above_avg" -> q49,
     "q50_sketch_agg" -> q50,
+    "q51_array_agg" -> q51,
+    "q52_string_funcs" -> q52,
+    "q53_date_funcs" -> q53,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1238,5 +1328,8 @@ object Queries {
     "q48_bpe_tokens" -> q48Sql,
     "q49_above_avg" -> q49Sql,
     // q50_sketch_agg: rows-only (sketch estimates have no cross-engine oracle)
+    "q51_array_agg" -> q51Sql,
+    "q52_string_funcs" -> q52Sql,
+    "q53_date_funcs" -> q53Sql,
   )
 }
