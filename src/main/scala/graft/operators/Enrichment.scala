@@ -126,16 +126,29 @@ object Enrichment {
     * retries reproduce identical output.
     *
     * `joinType`: inner or left_outer (right/full would emit unmatched
-    * right rows once per replica). */
+    * right rows once per replica).
+    *
+    * `censusFraction` < 1 detects hot keys on a seeded sample instead
+    * of the full fact — at lake scale the exact census is itself a
+    * full aggregation of the fact; a 1% sample finds every key hot
+    * enough to matter (a key missed by a 1% sample was not a skew
+    * problem). The threshold is scaled by the fraction. */
   def saltedJoin(fact: DataFrame, other: DataFrame, keys: Seq[String],
                  saltFactor: Int, hotThreshold: Long,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 censusFraction: Double = 1.0): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left_outer, got $joinType")
     require(saltFactor > 1, "saltFactor must be > 1")
-    val hot = fact.groupBy(keys.map(col): _*)
+    require(censusFraction > 0 && censusFraction <= 1.0,
+      "censusFraction must be in (0, 1]")
+    val censusSource =
+      if (censusFraction >= 1.0) fact
+      else fact.sample(withReplacement = false, censusFraction, seed = 7L)
+    val scaledThreshold = math.max(1L, (hotThreshold * censusFraction).toLong)
+    val hot = censusSource.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_k_cnt"))
-      .filter(col("_k_cnt") > hotThreshold)
+      .filter(col("_k_cnt") > scaledThreshold)
       .select(keys.map(col): _*)
       .withColumn("_hot", lit(true))
     val f = fact.join(broadcast(hot), keys, "left_outer")

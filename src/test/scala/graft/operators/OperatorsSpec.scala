@@ -119,6 +119,11 @@ class EnrichmentSpec extends SparkTestBase {
       Enrichment.saltedJoin(fact, other, Seq("k"), saltFactor = 8,
         hotThreshold = 100, joinType = "left_outer"))
     assert(saltedLeft == plainLeft && plainLeft.size == 10500)
+    // sampled census must still find the (very) hot key and stay exact
+    val sampled = normalize(
+      Enrichment.saltedJoin(fact, other, Seq("k"), saltFactor = 8,
+        hotThreshold = 100, censusFraction = 0.05))
+    assert(sampled == plainInner)
   }
 }
 
