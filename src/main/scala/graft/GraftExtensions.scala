@@ -23,9 +23,9 @@ import graft.expressions.{ArrayDot, MarkerCounts, MinHashSig, SimHashSig}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litString(e: Expression, what: String): String = e match {
-    case Literal(v, _) if v != null => v.toString
+    case Literal(v, _) if v != null && v.toString.nonEmpty => v.toString
     case other => throw new IllegalArgumentException(
-      s"$what must be a string literal, got: $other")
+      s"$what must be a non-empty string literal, got: $other")
   }
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

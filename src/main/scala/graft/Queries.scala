@@ -1173,7 +1173,9 @@ object Queries {
       reverse(col("c_name")).as("name_rev"),
       substring(col("c_name"), 1, 8).as("name_left8"),
       instr(col("c_name"), "#").cast("long").as("hash_pos"),
-      element_at(split(col("c_name"), "#"), 2).as("name_num"),
+      // coalesce pins the delimiter-absent case to '' (DuckDB
+      // split_part semantics); Spark's element_at would return null
+      coalesce(element_at(split(col("c_name"), "#"), 2), lit("")).as("name_num"),
       translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_trans"),
       concat_ws("|", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
   val q52Sql: String =

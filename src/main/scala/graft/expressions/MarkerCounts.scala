@@ -30,6 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class MarkerCounts(child: Expression, markers: Seq[String])
     extends UnaryExpression with CodegenFallback {
+  require(markers.nonEmpty, "marker_counts needs at least one marker")
+  require(markers.forall(_.nonEmpty),
+    "marker_counts markers must be non-empty strings")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   // per-marker UTF-8 bytes, and marker indices bucketed by first byte

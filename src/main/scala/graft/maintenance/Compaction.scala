@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** Resolve the filesystem OF THE PATH (not the default FS) so
+    * scheme-qualified table dirs (s3a://, hdfs://…) work. */
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** True for hive-partition-style child dirs (`k=v`, or anything not
     * prefixed `_`/`.` — Spark treats those as data, not metadata). */
@@ -36,8 +38,14 @@ object Compaction {
     * Returns (filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, dir: String,
                        targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val hfs = fs(spark)
     val p = new Path(dir)
+    val hfs = fs(spark, p)
+    // stale temp dirs from a crashed run are safe to drop: the promote
+    // step is the LAST thing touching them, and data files only leave
+    // the live dir after the snapshot move
+    hfs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
+      .foreach(st => hfs.delete(st.getPath, true))
     val children = hfs.listStatus(p)
     // recurse into partition subdirs first (handles nested dt=/hr=)
     val (subBefore, subAfter) = children
@@ -52,7 +60,12 @@ object Compaction {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // read exactly this level's files — never the partition subdirs
     val df = spark.read.parquet(dataFiles.map(_.getPath.toString).toSeq: _*)
-    val tmp = dir.stripSuffix("/") + s"_compact_tmp"
+    // temp dir INSIDE this level with a metadata prefix: a `dir_compact
+    // _tmp` SIBLING of a partition leaf would read as a phantom
+    // partition of the parent table during the compaction window (and
+    // after a crash); underscore-prefixed dirs are invisible to Spark's
+    // partition discovery
+    val tmp = new Path(p, s"_compact_tmp_${System.nanoTime()}").toString
     df.repartition(nOut).write.mode("overwrite").parquet(tmp)
     // move old generation into a snapshot dir, promote the new files
     val snap = new Path(p, s"_snap_${System.currentTimeMillis()}")
@@ -72,7 +85,7 @@ object Compaction {
     * CombinDataAndRemoveOldSnap.scala:44-53). Returns dirs removed. */
   def expireSnapshots(spark: SparkSession, dir: String,
                       olderThanMs: Long = System.currentTimeMillis()): Int = {
-    val hfs = fs(spark)
+    val hfs = fs(spark, new Path(dir))
     val children = hfs.listStatus(new Path(dir))
     // snapshots of partitioned tables live inside the partition leaves
     val nested = children

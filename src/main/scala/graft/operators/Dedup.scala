@@ -66,11 +66,14 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  estThreshold: Double = 0.5,
                  maxBucket: Int = 10000): DataFrame = {
-    // persist: the self-join references the banded signatures from both
-    // sides; without it the k-hash shingling runs twice per doc (0.5
-    // KB/doc — at lake scale swap for a checkpoint to storage).
+    // PURE lazy plan, deliberately uncached: the self-join's two
+    // branches recompute the native signatures (µs/doc) rather than
+    // pay a persist — caching here either leaks storage memory across
+    // invocations (round-1 advisor finding) or, checkpointed eagerly,
+    // makes query CONSTRUCTION run jobs and erases the plan/lineage.
+    // At lake scale, write the signature frame to storage once and
+    // read it back (IncrementalDedup does exactly that).
     val banded = bandFrame(df, textCol, idCol, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: a bucket larger than maxBucket is boilerplate/template
     // text, not near-duplication — joining it would fan out O(L²). The
     // hot-bucket set is tiny by construction → broadcast anti-join (a
@@ -83,20 +86,12 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
-    // Materialize the (small) pair set eagerly so the banded cache is
-    // freed NOW — without this, every invocation in a long-lived session
-    // leaks a cached signature frame into executor storage memory. The
-    // checkpointed blocks themselves are context-cleaned once the caller
-    // drops the returned frame.
-    val out = pairs.localCheckpoint(true)
-    banded.unpersist()
-    out
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal
@@ -104,8 +99,8 @@ object Dedup {
     * at least one of 4 bands), verified by full hamming distance. */
   def simHashDup(df: DataFrame, textCol: String, idCol: String,
                  maxHamming: Int = 3): DataFrame = {
+    // uncached on purpose — see minHashLsh
     val sigs = df.select(col(idCol).as("id"), TextSignatures.simHashSig(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { q =>
         // 16-bit quarter q of the signature
@@ -115,16 +110,12 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Text.hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    // eager-materialize + unpersist: see minHashLsh — same leak shape
-    val out = pairs.localCheckpoint(true)
-    sigs.unpersist()
-    out
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by any

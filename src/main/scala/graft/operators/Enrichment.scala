@@ -121,9 +121,16 @@ object Enrichment {
     * Complements AQE's skew-join splitting (which only rewrites
     * sort-merge joins after a shuffle materializes): salting holds for
     * any join type the shape supports and keeps working when the plan
-    * is a shuffled-hash join or the skew is in-flight. The salt is a
-    * deterministic hash of the fact's key+payload columns — task
-    * retries reproduce identical output.
+    * is a shuffled-hash join or the skew is in-flight.
+    *
+    * Salt source: `saltBy` (e.g. a unique row id — cheap to hash and
+    * reproducibly scattered). Without it, a seeded `rand()` spreads
+    * rows uniformly — including exact duplicate rows, which a
+    * row-content hash would pile onto ONE salt and re-create the very
+    * straggler being fixed (duplicate-laden crawl data is the normal
+    * case here). The JOIN RESULT is identical for any salt assignment
+    * (the other side replicates every salt); only the partition
+    * balance, never the output, depends on it.
     *
     * `joinType`: inner or left_outer (right/full would emit unmatched
     * right rows once per replica).
@@ -136,7 +143,8 @@ object Enrichment {
   def saltedJoin(fact: DataFrame, other: DataFrame, keys: Seq[String],
                  saltFactor: Int, hotThreshold: Long,
                  joinType: String = "inner",
-                 censusFraction: Double = 1.0): DataFrame = {
+                 censusFraction: Double = 1.0,
+                 saltBy: Option[Column] = None): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left_outer, got $joinType")
     require(saltFactor > 1, "saltFactor must be > 1")
@@ -151,11 +159,12 @@ object Enrichment {
       .filter(col("_k_cnt") > scaledThreshold)
       .select(keys.map(col): _*)
       .withColumn("_hot", lit(true))
+    val saltExpr = saltBy match {
+      case Some(c) => pmod(xxhash64(c), lit(saltFactor)).cast("int")
+      case None => (rand(7L) * saltFactor).cast("int")
+    }
     val f = fact.join(broadcast(hot), keys, "left_outer")
-      .withColumn("_salt",
-        when(col("_hot"),
-          pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor)).cast("int"))
-          .otherwise(lit(0)))
+      .withColumn("_salt", when(col("_hot"), saltExpr).otherwise(lit(0)))
       .drop("_hot")
     val o = other.join(broadcast(hot), keys, "left_outer")
       .withColumn("_salt",

@@ -122,9 +122,10 @@ object Sinks {
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
                     key: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // the PATH's filesystem, not the default FS — a scheme-qualified
+    // dim path (s3a://…) must resolve against its own FS
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Only a genuinely absent table reads as empty; a transient read
     // failure (permissions, corrupt footer) must propagate rather than
     // silently discard the accumulated dim table.
@@ -145,8 +146,22 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp_" + stamp)
     val old = new org.apache.hadoop.fs.Path(path + "_old_" + stamp)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    val hadOld = fs.exists(dst) && fs.rename(dst, old)
-    if (!fs.rename(tmp, dst)) {
+    // Every step is checked: renaming the new generation onto a dst
+    // that still exists would NEST it inside the live dir (POSIX mv
+    // semantics) and double-count every key on the next read — abort
+    // loudly instead, and roll the old generation back on any promote
+    // failure (boolean false or exception).
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, old))
+      throw new java.io.IOException(
+        s"upsertParquet: could not move the live table $dst aside; aborting promote")
+    val promoted =
+      try fs.rename(tmp, dst)
+      catch { case e: Throwable =>
+        if (hadOld) fs.rename(old, dst)
+        throw e
+      }
+    if (!promoted) {
       if (hadOld) fs.rename(old, dst)
       throw new java.io.IOException(
         s"upsertParquet: promoting $tmp to $path failed; old generation restored")

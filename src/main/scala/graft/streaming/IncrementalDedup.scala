@@ -35,12 +35,13 @@ object IncrementalDedup {
 
       // new-vs-corpus pairs. Only a genuinely absent store means "first
       // batch"; a transient read failure must propagate, not silently
-      // skip the corpus comparison and let dups through.
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      // skip the corpus comparison and let dups through. The existence
+      // probe resolves the PATH's filesystem so scheme-qualified stores
+      // (s3a://…) work.
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val store =
-        if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
-          Some(spark.read.parquet(storeDir))
+        if (fs.exists(storePath)) Some(spark.read.parquet(storeDir))
         else None
       val crossPairs = store.map { st =>
         newSide.join(
