@@ -66,22 +66,28 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  estThreshold: Double = 0.5,
                  maxBucket: Int = 10000): DataFrame = {
-    // PURE lazy plan, deliberately uncached: the self-join's two
-    // branches recompute the native signatures (µs/doc) rather than
-    // pay a persist — caching here either leaks storage memory across
-    // invocations (round-1 advisor finding) or, checkpointed eagerly,
-    // makes query CONSTRUCTION run jobs and erases the plan/lineage.
-    // At lake scale, write the signature frame to storage once and
-    // read it back (IncrementalDedup does exactly that).
+    // PURE lazy plan, deliberately uncached — caching here either
+    // leaks storage memory across invocations (round-1 advisor
+    // finding) or, checkpointed eagerly, makes query CONSTRUCTION run
+    // jobs and erases the plan/lineage. Instead, the banded frame is
+    // explicitly co-located on the candidate key ONCE, and everything
+    // downstream — the bucket census (a window count, not a groupBy,
+    // so it reuses this exchange instead of planning its own
+    // scan+shuffle) and both self-join branches (identical canonical
+    // subplans → one runtime stage via exchange reuse) — hangs off
+    // that single shuffle. Net: the scan + signature computation runs
+    // once, same as the old persist, with nothing cached. At lake
+    // scale, write the signature frame to storage once and read it
+    // back (IncrementalDedup does exactly that).
     val banded = bandFrame(df, textCol, idCol, numHashes, bands)
+      .repartition(col("band"), col("band_key"))
     // skew guard: a bucket larger than maxBucket is boilerplate/template
-    // text, not near-duplication — joining it would fan out O(L²). The
-    // hot-bucket set is tiny by construction → broadcast anti-join (a
-    // window count would sort every banded row instead).
-    val hot = banded.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("_bc")).filter(col("_bc") > maxBucket)
-      .select(col("band"), col("band_key"))
-    val guarded = banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    // text, not near-duplication — joining it would fan out O(L²)
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    val guarded = banded
+      .withColumn("_bc", count(lit(1)).over(wBucket))
+      .filter(col("_bc") <= maxBucket).drop("_bc")
     val a = guarded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"),
@@ -99,7 +105,7 @@ object Dedup {
     * at least one of 4 bands), verified by full hamming distance. */
   def simHashDup(df: DataFrame, textCol: String, idCol: String,
                  maxHamming: Int = 3): DataFrame = {
-    // uncached on purpose — see minHashLsh
+    // uncached on purpose; one shared exchange — see minHashLsh
     val sigs = df.select(col(idCol).as("id"), TextSignatures.simHashSig(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map { q =>
@@ -108,6 +114,9 @@ object Dedup {
       }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+      .repartition(col("band"), col("band_key"))
+    // (no bucket cap here: 16-bit quarter-band keys spread boilerplate
+    // across 4×65536 buckets; the minhash path carries the guard)
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))

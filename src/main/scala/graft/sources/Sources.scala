@@ -55,4 +55,20 @@ object Sources {
   def jdbcTable(spark: SparkSession, url: String, table: String,
                 props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** S1 wired from deployment config (cluster, offsets policy —
+    * reference ConfigUtil.KAFKA_BROKERS / CONSUMER_KAFKA_FROM_EARLIEST,
+    * utils/ConfigUtil.scala:18-21). */
+  def kafkaJsonStream(spark: SparkSession, cfg: graft.GraftConfig,
+                      topic: String, schema: StructType): DataFrame =
+    kafkaJsonStream(spark, cfg.kafkaBrokers, topic, schema, cfg.startingOffsets)
+
+  /** S3 wired from deployment config (reference MYSQL_* keys). */
+  def jdbcTable(spark: SparkSession, cfg: graft.GraftConfig,
+                table: String): DataFrame = {
+    val p = new java.util.Properties()
+    p.setProperty("user", cfg.jdbcUser)
+    p.setProperty("password", cfg.jdbcPassword)
+    jdbcTable(spark, cfg.jdbcUrl, table, p)
+  }
 }
