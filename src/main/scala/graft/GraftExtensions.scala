@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: merge co-projected marker_counts calls into one
+    // scan of the string (see CombineMarkerCounts)
+    ext.injectOptimizerRule(_ => graft.expressions.CombineMarkerCounts)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(text[, k[, shingleN]]) - MinHash signature"),

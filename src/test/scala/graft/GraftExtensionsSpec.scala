@@ -33,6 +33,32 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(d == 32.0)
   }
 
+  test("co-projected marker_counts calls merge into one scan") {
+    // parquet-backed (a tiny local relation would be constant-folded
+    // whole by ConvertToLocalRelation before the plan can be inspected)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text AS t").createOrReplaceTempView("ext_c")
+    val df = spark.sql(
+      """SELECT marker_counts(t, ' the ', 'cat') AS a,
+        |       marker_counts(t, '.') AS b FROM ext_c""".stripMargin)
+    // optimized plan carries exactly ONE MarkerCounts, with the merged
+    // marker list
+    val mcs = df.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.flatMap(_.collect {
+          case m: graft.expressions.MarkerCounts => m
+        })
+    }.flatten
+    assert(mcs.size == 1, s"expected one merged call, got: $mcs")
+    assert(mcs.head.markers == Seq(" the ", "cat", "."))
+    // values identical to the unmerged Column-API semantics
+    val direct = spark.table("ext_c").select(
+      array(Text.markerCount($"t", " the "), Text.markerCount($"t", "cat")).as("a"),
+      array(Text.markerCount($"t", ".")).as("b"))
+    assert(df.as[(Seq[Long], Seq[Long])].collect().toSeq ==
+      direct.as[(Seq[Long], Seq[Long])].collect().toSeq)
+  }
+
   test("marker_counts SQL function matches replace arithmetic") {
     Seq("the cat and the dog").toDF("t").createOrReplaceTempView("ext_m")
     val got = spark.sql(
