@@ -1216,6 +1216,44 @@ object Queries {
       | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
       |FROM orders""".stripMargin
 
+  /** q54 — benchmark decontamination: flag corpus documents sharing
+    * any word 3-gram with a "benchmark" document set (here: doc_id <
+    * 10 stands in for an eval set; production uses 13-grams). The
+    * canonical pretraining hygiene op: explode corpus docs to distinct
+    * shingles, broadcast-join against the (small) benchmark shingle
+    * set, count overlaps per doc. One scan of the corpus, no shuffle
+    * of it — the benchmark side is the broadcast build. */
+  val q54: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    import graft.expressions.TextSignatures
+    val benchShingles = docs.filter(col("doc_id") < 10)
+      .select(explode(array_distinct(TextSignatures.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+    val corpusShingles = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"),
+        explode(array_distinct(TextSignatures.shingles(col("text"), 3))).as("sh"))
+    corpusShingles.join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+  val q54Sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+      |      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    END) AS w
+      |  FROM ws
+      |), bench AS (
+      |  SELECT DISTINCT w FROM sh WHERE doc_id < 10
+      |)
+      |SELECT s.doc_id, COUNT(*) AS n_hits
+      |FROM sh s JOIN bench b ON s.w = b.w
+      |WHERE s.doc_id >= 10
+      |GROUP BY s.doc_id""".stripMargin
+
   /** q50 — sketch aggregates (rows-only: HLL/KLL estimates are
     * implementation-defined, so no cross-engine value oracle): per
     * event type, approximate distinct users and an approximate p50 —
@@ -1281,6 +1319,7 @@ object Queries {
     "q49_above_avg" -> q49,
     "q50_sketch_agg" -> q50,
     "q51_array_agg" -> q51,
+    "q54_contamination" -> q54,
     "q52_string_funcs" -> q52,
     "q53_date_funcs" -> q53,
   )
@@ -1331,6 +1370,7 @@ object Queries {
     "q49_above_avg" -> q49Sql,
     // q50_sketch_agg: rows-only (sketch estimates have no cross-engine oracle)
     "q51_array_agg" -> q51Sql,
+    "q54_contamination" -> q54Sql,
     "q52_string_funcs" -> q52Sql,
     "q53_date_funcs" -> q53Sql,
   )

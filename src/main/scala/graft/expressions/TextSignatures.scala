@@ -69,6 +69,43 @@ case class MinHashSig(child: Expression, k: Int, shingleN: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** array<string> word n-gram shingles — value-identical to the HOF
+  * form (graft.functions.Text.shingles: windows of n words joined by
+  * one space; docs of ≤ n words collapse to one whole-doc shingle)
+  * but built in one primitive loop instead of a boxed
+  * sequence/slice/concat_ws lambda per window (~5× at corpus scale —
+  * shingle explosion feeds the contamination and Jaccard ops). */
+case class ShingleArr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val words = Hashing.tokenize(v.asInstanceOf[UTF8String].toString)
+    val out: Array[UTF8String] =
+      if (words.length <= n) Array(UTF8String.fromString(words.mkString(" ")))
+      else {
+        val m = words.length - n + 1
+        val arr = new Array[UTF8String](m)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          arr(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleArr = copy(child = c)
+  override def prettyName: String = "shingle_arr"
+}
+
 /** 64-bit SimHash over whitespace tokens (token hash bits vote ±1). */
 case class SimHashSig(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -101,4 +138,6 @@ object TextSignatures {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k, shingleN))
   def simHashSig(c: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
+  def shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleArr(ColumnBridge.expression(c), n))
 }

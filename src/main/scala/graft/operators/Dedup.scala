@@ -132,7 +132,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
                    idCol: String, n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(Text.shingles(col(textCol), n)).as("sh"))
+      array_distinct(graft.expressions.TextSignatures.shingles(col(textCol), n)).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))

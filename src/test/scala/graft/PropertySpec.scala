@@ -65,4 +65,37 @@ class PropertySpec extends SparkTestBase {
       .filter($"id_b" === $"id_a" + 1000000L)
     assert(pairs.count() == docs.length) // every doc pairs with its copy at est 1.0
   }
+
+  test("native shingles equal the HOF form on arbitrary text") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val text = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val inputs = sample(text, 200) :+ "" :+ "one" :+ "a b" :+ "a b c" :+ "a b c d"
+    val df = inputs.toDF("t")
+    Seq(2, 3, 5).foreach { n =>
+      val native = df.select(
+        graft.expressions.TextSignatures.shingles($"t", n)).as[Seq[String]].collect().toSeq
+      val hof = df.select(Text.shingles($"t", n)).as[Seq[String]].collect().toSeq
+      assert(native == hof, s"n=$n")
+    }
+  }
+
+  test("one-pass marker counts equal replace arithmetic on arbitrary text") {
+    import graft.functions.TextStats
+    // adversarial generator: marker substrings woven into noise, plus
+    // unicode and pathological repeats ("aaaa", " a a a ")
+    val frag = Gen.oneOf(
+      Gen.oneOf(TextStats.allMarkers),
+      Gen.oneOf(" ", ".", "..", "的的", "aaa", " a a ", "the", " the"),
+      Gen.listOfN(3, Gen.asciiPrintableChar).map(_.mkString))
+    val text = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, frag).map(_.mkString))
+    val inputs = sample(text, 300)
+    val df = inputs.toDF("t").withColumn("_mc", TextStats.counts($"t"))
+    TextStats.allMarkers.zipWithIndex.foreach { case (m, i) =>
+      val got = df.select(element_at($"_mc", i + 1)).as[Long].collect().toSeq
+      val want = df.select(Text.markerCount($"t", m)).as[Long].collect().toSeq
+      assert(got == want, s"marker '$m'")
+    }
+  }
 }
