@@ -21,11 +21,12 @@ object Bench {
     // warmup: session/codegen/scan init shouldn't land on the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    // best of two runs per query: the first run of a plan pays janino +
-    // JIT compilation, which at this data scale can dominate the
-    // steady-state cost being measured.
+    // best of three runs per query: the first run of a plan pays
+    // janino + JIT compilation (can 3× a query at this scale), and
+    // ambient machine load adds random multi-second spikes to single
+    // runs — three samples make the min a stable steady-state figure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
