@@ -319,7 +319,7 @@ object Queries {
   }
   val q13Sql: String =
     """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 30
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents WHERE doc_id < 30
       |), sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -1238,7 +1238,7 @@ object Queries {
   }
   val q54Sql: String =
     """WITH ws AS (
-      |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
       |), sh AS (
       |  SELECT doc_id,
       |    unnest(CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]

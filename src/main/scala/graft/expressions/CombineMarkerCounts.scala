@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CreateArray, ElementAt, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CreateArray, ElementAt, If, IsNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -28,7 +28,15 @@ object CombineMarkerCounts extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p: Project =>
-      val calls = p.projectList.flatMap(_.collect { case mc: MarkerCounts => mc })
+      // merge only calls whose input is resolvable from the child's
+      // output — a call inside a higher-order-function lambda refers
+      // to a lambda variable that would be unbound if hoisted into
+      // the inner Project
+      val calls = p.projectList.flatMap(_.collect {
+        case mc: MarkerCounts
+            if mc.child.deterministic &&
+              mc.child.references.subsetOf(p.child.outputSet) => mc
+      })
       // only groups where a merge actually reduces passes
       val byChild = calls.groupBy(_.child.canonicalized)
         .filter { case (_, ms) => ms.map(_.markers).distinct.size > 1 }
@@ -48,9 +56,13 @@ object CombineMarkerCounts extends Rule[LogicalPlan] {
           ne.transform {
             case mc: MarkerCounts if attrFor.contains(mc.child.canonicalized) =>
               val (attr, merged) = attrFor(mc.child.canonicalized)
-              CreateArray(mc.markers.map { m =>
-                ElementAt(attr, Literal(merged.indexOf(m) + 1, IntegerType))
-              })
+              // NULL text → NULL counts (the original call's
+              // null-propagation); without the guard the rebuilt
+              // CreateArray would be a non-null array of nulls
+              If(IsNull(attr), Literal.create(null, mc.dataType),
+                CreateArray(mc.markers.map { m =>
+                  ElementAt(attr, Literal(merged.indexOf(m) + 1, IntegerType))
+                }))
           }.asInstanceOf[NamedExpression]
         }
         Project(outer, inner)

@@ -74,12 +74,28 @@ case class MinHashSig(child: Expression, k: Int, shingleN: Int)
   * one space; docs of ≤ n words collapse to one whole-doc shingle)
   * but built in one primitive loop instead of a boxed
   * sequence/slice/concat_ws lambda per window (~5× at corpus scale —
-  * shingle explosion feeds the contamination and Jaccard ops). */
+  * shingle explosion feeds the contamination and Jaccard ops).
+  *
+  * Tokenization reproduces `split(trim(c), "\\s+")` EXACTLY, not
+  * Java's String.trim: Spark's trim strips only spaces (a leading tab
+  * survives and split then emits a leading empty token) and Spark's
+  * split keeps trailing empties (limit -1). Property-tested against
+  * the HOF form on whitespace-adversarial inputs. */
 case class ShingleArr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** spark-trim (spaces only) + regex split with limit -1. */
+  private def sparkTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+
   override def nullSafeEval(v: Any): Any = {
-    val words = Hashing.tokenize(v.asInstanceOf[UTF8String].toString)
+    val words = sparkTokens(v.asInstanceOf[UTF8String].toString)
     val out: Array[UTF8String] =
       if (words.length <= n) Array(UTF8String.fromString(words.mkString(" ")))
       else {

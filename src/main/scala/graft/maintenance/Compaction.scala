@@ -40,11 +40,18 @@ object Compaction {
                        targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val p = new Path(dir)
     val hfs = fs(spark, p)
-    // stale temp dirs from a crashed run are safe to drop: the promote
-    // step is the LAST thing touching them, and data files only leave
-    // the live dir after the snapshot move
+    // Drop STALE temp dirs from a crashed run (safe: data files only
+    // leave the live dir after the snapshot move, so a temp is never
+    // the only copy). Age-gated by the epoch stamp in the name — an
+    // unconditional sweep would delete the output of a concurrent
+    // compaction mid-promote.
+    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
     hfs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_") &&
+          st.getPath.getName.stripPrefix("_compact_tmp_").takeWhile(_.isDigit)
+            .toLongOption.exists(_ < staleBefore)
+      }
       .foreach(st => hfs.delete(st.getPath, true))
     val children = hfs.listStatus(p)
     // recurse into partition subdirs first (handles nested dt=/hr=)
@@ -65,7 +72,8 @@ object Compaction {
     // partition of the parent table during the compaction window (and
     // after a crash); underscore-prefixed dirs are invisible to Spark's
     // partition discovery
-    val tmp = new Path(p, s"_compact_tmp_${System.nanoTime()}").toString
+    val tmp = new Path(p,
+      s"_compact_tmp_${System.currentTimeMillis()}_${System.nanoTime()}").toString
     df.repartition(nOut).write.mode("overwrite").parquet(tmp)
     // move old generation into a snapshot dir, promote the new files
     val snap = new Path(p, s"_snap_${System.currentTimeMillis()}")

@@ -47,6 +47,19 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  /** Drop rows in over-sized (band, band_key) buckets. `sampled` is a
+    * banded frame over a `fraction` sample of the same corpus; buckets
+    * whose SAMPLED size exceeds maxBucket×fraction are anti-joined
+    * away (broadcast — the hot set is tiny by construction). */
+  private def hotBucketGuard(banded: DataFrame, sampled: DataFrame,
+                             maxBucket: Int, fraction: Double): DataFrame = {
+    val scaled = math.max(1L, (maxBucket * fraction).toLong)
+    val hot = sampled.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("_bc")).filter(col("_bc") > scaled)
+      .select(col("band"), col("band_key"))
+    banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+  }
+
   /** Estimated Jaccard = fraction of equal signature entries. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     aggregate(
@@ -65,29 +78,32 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 64, bands: Int = 16,
                  estThreshold: Double = 0.5,
-                 maxBucket: Int = 10000): DataFrame = {
+                 maxBucket: Int = 10000,
+                 censusFraction: Double = 0.05): DataFrame = {
     // PURE lazy plan, deliberately uncached — caching here either
     // leaks storage memory across invocations (round-1 advisor
     // finding) or, checkpointed eagerly, makes query CONSTRUCTION run
-    // jobs and erases the plan/lineage. Instead, the banded frame is
-    // explicitly co-located on the candidate key ONCE, and everything
-    // downstream — the bucket census (a window count, not a groupBy,
-    // so it reuses this exchange instead of planning its own
-    // scan+shuffle) and both self-join branches (identical canonical
-    // subplans → one runtime stage via exchange reuse) — hangs off
-    // that single shuffle. Net: the scan + signature computation runs
-    // once, same as the old persist, with nothing cached. At lake
-    // scale, write the signature frame to storage once and read it
-    // back (IncrementalDedup does exactly that).
+    // jobs and erases the plan/lineage. The banded frame is co-located
+    // on the candidate key ONCE and both self-join branches are
+    // canonically identical subplans over it → one runtime stage via
+    // exchange reuse, so the full-corpus scan + signature computation
+    // runs a single time. At lake scale, write the signature frame to
+    // storage once and read it back (IncrementalDedup does exactly
+    // that).
     val banded = bandFrame(df, textCol, idCol, numHashes, bands)
       .repartition(col("band"), col("band_key"))
-    // skew guard: a bucket larger than maxBucket is boilerplate/template
-    // text, not near-duplication — joining it would fan out O(L²)
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_key"))
-    val guarded = banded
-      .withColumn("_bc", count(lit(1)).over(wBucket))
-      .filter(col("_bc") <= maxBucket).drop("_bc")
+    // Skew guard: a bucket larger than maxBucket is boilerplate/
+    // template text, not near-duplication — joining it would fan out
+    // O(L²). Hot buckets are detected on a SEEDED DOC SAMPLE with a
+    // proportionally scaled threshold: an exact census is a second
+    // full signature pass, and a window-count over the bucket key
+    // would co-locate+sort the entire hot bucket in one task — the
+    // very straggler the guard exists to remove. A bucket a 5% sample
+    // misses was not an O(L²) problem.
+    val guarded = hotBucketGuard(banded,
+      bandFrame(df.sample(withReplacement = false, censusFraction, seed = 7L),
+        textCol, idCol, numHashes, bands),
+      maxBucket, censusFraction)
     val a = guarded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"),
@@ -103,22 +119,34 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal
     * 16-bit quarter-bands (any doc pair within hamming distance 3 shares
     * at least one of 4 bands), verified by full hamming distance. */
-  def simHashDup(df: DataFrame, textCol: String, idCol: String,
-                 maxHamming: Int = 3): DataFrame = {
-    // uncached on purpose; one shared exchange — see minHashLsh
-    val sigs = df.select(col(idCol).as("id"), TextSignatures.simHashSig(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map { q =>
-        // 16-bit quarter q of the signature
-        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)))
+  /** Quarter-band frame for simhash: (band 0-3, band_key = 16-bit
+    * slice, id, sig). */
+  private def simBandFrame(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextSignatures.simHashSig(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map { q =>
+          // 16-bit quarter q of the signature
+          shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+
+  def simHashDup(df: DataFrame, textCol: String, idCol: String,
+                 maxHamming: Int = 3, maxBucket: Int = 10000,
+                 censusFraction: Double = 0.05): DataFrame = {
+    // uncached on purpose; one shared exchange + sampled hot-bucket
+    // guard — see minHashLsh. The guard matters here too: exact
+    // duplicates share ALL quarter-bands (identical signatures), so
+    // boilerplate collapses into the same 4 buckets.
+    val banded = simBandFrame(df, textCol, idCol)
       .repartition(col("band"), col("band_key"))
-    // (no bucket cap here: 16-bit quarter-band keys spread boilerplate
-    // across 4×65536 buckets; the minhash path carries the guard)
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val guarded = hotBucketGuard(banded,
+      simBandFrame(df.sample(withReplacement = false, censusFraction, seed = 7L),
+        textCol, idCol),
+      maxBucket, censusFraction)
+    val a = guarded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = guarded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -123,14 +123,20 @@ object Enrichment {
     * any join type the shape supports and keeps working when the plan
     * is a shuffled-hash join or the skew is in-flight.
     *
-    * Salt source: `saltBy` (e.g. a unique row id — cheap to hash and
-    * reproducibly scattered). Without it, a seeded `rand()` spreads
-    * rows uniformly — including exact duplicate rows, which a
-    * row-content hash would pile onto ONE salt and re-create the very
-    * straggler being fixed (duplicate-laden crawl data is the normal
-    * case here). The JOIN RESULT is identical for any salt assignment
-    * (the other side replicates every salt); only the partition
-    * balance, never the output, depends on it.
+    * Salt source: `saltBy` (e.g. a unique row id — cheap to hash,
+    * reproducibly scattered, and the preferred choice when one
+    * exists). Without it, a seeded `rand()` spreads rows uniformly —
+    * including exact duplicate rows, which a row-content hash would
+    * pile onto ONE salt and re-create the very straggler being fixed
+    * (duplicate-laden crawl data is the normal case here). The JOIN
+    * RESULT is identical for any salt assignment (the other side
+    * replicates every salt); only the partition balance depends on
+    * it. On task retry, rand is nondeterministic per row — Spark
+    * marks such map stages indeterminate and the scheduler re-runs
+    * downstream stages wholesale rather than consuming a mix of old
+    * and new shuffle output (the same machinery that makes
+    * round-robin `repartition()` retry-safe); pass `saltBy` where
+    * bit-stable retries matter.
     *
     * `joinType`: inner or left_outer (right/full would emit unmatched
     * right rows once per replica).

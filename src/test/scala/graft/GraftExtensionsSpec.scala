@@ -59,6 +59,27 @@ class GraftExtensionsSpec extends SparkTestBase {
       direct.as[(Seq[Long], Seq[Long])].collect().toSeq)
   }
 
+  test("merged marker_counts keeps NULL-text -> NULL counts") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CASE WHEN doc_id % 2 = 0 THEN text END AS t")
+      .createOrReplaceTempView("ext_n")
+    val nulls = spark.sql(
+      """SELECT marker_counts(t, ' the ') AS a, marker_counts(t, '.') AS b
+        |FROM ext_n WHERE t IS NULL""".stripMargin)
+      .collect()
+    assert(nulls.nonEmpty && nulls.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("marker_counts inside a lambda is left alone (no unbound hoist)") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("array(text, text) AS ts").createOrReplaceTempView("ext_l")
+    val out = spark.sql(
+      """SELECT transform(ts, x -> element_at(marker_counts(x, ' the '), 1)
+        |                        + element_at(marker_counts(x, '.'), 1)) AS v
+        |FROM ext_l""".stripMargin)
+    assert(out.count() > 0) // plan must stay valid and executable
+  }
+
   test("marker_counts SQL function matches replace arithmetic") {
     Seq("the cat and the dog").toDF("t").createOrReplaceTempView("ext_m")
     val got = spark.sql(

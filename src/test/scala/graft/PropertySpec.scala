@@ -68,9 +68,11 @@ class PropertySpec extends SparkTestBase {
 
   test("native shingles equal the HOF form on arbitrary text") {
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
     val text = Gen.chooseNum(0, 10).flatMap(n =>
-      Gen.listOfN(n, word).map(_.mkString(" ")))
-    val inputs = sample(text, 200) :+ "" :+ "one" :+ "a b" :+ "a b c" :+ "a b c d"
+      Gen.listOfN(n, Gen.zip(word, sep)).map(_.map { case (w, s) => w + s }.mkString))
+    val inputs = sample(text, 200) :+ "" :+ "one" :+ "a b" :+ "a b c" :+
+      "a b c d" :+ "\tlead tab a b" :+ "trail c d\n" :+ "a  b   c d" :+ "  "
     val df = inputs.toDF("t")
     Seq(2, 3, 5).foreach { n =>
       val native = df.select(

@@ -239,12 +239,23 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhash skew guard: oversized buckets are dropped, not joined") {
+    // censusFraction = 1.0: a 3-doc corpus needs the exact census (a
+    // sampled census is for lake scale, where any O(L²) bucket is
+    // visible in a 5% sample)
     val df = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
     val capped = Dedup.minHashLsh(df, "text", "doc_id",
-      estThreshold = 0.0, maxBucket = 2)
+      estThreshold = 0.0, maxBucket = 2, censusFraction = 1.0)
     assert(capped.count() == 0) // all 3 ids share every bucket -> capped out
     val uncapped = Dedup.minHashLsh(df, "text", "doc_id", estThreshold = 0.0)
     assert(uncapped.count() == 3) // (1,2),(1,3),(2,3)
+  }
+
+  test("simhash skew guard caps identical-signature boilerplate buckets") {
+    val df = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val capped = Dedup.simHashDup(df, "text", "doc_id",
+      maxBucket = 2, censusFraction = 1.0)
+    assert(capped.count() == 0) // identical sigs share all 4 quarter-bands
+    assert(Dedup.simHashDup(df, "text", "doc_id").count() == 3)
   }
 
   test("duplicate clustering: transitive pairs collapse to min-id clusters") {
