@@ -19,6 +19,17 @@ final class GraftConfig(props: Properties) {
   private def get(key: String, default: String): String =
     Option(props.getProperty(key)).getOrElse(default)
 
+  /** Tolerant boolean with an error that names the key — a bare
+    * .toBoolean would crash construction with a context-free message
+    * on e.g. `yes`. */
+  private def getBool(key: String, default: Boolean): Boolean =
+    get(key, default.toString).trim.toLowerCase match {
+      case "true" | "yes" | "1" => true
+      case "false" | "no" | "0" => false
+      case other => throw new IllegalArgumentException(
+        s"config '$key': expected a boolean, got '$other'")
+    }
+
   // relational config/result store (reference mysql.*)
   val jdbcUrl: String = get("jdbc.url", "jdbc:mysql://localhost:3306/lakehousedb")
   val jdbcUser: String = get("jdbc.user", "root")
@@ -27,7 +38,7 @@ final class GraftConfig(props: Properties) {
   // Kafka cluster + topics (reference kafka.*)
   val kafkaBrokers: String = get("kafka.cluster", "localhost:9092")
   val kafkaFromEarliest: Boolean =
-    get("consumer.kafka.from.earliest", "true").toBoolean
+    getBool("consumer.kafka.from.earliest", default = true)
   def startingOffsets: String = if (kafkaFromEarliest) "earliest" else "latest"
   val odsTopic: String = get("kafka.ods.topic", "KAFKA-ODS-TOPIC")
   val dimTopic: String = get("kafka.dim.topic", "KAFKA-DIM-TOPIC")

@@ -37,9 +37,12 @@ object CombineMarkerCounts extends Rule[LogicalPlan] {
             if mc.child.deterministic &&
               mc.child.references.subsetOf(p.child.outputSet) => mc
       })
-      // only groups where a merge actually reduces passes
+      // only groups where a merge actually reduces passes: >1 call
+      // over the same input, whether the marker lists differ (union
+      // them) or repeat (materialize once — CodegenFallback calls get
+      // no guaranteed CSE, so duplicates pay a full scan each)
       val byChild = calls.groupBy(_.child.canonicalized)
-        .filter { case (_, ms) => ms.map(_.markers).distinct.size > 1 }
+        .filter { case (_, ms) => ms.size > 1 }
       if (byChild.isEmpty) p
       else {
         val mergedFor: Map[Expression0, (Alias, Seq[String])] =

@@ -42,15 +42,19 @@ object Compaction {
     val hfs = fs(spark, p)
     // Drop STALE temp dirs from a crashed run (safe: data files only
     // leave the live dir after the snapshot move, so a temp is never
-    // the only copy). Age-gated by the epoch stamp in the name — an
-    // unconditional sweep would delete the output of a concurrent
-    // compaction mid-promote.
-    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
+    // the only copy). Only the current `_compact_tmp_<epochMs>_<nano>`
+    // shape is parsed — the age gate (24 h) is crash cleanup, not a
+    // concurrency mechanism: like most table maintenance, compaction
+    // assumes a SINGLE WRITER per table dir, and a second compactor
+    // racing the same dir is unsupported regardless of this sweep.
+    val staleBefore = System.currentTimeMillis() - 24L * 3600 * 1000
+    val tmpName = "_compact_tmp_(\\d+)_(\\d+)".r
     hfs.listStatus(p)
       .filter { st =>
-        st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_") &&
-          st.getPath.getName.stripPrefix("_compact_tmp_").takeWhile(_.isDigit)
-            .toLongOption.exists(_ < staleBefore)
+        st.isDirectory && (st.getPath.getName match {
+          case tmpName(ms, _) => ms.toLongOption.exists(_ < staleBefore)
+          case _ => false
+        })
       }
       .foreach(st => hfs.delete(st.getPath, true))
     val children = hfs.listStatus(p)

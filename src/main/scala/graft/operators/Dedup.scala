@@ -48,9 +48,19 @@ object Dedup {
   }
 
   /** Drop rows in over-sized (band, band_key) buckets. `sampled` is a
-    * banded frame over a `fraction` sample of the same corpus; buckets
-    * whose SAMPLED size exceeds maxBucket×fraction are anti-joined
-    * away (broadcast — the hot set is tiny by construction). */
+    * banded frame over a `fraction` sample of the same corpus (pass
+    * the full frame with fraction 1.0 for an exact census); buckets
+    * whose sampled size exceeds maxBucket×fraction are anti-joined
+    * away (broadcast left_anti = a MAP-SIDE filter — apply BEFORE any
+    * shuffle so hot-bucket rows never cross the wire).
+    *
+    * A sampled census is partition-dependent (Spark seeds samples per
+    * partition) and statistical near the threshold — acceptable for a
+    * safety valve whose job is catching O(L²) blowups, but callers
+    * needing partition-invariant output (or whose maxBucket×fraction
+    * is too small to estimate) should census exactly; [[minHashLsh]]/
+    * [[simHashDup]] fall back to exact automatically when the scaled
+    * threshold would drop below 10 sampled rows. */
   private def hotBucketGuard(banded: DataFrame, sampled: DataFrame,
                              maxBucket: Int, fraction: Double): DataFrame = {
     val scaled = math.max(1L, (maxBucket * fraction).toLong)
@@ -59,6 +69,11 @@ object Dedup {
       .select(col("band"), col("band_key"))
     banded.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
   }
+
+  /** Effective census fraction: exact when the sampled threshold would
+    * be too coarse to distinguish a hot bucket from noise. */
+  private def effectiveCensusFraction(maxBucket: Int, fraction: Double): Double =
+    if (maxBucket * fraction < 10) 1.0 else fraction
 
   /** Estimated Jaccard = fraction of equal signature entries. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
@@ -90,20 +105,22 @@ object Dedup {
     // runs a single time. At lake scale, write the signature frame to
     // storage once and read it back (IncrementalDedup does exactly
     // that).
-    val banded = bandFrame(df, textCol, idCol, numHashes, bands)
+    // Skew guard FIRST, shuffle SECOND: a bucket larger than maxBucket
+    // is boilerplate/template text, not near-duplication — joining it
+    // would fan out O(L²). Hot buckets are detected on a seeded doc
+    // sample (an exact census is a second full signature pass; the
+    // automatic exact fallback covers small thresholds), and the
+    // broadcast anti-join filters hot rows on the MAP side — they
+    // never enter the repartition shuffle, so the guard cannot itself
+    // become the single-partition straggler it exists to remove.
+    val f = effectiveCensusFraction(maxBucket, censusFraction)
+    val census =
+      if (f >= 1.0) bandFrame(df, textCol, idCol, numHashes, bands)
+      else bandFrame(df.sample(withReplacement = false, f, seed = 7L),
+        textCol, idCol, numHashes, bands)
+    val guarded = hotBucketGuard(
+      bandFrame(df, textCol, idCol, numHashes, bands), census, maxBucket, f)
       .repartition(col("band"), col("band_key"))
-    // Skew guard: a bucket larger than maxBucket is boilerplate/
-    // template text, not near-duplication — joining it would fan out
-    // O(L²). Hot buckets are detected on a SEEDED DOC SAMPLE with a
-    // proportionally scaled threshold: an exact census is a second
-    // full signature pass, and a window-count over the bucket key
-    // would co-locate+sort the entire hot bucket in one task — the
-    // very straggler the guard exists to remove. A bucket a 5% sample
-    // misses was not an O(L²) problem.
-    val guarded = hotBucketGuard(banded,
-      bandFrame(df.sample(withReplacement = false, censusFraction, seed = 7L),
-        textCol, idCol, numHashes, bands),
-      maxBucket, censusFraction)
     val a = guarded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"),
@@ -135,16 +152,18 @@ object Dedup {
   def simHashDup(df: DataFrame, textCol: String, idCol: String,
                  maxHamming: Int = 3, maxBucket: Int = 10000,
                  censusFraction: Double = 0.05): DataFrame = {
-    // uncached on purpose; one shared exchange + sampled hot-bucket
-    // guard — see minHashLsh. The guard matters here too: exact
-    // duplicates share ALL quarter-bands (identical signatures), so
-    // boilerplate collapses into the same 4 buckets.
-    val banded = simBandFrame(df, textCol, idCol)
+    // uncached on purpose; guard-then-shuffle with one shared exchange
+    // — see minHashLsh. The guard matters here too: exact duplicates
+    // share ALL quarter-bands (identical signatures), so boilerplate
+    // collapses into the same 4 buckets.
+    val f = effectiveCensusFraction(maxBucket, censusFraction)
+    val census =
+      if (f >= 1.0) simBandFrame(df, textCol, idCol)
+      else simBandFrame(df.sample(withReplacement = false, f, seed = 7L),
+        textCol, idCol)
+    val guarded = hotBucketGuard(simBandFrame(df, textCol, idCol),
+      census, maxBucket, f)
       .repartition(col("band"), col("band_key"))
-    val guarded = hotBucketGuard(banded,
-      simBandFrame(df.sample(withReplacement = false, censusFraction, seed = 7L),
-        textCol, idCol),
-      maxBucket, censusFraction)
     val a = guarded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))

@@ -27,6 +27,17 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c.dimTopic == "KAFKA-DIM-TOPIC") // untouched key keeps default
   }
 
+  test("boolean flags parse tolerantly; junk names the key") {
+    val f = java.nio.file.Files.createTempFile("graft_cfg_b", ".properties")
+    java.nio.file.Files.writeString(f, "consumer.kafka.from.earliest=YES\n")
+    assert(GraftConfig.fromFile(f.toString).kafkaFromEarliest)
+    java.nio.file.Files.writeString(f, "consumer.kafka.from.earliest=maybe\n")
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.fromFile(f.toString).kafkaFromEarliest
+    }
+    assert(e.getMessage.contains("consumer.kafka.from.earliest"))
+  }
+
   test("missing explicit file is an error; missing resource is not") {
     intercept[java.io.IOException] {
       GraftConfig.fromFile("/nonexistent/graft.properties")
