@@ -1254,6 +1254,33 @@ object Queries {
       |WHERE s.doc_id >= 10
       |GROUP BY s.doc_id""".stripMargin
 
+  /** q55 — domain mixing: down-sample each language to a target rate
+    * with a deterministic integer-arithmetic coin (Knuth multiplicative
+    * hash — no RNG state, identical in any engine), then count the
+    * before/after mix. The reweighting step of a training-data
+    * pipeline; integer outputs only, so no ratio-rounding hazards. */
+  val q55: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val kept = Sampling.mixByRate(docs, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+      .join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("total"), coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+  val q55Sql: String =
+    """WITH coin AS (
+      |  SELECT lang, doc_id,
+      |    (doc_id * 2654435761) % 4294967296 AS c,
+      |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS rate
+      |  FROM documents
+      |), k AS (
+      |  SELECT lang, COUNT(*) AS kept FROM coin WHERE c < rate * 4294967296 GROUP BY lang
+      |)
+      |SELECT d.lang, COUNT(*) AS total, COALESCE(MAX(k.kept), 0) AS kept
+      |FROM documents d LEFT JOIN k ON d.lang = k.lang
+      |GROUP BY d.lang""".stripMargin
+
   /** q50 — sketch aggregates (rows-only: HLL/KLL estimates are
     * implementation-defined, so no cross-engine value oracle): per
     * event type, approximate distinct users and an approximate p50 —
@@ -1320,6 +1347,7 @@ object Queries {
     "q50_sketch_agg" -> q50,
     "q51_array_agg" -> q51,
     "q54_contamination" -> q54,
+    "q55_domain_mix" -> q55,
     "q52_string_funcs" -> q52,
     "q53_date_funcs" -> q53,
   )
@@ -1371,6 +1399,7 @@ object Queries {
     // q50_sketch_agg: rows-only (sketch estimates have no cross-engine oracle)
     "q51_array_agg" -> q51Sql,
     "q54_contamination" -> q54Sql,
+    "q55_domain_mix" -> q55Sql,
     "q52_string_funcs" -> q52Sql,
     "q53_date_funcs" -> q53Sql,
   )

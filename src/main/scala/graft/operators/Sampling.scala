@@ -51,4 +51,22 @@ object Sampling {
       .withColumnRenamed("col", idCol)
       .drop("pos")
       .select(groupCols.map(col) :+ col("rnk") :+ col(idCol): _*)
+
+  /** Domain mixing: down-sample each domain to its target RATE with a
+    * deterministic per-row coin — keep when
+    * `(id·2654435761) mod 2³² < rate·2³²` (Knuth's multiplicative
+    * hash: uniform, engine-portable integer arithmetic, no RNG state).
+    * One filter, no shuffle, reproducible across runs/partitionings/
+    * engines — the reweighting step that turns a raw crawl mix into a
+    * target training mix. Domains missing from `rates` keep
+    * `defaultRate`. */
+  def mixByRate(df: DataFrame, domainCol: String, idCol: String,
+                rates: Map[String, Double],
+                defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
+      when(col(domainCol) === domain, lit(r)).otherwise(acc)
+    }
+    val coin = pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L))
+    df.filter(coin < rate * lit(4294967296L))
+  }
 }

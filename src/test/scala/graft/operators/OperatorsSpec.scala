@@ -192,6 +192,24 @@ class SamplingSpec extends SparkTestBase {
     assert(s1.groupBy(_._1).forall(_._2.length == 3))
     assert(s1.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
+
+  test("domain mix: rates hit within tolerance, partition-invariant") {
+    val df = graft.Tables(spark, sf).documents
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val kept = Sampling.mixByRate(df, "lang", "doc_id", rates, defaultRate = 0.0)
+    // rate 0 drops every unlisted domain; listed rates land near target
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet.subsetOf(rates.keySet))
+    rates.foreach { case (l, r) =>
+      val frac = byLang.getOrElse(l, 0L).toDouble / totals(l)
+      assert(math.abs(frac - r) < 0.2, s"$l: $frac vs $r")
+    }
+    // deterministic across partitionings
+    val again = Sampling.mixByRate(df.repartition(13), "lang", "doc_id", rates, 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
 }
 
 class DedupSpec extends SparkTestBase {
