@@ -33,13 +33,21 @@ object Vectors {
   /** L2 norm, double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot/(|a|*|b|), double. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity = dot/(|a|*|b|), double. Zero-norm vectors
+    * (padding / failed encodes) score 0.0 — the raw division would be
+    * 0/0 = NaN, which Spark's descending sort ranks ABOVE every finite
+    * score, so one all-zero corpus row would top every query's
+    * neighbors. Nonzero inputs take the identical single division
+    * (oracle parity is untouched). */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(dot(a, b), norm(a), norm(b))
 
   /** Cosine given precomputed norms (per-row, so an N×Q similarity join
-    * computes each norm once instead of per pair). */
-  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column =
-    dotAb / (normA * normB)
+    * computes each norm once instead of per pair); zero-norm-safe. */
+  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column = {
+    val p = normA * normB
+    when(p === 0.0, lit(0.0)).otherwise(dotAb / p)
+  }
 
   /** Euclidean distance, double. */
   def l2Distance(a: Column, b: Column): Column =

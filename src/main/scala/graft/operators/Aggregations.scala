@@ -24,10 +24,13 @@ import graft.functions.Cleanse
   */
 object Aggregations {
 
-  /** Exact order-independent sum: cast to DECIMAL(18,2), sum exactly,
-    * return as double. */
+  /** Exact order-independent sum: cast to DECIMAL(38,2), sum exactly,
+    * return as double. Precision 38 (not 18): under non-ANSI eval an
+    * out-of-precision value casts to NULL and silently VANISHES from a
+    * sum documented as exact — 38 digits covers any plausible input,
+    * and in-range values produce bit-identical doubles either way. */
   def exactSum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast("double")
+    sum(c.cast(DecimalType(38, 2))).cast("double")
 
   /** A1: tumbling-window grouped count over an event-time column.
     * Emits window_start as a formatted string (reference emits formatted
@@ -56,11 +59,14 @@ object Aggregations {
     * aggregations. Cost: one extra (tiny) shuffle of partials. */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: Column,
                      saltBuckets: Int = 64): DataFrame = {
+    // monotonically_increasing_id = partitionId*2^33 + offset, so its
+    // low bits alone cycle uniformly within every partition — adding
+    // spark_partition_id on top was redundant
     val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
-      .agg(count(lit(1)).as("_pc"), sum(valueCol.cast(DecimalType(18, 2))).as("_ps"))
+      .agg(count(lit(1)).as("_pc"), sum(valueCol.cast(DecimalType(38, 2))).as("_ps"))
     partial
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_pc")).as("cnt"), sum(col("_ps")).cast("double").as("val_sum"))

@@ -21,6 +21,23 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Per-query top-k tail shared by all search variants: rank by
+    * (score desc, corpus_id) and keep k. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  /** Row array → double[] regardless of the column's numeric element
+    * type (array<float> and array<double> are both supported across
+    * the vector API; a bare getSeq[Float] would ClassCastException on
+    * doubles). */
+  private def vecAt(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map(_.asInstanceOf[Number].doubleValue).toArray
+
   /** Brute-force exact top-k by cosine. `queries` and `corpus` both have
     * (idCol, vecCol); ties broken by corpus id ascending. Self-matches
     * (same id) are excluded. */
@@ -34,11 +51,7 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
           col("c_norm"), col("q_norm")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+    topK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is assigned to
@@ -58,12 +71,19 @@ object Similarity {
     * coarse quantizer. Returns (ids 0..k-1, centroid vectors). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
                       iters: Int = 3): (Array[Long], Array[Array[Double]]) = {
+    // full-hash secondary sort: the 1e6-bucket key alone ties for
+    // duplicate vectors (and collides at modest corpus sizes), making
+    // seed selection partition-order-dependent; ties on the full hash
+    // are identical vectors, so either pick yields the same centroid
     val seeded = corpus
-      .select(col(vecCol).as("v"), pmod(xxhash64(col(vecCol)), lit(1000000)).as("_r"))
-      .orderBy(col("_r")).limit(k)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col(vecCol).as("v"),
+        pmod(xxhash64(col(vecCol)), lit(1000000)).as("_r"),
+        xxhash64(col(vecCol)).as("_h"))
+      .orderBy(col("_r"), col("_h")).limit(k)
+      .collect().map(vecAt(_, 0))
     var cents = seeded
-    val ids = Array.tabulate(k)(_.toLong)
+    // corpus smaller than k: fewer centroids, never out-of-range ids
+    val ids = Array.tabulate(math.min(k, seeded.length))(_.toLong)
     for (_ <- 1 to iters) {
       val assigned = corpus.select(col(vecCol).as("v"))
         .withColumn("c", element_at(
@@ -101,10 +121,10 @@ object Similarity {
       val centRows = corpus
         .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("centv"))
         .withColumn("_r", pmod(xxhash64(col("centroid_id")), lit(1000000)))
-        .orderBy(col("_r")).limit(nCentroids)
+        .orderBy(col("_r"), col("centroid_id")).limit(nCentroids)
         .select("centroid_id", "centv")
         .collect()
-      (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Float](1).map(_.toDouble).toArray))
+      (centRows.map(_.getLong(0)), centRows.map(vecAt(_, 1)))
     }
     def cells(v: Column): Column =
       graft.expressions.CentroidOps.nearestCentroids(v, centIds, centVecs)
@@ -125,11 +145,7 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
           col("c_norm"), col("q_norm")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+    topK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: compare only within the query's
@@ -148,10 +164,6 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
           col("c_norm"), col("q_norm")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+    topK(scored, k)
   }
 }

@@ -20,28 +20,60 @@ object Sessionize {
       userId: Long,
       events: Iterator[(Long, Long)], // (userId, epochSec)
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    var s = state.getOption.getOrElse(SessionState(0L, 0L, 0L, 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    // idle timeout: emit the final state of the open session and free
+    // the key's state — without this, every user ever seen holds state
+    // forever and an idle user's last session never closes
+    if (state.hasTimedOut) {
+      state.getOption.foreach { s =>
+        out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastSec)
+      }
+      state.remove()
+      return out.iterator
+    }
+    var s = state.getOption.getOrElse(SessionState(0L, 0L, 0L, 0L))
     events.toSeq.sortBy(_._2).foreach { case (_, sec) =>
       s =
         if (s.nEvents == 0L) SessionState(1L, 1L, sec, sec)
         else if (sec - s.lastSec > gapSec) {
           out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastSec)
           SessionState(s.sessionId + 1, 1L, sec, sec)
-        } else s.copy(nEvents = s.nEvents + 1, lastSec = sec)
+        } else
+          // a cross-batch late event (sec < lastSec) merges into the
+          // open session but must not regress the watermark or the
+          // session start/end — keep both monotone
+          s.copy(nEvents = s.nEvents + 1,
+            startSec = math.min(s.startSec, sec),
+            lastSec = math.max(s.lastSec, sec))
     }
     state.update(s)
+    // (re)arm the idle timeout when the query runs with
+    // ProcessingTimeTimeout; under NoTimeout the call is rejected
+    try state.setTimeoutDuration(gapSec * 1000)
+    catch { case _: UnsupportedOperationException => () }
     out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastSec)
     out.iterator
   }
 
-  /** Wire the stateful op over a (user_id, epoch_sec) stream. */
+  /** Wire the stateful op over a (user_id, epoch_sec) stream.
+    *
+    * `idleTimeout = true` (recommended for long-running deployments)
+    * bounds the state store: a key idle for `gapSec` of processing
+    * time flushes its open session and is removed — without it, every
+    * user ever seen holds state forever and an idle user's final
+    * session never closes. Left off by default because timeout
+    * processing schedules extra trigger batches, which test harnesses
+    * driving the query with `processAllAvailable` perceive as a query
+    * that never quiesces. */
   def sessions(spark: SparkSession, events: Dataset[(Long, Long)],
-               gapSec: Long = 1800L): Dataset[SessionOut] = {
+               gapSec: Long = 1800L,
+               idleTimeout: Boolean = false): Dataset[SessionOut] = {
     import spark.implicits._
+    val timeout =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        updateSession(gapSec))
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(updateSession(gapSec))
   }
 }
