@@ -78,21 +78,39 @@ object OdsLogIngest {
   }
 }
 
-/** Dim stream → keyed upsert per target table (reference DimDataToHBase;
-  * Phoenix DDL-and-upsert becomes idempotent parquet MERGE). */
+/** Dim envelope stream → keyed upsert per target table (reference
+  * DimDataToHBase; Phoenix DDL-and-upsert becomes parquet MERGE).
+  *
+  * Consumes exactly what [[OdsDbIngest]] emits: (phoenix_tbl_name,
+  * pk_col, tp, data) with `data` a JSON payload string. Each table's
+  * payload is parsed with its declared schema (the config-driven DDL
+  * of DimDataToHBase.scala:79-93 becomes a schema registry entry) and
+  * upserted on the envelope's OWN pk_col. The version is
+  * (batchId, within-batch arrival order), so a same-batch
+  * insert+update for one key resolves to the LATER record — the
+  * reference applies upserts sequentially, arrival order winning.
+  * The bookkeeping column never lands in the dim table. */
 object DimUpsert {
-  def run(spark: SparkSession, dimStream: DataFrame, work: String,
-          key: String = "user_id") =
-    dimStream.writeStream
+  def run(spark: SparkSession, envelope: DataFrame, work: String,
+          schemas: Map[String, org.apache.spark.sql.types.StructType]) =
+    envelope.writeStream
       .option("checkpointLocation", Layout.cp(work, "dim_upsert"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tables = batch.select("phoenix_tbl_name").distinct()
-          .collect().map(_.getString(0))
-        tables.foreach { tbl =>
-          val slice = batch.filter(col("phoenix_tbl_name") === tbl)
-            .drop("phoenix_tbl_name")
-            .withColumn("_ver", lit(id))
-          Sinks.upsertParquet(spark, slice, Layout.dim(work, tbl), key, "_ver")
+        val tables = batch.select("phoenix_tbl_name", "pk_col").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        tables.foreach { case (tbl, pk) =>
+          schemas.get(tbl).foreach { schema =>
+            val slice = batch.filter(col("phoenix_tbl_name") === tbl)
+              .withColumn("_arr", monotonically_increasing_id())
+              .select(from_json(col("data"), schema).as("d"), col("_arr"))
+              // batch id dominates (2^42 > any monotonic id for
+              // realistic partition counts); within a batch the
+              // monotonic id preserves per-partition arrival order
+              .select(col("d.*"),
+                (lit(id) * lit(1L << 42) + col("_arr")).as("_ver"))
+            Sinks.upsertParquet(spark, slice, Layout.dim(work, tbl), pk,
+              "_ver", keepVersionCol = false)
+          }
         }
       }
       .start()
@@ -114,40 +132,52 @@ object DwdRoute {
 }
 
 /** DWS login enrichment (reference ProcessUserlogInToDWS + its pure-SQL
-  * twin): facts ⋈ member dim ⋈ address dim, broadcast left joins. */
+  * twin): facts ⋈ member dim ⋈ address dim, broadcast left joins.
+  *
+  * Dims are re-read INSIDE each micro-batch (foreachBatch), so dim
+  * updates landed by [[DimUpsert]] between triggers are visible to the
+  * next batch and a generation swap never strands a stream-lifetime
+  * file listing — the Spark analog of the reference's 5-minute config
+  * re-poll + per-record lookups (MySQLUtil.scala:46). */
 object DwsLoginEnrich {
-  def run(spark: SparkSession, logins: DataFrame, work: String) = {
-    val member  = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_INFO"))
-    val address = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_ADDRESS"))
-    val wide = Pipelines.dwsEnrich(logins, Seq(
-      (member, "user_id", "user_id"), (address, "user_id", "user_id")))
-    wide.writeStream.format("parquet").outputMode("append")
-      .option("path", Layout.dws(work, "USER_LOGIN"))
+  def run(spark: SparkSession, logins: DataFrame, work: String) =
+    logins.writeStream
       .option("checkpointLocation", Layout.cp(work, "dws_login"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val member  = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_INFO"))
+        val address = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_ADDRESS"))
+        Pipelines.dwsEnrich(batch.toDF(), Seq(
+            (member, "user_id", "user_id"), (address, "user_id", "user_id")))
+          .write.mode("append").parquet(Layout.dws(work, "USER_LOGIN"))
+      }
       .start()
-  }
 }
 
 /** DWS browse enrichment incl. the category parent self-join (J3)
-  * (reference ProduceBrowseLogToDWS + its twin). */
+  * (reference ProduceBrowseLogToDWS + its twin). Dims re-read per
+  * micro-batch — see [[DwsLoginEnrich]]. The wide row carries
+  * `event_ts` (log_time as a real timestamp) so the DM window stage
+  * can consume this output directly. */
 object DwsBrowseEnrich {
-  def run(spark: SparkSession, browse: DataFrame, work: String) = {
-    val product = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_INFO"))
-    val category = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_CATEGORY"))
-    val cats = Enrichment.hierarchySelfJoin(category, "id", "p_id", "name")
-      .withColumnRenamed("first_name", "first_category_name")
-      .withColumnRenamed("second_name", "second_category_name")
-    // category key on the fact is the browse tp-code (the reference
-    // probes DIM_PRODUCT_CATEGORY with it, ProduceBrowseLogToDWS:169-178)
-    val wide = Pipelines.dwsEnrich(browse,
-        Seq((product, "browse_product_code", "product_id")))
-      .join(broadcast(cats), col("browse_product_tpcode") === col("second_id"), "left_outer")
-      .drop("first_id", "second_id")
-    wide.writeStream.format("parquet").outputMode("append")
-      .option("path", Layout.dws(work, "BROWSE_INFO"))
+  def run(spark: SparkSession, browse: DataFrame, work: String) =
+    browse.writeStream
       .option("checkpointLocation", Layout.cp(work, "dws_browse"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val product = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_INFO"))
+        val category = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_CATEGORY"))
+        val cats = Enrichment.hierarchySelfJoin(category, "id", "p_id", "name")
+          .withColumnRenamed("first_name", "first_category_name")
+          .withColumnRenamed("second_name", "second_category_name")
+        // category key on the fact is the browse tp-code (the reference
+        // probes DIM_PRODUCT_CATEGORY with it, ProduceBrowseLogToDWS:169-178)
+        Pipelines.dwsEnrich(batch.toDF(),
+            Seq((product, "browse_product_code", "product_id")))
+          .join(broadcast(cats), col("browse_product_tpcode") === col("second_id"), "left_outer")
+          .drop("first_id", "second_id")
+          .withColumn("event_ts", to_timestamp(col("log_time")))
+          .write.mode("append").parquet(Layout.dws(work, "BROWSE_INFO"))
+      }
       .start()
-  }
 }
 
 /** DM login serving rows (reference ProcessUserLoginInfoToDM): project
@@ -176,7 +206,10 @@ object DmVisitWindow {
 }
 
 /** Batch user-points aggregation (reference ProcessUserPoints): grouped
-  * exact sum over the browse wide table → serving table. */
+  * exact sum over the browse wide table → serving table. The job is a
+  * FULL recompute, so the serving table is OVERWRITTEN — a scheduled
+  * re-run that appended would duplicate every previously-written group
+  * (the reference's retract stream upserts into MySQL, same effect). */
 object UserPointsBatch {
   def run(spark: SparkSession, work: String): DataFrame = {
     val browse = spark.read.parquet(Layout.dws(work, "BROWSE_INFO"))
@@ -184,7 +217,7 @@ object UserPointsBatch {
       .groupBy(Cleanse.datePart(col("log_time")).as("log_time"),
         col("user_id"), col("product_name"))
       .agg(sum(col("obtain_points").cast("int")).as("total_points"))
-    Sinks.batchAppend(out, Layout.dm(work, "user_points"))
+    out.write.mode("overwrite").parquet(Layout.dm(work, "user_points"))
     out
   }
 }
@@ -224,6 +257,13 @@ object CorpusCuration {
     val dupLosers = clusters.filter(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
     val survivors = exact.join(dupLosers, Seq("doc_id"), "left_anti")
     val afterNearDup = survivors.count()
+    // free the stage caches now that every count is materialized — a
+    // long-lived session would otherwise accumulate two pinned frames
+    // per invocation (the round-1 advisor's leak class). The returned
+    // survivors frame recomputes from source if re-used; callers
+    // wanting a hot handle should persist it themselves.
+    exact.unpersist()
+    gated.unpersist()
     (survivors, Report(input, afterQuality, afterExact, afterNearDup))
   }
 }

@@ -194,7 +194,12 @@ object Dedup {
     * simhash / embedding): pairs are edges, docs are vertices, a
     * cluster is everything transitively linked. Scales as GraphX Pregel
     * (edge-partitioned iterative joins), not a driver-side union-find.
-    * Returns (id, keep_id) for every id that appears in some pair. */
+    * Returns (id, keep_id) for every id that appears in some pair.
+    *
+    * CONTRACT: ids must be (castable to) distinct longs — GraphX
+    * vertices are Long. String corpus ids (URLs, hashes) must be
+    * mapped to a dense/hashed long id upstream; casting would null
+    * non-numeric ids and collide '007' with '7'. */
   def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))

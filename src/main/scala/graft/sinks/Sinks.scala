@@ -82,7 +82,14 @@ object Sinks {
   /** R2: dual-sink — one stream, two targets, reading the source once.
     * The micro-batch is persisted, written to both, unpersisted
     * (reference uses a side-output tag for the second copy,
-    * dwd/ProcessODSDataToDWD.scala:77,108). */
+    * dwd/ProcessODSDataToDWD.scala:77,108).
+    *
+    * Delivery is at-least-once PER TARGET: if writeB fails after
+    * writeA appended, the batch replays into both. That matches the
+    * reference's `Semantic.AT_LEAST_ONCE` Kafka sinks (SURVEY §2.9
+    * T2); exactly-once needs a transactional target — on Iceberg,
+    * point both writers at `writeTo(...).append()` and key the commit
+    * on the batch id. */
   def dualSink(df: DataFrame, checkpoint: String,
                writeA: DataFrame => Unit, writeB: DataFrame => Unit,
                triggerMs: Long = 5000L): StreamingQuery =
@@ -120,12 +127,30 @@ object Sinks {
     * with insert/update/bootstrap-insert all upserting). Partition-safe:
     * the dedup is a window over the key, not a driver loop. */
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
-                    key: String, versionCol: String): Unit = {
+                    key: String, versionCol: String,
+                    keepVersionCol: Boolean = true): Unit = {
     import org.apache.spark.sql.expressions.Window
     val dst = new org.apache.hadoop.fs.Path(path)
     // the PATH's filesystem, not the default FS — a scheme-qualified
     // dim path (s3a://…) must resolve against its own FS
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery (single writer, like all table maintenance here):
+    // a kill between "move live aside" and "promote tmp" leaves no live
+    // dir but an intact <name>_old_<stamp> — restore the newest one
+    // rather than silently bootstrapping from empty. Stranded _tmp_
+    // dirs are dead either way (promote renames tmp away on success)
+    // and are swept.
+    if (!fs.exists(dst) && fs.exists(dst.getParent)) {
+      fs.listStatus(dst.getParent).map(_.getPath)
+        .filter(_.getName.startsWith(dst.getName + "_old_"))
+        .sortBy(_.getName).lastOption
+        .foreach(o => fs.rename(o, dst))
+    }
+    if (fs.exists(dst.getParent)) {
+      fs.listStatus(dst.getParent).map(_.getPath)
+        .filter(_.getName.startsWith(dst.getName + "_tmp_"))
+        .foreach(t => fs.delete(t, true))
+    }
     // Only a genuinely absent table reads as empty; a transient read
     // failure (permissions, corrupt footer) must propagate rather than
     // silently discard the accumulated dim table.
@@ -134,11 +159,16 @@ object Sinks {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], batch.schema)
     val all = existing.unionByName(batch, allowMissingColumns = true)
+    // With keepVersionCol = false the stored table carries no version
+    // column, so existing rows sort with NULL version — i.e. any
+    // batch row beats the stored row for its key, which is exactly
+    // CDC-upsert semantics (the batch is newer by construction).
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc_nulls_last)
-    val merged = all
+    val merged0 = all
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
     // Write the new generation, move the old one ASIDE (not deleted),
     // promote, and only then drop the old generation — a failed promote
     // rolls the old table back instead of leaving nothing.

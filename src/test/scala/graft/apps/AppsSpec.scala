@@ -67,15 +67,45 @@ class AppsSpec extends SparkTestBase {
     val env = dimEnv.select("phoenix_tbl_name", "pk_col", "tp").as[(String, String, String)].head()
     assert(env == ("DIM_MEMBER_INFO", "id", "insert"))
 
-    // consume the envelope with DimUpsert (bootstrap-insert upserts too, T7)
-    val dimIn = MemoryStream[(String, String, String, String)]
-    val dimStream = dimIn.toDF().toDF("phoenix_tbl_name", "user_id", "member_level", "balance")
-    val q2 = DimUpsert.run(spark, dimStream, w)
-    dimIn.addData(("DIM_MEMBER_INFO", "uid756103", "4", "30804"),
-      ("DIM_MEMBER_INFO", "uid756103", "5", "31000")) // same batch: latest wins by _ver tie -> row_number picks one
+    // consume the ACTUAL envelope with DimUpsert: stream the envelope
+    // dir, parse the JSON payload with the table's schema, upsert on
+    // the envelope's pk_col (bootstrap-insert upserts too, T7)
+    import org.apache.spark.sql.types._
+    val memberSchema = new StructType()
+      .add("id", StringType).add("user_id", StringType)
+      .add("member_level", StringType).add("balance", StringType)
+    val envStream = spark.readStream
+      .schema(spark.read.parquet(s"$w/topics/dim_envelope").schema)
+      .parquet(s"$w/topics/dim_envelope")
+    val q2 = DimUpsert.run(spark, envStream, w,
+      Map("DIM_MEMBER_INFO" -> memberSchema))
     q2.processAllAvailable(); q2.stop()
     val dim = spark.read.parquet(Layout.dim(w, "DIM_MEMBER_INFO"))
     assert(dim.count() == 1)
+    // payload parsed to columns, keyed on pk, no bookkeeping column
+    assert(dim.columns.toSet == Set("id", "user_id", "member_level", "balance"))
+    assert(dim.select("id", "user_id", "member_level")
+      .as[(String, String, String)].head() == ("9997", "uid756103", "4"))
+  }
+
+  test("dim upsert: same-batch insert+update resolves to the later record") {
+    val w = work()
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("id", StringType).add("level", StringType)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, String, String)]
+    val env = in.toDF().toDF("phoenix_tbl_name", "pk_col", "tp", "data")
+    val q = DimUpsert.run(spark, env, w, Map("DIM_X" -> schema))
+    in.addData(
+      ("DIM_X", "id", "insert", """{"id":"9","level":"old"}"""),
+      ("DIM_X", "id", "update", """{"id":"9","level":"new"}"""))
+    q.processAllAvailable()
+    // next batch: an update beats the stored row regardless
+    in.addData(("DIM_X", "id", "update", """{"id":"9","level":"newest"}"""))
+    q.processAllAvailable(); q.stop()
+    val dim = spark.read.parquet(Layout.dim(w, "DIM_X"))
+      .as[(String, String)].collect()
+    assert(dim.toSeq == Seq(("9", "newest")))
   }
 
   test("DM serving: visit window counts over the wide stream") {
