@@ -59,8 +59,8 @@ object OdsDbIngest {
           Cleanse.payload(col("data"), "logout_tm").as("logout_tm"))
         .write.mode("append").parquet(Layout.ods(work, "USER_LOGIN")),
       b => b.filter(col("route") === "dim")
-        .select(col("phoenix_tbl_name"), col("pk_col"), col("type").as("tp"),
-          to_json(col("data")).as("data"))
+        .select(col("phoenix_tbl_name"), col("pk_col"), col("cols"),
+          col("type").as("tp"), to_json(col("data")).as("data"))
         .write.mode("append").parquet(s"$work/topics/dim_envelope"),
       triggerMs = 200L)
   }
@@ -82,38 +82,71 @@ object OdsLogIngest {
   * DimDataToHBase; Phoenix DDL-and-upsert becomes parquet MERGE).
   *
   * Consumes exactly what [[OdsDbIngest]] emits: (phoenix_tbl_name,
-  * pk_col, tp, data) with `data` a JSON payload string. Each table's
-  * payload is parsed with its declared schema (the config-driven DDL
-  * of DimDataToHBase.scala:79-93 becomes a schema registry entry) and
-  * upserted on the envelope's OWN pk_col. The version is
+  * pk_col, cols, tp, data) with `data` a JSON payload string. Each
+  * table's schema is DERIVED FROM THE CONFIG'S `cols` CSV — all-String
+  * columns, exactly the reference's runtime DDL generation
+  * (dim/DimDataToHBase.scala:79-93, MySQLUtil.scala:30-43) — so a
+  * config row for a never-seen table CREATES its dim table on first
+  * record, no registry edit or redeploy. An explicit `schemas` entry
+  * overrides the derivation for tables wanting typed columns. An
+  * envelope with neither (no `cols` column and no registry entry)
+  * fails loudly rather than silently dropping dim records.
+  *
+  * Upserts key on the envelope's OWN pk_col. The version is
   * (batchId, within-batch arrival order), so a same-batch
   * insert+update for one key resolves to the LATER record — the
   * reference applies upserts sequentially, arrival order winning.
   * The bookkeeping column never lands in the dim table. */
 object DimUpsert {
+  /** `cols` CSV → all-String StructType (reference DDL semantics).
+    * Identifiers are sanitized to `[A-Za-z0-9_]` — config text becomes
+    * column names, and a quote or path char in an identifier must not
+    * reach the filesystem/parquet layer. The pk column is included
+    * even when the CSV omits it (the reference's DDL writes the pk
+    * explicitly alongside cols). */
+  def schemaFromCols(cols: String, pkCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def clean(s: String): String = s.trim.replaceAll("[^A-Za-z0-9_]", "")
+    val names = (clean(pkCol) +: cols.split(",").toSeq.map(clean))
+      .filter(_.nonEmpty).distinct
+    require(names.nonEmpty, s"no usable column names in cols CSV '$cols'")
+    StructType(names.map(StructField(_, StringType)))
+  }
+
   def run(spark: SparkSession, envelope: DataFrame, work: String,
-          schemas: Map[String, org.apache.spark.sql.types.StructType]) =
+          schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty) = {
+    val hasCols = envelope.columns.contains("cols")
     envelope.writeStream
       .option("checkpointLocation", Layout.cp(work, "dim_upsert"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tables = batch.select("phoenix_tbl_name", "pk_col").distinct()
-          .collect().map(r => (r.getString(0), r.getString(1)))
-        tables.foreach { case (tbl, pk) =>
-          schemas.get(tbl).foreach { schema =>
-            val slice = batch.filter(col("phoenix_tbl_name") === tbl)
-              .withColumn("_arr", monotonically_increasing_id())
-              .select(from_json(col("data"), schema).as("d"), col("_arr"))
-              // batch id dominates (2^42 > any monotonic id for
-              // realistic partition counts); within a batch the
-              // monotonic id preserves per-partition arrival order
-              .select(col("d.*"),
-                (lit(id) * lit(1L << 42) + col("_arr")).as("_ver"))
-            Sinks.upsertParquet(spark, slice, Layout.dim(work, tbl), pk,
-              "_ver", keepVersionCol = false)
-          }
+        val keyCols =
+          if (hasCols) batch.select(col("phoenix_tbl_name"), col("pk_col"), col("cols"))
+          else batch.select(col("phoenix_tbl_name"), col("pk_col"),
+            lit(null).cast("string").as("cols"))
+        // one (pk, cols) declaration per table — bounded by config size
+        val tables = keyCols.distinct().collect()
+          .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+          .groupBy(_._1).map(_._2.head)
+        tables.foreach { case (tbl, pk, colsCsv) =>
+          val schema = schemas.get(tbl)
+            .orElse(colsCsv.map(schemaFromCols(_, pk)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"DimUpsert: no schema for dim table '$tbl' — envelope has no " +
+                "cols CSV and no registry entry; refusing to drop dim records"))
+          val slice = batch.filter(col("phoenix_tbl_name") === tbl)
+            .withColumn("_arr", monotonically_increasing_id())
+            .select(from_json(col("data"), schema).as("d"), col("_arr"))
+            // batch id dominates (2^42 > any monotonic id for
+            // realistic partition counts); within a batch the
+            // monotonic id preserves per-partition arrival order
+            .select(col("d.*"),
+              (lit(id) * lit(1L << 42) + col("_arr")).as("_ver"))
+          Sinks.upsertParquet(spark, slice, Layout.dim(work, tbl), pk,
+            "_ver", keepVersionCol = false)
         }
       }
       .start()
+  }
 }
 
 /** DWD cleanse + per-table routing (reference ProcessODSDataToDWD). */
@@ -228,7 +261,7 @@ object UserPointsBatch {
   * (survivors, per-stage counts). Every stage is a DataFrame plan;
   * the only iterative piece is the GraphX cluster collapse. */
 object CorpusCuration {
-  import graft.functions.Text
+  import graft.functions.{Text, TextStats}
   import graft.operators.Dedup
 
   final case class Report(input: Long, afterQuality: Long, afterExact: Long,
@@ -238,10 +271,15 @@ object CorpusCuration {
           minQuality: Double = 0.3, lang: String = "en",
           nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
     val input = docs.count()
+    // ONE MarkerCounts scan feeds both the quality score and the
+    // language gate (the q31 projection shape) — the per-marker HOF
+    // forms would re-scan each text ~20× for the same counts
     val gated = docs
-      .withColumn("q_score", Text.qualityScore(col("text")))
-      .withColumn("pred_lang", Text.langId(col("text")))
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .withColumn("q_score", TextStats.qualityScore(col("text"), col("_mc")))
+      .withColumn("pred_lang", TextStats.langId(col("_mc")))
       .filter(col("q_score") >= minQuality && col("pred_lang") === lang)
+      .drop("_mc")
       .persist()
     val afterQuality = gated.count()
 

@@ -17,20 +17,64 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Aggregation buffer for [[BottomK]]: parallel arrays sorted by
+    * (key, id), `n` live entries, capacity k. A case class of arrays
+    * gets a product (Tungsten) encoder — rows serialize as UnsafeRow
+    * arrays on spill/shuffle, no Kryo. */
+  case class BKBuf(keys: Array[String], ids: Array[Long], n: Int)
+
   /** Keep the k (hashKey, id) pairs with smallest keys; emit ids in
-    * key order. Buffer is a sorted Seq capped at k. */
-  class BottomK(k: Int)
-      extends Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] {
-    private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
-      s.sorted.take(k)
-    override def zero: Seq[(String, Long)] = Nil
-    override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
-      trim(b :+ a)
-    override def merge(x: Seq[(String, Long)], y: Seq[(String, Long)]): Seq[(String, Long)] =
-      trim(x ++ y)
-    override def finish(b: Seq[(String, Long)]): Seq[Long] = b.sorted.map(_._2)
-    override def bufferEncoder: Encoder[Seq[(String, Long)]] =
-      Encoders.kryo[Seq[(String, Long)]]
+    * key order.
+    *
+    * Hot path: one binary search + one `System.arraycopy` shift per
+    * accepted row, and a constant-time reject (compare against the
+    * current k-th entry) once the buffer is full — the common case on
+    * large groups. No per-row sort, no per-row allocation after the
+    * first k rows of a group (`ObjectHashAggregate` keeps the buffer
+    * as a live object between rows; encoding happens only on
+    * spill/shuffle). */
+  class BottomK(k: Int) extends Aggregator[(String, Long), BKBuf, Seq[Long]] {
+    require(k > 0, s"BottomK needs k > 0, got $k")
+
+    // (key, id) lexicographic order — same total order Seq.sorted used.
+    private def lt(k1: String, i1: Long, k2: String, i2: Long): Boolean = {
+      val c = k1.compareTo(k2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+
+    private def insert(b: BKBuf, key: String, id: Long): BKBuf = {
+      if (b.n == k && !lt(key, id, b.keys(k - 1), b.ids(k - 1))) return b
+      var lo = 0
+      var hi = b.n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lt(b.keys(mid), b.ids(mid), key, id)) lo = mid + 1 else hi = mid
+      }
+      val lastKept = math.min(b.n, k - 1) // entry at k-1 falls off when full
+      System.arraycopy(b.keys, lo, b.keys, lo + 1, lastKept - lo)
+      System.arraycopy(b.ids, lo, b.ids, lo + 1, lastKept - lo)
+      b.keys(lo) = key
+      b.ids(lo) = id
+      if (b.n < k) b.copy(n = b.n + 1) else b
+    }
+
+    override def zero: BKBuf = {
+      val ks = new Array[String](k)
+      java.util.Arrays.fill(ks.asInstanceOf[Array[AnyRef]], "")
+      BKBuf(ks, new Array[Long](k), 0)
+    }
+    override def reduce(b: BKBuf, a: (String, Long)): BKBuf =
+      insert(b, a._1, a._2)
+    override def merge(x: BKBuf, y: BKBuf): BKBuf = {
+      var b = x
+      var i = 0
+      while (i < y.n) { b = insert(b, y.keys(i), y.ids(i)); i += 1 }
+      b
+    }
+    override def finish(b: BKBuf): Seq[Long] =
+      b.ids.take(b.n).toSeq
+    override def bufferEncoder: Encoder[BKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[BKBuf]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

@@ -64,21 +64,18 @@ class AppsSpec extends SparkTestBase {
 
     val dimEnv = spark.read.parquet(s"$w/topics/dim_envelope")
     assert(dimEnv.count() == 1)
-    val env = dimEnv.select("phoenix_tbl_name", "pk_col", "tp").as[(String, String, String)].head()
-    assert(env == ("DIM_MEMBER_INFO", "id", "insert"))
+    val env = dimEnv.select("phoenix_tbl_name", "pk_col", "cols", "tp")
+      .as[(String, String, String, String)].head()
+    assert(env == ("DIM_MEMBER_INFO", "id", "user_id,member_level,balance", "insert"))
 
-    // consume the ACTUAL envelope with DimUpsert: stream the envelope
-    // dir, parse the JSON payload with the table's schema, upsert on
-    // the envelope's pk_col (bootstrap-insert upserts too, T7)
-    import org.apache.spark.sql.types._
-    val memberSchema = new StructType()
-      .add("id", StringType).add("user_id", StringType)
-      .add("member_level", StringType).add("balance", StringType)
+    // consume the ACTUAL envelope with DimUpsert — NO schema registry:
+    // the table's all-String schema is derived from the config's cols
+    // CSV carried on the envelope (reference runtime-DDL semantics),
+    // upsert on the envelope's pk_col (bootstrap-insert upserts, T7)
     val envStream = spark.readStream
       .schema(spark.read.parquet(s"$w/topics/dim_envelope").schema)
       .parquet(s"$w/topics/dim_envelope")
-    val q2 = DimUpsert.run(spark, envStream, w,
-      Map("DIM_MEMBER_INFO" -> memberSchema))
+    val q2 = DimUpsert.run(spark, envStream, w)
     q2.processAllAvailable(); q2.stop()
     val dim = spark.read.parquet(Layout.dim(w, "DIM_MEMBER_INFO"))
     assert(dim.count() == 1)
@@ -86,6 +83,22 @@ class AppsSpec extends SparkTestBase {
     assert(dim.columns.toSet == Set("id", "user_id", "member_level", "balance"))
     assert(dim.select("id", "user_id", "member_level")
       .as[(String, String, String)].head() == ("9997", "uid756103", "4"))
+  }
+
+  test("dim upsert: cols CSV creates a never-seen table; bad identifiers sanitized") {
+    val w = work()
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, String, String, String)]
+    val env = in.toDF().toDF("phoenix_tbl_name", "pk_col", "cols", "tp", "data")
+    val q = DimUpsert.run(spark, env, w) // empty registry: creation must not need one
+    in.addData(
+      ("DIM_NEVER_SEEN", "id", "name, weird col!; x", "insert",
+        """{"id":"1","name":"n1","weirdcolx":"v"}"""))
+    q.processAllAvailable(); q.stop()
+    val dim = spark.read.parquet(Layout.dim(w, "DIM_NEVER_SEEN"))
+    assert(dim.columns.toSet == Set("id", "name", "weirdcolx"))
+    assert(dim.select("id", "name", "weirdcolx")
+      .as[(String, String, String)].collect().toSeq == Seq(("1", "n1", "v")))
   }
 
   test("dim upsert: same-batch insert+update resolves to the later record") {
