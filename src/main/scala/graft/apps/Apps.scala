@@ -3,10 +3,10 @@ package graft.apps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Cleanse
-import graft.maintenance.Compaction
 import graft.operators.Enrichment
 import graft.sinks.Sinks
 import graft.sources.Sources
+import graft.storage.{ParquetDirFormat, TableFormat}
 import graft.streaming.Pipelines
 
 /** Job-for-job equivalents of the reference's runnable mains, wired from
@@ -46,18 +46,20 @@ object Layout {
   * Facts land in their ODS table; dims go to the dim upsert path. */
 object OdsDbIngest {
   def run(spark: SparkSession, cdc: DataFrame, config: DataFrame,
-          work: String): org.apache.spark.sql.streaming.StreamingQuery = {
+          work: String, fmt: TableFormat = ParquetDirFormat)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val routed = Pipelines.odsRouteCdc(cdc, config, sourceDb = "lakehousedb",
       factTableFor = when(col("table") === "mc_user_login", lit("ODS_USER_LOGIN")),
       factTopicFor = when(col("table") === "mc_user_login", lit("KAFKA-DWD-USER-LOGIN-TOPIC")))
     Sinks.dualSink(routed, Layout.cp(work, "ods_db"),
-      b => b.filter(col("route") === "fact" && col("iceberg_ods_tbl_name").isNotNull)
-        .select(Cleanse.payload(col("data"), "id").as("id"),
-          Cleanse.payload(col("data"), "user_id").as("user_id"),
-          Cleanse.payload(col("data"), "ip").as("ip"),
-          Cleanse.payload(col("data"), "login_tm").as("login_tm"),
-          Cleanse.payload(col("data"), "logout_tm").as("logout_tm"))
-        .write.mode("append").parquet(Layout.ods(work, "USER_LOGIN")),
+      b => fmt.append(
+        b.filter(col("route") === "fact" && col("iceberg_ods_tbl_name").isNotNull)
+          .select(Cleanse.payload(col("data"), "id").as("id"),
+            Cleanse.payload(col("data"), "user_id").as("user_id"),
+            Cleanse.payload(col("data"), "ip").as("ip"),
+            Cleanse.payload(col("data"), "login_tm").as("login_tm"),
+            Cleanse.payload(col("data"), "logout_tm").as("logout_tm")),
+        Layout.ods(work, "USER_LOGIN")),
       b => b.filter(col("route") === "dim")
         .select(col("phoenix_tbl_name"), col("pk_col"), col("cols"),
           col("type").as("tp"), to_json(col("data")).as("data"))
@@ -68,10 +70,11 @@ object OdsDbIngest {
 
 /** ODS ingest of browse logs (reference ProduceKafkaLogDataToODS). */
 object OdsLogIngest {
-  def run(spark: SparkSession, logs: DataFrame, work: String) = {
+  def run(spark: SparkSession, logs: DataFrame, work: String,
+          fmt: TableFormat = ParquetDirFormat) = {
     val ods = Pipelines.odsBrowseLog(logs, "KAFKA-DWD-BROWSE-LOG-TOPIC")
     Sinks.dualSink(ods, Layout.cp(work, "ods_log"),
-      b => b.write.mode("append").parquet(Layout.ods(work, "BROWSELOG")),
+      b => fmt.append(b, Layout.ods(work, "BROWSELOG")),
       b => Sinks.kafkaDynamicTopicFrame(b, "kafka_dwd_topic")
         .write.mode("append").parquet(s"$work/topics/ods_envelope"),
       triggerMs = 200L)
@@ -114,7 +117,8 @@ object DimUpsert {
   }
 
   def run(spark: SparkSession, envelope: DataFrame, work: String,
-          schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty) = {
+          schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
+          fmt: TableFormat = ParquetDirFormat) = {
     val hasCols = envelope.columns.contains("cols")
     envelope.writeStream
       .option("checkpointLocation", Layout.cp(work, "dim_upsert"))
@@ -141,7 +145,7 @@ object DimUpsert {
             // monotonic id preserves per-partition arrival order
             .select(col("d.*"),
               (lit(id) * lit(1L << 42) + col("_arr")).as("_ver"))
-          Sinks.upsertParquet(spark, slice, Layout.dim(work, tbl), pk,
+          fmt.upsert(spark, slice, Layout.dim(work, tbl), pk,
             "_ver", keepVersionCol = false)
         }
       }
@@ -151,13 +155,15 @@ object DimUpsert {
 
 /** DWD cleanse + per-table routing (reference ProcessODSDataToDWD). */
 object DwdRoute {
-  def run(spark: SparkSession, ods: DataFrame, work: String) = {
+  def run(spark: SparkSession, ods: DataFrame, work: String,
+          fmt: TableFormat = ParquetDirFormat) = {
     val cleansed = Pipelines.dwdCleanse(ods,
       requiredCols = Seq("user_id"), tsCols = Seq("login_tm", "logout_tm"))
     Sinks.dualSink(cleansed, Layout.cp(work, "dwd"),
-      b => b.filter(col("iceberg_ods_tbl_name") === "ODS_USER_LOGIN")
-        .drop("iceberg_ods_tbl_name", "kafka_dwd_topic")
-        .write.mode("append").parquet(Layout.dwd(work, "USER_LOGIN")),
+      b => fmt.append(
+        b.filter(col("iceberg_ods_tbl_name") === "ODS_USER_LOGIN")
+          .drop("iceberg_ods_tbl_name", "kafka_dwd_topic"),
+        Layout.dwd(work, "USER_LOGIN")),
       b => Sinks.kafkaDynamicTopicFrame(b, "kafka_dwd_topic")
         .write.mode("append").parquet(s"$work/topics/dwd"),
       triggerMs = 200L)
@@ -173,15 +179,17 @@ object DwdRoute {
   * file listing — the Spark analog of the reference's 5-minute config
   * re-poll + per-record lookups (MySQLUtil.scala:46). */
 object DwsLoginEnrich {
-  def run(spark: SparkSession, logins: DataFrame, work: String) =
+  def run(spark: SparkSession, logins: DataFrame, work: String,
+          fmt: TableFormat = ParquetDirFormat) =
     logins.writeStream
       .option("checkpointLocation", Layout.cp(work, "dws_login"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val member  = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_INFO"))
-        val address = spark.read.parquet(Layout.dim(work, "DIM_MEMBER_ADDRESS"))
-        Pipelines.dwsEnrich(batch.toDF(), Seq(
-            (member, "user_id", "user_id"), (address, "user_id", "user_id")))
-          .write.mode("append").parquet(Layout.dws(work, "USER_LOGIN"))
+        val member  = fmt.read(spark, Layout.dim(work, "DIM_MEMBER_INFO"))
+        val address = fmt.read(spark, Layout.dim(work, "DIM_MEMBER_ADDRESS"))
+        fmt.append(
+          Pipelines.dwsEnrich(batch.toDF(), Seq(
+            (member, "user_id", "user_id"), (address, "user_id", "user_id"))),
+          Layout.dws(work, "USER_LOGIN"))
       }
       .start()
 }
@@ -192,23 +200,25 @@ object DwsLoginEnrich {
   * `event_ts` (log_time as a real timestamp) so the DM window stage
   * can consume this output directly. */
 object DwsBrowseEnrich {
-  def run(spark: SparkSession, browse: DataFrame, work: String) =
+  def run(spark: SparkSession, browse: DataFrame, work: String,
+          fmt: TableFormat = ParquetDirFormat) =
     browse.writeStream
       .option("checkpointLocation", Layout.cp(work, "dws_browse"))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val product = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_INFO"))
-        val category = spark.read.parquet(Layout.dim(work, "DIM_PRODUCT_CATEGORY"))
+        val product = fmt.read(spark, Layout.dim(work, "DIM_PRODUCT_INFO"))
+        val category = fmt.read(spark, Layout.dim(work, "DIM_PRODUCT_CATEGORY"))
         val cats = Enrichment.hierarchySelfJoin(category, "id", "p_id", "name")
           .withColumnRenamed("first_name", "first_category_name")
           .withColumnRenamed("second_name", "second_category_name")
         // category key on the fact is the browse tp-code (the reference
         // probes DIM_PRODUCT_CATEGORY with it, ProduceBrowseLogToDWS:169-178)
-        Pipelines.dwsEnrich(batch.toDF(),
-            Seq((product, "browse_product_code", "product_id")))
-          .join(broadcast(cats), col("browse_product_tpcode") === col("second_id"), "left_outer")
-          .drop("first_id", "second_id")
-          .withColumn("event_ts", to_timestamp(col("log_time")))
-          .write.mode("append").parquet(Layout.dws(work, "BROWSE_INFO"))
+        fmt.append(
+          Pipelines.dwsEnrich(batch.toDF(),
+              Seq((product, "browse_product_code", "product_id")))
+            .join(broadcast(cats), col("browse_product_tpcode") === col("second_id"), "left_outer")
+            .drop("first_id", "second_id")
+            .withColumn("event_ts", to_timestamp(col("log_time"))),
+          Layout.dws(work, "BROWSE_INFO"))
       }
       .start()
 }
@@ -216,26 +226,23 @@ object DwsBrowseEnrich {
 /** DM login serving rows (reference ProcessUserLoginInfoToDM): project
   * the wide row + stamp current date; JDBC on a cluster, parquet here. */
 object DmLoginServe {
-  def run(spark: SparkSession, dwsLogin: DataFrame, work: String) =
-    dwsLogin
-      .select(Cleanse.currentDateStr().as("dt"), col("province"), col("city"),
-        col("user_id"), col("login_tm"), col("gmt_create"))
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", Layout.dm(work, "dm_user_login_info"))
-      .option("checkpointLocation", Layout.cp(work, "dm_login"))
-      .start()
+  def run(spark: SparkSession, dwsLogin: DataFrame, work: String,
+          fmt: TableFormat = ParquetDirFormat) =
+    fmt.streamAppend(
+      dwsLogin.select(Cleanse.currentDateStr().as("dt"), col("province"),
+        col("city"), col("user_id"), col("login_tm"), col("gmt_create")),
+      Layout.dm(work, "dm_user_login_info"), Layout.cp(work, "dm_login"))
 }
 
 /** DM 10s product-visit window counts (reference ProcessBrowseLogInfoToDM). */
 object DmVisitWindow {
-  def run(spark: SparkSession, wide: DataFrame, work: String) =
-    Pipelines.dmWindowCounts(wide, "event_ts",
+  def run(spark: SparkSession, wide: DataFrame, work: String,
+          fmt: TableFormat = ParquetDirFormat) =
+    fmt.streamAppend(
+      Pipelines.dmWindowCounts(wide, "event_ts",
         Seq("first_category_name", "second_category_name", "product_name"),
-        windowSec = 10, watermark = "30 seconds")
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", Layout.dm(work, "dm_product_visit_info"))
-      .option("checkpointLocation", Layout.cp(work, "dm_visit"))
-      .start()
+        windowSec = 10, watermark = "30 seconds"),
+      Layout.dm(work, "dm_product_visit_info"), Layout.cp(work, "dm_visit"))
 }
 
 /** Batch user-points aggregation (reference ProcessUserPoints): grouped
@@ -244,13 +251,14 @@ object DmVisitWindow {
   * re-run that appended would duplicate every previously-written group
   * (the reference's retract stream upserts into MySQL, same effect). */
 object UserPointsBatch {
-  def run(spark: SparkSession, work: String): DataFrame = {
-    val browse = spark.read.parquet(Layout.dws(work, "BROWSE_INFO"))
+  def run(spark: SparkSession, work: String,
+          fmt: TableFormat = ParquetDirFormat): DataFrame = {
+    val browse = fmt.read(spark, Layout.dws(work, "BROWSE_INFO"))
     val out = browse
       .groupBy(Cleanse.datePart(col("log_time")).as("log_time"),
         col("user_id"), col("product_name"))
       .agg(sum(col("obtain_points").cast("int")).as("total_points"))
-    out.write.mode("overwrite").parquet(Layout.dm(work, "user_points"))
+    fmt.replace(out, Layout.dm(work, "user_points"))
     out
   }
 }
@@ -310,13 +318,14 @@ object CorpusCuration {
   * CombinDataAndRemoveOldSnap). */
 object MaintenanceJob {
   def run(spark: SparkSession, work: String,
-          targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+          targetBytes: Long = 128L * 1024 * 1024,
+          fmt: TableFormat = ParquetDirFormat): Seq[(String, Int, Int)] = {
     val root = new java.io.File(s"$work/lake")
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getAbsolutePath).toSeq
     dirs.map { d =>
-      val (before, after) = Compaction.rewriteDataFiles(spark, d, targetBytes)
-      Compaction.expireSnapshots(spark, d)
+      val (before, after) = fmt.compact(spark, d, targetBytes)
+      fmt.expireSnapshots(spark, d)
       (d, before, after)
     }
   }

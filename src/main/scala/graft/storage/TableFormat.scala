@@ -1,0 +1,104 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Storage-format seam for MANAGED TABLES (the lakehouse dirs the apps
+  * read, append, upsert, compact and expire).
+  *
+  * The reference is an Iceberg lakehouse (catalog DDL at reference
+  * ods/ProduceKafkaDBDataToODS.scala:53-60, maintenance at
+  * offlineanls/CombinDataAndRemoveOldSnap.scala:32-53). This image has
+  * no iceberg-spark-runtime jar, so the shipped implementation is
+  * [[ParquetDirFormat]] — plain parquet directories with generation-swap
+  * upsert and snapshot-dir maintenance. Every call site in
+  * `graft.apps`/`graft.Queries` goes through this trait, which makes the
+  * "Iceberg drop-in" claim CHECKED STRUCTURE rather than a comment: an
+  * Iceberg deployment implements the same five operations as
+  *
+  *   - `read`       → `spark.table(table)`
+  *   - `append`     → `df.writeTo(table).append()`
+  *   - `streamAppend` → `df.writeStream.toTable(table)`
+  *   - `upsert`     → `MERGE INTO table USING batch ON key ...`
+  *   - `compact`    → `CALL lh.system.rewrite_data_files(table)`
+  *   - `expireSnapshots` → `CALL lh.system.expire_snapshots(table)`
+  *
+  * with `table` a catalog name (`lh.db.t`) instead of a path. Nothing
+  * else in the engine changes — operators only ever see DataFrames.
+  *
+  * Kafka-topic stand-in dirs (`$work/topics/...`) deliberately do NOT
+  * go through this seam: they model a message bus, not a table, and on
+  * a cluster they are `Sinks.kafkaJson`/`kafkaDynamicTopic`.
+  */
+trait TableFormat {
+
+  /** Batch scan of a managed table. */
+  def read(spark: SparkSession, table: String): DataFrame
+
+  /** Batch append, optionally date/hive-partitioned. */
+  def append(df: DataFrame, table: String,
+             partitionCols: Seq[String] = Nil): Unit
+
+  /** Streaming append (exactly-once per format's commit protocol). */
+  def streamAppend(df: DataFrame, table: String, checkpoint: String,
+                   partitionCols: Seq[String] = Nil,
+                   triggerMs: Long = 5000L): StreamingQuery
+
+  /** Full-recompute replace — INSERT OVERWRITE semantics
+    * (Iceberg: `df.writeTo(table).replace()`). */
+  def replace(df: DataFrame, table: String): Unit
+
+  /** MERGE-style keyed upsert: latest record per `key` (by `versionCol`)
+    * wins over both the batch and the stored table. */
+  def upsert(spark: SparkSession, batch: DataFrame, table: String,
+             key: String, versionCol: String,
+             keepVersionCol: Boolean = true): Unit
+
+  /** Rewrite small data files toward `targetBytes`; returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, table: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int)
+
+  /** Expire snapshot generations older than `olderThanMs`; returns the
+    * number removed. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      olderThanMs: Long = System.currentTimeMillis()): Int
+}
+
+/** Plain-parquet implementation: `table` is a directory path. Delegates
+  * to the battle-tested pieces — [[graft.sinks.Sinks]] for writes and
+  * [[graft.maintenance.Compaction]] for maintenance — so there is ONE
+  * implementation of each mechanism regardless of which door it is
+  * reached through. */
+object ParquetDirFormat extends TableFormat {
+  import graft.sinks.Sinks
+  import graft.maintenance.Compaction
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+
+  override def append(df: DataFrame, table: String,
+                      partitionCols: Seq[String]): Unit =
+    Sinks.batchAppend(df, table, partitionCols)
+
+  override def streamAppend(df: DataFrame, table: String, checkpoint: String,
+                            partitionCols: Seq[String],
+                            triggerMs: Long): StreamingQuery =
+    Sinks.streamAppend(df, table, checkpoint, partitionCols, triggerMs)
+
+  override def replace(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(table)
+
+  override def upsert(spark: SparkSession, batch: DataFrame, table: String,
+                      key: String, versionCol: String,
+                      keepVersionCol: Boolean): Unit =
+    Sinks.upsertParquet(spark, batch, table, key, versionCol, keepVersionCol)
+
+  override def compact(spark: SparkSession, table: String,
+                       targetBytes: Long): (Int, Int) =
+    Compaction.rewriteDataFiles(spark, table, targetBytes)
+
+  override def expireSnapshots(spark: SparkSession, table: String,
+                               olderThanMs: Long): Int =
+    Compaction.expireSnapshots(spark, table, olderThanMs)
+}
