@@ -210,20 +210,41 @@ object Dedup {
       .toDF("id", "keep_id")
   }
 
-  /** Embedding-cosine near-dup pairs via sign-random-projection blocking:
-    * vectors sharing an LSH bucket are compared exactly; pairs with
-    * cosine ≥ threshold survive. */
+  /** Embedding-cosine near-dup pairs via BANDED sign-random-projection
+    * blocking (AND-OR amplification, the minhash-LSH architecture
+    * applied to vectors): `bands` independent `planes`-bit signatures
+    * (distinct hyperplane seeds per band); pairs agreeing on ANY full
+    * band are candidates, verified by exact cosine.
+    *
+    * A single AND-only bucket of 12 planes catches a cos 0.95 pair with
+    * probability ≈ 0.9¹² ≈ 0.28 — most true near-dups never meet. With
+    * the default 3 bands × 8 planes the same pair survives ≥1 band with
+    * probability 1-(1-0.9⁸)³ ≈ 0.81 (measured 0.85+ on planted pairs,
+    * RecallSpec), while random pairs (cos ≈ 0) still collide at only
+    * ~0.5⁸ per band. Cost: `bands` explode of the vector frame, one
+    * shuffle on (band, band_key), fan-out bounded by bucket size —
+    * raise `planes` as the corpus grows to keep buckets O(N/2^planes).
+    * Precision is exact by construction (every candidate passes the
+    * exact cosine filter); only recall is approximate. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Vectors.rpBucket(col(vecCol), planes).as("bucket"),
-      Vectors.norm(col(vecCol)).as("nrm"))
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("bucket"))
+                       threshold: Double = 0.95, planes: Int = 8,
+                       bands: Int = 3): DataFrame = {
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Vectors.norm(col(vecCol)).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(array((0 until bands).map(b =>
+          Vectors.rpBucket(col("v"), planes, seed = 42L + b)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Vectors.cosineWithNorms(Vectors.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
+      .distinct() // a pair can collide in several bands; cosine is deterministic per pair
       .filter(col("cosine") >= threshold)
   }
 }

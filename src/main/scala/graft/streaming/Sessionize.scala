@@ -13,6 +13,25 @@ import graft.model.{SessionOut, SessionState}
   * `gapSec` after the last one closes the session and opens the next.
   * Emits the *current* state of the open session each batch (update
   * semantics); the batch analog is Queries.q21 (window-function form).
+  *
+  * ==Checkpoint compatibility==
+  * Keyed state persists in the checkpoint and is restored verbatim on
+  * restart (StreamingSpec pins this: a session spanning a restart keeps
+  * its id and count). Two operational rules follow:
+  *
+  *  1. '''`gapSec` is NOT part of the state.''' Restarting with a
+  *     different gap is accepted silently, but session boundaries
+  *     already decided under the old gap are never revisited — the
+  *     output mixes two gap policies. Changing `gapSec` should be
+  *     treated as a NEW query: point it at a fresh checkpoint dir (and
+  *     re-derive history with the batch analog, Queries.q21, if a
+  *     consistent backfill is needed).
+  *  2. '''[[graft.model.SessionState]] is the state format.''' It is
+  *     encoded with its product encoder inside the checkpoint, so
+  *     adding/removing/reordering its fields breaks restarts with an
+  *     undecipherable-state error. Treat any change to it as a state
+  *     format bump: new checkpoint dir, same as rule 1 — the Spark
+  *     analog of `stateFormatVersion` migrations.
   */
 object Sessionize {
 

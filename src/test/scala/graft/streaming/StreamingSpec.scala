@@ -240,4 +240,46 @@ class StreamingSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L)) // nothing lost, nothing replayed
   }
+
+  test("sessionize state survives a checkpoint restart (same gapSec)") {
+    // An open session spanning two query incarnations must keep its id
+    // and count — i.e. the keyed state is restored, not rebuilt. Same
+    // gapSec on both runs: changing it across a restart is the
+    // documented NEW-QUERY case (Sessionize scaladoc rule 1).
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val work = tmp()
+    val in = s"$work/in"
+    new java.io.File(in).mkdirs()
+    val schema = new StructType().add("user_id", LongType).add("sec", LongType)
+    def writeInput(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (u, s) => s"""{"user_id":$u,"sec":$s}""" }.mkString("\n"))
+    def runOnce(): Unit = {
+      val events = graft.sources.Sources.jsonFileStream(spark, in, schema)
+        .as[(Long, Long)]
+      val q = Sessionize.sessions(spark, events, gapSec = 100L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$work/cp")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.model.SessionOut], _: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeInput("a.json", Seq((7L, 1000L), (7L, 1050L)))
+    runOnce() // incarnation 1: open session (id 1, 2 events, last=1050)
+    // within gap of the RESTORED last-seen (1080-1050 <= 100) -> must
+    // extend session 1; then a far event opens session 2
+    writeInput("b.json", Seq((7L, 1080L), (7L, 5000L)))
+    runOnce() // incarnation 2 resumes from checkpointed state
+    val bynSession = spark.read.parquet(s"$work/out")
+      .groupBy("user_id", "session_id")
+      .agg(max("n_events").as("n"), max("end_sec").as("last"))
+      .orderBy("session_id")
+      .select("session_id", "n", "last").as[(Long, Long, Long)].collect()
+    assert(bynSession.toSeq == Seq((1L, 3L, 1080L), (2L, 1L, 5000L)))
+  }
 }
