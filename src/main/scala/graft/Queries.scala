@@ -362,10 +362,14 @@ object Queries {
       "embedding", "vec_id", k = 5, planes = 6)
   }
 
-  /** q16 — embedding-cosine near-dup pairs via LSH blocking (rows-only). */
+  /** q16 — embedding-cosine near-dup pairs via banded LSH blocking
+    * (rows-only). planes=8 over the sf0.1 corpus: banding (OR of 3
+    * bands) carries the recall, so the per-band bucket count can stay
+    * high (256) to keep random-pair collisions — and thus candidate
+    * volume — down. */
   val q16: Q = (s, dir) =>
     Dedup.embeddingNearDup(Tables(s, dir).embeddings, "embedding", "vec_id",
-      threshold = 0.3, planes = 6)
+      threshold = 0.3, planes = 8)
 
   /** q23 — IVF approximate top-k (rows-only: centroid sample is
     * hash-seeded). */
@@ -1292,6 +1296,70 @@ object Queries {
         round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_p50"),
         count(lit(1)).as("cnt"))
 
+  /** q56 — skew-safe large×large equi join under a value oracle: the
+    * CORRECTNESS-covered entry for `Enrichment.saltedJoin` (previously
+    * spec/SkewDemo-only). lineitem ⋈ orders on orderkey with a
+    * deliberately tiny hot threshold (>3 lines per order, about half
+    * the keys at any SF) so BOTH paths — salted scatter for hot keys,
+    * 1:1 for cold — carry real rows; `saltBy = l_linenumber` keeps the
+    * scatter deterministic. The join result is identical to the plain
+    * join for ANY salt assignment, which is exactly what the DuckDB
+    * oracle checks. At lake scale the census switches to a sample
+    * (`censusFraction`) and the threshold to ~1e6. */
+  val q56: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    val fact = t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+      col("l_linenumber"))
+    val orders = t.orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    Enrichment.saltedJoin(fact, orders, Seq("l_orderkey"),
+        saltFactor = 4, hotThreshold = 3, joinType = "inner",
+        saltBy = Some(col("l_linenumber")))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+  val q56Sql: String =
+    """SELECT o_orderpriority,
+      | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue,
+      | COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q57 — bucketed-write co-located join: both sides land as
+    * `bucketBy(8, orderkey)` + `sortBy` catalog tables
+    * (`Sinks.writeBucketed`), then join table-to-table. Bucketing makes
+    * both scans pre-partitioned on the join key, so the join runs with
+    * NO exchange on either side — the storage-level answer for a
+    * fact-fact join too big to broadcast and too hot to re-shuffle per
+    * query (PlanSpec pins the exchange-free shape with broadcast
+    * disabled). The write is part of the measured query on purpose:
+    * bucketing only pays when the write cost amortizes over repeated
+    * joins, and the bench number keeps that cost visible. */
+  val q57: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    graft.sinks.Sinks.writeBucketed(
+      t.lineitem.select("l_orderkey", "l_quantity"),
+      "graft_q57_lineitem", "l_orderkey", buckets = 8)
+    graft.sinks.Sinks.writeBucketed(
+      t.orders.select("o_orderkey", "o_orderpriority"),
+      "graft_q57_orders", "o_orderkey", buckets = 8)
+    s.table("graft_q57_lineitem")
+      .join(s.table("graft_q57_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+  }
+  val q57Sql: String =
+    """SELECT o_orderpriority,
+      | SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+      | COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1350,6 +1418,8 @@ object Queries {
     "q55_domain_mix" -> q55,
     "q52_string_funcs" -> q52,
     "q53_date_funcs" -> q53,
+    "q56_salted_join" -> q56,
+    "q57_bucketed_join" -> q57,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1402,5 +1472,7 @@ object Queries {
     "q55_domain_mix" -> q55Sql,
     "q52_string_funcs" -> q52Sql,
     "q53_date_funcs" -> q53Sql,
+    "q56_salted_join" -> q56Sql,
+    "q57_bucketed_join" -> q57Sql,
   )
 }

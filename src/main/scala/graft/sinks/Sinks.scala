@@ -208,9 +208,21 @@ object Sinks {
     * section). Requires a catalog (`saveAsTable`); works with Spark's
     * built-in in-memory catalog + parquet. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // With the in-memory catalog a previous SESSION's table files
+    // survive while its catalog entry does not, and saveAsTable then
+    // refuses with LOCATION_ALREADY_EXISTS — drop any current entry
+    // and sweep an orphaned default-location dir before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** K7: console debug sink. */
   def console(df: DataFrame, numRows: Int = 20): StreamingQuery =

@@ -36,4 +36,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ReadSchema") &&
       p.contains("l_returnflag") && !p.contains("l_shipmode"))
   }
+
+  test("q57: bucketed join needs no exchange on either join side") {
+    // force the sort-merge path (at test SF the orders side would
+    // broadcast, which bypasses bucketing entirely); at lake scale
+    // neither side broadcasts and THIS is the plan that runs
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q57_bucketed_join")
+      val joinAt = p.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, s"expected sort-merge join:\n$p")
+      // the only exchange allowed is ABOVE the join (the final small
+      // aggregation on o_orderpriority); the join's children must read
+      // the bucketed tables directly
+      val exchangeBelowJoin = p.indexOf("Exchange", joinAt)
+      assert(exchangeBelowJoin < 0,
+        s"bucketed join must not shuffle its inputs:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"expected bucketed scan markers:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
