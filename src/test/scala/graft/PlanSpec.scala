@@ -37,6 +37,19 @@ class PlanSpec extends SparkTestBase {
       p.contains("l_returnflag") && !p.contains("l_shipmode"))
   }
 
+  test("q31: marker_counts is evaluated once per stage, not per call site") {
+    // Predicate pushdown inlines the quality/language gate below the
+    // _mc projection — ~46 marker_counts calls per input row until
+    // CombineMarkerCounts hoists ONE merged scan behind an
+    // OptimizationBarrier. Allowed evaluations: the hoisted filter scan
+    // + the scoring projection's scan (survivor rows only).
+    val p = plan("q31_curation")
+    val n = "marker_counts".r.findAllIn(p.toLowerCase).length
+    assert(n <= 2, s"expected <=2 MarkerCounts evaluations, got $n:\n$p")
+    assert(p.contains("_mc_pushed"),
+      s"expected the hoisted filter-scan projection (_mc_pushed):\n$p")
+  }
+
   test("q57: bucketed join needs no exchange on either join side") {
     // force the sort-merge path (at test SF the orders side would
     // broadcast, which bypasses bucketing entirely); at lake scale
