@@ -82,8 +82,22 @@ object Vectors {
     * from (planeIdx, dim) via a 64-bit avalanche hash — no stored model,
     * so every executor computes identical planes with zero shuffle.
     * Returns a long whose bit j is sign(v · plane_j).
-    */
-  def rpBucket(v: Column, numPlanes: Int, seed: Long = 42L): Column = {
+    *
+    * Evaluated by the native [[graft.expressions.RpBands]] (one
+    * traversal, cached plane weights); [[hofRpBucket]] is the portable
+    * HOF reference the spec pins it against. */
+  def rpBucket(v: Column, numPlanes: Int, seed: Long = 42L): Column =
+    element_at(rpBands(v, numPlanes, bands = 1, seed), 1)
+
+  /** `bands` independent sign-RP band keys (band b uses seed+b) in one
+    * native pass — the blocking signature for banded vector LSH
+    * (operators.Dedup.embeddingNearDup). */
+  def rpBands(v: Column, numPlanes: Int, bands: Int, seed: Long = 42L): Column =
+    graft.expressions.RpBands.rpBands(v, numPlanes, bands, seed)
+
+  /** HOF reference formulation of [[rpBucket]] — kept (like [[hofDot]])
+    * as the executable spec of the hash/weight/fold semantics. */
+  def hofRpBucket(v: Column, numPlanes: Int, seed: Long = 42L): Column = {
     require(numPlanes <= 63, "bucket fits in one long")
     val bits = (0 until numPlanes).map { j =>
       // plane_j[i] = centered hash in [-0.5, 0.5), derived from (seed,j,i)

@@ -232,8 +232,9 @@ object Dedup {
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         Vectors.norm(col(vecCol)).as("nrm"))
       .select(col("id"), col("v"), col("nrm"),
-        posexplode(array((0 until bands).map(b =>
-          Vectors.rpBucket(col("v"), planes, seed = 42L + b)): _*)))
+        // all band keys in ONE native traversal (RpBands); band b's
+        // hyperplanes are seeded 42+b, so bands are independent
+        posexplode(Vectors.rpBands(col("v"), planes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col("band"), col("band_key"),

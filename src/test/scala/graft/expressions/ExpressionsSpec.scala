@@ -19,6 +19,24 @@ class ExpressionsSpec extends SparkTestBase {
     assert(diffs.count() == 0)
   }
 
+  test("native rp_bands is bit-identical to the HOF bucket per band") {
+    val emb = graft.Tables(spark, sf).embeddings.limit(100)
+    val planes = 8
+    val bands = 3
+    val diffs = emb.select(
+        Vectors.rpBands($"embedding", planes, bands).as("native"),
+        array((0 until bands).map(b =>
+          Vectors.hofRpBucket($"embedding", planes, seed = 42L + b)): _*).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diffs.count() == 0)
+    // single-bucket form (lshTopK's path) matches too
+    val single = emb.select(
+        Vectors.rpBucket($"embedding", planes).as("native"),
+        Vectors.hofRpBucket($"embedding", planes).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(single.count() == 0)
+  }
+
   test("int8 quantized dot approximates the exact dot within 2%") {
     val emb = graft.Tables(spark, sf).embeddings.limit(50)
     val a = emb.select($"vec_id".as("ia"), $"embedding".as("ea"),
