@@ -48,12 +48,17 @@ case class RpBands(child: Expression, numPlanes: Int, bands: Int, seed: Long)
 
   // weights laid out [i][band*planes+j] so the per-row inner loop walks
   // memory sequentially; rebuilt (same values, longer prefix) if a row
-  // with a larger dim arrives
-  @transient private var wCache: Array[Double] = _
-  @transient private var dimCache: Int = -1
+  // with a larger dim arrives. ONE volatile reference holding
+  // (dim, array): tasks usually get their own deserialized expression
+  // copy, but if an instance is ever shared across threads a torn
+  // two-field publication could pair a new dim with a stale shorter
+  // array; worst case under the single reference is a harmless rebuild.
+  @transient @volatile private var cache: (Int, Array[Double]) = _
 
   private def weights(dim: Int): Array[Double] = {
-    if (wCache == null || dimCache < dim) {
+    val c = cache
+    if (c != null && c._1 >= dim) c._2
+    else {
       val f = bands * numPlanes
       val w = new Array[Double](dim * f)
       var b = 0
@@ -73,10 +78,9 @@ case class RpBands(child: Expression, numPlanes: Int, bands: Int, seed: Long)
         }
         b += 1
       }
-      wCache = w
-      dimCache = dim
+      cache = (dim, w)
+      w
     }
-    wCache
   }
 
   override def nullSafeEval(v: Any): Any = {
