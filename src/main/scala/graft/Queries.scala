@@ -1360,6 +1360,34 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q58 — sequence packing: assign documents to contiguous ~4096-char
+    * packs (the pretraining batch-construction op — concatenate docs
+    * until the context budget fills, start the next pack). Greedy
+    * contiguous fill via ONE cumulative-sum window per language
+    * partition: pack_id = (cumulative_chars - 1) div budget. Partition-
+    * parallel (the window partitions by lang — at lake scale pack
+    * within (lang, shard) so no partition is unbounded); deterministic
+    * for any partitioning because the order key is the unique doc_id. */
+  val q58: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("lang"), col("doc_id"), length(col("text")).as("chars"))
+      .withColumn("cum", sum(col("chars")).over(w))
+      .withColumn("pack_id", expr("(cum - 1) div 4096"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("pack_chars"))
+  }
+  val q58Sql: String =
+    """WITH c AS (
+      |  SELECT lang, doc_id, length(text) AS chars,
+      |    SUM(length(text)) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT lang, CAST((cum - 1) // 4096 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS pack_chars
+      |FROM c GROUP BY lang, pack_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1420,6 +1448,7 @@ object Queries {
     "q53_date_funcs" -> q53,
     "q56_salted_join" -> q56,
     "q57_bucketed_join" -> q57,
+    "q58_seq_pack" -> q58,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1474,5 +1503,6 @@ object Queries {
     "q53_date_funcs" -> q53Sql,
     "q56_salted_join" -> q56Sql,
     "q57_bucketed_join" -> q57Sql,
+    "q58_seq_pack" -> q58Sql,
   )
 }
