@@ -1,7 +1,65 @@
 package graft.storage
 
 import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
 import java.nio.file.Files
+
+/** A second, deliberately non-parquet TableFormat: tables are lazy
+  * DataFrame plans in a map. Exists to prove the seam is real — the
+  * apps run unchanged against it (see the seam-proof test below), so
+  * the Iceberg swap-in claim rests on the same mechanism, not on
+  * parquet-shaped assumptions leaking through. */
+class MemoryTableFormat extends TableFormat {
+  import scala.collection.concurrent.TrieMap
+  val tables = TrieMap.empty[String, DataFrame]
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    tables.getOrElse(table,
+      throw new java.util.NoSuchElementException(s"no table $table"))
+  override def append(df: DataFrame, table: String,
+                      partitionCols: Seq[String]): Unit = {
+    // materialize: an appended micro-batch plan may not be re-executable
+    // after its source batch is gone
+    val frozen = df.sparkSession.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)), df.schema)
+    tables.updateWith(table) {
+      case Some(old) => Some(old.unionByName(frozen, allowMissingColumns = true))
+      case None => Some(frozen)
+    }
+    ()
+  }
+  override def streamAppend(df: DataFrame, table: String, checkpoint: String,
+                            partitionCols: Seq[String],
+                            triggerMs: Long): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(b.toDF(), table, partitionCols)
+      }
+      .start()
+  override def replace(df: DataFrame, table: String): Unit = {
+    tables.remove(table); append(df, table, Nil)
+  }
+  override def upsert(spark: SparkSession, batch: DataFrame, table: String,
+                      key: String, versionCol: String,
+                      keepVersionCol: Boolean): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val existing = tables.get(table)
+    val all = existing.map(_.unionByName(batch, allowMissingColumns = true))
+      .getOrElse(batch)
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc_nulls_last)
+    val merged0 = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
+    this.replace(merged, table)
+  }
+  override def compact(spark: SparkSession, table: String,
+                       targetBytes: Long): (Int, Int) = (1, 1)
+  override def expireSnapshots(spark: SparkSession, table: String,
+                               olderThanMs: Long): Int = 0
+}
 
 /** Conformance of the parquet TableFormat implementation — the same
   * contract an Iceberg implementation would have to satisfy. */
@@ -37,5 +95,39 @@ class TableFormatSpec extends SparkTestBase {
     assert(before > 1 && after == 1)
     assert(fmt.read(spark, t).count() == 7) // no duplication post-compaction
     assert(fmt.expireSnapshots(spark, t) == 1)
+  }
+
+  test("seam proof: batch + streaming apps run against a NON-parquet format") {
+    import graft.apps.{DwsLoginEnrich, Layout, UserPointsBatch}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val mem = new MemoryTableFormat
+    val w = Files.createTempDirectory("graft_seam_").toString // checkpoints only
+
+    // streaming app: dims read through the seam, wide rows written back
+    mem.append(Seq(("uid1", "4")).toDF("user_id", "member_level"),
+      Layout.dim(w, "DIM_MEMBER_INFO"), Nil)
+    mem.append(Seq(("uid1", "Beijing")).toDF("user_id", "province"),
+      Layout.dim(w, "DIM_MEMBER_ADDRESS"), Nil)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = DwsLoginEnrich.run(spark, in.toDF().toDF("user_id", "login_tm"), w, mem)
+    in.addData(("uid1", "2022-06-15 06:23:42"))
+    q.processAllAvailable(); q.stop()
+    val wide = mem.read(spark, Layout.dws(w, "USER_LOGIN"))
+    assert(wide.select("user_id", "member_level", "province")
+      .as[(String, String, String)].collect().toSeq == Seq(("uid1", "4", "Beijing")))
+
+    // batch app reads the seam-written table and replaces its output table
+    mem.append(Seq(("2022-06-15 06:23:42", "uid1", "prodA", "42"),
+        ("2022-06-15 07:00:00", "uid1", "prodA", "8"))
+      .toDF("log_time", "user_id", "product_name", "obtain_points"),
+      Layout.dws(w, "BROWSE_INFO"), Nil)
+    UserPointsBatch.run(spark, w, mem)
+    val pts = mem.read(spark, Layout.dm(w, "user_points"))
+      .select("user_id", "total_points").as[(String, Long)].collect()
+    assert(pts.toSeq == Seq(("uid1", 50L)))
+    // nothing leaked to disk: every table lives in the memory format
+    assert(!new java.io.File(s"$w/lake").exists() && !new java.io.File(s"$w/dims").exists())
   }
 }
