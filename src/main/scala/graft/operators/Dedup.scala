@@ -75,8 +75,16 @@ object Dedup {
   private def effectiveCensusFraction(maxBucket: Int, fraction: Double): Double =
     if (maxBucket * fraction < 10) 1.0 else fraction
 
-  /** Estimated Jaccard = fraction of equal signature entries. */
+  /** Estimated Jaccard = fraction of equal signature entries. Native
+    * primitive loop ([[graft.expressions.SigMatchFrac]]) — evaluated
+    * once per candidate pair, the hot tail of the band self-join.
+    * [[hofEstJaccard]] is the portable reference form (spec-pinned
+    * equal). */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    graft.expressions.SigMatchFrac.sigMatchFrac(sigA, sigB, numHashes)
+
+  /** HOF reference formulation of [[estJaccard]]. */
+  def hofEstJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     aggregate(
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -118,18 +126,29 @@ object Dedup {
       if (f >= 1.0) bandFrame(df, textCol, idCol, numHashes, bands)
       else bandFrame(df.sample(withReplacement = false, f, seed = 7L),
         textCol, idCol, numHashes, bands)
+    // Blocking shuffles IDS ONLY: the signature (numHashes longs,
+    // ~0.5 KB) is dropped before the exchange, so the banded frame
+    // crossing the wire is (band, band_key, id) — ~20× lighter than
+    // carrying the sig through bands× replicas. Signatures are joined
+    // back below for just the candidate pairs (one extra sig pass over
+    // the corpus — compute is cheap; replicated shuffle bytes are not).
     val guarded = hotBucketGuard(
-      bandFrame(df, textCol, idCol, numHashes, bands), census, maxBucket, f)
+      bandFrame(df, textCol, idCol, numHashes, bands).drop("sig"),
+      census, maxBucket, f)
       .repartition(col("band"), col("band_key"))
-    val a = guarded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = guarded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    val a = guarded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = guarded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair colliding in several bands verifies once
+    val sigs = df.select(col(idCol).as("id"),
+      TextSignatures.minHashSig(col(textCol), numHashes).as("sig"))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= estThreshold)
   }
 
@@ -229,23 +248,28 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        bands: Int = 3): DataFrame = {
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        Vectors.norm(col(vecCol)).as("nrm"))
-      .select(col("id"), col("v"), col("nrm"),
-        // all band keys in ONE native traversal (RpBands); band b's
-        // hyperplanes are seeded 42+b, so bands are independent
-        posexplode(Vectors.rpBands(col("v"), planes, bands)))
+    // Blocking carries IDS ONLY (band keys from ONE native RpBands
+    // traversal, band b's hyperplanes seeded 42+b); the vectors join
+    // back below for just the candidate pairs, so the banded exchange
+    // moves (band, band_key, id) rows, not bands× copies of the
+    // embedding.
+    val banded = df.select(col(idCol).as("id"),
+        posexplode(Vectors.rpBands(col(vecCol), planes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("band", "band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can collide in several bands; verify once
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.norm(col(vecCol)).as("nrm"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Vectors.cosineWithNorms(Vectors.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
-      .distinct() // a pair can collide in several bands; cosine is deterministic per pair
       .filter(col("cosine") >= threshold)
   }
 }

@@ -37,6 +37,20 @@ class ExpressionsSpec extends SparkTestBase {
     assert(single.count() == 0)
   }
 
+  test("native sig_match_frac equals the HOF Jaccard estimator") {
+    import graft.expressions.TextSignatures
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, sf).documents.limit(60)
+    val sigs = docs.select($"doc_id", TextSignatures.minHashSig($"text", 64).as("sig"))
+    val a = sigs.select($"doc_id".as("ia"), $"sig".as("sa"))
+    val b = sigs.select($"doc_id".as("ib"), $"sig".as("sb"))
+    val diffs = a.join(b, $"ia" < $"ib")
+      .select(Dedup.estJaccard($"sa", $"sb", 64).as("native"),
+        Dedup.hofEstJaccard($"sa", $"sb", 64).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diffs.count() == 0)
+  }
+
   test("int8 quantized dot approximates the exact dot within 2%") {
     val emb = graft.Tables(spark, sf).embeddings.limit(50)
     val a = emb.select($"vec_id".as("ia"), $"embedding".as("ea"),
