@@ -86,4 +86,65 @@ object IncrementalDedup {
           textCol, idCol, numHashes, bands, estThreshold)
       }
       .start()
+
+  /** Embedding twin of [[processBatch]]: incremental near-dup over
+    * vectors with banded sign-RP blocking (operators.Dedup
+    * .embeddingNearDup's blocking, applied new-vs-corpus). The store
+    * persists (band, band_key, id, v, nrm) — the vector rides the
+    * store because candidate verification needs the exact cosine, and
+    * the probe join broadcasts the (small) batch side so store vectors
+    * stream through the scan rather than shuffling. */
+  def processEmbeddingBatch(spark: SparkSession, batch: DataFrame,
+                            storeDir: String, pairsDir: String,
+                            vecCol: String, idCol: String,
+                            planes: Int, bands: Int,
+                            threshold: Double): Unit = {
+    import graft.functions.Vectors
+    val banded = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Vectors.norm(col(vecCol)).as("nrm"),
+        posexplode(Vectors.rpBands(col(vecCol), planes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+      .persist()
+    try {
+      def cosPairs(left: DataFrame, right: DataFrame): DataFrame =
+        left.join(right, Seq("band", "band_key"))
+          .select(col("new_id"), col("corpus_id"),
+            Vectors.cosineWithNorms(Vectors.dot(col("v_n"), col("v_c")),
+              col("n_n"), col("n_c")).as("cosine"))
+          .distinct()
+          .filter(col("cosine") >= threshold)
+      val newSide = banded.select(col("band"), col("band_key"),
+        col("id").as("new_id"), col("v").as("v_n"), col("nrm").as("n_n"))
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cross =
+        if (fs.exists(storePath))
+          Some(cosPairs(newSide, spark.read.parquet(storeDir)
+            .select(col("band"), col("band_key"), col("id").as("corpus_id"),
+              col("v").as("v_c"), col("nrm").as("n_c"))))
+        else None
+      val intra = cosPairs(newSide,
+        banded.select(col("band"), col("band_key"), col("id").as("corpus_id"),
+          col("v").as("v_c"), col("nrm").as("n_c")))
+        .filter(col("new_id") < col("corpus_id"))
+      val pairs = cross.map(_.unionByName(intra)).getOrElse(intra)
+      pairs.write.mode("append").parquet(pairsDir)
+      banded.write.mode("append").parquet(storeDir)
+    } finally { banded.unpersist(); () }
+  }
+
+  /** Wire the embedding variant over a streaming (idCol, vecCol) frame. */
+  def runEmbeddings(spark: SparkSession, vecs: DataFrame, storeDir: String,
+                    pairsDir: String, checkpoint: String,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    planes: Int = 8, bands: Int = 3,
+                    threshold: Double = 0.95): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processEmbeddingBatch(spark, batch.toDF(), storeDir, pairsDir,
+          vecCol, idCol, planes, bands, threshold)
+      }
+      .start()
 }

@@ -173,6 +173,29 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
   }
 
+  test("incremental embedding dedup flags near-identical vectors across batches") {
+    implicit val sc = spark.sqlContext
+    val base = Array.tabulate(16)(i => (i + 1).toFloat / 4f)
+    def near(eps: Float) = base.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 2 == 0) eps else -eps) }
+    val far = Array.tabulate(16)(i => ((i % 3) - 1).toFloat * 2f)
+    val w = tmp()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = IncrementalDedup.runEmbeddings(spark,
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$w/store", s"$w/pairs", s"$w/cp", threshold = 0.99)
+    in.addData((1L, base.toSeq), (2L, far.toSeq))   // corpus seed
+    q.processAllAvailable()
+    in.addData((3L, near(0.01f).toSeq), (4L, near(0.02f).toSeq)) // near-dups of 1 (+ of each other)
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.read.parquet(s"$w/pairs")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1L)) || pairs.contains((4L, 1L)))  // cross-batch hit
+    assert(pairs.contains((3L, 4L)))                              // intra-batch hit
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))          // far vector clean
+    assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
+  }
+
   test("R2 dual sink writes both targets from one stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Int]
