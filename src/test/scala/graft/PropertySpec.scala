@@ -100,4 +100,28 @@ class PropertySpec extends SparkTestBase {
       assert(got == want, s"marker '$m'")
     }
   }
+
+  test("BottomK == sorted.take(k) under arbitrary reduce/merge groupings") {
+    import graft.operators.Sampling
+    // drive the aggregator directly: random inputs, random k, random
+    // partition splits — result must equal the oracle regardless of how
+    // rows are distributed between reduce and merge
+    val rnd = new scala.util.Random(11)
+    (0 until 50).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      val rows = (0 until n).map { _ =>
+        (rnd.nextInt(8).toString * (1 + rnd.nextInt(2)), rnd.nextLong() % 100)
+      }
+      val agg = new Sampling.BottomK(k)
+      // split into random partitions; reduce within, merge across
+      val parts = rows.grouped(math.max(1, 1 + rnd.nextInt(5))).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = rows.sorted.take(k).map(_._2)
+      assert(got == want, s"trial $trial k=$k rows=$rows")
+    }
+  }
 }
