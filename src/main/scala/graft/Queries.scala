@@ -1315,6 +1315,10 @@ object Queries {
       col("o_orderpriority"))
     Enrichment.saltedJoin(fact, orders, Seq("l_orderkey"),
         saltFactor = 4, hotThreshold = 3, joinType = "inner",
+        // sampled census on purpose: WHICH keys count as hot is
+        // statistical, but the join result is identical for any hot
+        // set — so the oracle also proves the sampled-census path
+        censusFraction = 0.25,
         saltBy = Some(col("l_linenumber")))
       .groupBy(col("o_orderpriority"))
       .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"),
