@@ -1392,6 +1392,24 @@ object Queries {
       |  CAST(SUM(chars) AS BIGINT) AS pack_chars
       |FROM c GROUP BY lang, pack_id""".stripMargin
 
+  /** q59 — skyline (Pareto frontier): parts not dominated on
+    * (size, retail price) — the classic multi-criteria OLAP operator
+    * (PAPERS.md EDBT 2023). Two-phase distributive plan: per-partition
+    * frontier via one mapPartitions pass, then a broadcast dominance
+    * anti-join over the tiny candidate union; the fact scans once, no
+    * shuffle. Values pass through unchanged → bit-exact oracle. */
+  val q59: Q = (s, dir) =>
+    Skyline.skyline(
+      Tables(s, dir).part.select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+      Seq("p_size", "p_retailprice"))
+  val q59Sql: String =
+    """SELECT p_partkey, p_size, p_retailprice
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice
+      |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1453,6 +1471,7 @@ object Queries {
     "q56_salted_join" -> q56,
     "q57_bucketed_join" -> q57,
     "q58_seq_pack" -> q58,
+    "q59_skyline" -> q59,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1508,5 +1527,6 @@ object Queries {
     "q56_salted_join" -> q56Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_seq_pack" -> q58Sql,
+    "q59_skyline" -> q59Sql,
   )
 }

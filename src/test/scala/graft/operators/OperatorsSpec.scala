@@ -212,6 +212,35 @@ class SamplingSpec extends SparkTestBase {
   }
 }
 
+class SkylineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("skyline keeps the exact Pareto frontier, duplicates and all") {
+    val df = Seq(
+      (1L, 10.0, 5.0),  // frontier
+      (2L, 10.0, 5.0),  // duplicate of a frontier point -> also kept
+      (3L, 5.0, 10.0),  // frontier (incomparable with 1)
+      (4L, 9.0, 4.0),   // dominated by 1
+      (5L, 10.0, 4.0),  // dominated by 1 (equal on x, worse on y)
+      (6L, 1.0, 1.0))   // dominated by everything
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline(df, Seq("x", "y"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+    // partition-invariant: same frontier under a different partitioning
+    val again = Skyline.skyline(df.repartition(7), Seq("x", "y"))
+      .select("id").as[Long].collect().toSet
+    assert(again == Set(1L, 2L, 3L))
+  }
+
+  test("skyline drops rows with a null dimension") {
+    val df = Seq((1L, Some(1.0), Some(2.0)), (2L, None, Some(99.0)))
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline(df, Seq("x", "y")).select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+}
+
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
