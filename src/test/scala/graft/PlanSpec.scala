@@ -50,6 +50,23 @@ class PlanSpec extends SparkTestBase {
       s"expected the hoisted filter-scan projection (_mc_pushed):\n$p")
   }
 
+  test("q11: band exchanges shuffle (band, band_key, id) only — no payloads") {
+    // the blocking shuffle must stay ids-only: a refactor that lets the
+    // signature array (or any payload) ride the banded exchange
+    // re-multiplies shuffle bytes by bands× the payload size
+    val qe = Queries.all("q11_dedup_minhash")(spark, sf).queryExecution
+    val p = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = p.split("\\(\\d+\\) Exchange").drop(1)
+      .filter(_.contains("hashpartitioning(band"))
+    assert(exchanges.nonEmpty, s"expected band-keyed exchanges:\n$p")
+    exchanges.foreach { b =>
+      val input = b.linesIterator.find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!input.contains("sig"),
+        s"band exchange must not carry signatures: $input")
+    }
+  }
+
   test("q57: bucketed join needs no exchange on either join side") {
     // force the sort-merge path (at test SF the orders side would
     // broadcast, which bypasses bucketing entirely); at lake scale
