@@ -45,4 +45,27 @@ class SinksSpec extends SparkTestBase {
     assert(out.toSeq == Seq(
       ("u1", "lvl9", 300L), ("u2", "lvl2", 200L), ("u3", "lvl3", 150L)))
   }
+
+  test("K6: upsert is idempotent under batch replay (at-least-once safety)") {
+    // foreachBatch delivery is at-least-once: a crash after the dim
+    // write but before the offset commit REPLAYS the batch. MERGE
+    // semantics must absorb the replay — same keys, same versions,
+    // same values, no duplicates — on both version-keeping and
+    // CDC (keepVersionCol = false) paths.
+    val dirA = Files.createTempDirectory("graft_dim_").toString + "/a"
+    val batch = Seq(("u1", "lvl1", 100L), ("u2", "lvl2", 200L))
+      .toDF("user_id", "level", "ver")
+    Sinks.upsertParquet(spark, batch, dirA, "user_id", "ver")
+    Sinks.upsertParquet(spark, batch, dirA, "user_id", "ver") // replay
+    val a = spark.read.parquet(dirA).orderBy("user_id")
+      .as[(String, String, Long)].collect()
+    assert(a.toSeq == Seq(("u1", "lvl1", 100L), ("u2", "lvl2", 200L)))
+
+    val dirB = Files.createTempDirectory("graft_dim_").toString + "/b"
+    Sinks.upsertParquet(spark, batch, dirB, "user_id", "ver", keepVersionCol = false)
+    Sinks.upsertParquet(spark, batch, dirB, "user_id", "ver", keepVersionCol = false)
+    val b = spark.read.parquet(dirB).orderBy("user_id")
+      .as[(String, String)].collect()
+    assert(b.toSeq == Seq(("u1", "lvl1"), ("u2", "lvl2")))
+  }
 }
