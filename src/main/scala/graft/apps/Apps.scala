@@ -127,10 +127,13 @@ object DimUpsert {
           if (hasCols) batch.select(col("phoenix_tbl_name"), col("pk_col"), col("cols"))
           else batch.select(col("phoenix_tbl_name"), col("pk_col"),
             lit(null).cast("string").as("cols"))
-        // one (pk, cols) declaration per table — bounded by config size
+        // one (pk, cols) declaration per table — bounded by config
+        // size; a batch mixing envelope generations (cols present on
+        // some rows, null on others) must pick a cols-bearing row
         val tables = keyCols.distinct().collect()
           .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
-          .groupBy(_._1).map(_._2.head)
+          .groupBy(_._1)
+          .map { case (_, rows) => rows.find(_._3.isDefined).getOrElse(rows.head) }
         tables.foreach { case (tbl, pk, colsCsv) =>
           val schema = schemas.get(tbl)
             .orElse(colsCsv.map(schemaFromCols(_, pk)))
