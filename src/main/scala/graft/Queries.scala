@@ -1410,6 +1410,30 @@ object Queries {
       |  WHERE b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice
       |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))""".stripMargin
 
+  /** q60 — GROUPING SETS: independent subtotal lattices in ONE pass
+    * (completes the rollup/cube/grouping-sets trio with q30/q39).
+    * Catalyst plans the same Expand-above-pre-aggregate shape PlanSpec
+    * pins for q30/q39. */
+  val q60: Q = (s, dir) => {
+    val li = Tables(s, dir).lineitem
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+  }
+  val q60Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      | COALESCE(l_linestatus, 'ALL') AS status,
+      | SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+      | COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1472,6 +1496,7 @@ object Queries {
     "q57_bucketed_join" -> q57,
     "q58_seq_pack" -> q58,
     "q59_skyline" -> q59,
+    "q60_grouping_sets" -> q60,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1528,5 +1553,6 @@ object Queries {
     "q57_bucketed_join" -> q57Sql,
     "q58_seq_pack" -> q58Sql,
     "q59_skyline" -> q59Sql,
+    "q60_grouping_sets" -> q60Sql,
   )
 }
