@@ -106,19 +106,16 @@ object Queries {
         col("l_returnflag").as("flag")).as("r"))
     val perOrder = li.groupBy(col("l_orderkey"))
       .agg(collect_list(col("r")).as("ls"))
-    // per left row: successors = lines with ln = a.ln + 1 (same order);
-    // the successor list binds once so the filter runs once per row
-    val perA = perOrder
-      .select(explode(col("ls")).as("a"), col("ls"))
-      .select(col("a.flag").as("flag"), col("a.qc").as("a_qc"),
-        filter(col("ls"), b => b.getField("ln") === col("a.ln") + 1).as("bs"))
-      .select(col("flag"), col("a_qc"),
-        size(col("bs")).cast("long").as("m_cnt"),
-        aggregate(col("bs"), lit(0L), (acc, b) => acc + b.getField("qc")).as("m_qc"))
-    perA.groupBy(col("flag"))
-      .agg(sum(col("m_cnt")).as("pair_cnt"),
-        ((sum(col("m_cnt") * col("a_qc")) + sum(col("m_qc"))) / 100.0).as("qty2"))
-      .filter(col("pair_cnt") > 0)
+    // one native kernel per order: every (a, b) pair with
+    // b.ln == a.ln + 1 accumulates (count, a.qc + b.qc) per left flag —
+    // flag-grain rows out (~4× fewer than line grain), zero boxed
+    // lambda calls (expressions.AdjacentPairStats)
+    perOrder
+      .select(explode(
+        graft.expressions.AdjacentPairStats.adjacentPairStats(col("ls"))).as("p"))
+      .groupBy(col("p.flag").as("flag"))
+      .agg(sum(col("p.cnt")).as("pair_cnt"),
+        (sum(col("p.qc2")) / 100.0).as("qty2"))
   }
   val q04Sql: String =
     """SELECT l1.l_returnflag AS flag, COUNT(*) AS pair_cnt,
