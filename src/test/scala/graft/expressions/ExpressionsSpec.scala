@@ -37,6 +37,24 @@ class ExpressionsSpec extends SparkTestBase {
     assert(single.count() == 0)
   }
 
+  test("adjacent_pair_stats: duplicate line numbers fan out like the join") {
+    // ln=[1,2,2,3]: pairs (1,2),(1,2'),(2,3),(2',3) -> 4 pairs total;
+    // left flags: ln1=A (2 pairs), ln2=B and ln2'=A (1 pair each)
+    val df = Seq(Tuple1(Seq((1, 10L, "A"), (2, 20L, "B"), (2, 30L, "A"), (3, 40L, "A"))))
+      .toDF("raw")
+      .select(transform($"raw", r => struct(
+        r.getField("_1").as("ln"), r.getField("_2").as("qc"),
+        r.getField("_3").as("flag"))).as("ls"))
+    val out = df.select(explode(
+        graft.expressions.AdjacentPairStats.adjacentPairStats($"ls")).as("p"))
+      .select("p.flag", "p.cnt", "p.qc2").as[(String, Long, Long)]
+      .collect().toSet
+    // A at ln1: (10+20)+(10+30)=70, 2 pairs; A at ln2': 30+40, 1 pair
+    // -> A entries come from different array positions, emitted per
+    // left element group: A accumulates 2+1=3 pairs, 70+70=140
+    assert(out == Set(("A", 3L, 140L), ("B", 1L, 60L)))
+  }
+
   test("native sig_match_frac equals the HOF Jaccard estimator") {
     import graft.expressions.TextSignatures
     import graft.operators.Dedup
