@@ -21,21 +21,35 @@ object Bench {
     // warmup: session/codegen/scan init shouldn't land on the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    // best of three runs per query: the first run of a plan pays
+    // Best of three runs per query: the first run of a plan pays
     // janino + JIT compilation (can 3× a query at this scale), and
     // ambient machine load adds random multi-second spikes to single
     // runs — three samples make the min a stable steady-state figure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    //
+    // The three samples come from three full PASSES over the catalog,
+    // each pass starting at a different offset (rotation by n/3), so
+    // the samples of any one query are spread across the wall-clock of
+    // the whole bench: an ambient-load window that would previously
+    // tank three consecutive runs of one contiguous query block now
+    // touches at most one sample of each affected query, and the min
+    // discards it.
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).toVector
+    val n = entries.size
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 0 until 3) {
+      val off = if (n == 0) 0 else pass * n / 3
+      val order = entries.drop(off) ++ entries.take(off)
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       }
-      name -> times.min
     }
+    val results = entries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
