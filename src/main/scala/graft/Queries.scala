@@ -1431,6 +1431,67 @@ object Queries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** q61 — duplicate clustering under a VALUE oracle. q24 is rows-only
+    * because its candidate pairs are hash-seeded, but the clustering
+    * step itself (`Dedup.clusterDuplicates`, GraphX connected
+    * components) is deterministic — so feed it a deterministic edge
+    * set: exact word-3-gram Jaccard ≥ 0.5 over the doc_id < 500 block
+    * (q13's shingle semantics). The DuckDB oracle collapses the same
+    * edges with a recursive-CTE transitive closure; at sf0.01 the
+    * fixture yields 23 clusters including one size-3 chain, so the
+    * oracle proves transitive collapse, not just pair passthrough. The
+    * bounded block keeps the exact all-pairs step O(500²) at any SF —
+    * production blocking is q11's LSH; this query oracles the collapse. */
+  val q61: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val block = t.documents.filter(col("doc_id") < 500)
+    val ids = block.select(col("doc_id"))
+    val cand = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    val edges = Dedup.ngramJaccard(block, cand, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= 0.5)
+    Dedup.clusterDuplicates(edges, s)
+  }
+  val q61Sql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 500
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    END AS sh FROM w
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+      |)
+      |SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id""".stripMargin
+
+  /** q62 — skew-safe grouped aggregation under a VALUE oracle: the
+    * CORRECTNESS-covered entry for `Aggregations.saltedCountSum`
+    * (previously spec-only, the last skew tool without one). Events
+    * grouped by type with a cents-exact value sum; the result is
+    * salt-invariant by construction — phase 1 spreads each key over 16
+    * salt buckets, phase 2 merges partials — which is exactly what the
+    * plain-GROUP-BY DuckDB oracle checks. Cents ride an exact
+    * long→DECIMAL(38,2) path so no double-sum ordering can leak in. */
+  val q62: Q = (s, dir) =>
+    Aggregations.saltedCountSum(
+      Tables(s, dir).events, Seq("event_type"),
+      round(col("value") * 100).cast("long"), saltBuckets = 16)
+  val q62Sql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1494,6 +1555,8 @@ object Queries {
     "q58_seq_pack" -> q58,
     "q59_skyline" -> q59,
     "q60_grouping_sets" -> q60,
+    "q61_cluster_cc" -> q61,
+    "q62_salted_agg" -> q62,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1551,5 +1614,7 @@ object Queries {
     "q58_seq_pack" -> q58Sql,
     "q59_skyline" -> q59Sql,
     "q60_grouping_sets" -> q60Sql,
+    "q61_cluster_cc" -> q61Sql,
+    "q62_salted_agg" -> q62Sql,
   )
 }
