@@ -125,7 +125,13 @@ object Sinks {
     * and the existing table (MERGE INTO semantics; the reference does
     * per-record Phoenix `upsert into`, dim/DimDataToHBase.scala:95-110,
     * with insert/update/bootstrap-insert all upserting). Partition-safe:
-    * the dedup is a window over the key, not a driver loop. */
+    * the dedup is a window over the key, not a driver loop.
+    *
+    * I/O envelope: this flat form reads and rewrites the WHOLE table
+    * every call — right for reference-scale config/dim tables (their
+    * dims are small lookup tables), wrong for a large dim on a fast
+    * trigger. Past ~a few GB use [[upsertParquetBucketed]], which
+    * rewrites only the hash buckets the batch touches. */
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
                     key: String, versionCol: String,
                     keepVersionCol: Boolean = true): Unit = {
@@ -199,6 +205,77 @@ object Sinks {
     if (hadOld) fs.delete(old, true)
     ()
   }
+
+  /** Scale variant of [[upsertParquet]]: the flat upsert reads and
+    * rewrites the ENTIRE table every micro-batch — O(table) I/O per
+    * trigger, fine for reference-scale config dims but fatal for a
+    * 100 GB dim on a 200 ms trigger. Here the dim is laid out in
+    * `nBuckets` hash partitions (`pkb = pmod(xxhash64(key), n)`, a
+    * hive partition column) and a batch only reads + rewrites the
+    * buckets its keys hash into: per-trigger I/O is
+    * O(touchedBuckets × bucketSize) ≈ O(batchKeys/nBuckets × table),
+    * independent of untouched data. This is the parquet analog of
+    * Iceberg `MERGE INTO`'s touched-file rewrite (the TableFormat
+    * seam's iceberg one-liner replaces all of this).
+    *
+    * Mechanics: the touched-bucket read is partition-PRUNED (pkb is a
+    * partition column; the `isin` filter never lists other dirs), the
+    * merge is the same latest-version-per-key window, and the write
+    * uses DYNAMIC partition overwrite so exactly the touched `pkb=`
+    * dirs are replaced in one job — no driver loop over buckets. The
+    * collected touched-bucket list is bounded by `nBuckets` ints
+    * (model-size, not data-size). Crash envelope: Spark's partition
+    * overwrite commits per-partition via staging rename; a crash
+    * mid-commit can leave a PREFIX of the touched buckets promoted,
+    * which the at-least-once replay of the same batch converges (the
+    * merge is idempotent — SinksSpec pins replay on the flat path and
+    * bucket isolation here). `nBuckets` is a layout constant: changing
+    * it requires a one-off rewrite of the table (keys would hash to
+    * different dirs).
+    *
+    * Readers: `spark.read.parquet(path)` sees the original schema plus
+    * the int `pkb` column — use [[readDim]] to drop it, or join on it
+    * deliberately (a dim-side `pkb` equi-filter prunes a point lookup
+    * to one directory). */
+  def upsertParquetBucketed(spark: SparkSession, batch: DataFrame, path: String,
+                            key: String, versionCol: String,
+                            nBuckets: Int = 64,
+                            keepVersionCol: Boolean = true): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, "nBuckets must be positive")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketed = batch.withColumn("pkb",
+      pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int"))
+    val touched = bucketed.select("pkb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val existing =
+      if (fs.exists(dst))
+        spark.read.parquet(path).filter(col("pkb").isin(touched: _*))
+      else {
+        import org.apache.spark.sql.Row
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema)
+      }
+    val all = existing.unionByName(bucketed, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc_nulls_last)
+    val merged0 = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("pkb").parquet(path)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read a [[upsertParquetBucketed]] dim with its logical schema (the
+    * `pkb` layout column dropped). */
+  def readDim(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("pkb")
 
   /** Bucketed+sorted table write: co-locates and pre-sorts rows by the
     * join key so subsequent equi-joins between tables bucketed the same
