@@ -67,6 +67,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("guardrail: global-order windows only ever sit above an aggregate") {
+    // A Window.orderBy with NO partitioning collapses its input to a
+    // single partition — fine over a pre-aggregated frame (|days|,
+    // |groups| rows: q42's moving average), a scale-killer over raw
+    // data. Enumerate EVERY catalog plan so a future query can't
+    // reintroduce the anti-pattern silently (this was prose in q42's
+    // comment; now it's checked).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+          assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+            s"$name: global-order Window over un-aggregated input — " +
+              "pre-aggregate to a bounded frame before a global sort")
+        case _ => ()
+      }
+    }
+  }
+
   test("q57: bucketed join needs no exchange on either join side") {
     // force the sort-merge path (at test SF the orders side would
     // broadcast, which bypasses bucketing entirely); at lake scale

@@ -126,6 +126,35 @@ class RecallSpec extends SparkTestBase {
     assert(r >= 0.50, s"IVF recall@5 was $r")
   }
 
+  test("incremental embedding dedup: batch-vs-corpus recall on planted pairs") {
+    // The streaming twin of q16 (IncrementalDedup.processEmbeddingBatch)
+    // must find the same planted near-dups when they arrive in a LATER
+    // batch than their sources — same floor as the batch path, because
+    // the blocking (banded sign-RP, 3x8) is identical and the probe
+    // joins new bands against the persisted store.
+    val (plant, exact) = planted(40, targetCos = 0.97)
+    val truth = exact.filter(_._2 >= 0.95).keySet // (corpus src, planted copy)
+    assert(truth.size >= 30, s"planting produced only ${truth.size} pairs >= 0.95")
+    val w = java.nio.file.Files.createTempDirectory("graft_increcall_").toString
+    // batch 1 seeds the corpus store; batch 2 delivers the near-dups
+    graft.streaming.IncrementalDedup.processEmbeddingBatch(spark,
+      emb.select("vec_id", "embedding"), s"$w/store", s"$w/pairs",
+      "embedding", "vec_id", planes = 8, bands = 3, threshold = 0.95)
+    graft.streaming.IncrementalDedup.processEmbeddingBatch(spark,
+      plant, s"$w/store", s"$w/pairs",
+      "embedding", "vec_id", planes = 8, bands = 3, threshold = 0.95)
+    val cross = spark.read.parquet(s"$w/pairs")
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 < 100000L && p._2 >= 100000L) // new-vs-corpus only
+    val r = recall(cross, truth)
+    info(s"incremental embedding recall (3 bands x 8 planes): $r (n=${truth.size})")
+    assert(r >= 0.75, s"incremental batch-vs-corpus recall was $r")
+    // precision: a planted copy may only pair with its own source — the
+    // ambient corpus tops out at cos 0.48, far under the 0.95 gate
+    assert(cross.subsetOf(truth),
+      s"false cross-batch pairs: ${cross.diff(truth).take(3)}")
+  }
+
   test("q24: cluster recall — truth-pair mates land in one cluster") {
     val truth = jaccardTruth(0.7)
     assert(truth.nonEmpty)

@@ -78,6 +78,35 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01", "2024-01-01 00:00:00", "2024-01-01 00:00:10", "p1", 2L)))
   }
 
+  test("DM window: data older than the watermark is dropped, window finalizes once") {
+    // T3/T4 end-to-end: after the watermark passes a window's end, the
+    // window is emitted exactly once (append mode) and a straggler
+    // older than the watermark must NOT re-open it or change its count.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val counted = Pipelines.dmWindowCounts(in.toDF().toDF("ts", "product"),
+      "ts", Seq("product"), windowSec = 10, watermark = "5 seconds")
+    val q = counted.writeStream.format("memory").queryName("dm_late_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 00:00:01"), "p1"), (t("2024-01-01 00:00:04"), "p1"))
+    q.processAllAvailable()
+    // watermark -> 00:00:25: window [00:00:00, 00:00:10) finalizes (cnt 2)
+    in.addData((t("2024-01-01 00:00:30"), "p1"))
+    q.processAllAvailable()
+    // straggler at 00:00:02 is OLDER than the watermark -> dropped
+    in.addData((t("2024-01-01 00:00:02"), "p1"))
+    q.processAllAvailable()
+    // push the watermark far enough to close every open window
+    in.addData((t("2024-01-01 00:01:00"), "p2"))
+    q.processAllAvailable(); q.stop()
+    val first = spark.table("dm_late_out")
+      .filter(col("window_start") === "2024-01-01 00:00:00" && col("product") === "p1")
+      .select("cnt").as[Long].collect()
+    assert(first.toSeq == Seq(2L),
+      s"window must emit once with the pre-watermark count, got $first")
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
