@@ -207,26 +207,99 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard SELF-join via an inverted shingle index: all
+    * pairs with jaccard ≥ `minJ`, bit-identical to running
+    * [[ngramJaccard]] over every id pair — but without materializing
+    * the O(N²) pair space. Each doc's distinct shingles explode to
+    * (shingle, id) postings; the postings self-join computes
+    * |A∩B| as a COUNT per co-occurring pair (only pairs sharing ≥1
+    * shingle ever exist, and any pair sharing none has jaccard
+    * 0 < minJ — so the result set is provably identical for minJ > 0);
+    * |A∪B| = |A|+|B|-|A∩B| from two broadcast-sized size joins. The
+    * jaccard value is the same integer division the array form
+    * computes, so downstream thresholds see identical doubles
+    * (OperatorsSpec pins equality against the all-pairs form).
+    *
+    * Scale shape: cost is Σ_shingle df(shingle)² instead of N² — rare
+    * shingles (the overwhelming majority of word 3-grams) contribute
+    * ~nothing. A pathologically hot shingle (boilerplate) concentrates
+    * its postings on one key; at corpus scale apply q11's LSH blocking
+    * first and reserve this for exact refinement or bounded blocks. */
+  def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(graft.expressions.TextSignatures.shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inter = postings.select(col("shingle"), col("id").as("id_a"))
+      .join(postings.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("_sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("_inter").cast("double") /
+          (col("_sz_a") + col("_sz_b") - col("_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
   /** Collapse near-dup candidate pairs into duplicate clusters via
     * GraphX connected components; survivors = the minimum id per
     * cluster. This is the step after any blocking strategy (minhash /
     * simhash / embedding): pairs are edges, docs are vertices, a
-    * cluster is everything transitively linked. Scales as GraphX Pregel
-    * (edge-partitioned iterative joins), not a driver-side union-find.
+    * cluster is everything transitively linked. Two paths under one
+    * contract: edge sets within `smallEdgeLimit` collapse in a driver
+    * union-find (bounded memory by construction — the probe collects
+    * at most limit+1 rows), larger ones as GraphX Pregel
+    * (edge-partitioned iterative joins) whose cost amortizes past the
+    * ~1 s of fixed RDD machinery it pays per run.
     * Returns (id, keep_id) for every id that appears in some pair.
     *
     * CONTRACT: ids must be (castable to) distinct longs — GraphX
     * vertices are Long. String corpus ids (URLs, hashes) must be
     * mapped to a dense/hashed long id upstream; casting would null
     * non-numeric ids and collide '007' with '7'. */
-  def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val graph = Graph.fromEdges[Unit, Unit](edges, ())
-    val cc = graph.connectedComponents().vertices // (id, minIdInComponent)
-    spark.createDataFrame(cc.map { case (id, rep) => (id, rep) })
-      .toDF("id", "keep_id")
+  def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                        smallEdgeLimit: Long = 100000L): DataFrame = {
+    val ids = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // Bounded probe: collect at most limit+1 edges. Post-threshold dup
+    // edges are a tiny fraction of any corpus, so the common case fits;
+    // when it doesn't, the probe cost is capped at `smallEdgeLimit`
+    // rows (CollectLimit short-circuits) and Pregel takes over. The
+    // split exists because GraphX's iterative machinery costs ~1 s of
+    // fixed overhead per run — two orders of magnitude more than a
+    // union-find over a bench-scale edge set — while a driver structure
+    // over >O(10⁷) edges would be the memory mistake. Both paths
+    // produce the identical (id, min id in component) contract
+    // (OperatorsSpec pins them against each other).
+    val probe = ids.limit(smallEdgeLimit.toInt + 1).collect()
+    if (probe.length <= smallEdgeLimit) {
+      // driver union-find, union-by-min: the root of every tree is the
+      // minimum id of its component at all times
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+      spark.createDataFrame(out).toDF("id", "keep_id")
+    } else {
+      import org.apache.spark.graphx.{Edge, Graph}
+      val edges = ids.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val graph = Graph.fromEdges[Unit, Unit](edges, ())
+      val cc = graph.connectedComponents().vertices // (id, minIdInComponent)
+      spark.createDataFrame(cc.map { case (id, rep) => (id, rep) })
+        .toDF("id", "keep_id")
+    }
   }
 
   /** Embedding-cosine near-dup pairs via BANDED sign-random-projection

@@ -307,10 +307,33 @@ class DedupSpec extends SparkTestBase {
 
   test("duplicate clustering: transitive pairs collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val clusters = Dedup.clusterDuplicates(pairs, spark)
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+    // small path (driver union-find)…
+    val small = Dedup.clusterDuplicates(pairs, spark)
       .orderBy("id").as[(Long, Long)].collect()
-    assert(clusters.toSeq == Seq(
-      (1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    assert(small.toSeq == expected)
+    // …and the GraphX Pregel path (forced via limit 0) agree exactly
+    val large = Dedup.clusterDuplicates(pairs, spark, smallEdgeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(large.toSeq == expected)
+  }
+
+  test("jaccard self-join equals the all-pairs exact form, bit for bit") {
+    // the inverted-index ssjoin must produce the SAME (pair, jaccard)
+    // set as brute-force ngramJaccard over every id pair — including
+    // identical doubles, since q61's oracle compares values exactly
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf).documents
+    val ids = docs.select(col("doc_id"))
+    val cand = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    val brute = Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.jaccardSelfJoin(docs, "text", "doc_id", n = 3, minJ = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(fast == brute)
   }
 
   test("embedding near-dup finds an identical vector pair") {

@@ -109,4 +109,40 @@ class SinksSpec extends SparkTestBase {
       .as[(String, String, Long)].collect()
     assert(replay.toSeq == out.toSeq)
   }
+
+  test("sorted layout: a pushed range predicate skips non-matching row groups") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = graft.Tables(spark, sf).lineitem.select("l_orderkey", "l_quantity")
+    val total = li.count()
+    val dir = Files.createTempDirectory("graft_sorted_").toString
+    Sinks.writeSorted(li, s"$dir/sorted", "l_orderkey", nFiles = 8)
+    // same data, same file count, no ordering — the stats-pruning control
+    li.repartition(8).write.parquet(s"$dir/shuffled")
+    val lo = li.agg(min("l_orderkey")).head.getLong(0)
+    // scan rows DECODED (post row-group pruning, pre Spark-side filter)
+    def scanRows(path: String): Long = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path).filter(col("l_orderkey") <= lo + 5)
+        q.collect()
+        val scan = q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }.head
+        assert(scan.metadata("PushedFilters").contains("LessThanOrEqual"),
+          s"range filter not pushed: ${scan.metadata("PushedFilters")}")
+        scan.metrics("numOutputRows").value
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val sortedRows = scanRows(s"$dir/sorted")
+    val shuffledRows = scanRows(s"$dir/shuffled")
+    info(s"decoded rows: sorted=$sortedRows shuffled=$shuffledRows total=$total")
+    // the unsorted layout decodes everything (every row group's min/max
+    // straddles the predicate); the sorted layout decodes only the one
+    // range-partitioned file whose stats can match
+    assert(shuffledRows == total, "control should decode every row")
+    assert(sortedRows <= total / 4,
+      s"sorted layout should prune most row groups, decoded $sortedRows/$total")
+  }
 }
