@@ -1491,6 +1491,37 @@ object Queries {
       | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS val_sum
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q63 — cross-document verbatim-span detection (winnowing/MOSS
+    * fingerprints): doc pairs sharing ≥3 winnowed 8-gram fingerprints,
+    * i.e. copied SPANS rather than similar vocabularies — the
+    * substring-level dedup/decontamination primitive doc-level jaccard
+    * misses. Deterministic end to end (md5 gram hashes, lexicographic
+    * window minima), so the whole pipeline sits under the value
+    * oracle; fingerprint df is naturally tiny (max 3 at sf0.01), so
+    * the postings join has no hot keys. */
+  val q63: Q = (s, dir) =>
+    Dedup.sharedSpans(Tables(s, dir).documents, "text", "doc_id",
+      k = 8, w = 4, minShared = 3L)
+  val q63Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) <= 8 THEN [md5(array_to_string(w, ' '))]
+      |         ELSE list_transform(range(1, len(w) - 6),
+      |                i -> md5(array_to_string(w[i:i+7], ' ')))
+      |    END AS hs
+      |  FROM t
+      |), wn AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(hs) - 3, 1) + 1),
+      |    i -> list_min(hs[i:i+3])))) AS fp
+      |  FROM h
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |FROM wn a JOIN wn b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1556,6 +1587,7 @@ object Queries {
     "q60_grouping_sets" -> q60,
     "q61_cluster_cc" -> q61,
     "q62_salted_agg" -> q62,
+    "q63_span_overlap" -> q63,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1615,5 +1647,6 @@ object Queries {
     "q60_grouping_sets" -> q60Sql,
     "q61_cluster_cc" -> q61Sql,
     "q62_salted_agg" -> q62Sql,
+    "q63_span_overlap" -> q63Sql,
   )
 }

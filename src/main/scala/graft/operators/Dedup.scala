@@ -245,6 +245,60 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** Winnowing span fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every `k`-word gram, then keep the MINIMUM hash
+    * of each `w`-gram window of consecutive positions. Any verbatim
+    * span of ≥ k+w-1 shared words between two documents is GUARANTEED
+    * to contribute ≥1 common fingerprint (the window containing the
+    * shared span's minimum picks the same gram in both docs), while
+    * storage is ~1/w of all gram hashes. Fully deterministic — the
+    * hash is md5 of the gram text and "min" is lexicographic on the
+    * hex digest, both of which DuckDB reproduces bit-for-bit (q63's
+    * oracle). Returns distinct (id, fp). */
+  def spanFingerprints(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // Gram hashes are already co-located per row, so the winnow is
+    // per-row array arithmetic — NO shuffle (a window-function form
+    // would shuffle+sort every gram hash by doc id for values that
+    // never leave their row). The hash array is pinned behind an
+    // OptimizationBarrier: CollapseProject would otherwise inline it
+    // into every one of the ~|grams| slice windows and recompute the
+    // full md5 array per window.
+    val hashes = transform(
+      graft.expressions.TextSignatures.shingles(col(textCol), k), s => md5(s))
+    val pinned = ColumnBridge.column(
+      graft.expressions.OptimizationBarrier(ColumnBridge.expression(hashes)))
+    val winnowed = array_distinct(transform(
+      sequence(lit(0), greatest(size(col("_hs")) - w, lit(0))),
+      i => array_min(slice(col("_hs"), i + lit(1), lit(w)))))
+    df.select(col(idCol).as("id"), pinned.as("_hs"))
+      .select(col("id"), explode(winnowed).as("fp")) // array_distinct ⇒ (id, fp) unique
+  }
+
+  /** Cross-document VERBATIM-SPAN detection: pairs of documents whose
+    * winnowed fingerprints ([[spanFingerprints]]) collide at least
+    * `minShared` times — i.e. documents sharing copied spans, not
+    * merely similar vocabularies. This is substring-level dedup /
+    * decontamination (a benchmark answer pasted into a training doc
+    * trips it even when the rest of the doc differs completely — the
+    * case doc-level jaccard misses). Same inverted-index shape as
+    * [[jaccardSelfJoin]]: only documents sharing ≥1 fingerprint ever
+    * meet, cost Σ df(fp)². */
+  def sharedSpans(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 8, w: Int = 4, minShared: Long = 3L): DataFrame = {
+    // one explicit fp exchange; both self-join sides are projections
+    // above it, so AQE stage reuse hashes/winnows the corpus ONCE
+    val fps = spanFingerprints(df, textCol, idCol, k, w)
+      .repartition(col("fp"))
+    fps.select(col("fp"), col("id").as("id_a"))
+      .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Collapse near-dup candidate pairs into duplicate clusters via
     * GraphX connected components; survivors = the minimum id per
     * cluster. This is the step after any blocking strategy (minhash /

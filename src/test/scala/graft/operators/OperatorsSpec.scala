@@ -318,6 +318,22 @@ class DedupSpec extends SparkTestBase {
     assert(large.toSeq == expected)
   }
 
+  test("span fingerprints: a copied span is caught, disjoint text is not") {
+    // winnowing guarantee: any verbatim span of >= k+w-1 words shared
+    // between two docs contributes >= 1 common fingerprint; here the
+    // span is long enough to clear minShared too
+    val span = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $span epsilon zeta"),
+      (2L, s"one two three four five six seven $span eight nine"),
+      (3L, "totally different words with no overlap at all in this document here today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSpans(docs, "text", "doc_id",
+        k = 8, w = 4, minShared = 3L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("jaccard self-join equals the all-pairs exact form, bit for bit") {
     // the inverted-index ssjoin must produce the SAME (pair, jaccard)
     // set as brute-force ngramJaccard over every id pair — including
