@@ -1522,6 +1522,66 @@ object Queries {
       |FROM wn a JOIN wn b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
 
+  /** q64 — dedup SURVIVOR selection: the step after clustering that a
+    * training pipeline actually ships — every doc in the block maps to
+    * its cluster's canonical representative (longest text wins, doc_id
+    * breaks ties; unclustered docs survive as themselves). Composes
+    * q61's deterministic edges + clustering with a per-cluster argmax;
+    * fully value-oracled (the DuckDB side re-walks the recursive-CTE
+    * closure, then picks the same survivor). */
+  val q64: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val block = t.documents.filter(col("doc_id") < 500)
+    val edges = Dedup.jaccardSelfJoin(block, "text", "doc_id", n = 3, minJ = 0.5)
+    val cl = Dedup.clusterDuplicates(edges, s)
+    val dc = block.select(col("doc_id"), col("n_chars"))
+      .join(cl, block("doc_id") === cl("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("keep_id"), col("doc_id")).as("cluster"))
+    val wnd = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val surv = dc.withColumn("_rn", row_number().over(wnd))
+      .filter(col("_rn") === 1)
+      .select(col("cluster"), col("doc_id").as("survivor_id"))
+    dc.join(surv, Seq("cluster"))
+      .select(col("doc_id"), col("survivor_id"))
+  }
+  val q64Sql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 500
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    END AS sh FROM w
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+      |), cl AS (
+      |  SELECT id, MIN(r) AS keep FROM reach GROUP BY id
+      |), dc AS (
+      |  SELECT d.doc_id, d.n_chars, COALESCE(cl.keep, d.doc_id) AS cluster
+      |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500) d
+      |  LEFT JOIN cl ON d.doc_id = cl.id
+      |), surv AS (
+      |  SELECT cluster, doc_id AS survivor_id FROM (
+      |    SELECT cluster, doc_id,
+      |      row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+      |    FROM dc) WHERE rn = 1
+      |)
+      |SELECT dc.doc_id, surv.survivor_id
+      |FROM dc JOIN surv ON dc.cluster = surv.cluster""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1588,6 +1648,7 @@ object Queries {
     "q61_cluster_cc" -> q61,
     "q62_salted_agg" -> q62,
     "q63_span_overlap" -> q63,
+    "q64_dedup_survivors" -> q64,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1648,5 +1709,6 @@ object Queries {
     "q61_cluster_cc" -> q61Sql,
     "q62_salted_agg" -> q62Sql,
     "q63_span_overlap" -> q63Sql,
+    "q64_dedup_survivors" -> q64Sql,
   )
 }

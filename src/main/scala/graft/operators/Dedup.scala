@@ -257,22 +257,22 @@ object Dedup {
     * oracle). Returns distinct (id, fp). */
   def spanFingerprints(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.graftshim.ColumnBridge
     // Gram hashes are already co-located per row, so the winnow is
     // per-row array arithmetic — NO shuffle (a window-function form
     // would shuffle+sort every gram hash by doc id for values that
-    // never leave their row). The hash array is pinned behind an
-    // OptimizationBarrier: CollapseProject would otherwise inline it
-    // into every one of the ~|grams| slice windows and recompute the
-    // full md5 array per window.
+    // never leave their row). The _hs projection survives as its own
+    // Project: CollapseProject refuses to inline a non-cheap
+    // expression referenced more than once (it appears in the sequence
+    // bound AND the slice lambda), and no OptimizationBarrier is used
+    // because a declared-nondeterministic pin would defeat AQE
+    // exchange reuse in sharedSpans' self-join (PlanSpec pins both the
+    // single-md5 plan and the reuse).
     val hashes = transform(
       graft.expressions.TextSignatures.shingles(col(textCol), k), s => md5(s))
-    val pinned = ColumnBridge.column(
-      graft.expressions.OptimizationBarrier(ColumnBridge.expression(hashes)))
     val winnowed = array_distinct(transform(
       sequence(lit(0), greatest(size(col("_hs")) - w, lit(0))),
       i => array_min(slice(col("_hs"), i + lit(1), lit(w)))))
-    df.select(col(idCol).as("id"), pinned.as("_hs"))
+    df.select(col(idCol).as("id"), hashes.as("_hs"))
       .select(col("id"), explode(winnowed).as("fp")) // array_distinct ⇒ (id, fp) unique
   }
 
@@ -287,13 +287,23 @@ object Dedup {
     * meet, cost Σ df(fp)². */
   def sharedSpans(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 8, w: Int = 4, minShared: Long = 3L): DataFrame = {
-    // one explicit fp exchange; both self-join sides are projections
-    // above it, so AQE stage reuse hashes/winnows the corpus ONCE
+    // No self-join: group the posting list per fingerprint and expand
+    // its (a < b) combinations with array ops — the corpus is hashed
+    // and winnowed ONCE by construction (a self-join would run the
+    // fingerprint pipeline per side: lambda-bearing subtrees defeat
+    // exchange-reuse canonicalization), and the only shuffles are the
+    // fp groupBy and the pair-count aggregate. Per-fp cost is df(fp)²
+    // like any postings join; winnowed 8-gram fingerprints keep df
+    // tiny (max 3 across sf0.01), and a boilerplate-heavy corpus
+    // should raise k or pre-strip templates.
     val fps = spanFingerprints(df, textCol, idCol, k, w)
-      .repartition(col("fp"))
-    fps.select(col("fp"), col("id").as("id_a"))
-      .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+    val byFp = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))
+    val sorted = sort_array(col("_ids"))
+    val combos = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        y => struct(x.as("a"), y.as("b")))))
+    byFp.select(explode(combos).as("_pr"))
+      .select(col("_pr.a").as("id_a"), col("_pr.b").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -87,6 +87,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q63: corpus hashed once, winnow row-local — no Window, no Join") {
+    // the whole fingerprint pipeline (shingle -> md5 -> slice minima)
+    // must stay row-local (a window-function winnow would shuffle+sort
+    // every gram hash by doc id), and pair expansion must come from
+    // the fp posting lists, not a self-join that re-runs the pipeline
+    // per side
+    val p = plan("q63_span_overlap")
+    assert(!p.contains("Window"), s"winnow must not use a Window operator:\n$p")
+    assert(!p.contains("Join"), s"pair expansion must not self-join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, // the fp groupBy + the pair-count aggregate
+      s"expected <=2 hash exchanges, got $exchanges:\n$p")
+    val md5s = "md5".r.findAllIn(p.toLowerCase).length
+    assert(md5s <= 1, s"corpus must be hashed once, found $md5s md5 sites:\n$p")
+  }
+
   test("q57: bucketed join needs no exchange on either join side") {
     // force the sort-merge path (at test SF the orders side would
     // broadcast, which bypasses bucketing entirely); at lake scale
