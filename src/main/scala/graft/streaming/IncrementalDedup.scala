@@ -134,6 +134,61 @@ object IncrementalDedup {
     } finally { banded.unpersist(); () }
   }
 
+  /** Span twin of [[processBatch]]: incremental VERBATIM-SPAN
+    * detection (Dedup.spanFingerprints' winnowing scheme applied
+    * new-vs-corpus). The store persists (fp, id) postings — ~1/w of
+    * the batch's gram hashes, no text; the probe joins the batch's
+    * fingerprints against matching store postings only, so cost scales
+    * with fingerprint collisions, not corpus size. Emits
+    * (new_id, corpus_id, n_shared) for pairs sharing ≥ `minShared`
+    * fingerprints, plus batch-internal pairs via the same posting-list
+    * combination expansion as [[graft.operators.Dedup.sharedSpans]]. */
+  def processSpanBatch(spark: SparkSession, batch: DataFrame,
+                       storeDir: String, pairsDir: String,
+                       textCol: String, idCol: String,
+                       k: Int, w: Int, minShared: Long): Unit = {
+    val fps = Dedup.spanFingerprints(batch, textCol, idCol, k, w).persist()
+    try {
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cross =
+        if (fs.exists(storePath))
+          Some(fps.select(col("fp"), col("id").as("new_id"))
+            .join(spark.read.parquet(storeDir)
+              .select(col("fp"), col("id").as("corpus_id")), Seq("fp"))
+            .groupBy(col("new_id"), col("corpus_id"))
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= minShared))
+        else None
+      val intraAll = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))
+      val sorted = sort_array(col("_ids"))
+      val combos = flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)),
+          y => struct(x.as("a"), y.as("b")))))
+      val intra = intraAll.select(explode(combos).as("_pr"))
+        .select(col("_pr.a").as("new_id"), col("_pr.b").as("corpus_id"))
+        .groupBy(col("new_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      val pairs = cross.map(_.unionByName(intra)).getOrElse(intra)
+      pairs.write.mode("append").parquet(pairsDir)
+      fps.write.mode("append").parquet(storeDir)
+    } finally { fps.unpersist(); () }
+  }
+
+  /** Wire the span variant over a streaming (idCol, textCol) frame. */
+  def runSpans(spark: SparkSession, docs: DataFrame, storeDir: String,
+               pairsDir: String, checkpoint: String,
+               textCol: String = "text", idCol: String = "doc_id",
+               k: Int = 8, w: Int = 4, minShared: Long = 3L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processSpanBatch(spark, batch.toDF(), storeDir, pairsDir,
+          textCol, idCol, k, w, minShared)
+      }
+      .start()
+
   /** Wire the embedding variant over a streaming (idCol, vecCol) frame. */
   def runEmbeddings(spark: SparkSession, vecs: DataFrame, storeDir: String,
                     pairsDir: String, checkpoint: String,

@@ -202,6 +202,29 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
   }
 
+  test("incremental span dedup flags a copied span against the corpus store") {
+    implicit val sc = spark.sqlContext
+    val span = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val w = tmp()
+    val in = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.runSpans(spark, in.toDF().toDF("doc_id", "text"),
+      s"$w/store", s"$w/pairs", s"$w/cp")
+    in.addData(
+      (1L, s"alpha beta gamma delta $span epsilon zeta"),
+      (2L, "totally different words with no overlap at all in this document here today"))
+    q.processAllAvailable()
+    in.addData(
+      (3L, s"one two three four five six seven $span eight nine"),
+      (4L, "another clean document about completely unrelated topics and nothing else whatsoever"))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.read.parquet(s"$w/pairs")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1L)))                              // cross-batch span hit
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))          // clean docs stay clean
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
+  }
+
   test("incremental embedding dedup flags near-identical vectors across batches") {
     implicit val sc = spark.sqlContext
     val base = Array.tabulate(16)(i => (i + 1).toFloat / 4f)
