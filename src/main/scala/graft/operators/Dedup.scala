@@ -327,6 +327,8 @@ object Dedup {
     * non-numeric ids and collide '007' with '7'. */
   def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession,
                         smallEdgeLimit: Long = 100000L): DataFrame = {
+    require(smallEdgeLimit >= 0 && smallEdgeLimit < Int.MaxValue,
+      s"smallEdgeLimit must fit an int probe, got $smallEdgeLimit")
     val ids = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
     // Bounded probe: collect at most limit+1 edges. Post-threshold dup
     // edges are a tiny fraction of any corpus, so the common case fits;

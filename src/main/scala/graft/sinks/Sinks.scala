@@ -245,8 +245,12 @@ object Sinks {
     require(nBuckets > 0, "nBuckets must be positive")
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // null keys hash to bucket 0 (deterministic, always re-readable)
+    // rather than a HIVE_DEFAULT partition the isin() pruning below
+    // could never match — so they merge like the flat path, where the
+    // key window collapses all nulls to one latest row
     val bucketed = batch.withColumn("pkb",
-      pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int"))
+      coalesce(pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int"), lit(0)))
     val touched = bucketed.select("pkb").distinct()
       .collect().map(_.getInt(0)).toSeq
     val existing =

@@ -108,6 +108,19 @@ class SinksSpec extends SparkTestBase {
     val replay = Sinks.readDim(spark, dir).orderBy("user_id")
       .as[(String, String, Long)].collect()
     assert(replay.toSeq == out.toSeq)
+    // null keys land in bucket 0 and merge like the flat path (all
+    // nulls collapse to the latest row) instead of crashing the
+    // touched-bucket probe or hiding in an unprunable default dir
+    Sinks.upsertParquetBucketed(spark,
+      Seq((null.asInstanceOf[String], "n1", 300L)).toDF("user_id", "level", "ver"),
+      dir, "user_id", "ver", nBuckets = 4)
+    Sinks.upsertParquetBucketed(spark,
+      Seq((null.asInstanceOf[String], "n2", 400L)).toDF("user_id", "level", "ver"),
+      dir, "user_id", "ver", nBuckets = 4)
+    val withNull = Sinks.readDim(spark, dir)
+      .filter(col("user_id").isNull).as[(String, String, Long)].collect()
+    assert(withNull.toSeq == Seq((null, "n2", 400L)))
+    assert(Sinks.readDim(spark, dir).count() == 9)
   }
 
   test("sorted layout: a pushed range predicate skips non-matching row groups") {
