@@ -227,21 +227,30 @@ object Dedup {
     * first and reserve this for exact refinement or bounded blocks. */
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    // ONE corpus pass, zero joins: each posting carries its doc's
+    // shingle-set size, so |A∪B| needs no size lookup; pairs expand
+    // from per-shingle posting lists (a postings SELF-join would run
+    // the shingle pipeline once per join side — self-join subtrees
+    // don't exchange-reuse — and two more times for the size joins).
+    // The only shuffles are the shingle groupBy and the pair-count
+    // aggregate.
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.expressions.TextSignatures.shingles(col(textCol), n)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val postings = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val inter = postings.select(col("shingle"), col("id").as("id_a"))
-      .join(postings.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    val postings = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val byShingle = postings.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("_ps"))
+    val combos = flatten(transform(col("_ps"), (x, i) =>
+      transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
+        y => struct(x.getField("id").as("id_a"), x.getField("sz").as("sz_a"),
+          y.getField("id").as("id_b"), y.getField("sz").as("sz_b")))))
+    byShingle.select(explode(combos).as("_pr"))
+      .groupBy(col("_pr.id_a").as("id_a"), col("_pr.id_b").as("id_b"),
+        col("_pr.sz_a").as("sz_a"), col("_pr.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("_sz_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("_inter").cast("double") /
-          (col("_sz_a") + col("_sz_b") - col("_inter")).cast("double")).as("jaccard"))
+          (col("sz_a") + col("sz_b") - col("_inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJ)
   }
 
