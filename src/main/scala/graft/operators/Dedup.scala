@@ -225,6 +225,25 @@ object Dedup {
     * ~nothing. A pathologically hot shingle (boilerplate) concentrates
     * its postings on one key; at corpus scale apply q11's LSH blocking
     * first and reserve this for exact refinement or bounded blocks. */
+  /** Expand each row's array column into its ordered (a < b) element
+    * pairs. Elements are sorted (so pairs come out ordered) and the
+    * expansion is TWO chained Generates — per-row memory stays O(df)
+    * where df is the list length: a hot posting list (boilerplate
+    * shingle/fingerprint shared by 20k docs) degrades into many rows
+    * across tasks instead of materializing all df²/2 combination
+    * structs inside one 2 GB row. Shared by jaccardSelfJoin,
+    * sharedSpans and IncrementalDedup.processSpanBatch, which all
+    * encode pairs-from-postings. Output columns: (_a, _b) of the
+    * array's element type. */
+  private[graft] def pairCombos(grouped: DataFrame, idsCol: String): DataFrame =
+    grouped
+      .select(sort_array(col(idsCol)).as("_sorted"))
+      .select(col("_sorted"), posexplode(col("_sorted")))
+      .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_a")
+      .select(col("_a"),
+        explode(slice(col("_sorted"), col("_i") + lit(2), size(col("_sorted"))))
+          .as("_b"))
+
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, minJ: Double = 0.5): DataFrame = {
     // ONE corpus pass, zero joins: each posting carries its doc's
@@ -239,14 +258,10 @@ object Dedup {
     val postings = sh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     val byShingle = postings.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("_ps"))
-    val combos = flatten(transform(col("_ps"), (x, i) =>
-      transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
-        y => struct(x.getField("id").as("id_a"), x.getField("sz").as("sz_a"),
-          y.getField("id").as("id_b"), y.getField("sz").as("sz_b")))))
-    byShingle.select(explode(combos).as("_pr"))
-      .groupBy(col("_pr.id_a").as("id_a"), col("_pr.id_b").as("id_b"),
-        col("_pr.sz_a").as("sz_a"), col("_pr.sz_b").as("sz_b"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("_ps"))
+    pairCombos(byShingle, "_ps")
+      .groupBy(col("_a.id").as("id_a"), col("_b.id").as("id_b"),
+        col("_a.sz").as("sz_a"), col("_b.sz").as("sz_b"))
       .agg(count(lit(1)).as("_inter"))
       .select(col("id_a"), col("id_b"),
         (col("_inter").cast("double") /
@@ -297,23 +312,18 @@ object Dedup {
   def sharedSpans(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 8, w: Int = 4, minShared: Long = 3L): DataFrame = {
     // No self-join: group the posting list per fingerprint and expand
-    // its (a < b) combinations with array ops — the corpus is hashed
-    // and winnowed ONCE by construction (a self-join would run the
-    // fingerprint pipeline per side: lambda-bearing subtrees defeat
-    // exchange-reuse canonicalization), and the only shuffles are the
-    // fp groupBy and the pair-count aggregate. Per-fp cost is df(fp)²
-    // like any postings join; winnowed 8-gram fingerprints keep df
-    // tiny (max 3 across sf0.01), and a boilerplate-heavy corpus
-    // should raise k or pre-strip templates.
+    // its (a < b) combinations — the corpus is hashed and winnowed
+    // ONCE by construction (a self-join would run the fingerprint
+    // pipeline per side: lambda-bearing subtrees defeat exchange-reuse
+    // canonicalization), and the only shuffles are the fp groupBy and
+    // the pair-count aggregate. Per-fp cost is df(fp)² ROWS like any
+    // postings join (pairCombos keeps per-row memory O(df)); winnowed
+    // 8-gram fingerprints keep df tiny (max 3 across sf0.01), and a
+    // boilerplate-heavy corpus should raise k or pre-strip templates.
     val fps = spanFingerprints(df, textCol, idCol, k, w)
     val byFp = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))
-    val sorted = sort_array(col("_ids"))
-    val combos = flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)),
-        y => struct(x.as("a"), y.as("b")))))
-    byFp.select(explode(combos).as("_pr"))
-      .select(col("_pr.a").as("id_a"), col("_pr.b").as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    pairCombos(byFp, "_ids")
+      .groupBy(col("_a").as("id_a"), col("_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

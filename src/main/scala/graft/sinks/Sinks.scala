@@ -220,18 +220,21 @@ object Sinks {
     *
     * Mechanics: the touched-bucket read is partition-PRUNED (pkb is a
     * partition column; the `isin` filter never lists other dirs), the
-    * merge is the same latest-version-per-key window, and the write
-    * uses DYNAMIC partition overwrite so exactly the touched `pkb=`
-    * dirs are replaced in one job — no driver loop over buckets. The
-    * collected touched-bucket list is bounded by `nBuckets` ints
-    * (model-size, not data-size). Crash envelope: Spark's partition
-    * overwrite commits per-partition via staging rename; a crash
-    * mid-commit can leave a PREFIX of the touched buckets promoted,
-    * which the at-least-once replay of the same batch converges (the
-    * merge is idempotent — SinksSpec pins replay on the flat path and
-    * bucket isolation here). `nBuckets` is a layout constant: changing
-    * it requires a one-off rewrite of the table (keys would hash to
-    * different dirs).
+    * merge is the same latest-version-per-key window, and the new
+    * generation is written to a sibling `_tmp_` dir and promoted with
+    * the SAME move-aside/promote/delete dance as the flat path —
+    * per touched bucket, so the loop is bounded by `nBuckets` (like
+    * the collected touched-bucket list: model-size, not data-size).
+    * Dynamic partition overwrite was rejected here: its commit deletes
+    * the live partition dir BEFORE renaming the staged one in, and a
+    * crash in that window loses the bucket's untouched keys. Crash
+    * envelope with the swap: a kill can only leave (a) some touched
+    * buckets promoted — replay converges, the merge is idempotent — or
+    * (b) a bucket moved aside but not promoted, which the recovery
+    * sweep at the next call restores from its `_old_` dir (underscore
+    * dirs are invisible to partition discovery meanwhile). `nBuckets`
+    * is a layout constant: changing it requires a one-off rewrite of
+    * the table (keys would hash to different dirs).
     *
     * Readers: `spark.read.parquet(path)` sees the original schema plus
     * the int `pkb` column — use [[readDim]] to drop it, or join on it
@@ -241,39 +244,86 @@ object Sinks {
                             key: String, versionCol: String,
                             nBuckets: Int = 64,
                             keepVersionCol: Boolean = true): Unit = {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 0, "nBuckets must be positive")
-    val dst = new org.apache.hadoop.fs.Path(path)
+    val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // null keys hash to bucket 0 (deterministic, always re-readable)
-    // rather than a HIVE_DEFAULT partition the isin() pruning below
-    // could never match — so they merge like the flat path, where the
-    // key window collapses all nulls to one latest row
-    val bucketed = batch.withColumn("pkb",
-      coalesce(pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int"), lit(0)))
-    val touched = bucketed.select("pkb").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val existing =
-      if (fs.exists(dst))
-        spark.read.parquet(path).filter(col("pkb").isin(touched: _*))
-      else {
-        import org.apache.spark.sql.Row
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema)
-      }
-    val all = existing.unionByName(bucketed, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(versionCol).desc_nulls_last)
-    val merged0 = all
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-    val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("pkb").parquet(path)
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // Recovery sweep (single writer): a kill between "move bucket
+    // aside" and "promote fresh bucket" leaves `_old_<stamp>_pkb=B`
+    // with no live `pkb=B` — restore it; an `_old_` WITH a live dir is
+    // a promote that died before its delete — drop it. Stranded
+    // sibling `_tmp_` generations are dead either way.
+    if (fs.exists(dst)) {
+      fs.listStatus(dst).map(_.getPath)
+        .filter(_.getName.startsWith("_old_"))
+        .foreach { o =>
+          val live = new Path(dst, o.getName.substring(o.getName.indexOf("pkb=")))
+          if (!fs.exists(live)) fs.rename(o, live) else fs.delete(o, true)
+        }
     }
+    if (fs.exists(dst.getParent)) {
+      fs.listStatus(dst.getParent).map(_.getPath)
+        .filter(_.getName.startsWith(dst.getName + "_tmp_"))
+        .foreach(t => fs.delete(t, true))
+    }
+    // xxhash64 NEVER returns null (a null input leaves the seed
+    // untouched → 42), so pkb is always concrete: null keys
+    // deterministically share bucket 42 % nBuckets, stay prunable by
+    // the isin() below, and merge like the flat path (the key window
+    // collapses all nulls to the latest row). Persisted because the
+    // frame is evaluated twice (touched probe + merge): re-reading a
+    // changed source between evaluations could otherwise put rows in
+    // a bucket the probe never saw — whose existing keys the swap
+    // would then replace unmerged.
+    val bucketed = batch.withColumn("pkb",
+      pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")).persist()
+    try {
+      val touched = bucketed.select("pkb").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existing =
+        if (fs.exists(dst))
+          spark.read.parquet(path).filter(col("pkb").isin(touched: _*))
+        else {
+          import org.apache.spark.sql.Row
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema)
+        }
+      val all = existing.unionByName(bucketed, allowMissingColumns = true)
+      val w = Window.partitionBy(col(key))
+        .orderBy(col(versionCol).desc_nulls_last)
+      val merged0 = all
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
+      // new generation beside the table, then per-bucket swap
+      val stamp = System.nanoTime()
+      val tmp = new Path(path + "_tmp_" + stamp)
+      merged.write.mode("overwrite").partitionBy("pkb").parquet(tmp.toString)
+      fs.mkdirs(dst)
+      touched.foreach { b =>
+        val live = new Path(dst, s"pkb=$b")
+        val fresh = new Path(tmp, s"pkb=$b")
+        val old = new Path(dst, s"_old_${stamp}_pkb=$b")
+        val hadLive = fs.exists(live)
+        if (hadLive && !fs.rename(live, old))
+          throw new java.io.IOException(
+            s"upsertParquetBucketed: could not move $live aside; aborting")
+        val promoted =
+          try fs.exists(fresh) && fs.rename(fresh, live)
+          catch { case e: Throwable =>
+            if (hadLive) fs.rename(old, live)
+            throw e
+          }
+        if (!promoted) {
+          if (hadLive) fs.rename(old, live)
+          throw new java.io.IOException(
+            s"upsertParquetBucketed: promoting $fresh failed; bucket restored")
+        }
+        if (hadLive) fs.delete(old, true)
+      }
+      fs.delete(tmp, true)
+      ()
+    } finally { bucketed.unpersist(); () }
   }
 
   /** Read a [[upsertParquetBucketed]] dim with its logical schema (the

@@ -161,13 +161,8 @@ object IncrementalDedup {
             .filter(col("n_shared") >= minShared))
         else None
       val intraAll = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))
-      val sorted = sort_array(col("_ids"))
-      val combos = flatten(transform(sorted, (x, i) =>
-        transform(slice(sorted, i + lit(2), size(sorted)),
-          y => struct(x.as("a"), y.as("b")))))
-      val intra = intraAll.select(explode(combos).as("_pr"))
-        .select(col("_pr.a").as("new_id"), col("_pr.b").as("corpus_id"))
-        .groupBy(col("new_id"), col("corpus_id"))
+      val intra = Dedup.pairCombos(intraAll, "_ids")
+        .groupBy(col("_a").as("new_id"), col("_b").as("corpus_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
       val pairs = cross.map(_.unionByName(intra)).getOrElse(intra)

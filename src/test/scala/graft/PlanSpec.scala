@@ -74,12 +74,23 @@ class PlanSpec extends SparkTestBase {
     // data. Enumerate EVERY catalog plan so a future query can't
     // reintroduce the anti-pattern silently (this was prose in q42's
     // comment; now it's checked).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // the window's input must be aggregate-bounded THROUGH a chain of
+    // row-preserving/narrowing single-child nodes — an Aggregate
+    // merely somewhere below (e.g. on one side of a join with a raw
+    // fact) does not bound the rows the global sort swallows
+    def aggBounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
+           _: Window | _: GlobalLimit | _: LocalLimit | _: Distinct =>
+        aggBounded(p.children.head)
+      case _ => false
+    }
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.optimizedPlan
       plan.foreach {
-        case w: LWindow if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
-          assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+          assert(aggBounded(w.child),
             s"$name: global-order Window over un-aggregated input — " +
               "pre-aggregate to a bounded frame before a global sort")
         case _ => ()

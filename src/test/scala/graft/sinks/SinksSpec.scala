@@ -108,8 +108,9 @@ class SinksSpec extends SparkTestBase {
     val replay = Sinks.readDim(spark, dir).orderBy("user_id")
       .as[(String, String, Long)].collect()
     assert(replay.toSeq == out.toSeq)
-    // null keys land in bucket 0 and merge like the flat path (all
-    // nulls collapse to the latest row) instead of crashing the
+    // null keys get a concrete bucket (xxhash64(null) = the 42 seed,
+    // so 42 % nBuckets) and merge like the flat path (all nulls
+    // collapse to the latest row) instead of crashing the
     // touched-bucket probe or hiding in an unprunable default dir
     Sinks.upsertParquetBucketed(spark,
       Seq((null.asInstanceOf[String], "n1", 300L)).toDF("user_id", "level", "ver"),
