@@ -1582,6 +1582,41 @@ object Queries {
       |SELECT dc.doc_id, surv.survivor_id
       |FROM dc JOIN surv ON dc.cluster = surv.cluster""".stripMargin
 
+  /** q65 — token-budget corpus selection: greedily keep the
+    * highest-quality docs per language (quality ∝ n_chars here,
+    * doc_id tie-break) until a per-language token budget is spent —
+    * the data-mixing step that turns "ranked corpus" into "training
+    * set". One cumulative-sum window per lang partition (same shape
+    * as q58's packing; at 100 TB shard the prefix sums within
+    * (lang, shard) or replace the exact scan with a quality-threshold
+    * chosen from a quantile sketch — the greedy result is identical
+    * when scores are distinct). Tokens are q19's whitespace count, so
+    * both engines agree exactly. */
+  val q65: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir).documents
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextStats.wordCount(col("text"), col("_mc")).cast("long").as("toks"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_toks", sum(col("toks")).over(w))
+      .filter(col("cum_toks") <= 20000L)
+      .select(col("doc_id"), col("lang"), col("toks"), col("cum_toks"))
+  }
+  val q65Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars, CAST($wordsSql AS BIGINT) AS toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, toks,
+       |    CAST(SUM(toks) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, toks, cum_toks FROM c WHERE cum_toks <= 20000""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1649,6 +1684,7 @@ object Queries {
     "q62_salted_agg" -> q62,
     "q63_span_overlap" -> q63,
     "q64_dedup_survivors" -> q64,
+    "q65_token_budget" -> q65,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1710,5 +1746,6 @@ object Queries {
     "q62_salted_agg" -> q62Sql,
     "q63_span_overlap" -> q63Sql,
     "q64_dedup_survivors" -> q64Sql,
+    "q65_token_budget" -> q65Sql,
   )
 }
