@@ -207,24 +207,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard SELF-join via an inverted shingle index: all
-    * pairs with jaccard ≥ `minJ`, bit-identical to running
-    * [[ngramJaccard]] over every id pair — but without materializing
-    * the O(N²) pair space. Each doc's distinct shingles explode to
-    * (shingle, id) postings; the postings self-join computes
-    * |A∩B| as a COUNT per co-occurring pair (only pairs sharing ≥1
-    * shingle ever exist, and any pair sharing none has jaccard
-    * 0 < minJ — so the result set is provably identical for minJ > 0);
-    * |A∪B| = |A|+|B|-|A∩B| from two broadcast-sized size joins. The
-    * jaccard value is the same integer division the array form
-    * computes, so downstream thresholds see identical doubles
-    * (OperatorsSpec pins equality against the all-pairs form).
-    *
-    * Scale shape: cost is Σ_shingle df(shingle)² instead of N² — rare
-    * shingles (the overwhelming majority of word 3-grams) contribute
-    * ~nothing. A pathologically hot shingle (boilerplate) concentrates
-    * its postings on one key; at corpus scale apply q11's LSH blocking
-    * first and reserve this for exact refinement or bounded blocks. */
   /** Expand each row's array column into its ordered (a < b) element
     * pairs. Elements are sorted (so pairs come out ordered) and the
     * expansion is TWO chained Generates — per-row memory stays O(df)
@@ -244,8 +226,31 @@ object Dedup {
         explode(slice(col("_sorted"), col("_i") + lit(2), size(col("_sorted"))))
           .as("_b"))
 
+  /** Exact n-gram Jaccard SELF-join via an inverted shingle index: all
+    * pairs with jaccard ≥ `minJ`, bit-identical to running
+    * [[ngramJaccard]] over every id pair — but without materializing
+    * the O(N²) pair space. Each doc's distinct shingles explode to
+    * (shingle, id) postings; the postings self-join computes
+    * |A∩B| as a COUNT per co-occurring pair (only pairs sharing ≥1
+    * shingle ever exist, and any pair sharing none has jaccard
+    * 0 < minJ — so the result set is provably identical for minJ > 0);
+    * |A∪B| = |A|+|B|-|A∩B| from two broadcast-sized size joins. The
+    * jaccard value is the same integer division the array form
+    * computes, so downstream thresholds see identical doubles
+    * (OperatorsSpec pins equality against the all-pairs form).
+    *
+    * Scale shape: cost is Σ_shingle df(shingle)² instead of N² — rare
+    * shingles (the overwhelming majority of word 3-grams) contribute
+    * ~nothing. A pathologically hot shingle (boilerplate) concentrates
+    * its postings on one key; at corpus scale apply q11's LSH blocking
+    * first and reserve this for exact refinement or bounded blocks. */
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    // The inverted-index equivalence above only holds for minJ > 0:
+    // pairs sharing zero shingles never materialize here but DO exist
+    // (jaccard 0) in the all-pairs form.
+    require(minJ > 0, s"jaccardSelfJoin requires minJ > 0 (got $minJ); " +
+      "use ngramJaccard over explicit pairs for a zero-threshold scan")
     // ONE corpus pass, zero joins: each posting carries its doc's
     // shingle-set size, so |A∪B| needs no size lookup; pairs expand
     // from per-shingle posting lists (a postings SELF-join would run

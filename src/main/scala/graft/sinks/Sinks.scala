@@ -281,8 +281,16 @@ object Sinks {
     try {
       val touched = bucketed.select("pkb").distinct()
         .collect().map(_.getInt(0)).toSeq
+      // "Table exists" means it has at least one pkb= partition dir,
+      // not merely that the path exists: a crash between mkdirs(dst)
+      // and the first bucket promote on the table's FIRST write leaves
+      // dst present but empty, and reading it would throw "Unable to
+      // infer schema" forever — the replay-converges crash envelope
+      // requires treating that state as the empty table.
+      val hasData = fs.exists(dst) &&
+        fs.listStatus(dst).exists(_.getPath.getName.startsWith("pkb="))
       val existing =
-        if (fs.exists(dst))
+        if (hasData)
           spark.read.parquet(path).filter(col("pkb").isin(touched: _*))
         else {
           import org.apache.spark.sql.Row

@@ -151,13 +151,19 @@ object IncrementalDedup {
     try {
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // countDistinct(fp), not count(1): foreachBatch is at-least-once
+      // and the store is append-only, so a replayed batch appends its
+      // (fp, id) postings twice — a plain count would then double every
+      // later batch's shared-fingerprint tally against those docs
+      // (2 shared fps reading as 4 ≥ minShared). Distinct fps per pair
+      // is the quantity the threshold is defined over.
       val cross =
         if (fs.exists(storePath))
           Some(fps.select(col("fp"), col("id").as("new_id"))
             .join(spark.read.parquet(storeDir)
               .select(col("fp"), col("id").as("corpus_id")), Seq("fp"))
             .groupBy(col("new_id"), col("corpus_id"))
-            .agg(count(lit(1)).as("n_shared"))
+            .agg(countDistinct(col("fp")).as("n_shared"))
             .filter(col("n_shared") >= minShared))
         else None
       val intraAll = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))

@@ -124,6 +124,21 @@ class SinksSpec extends SparkTestBase {
     assert(Sinks.readDim(spark, dir).count() == 9)
   }
 
+  test("K6 crash envelope: bucketed upsert self-recovers from an empty dst dir") {
+    // A crash between mkdirs(dst) and the first bucket promote on the
+    // table's FIRST write leaves dst present but empty; the retry must
+    // treat that as the empty-table case, not die on schema inference.
+    val dir = Files.createTempDirectory("graft_dim_").toString + "/dim"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    Sinks.upsertParquetBucketed(spark,
+      Seq(("u1", "lvl1", 100L)).toDF("user_id", "level", "ver"),
+      dir, "user_id", "ver", nBuckets = 4)
+    val out = Sinks.readDim(spark, dir).as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(("u1", "lvl1", 100L)))
+  }
+
   test("sorted layout: a pushed range predicate skips non-matching row groups") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -225,6 +225,35 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
   }
 
+  test("span dedup n_shared is immune to at-least-once store replay") {
+    // foreachBatch may replay a batch, appending its (fp, id) postings
+    // to the append-only store TWICE; a later batch's shared-fp tally
+    // against those docs must still count distinct fingerprints, not
+    // posting rows (2 shared fps must not read as 4).
+    val span = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val corpus = Seq((1L, s"alpha beta gamma delta $span epsilon zeta"))
+      .toDF("doc_id", "text")
+    val probe = Seq((9L, s"one two three four five six seven $span eight nine"))
+      .toDF("doc_id", "text")
+    def nShared(dir: String, replays: Int): Seq[(Long, Long, Long)] = {
+      (1 to replays).foreach { _ =>
+        IncrementalDedup.processSpanBatch(spark, corpus, s"$dir/store",
+          s"$dir/pairs", "text", "doc_id", k = 8, w = 4, minShared = 3L)
+      }
+      IncrementalDedup.processSpanBatch(spark, probe, s"$dir/store",
+        s"$dir/pairs", "text", "doc_id", k = 8, w = 4, minShared = 3L)
+      spark.read.parquet(s"$dir/pairs")
+        .filter(col("new_id") === 9L)
+        .select("new_id", "corpus_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    val once = nShared(tmp(), replays = 1)
+    val replayed = nShared(tmp(), replays = 2)
+    assert(once.nonEmpty, "fixture must share >= minShared fingerprints")
+    assert(replayed == once,
+      s"replayed store inflated n_shared: $replayed vs $once")
+  }
+
   test("incremental embedding dedup flags near-identical vectors across batches") {
     implicit val sc = spark.sqlContext
     val base = Array.tabulate(16)(i => (i + 1).toFloat / 4f)
