@@ -786,16 +786,27 @@ object Queries {
       |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin
 
   /** q38 — ranking analytics: top-3 customers per nation by account
-    * balance with rank and gap-to-previous (rank + lag window family). */
+    * balance with rank and gap-to-previous (rank + lag window family).
+    * The unique (balance desc, custkey) ordering makes rank() ≡
+    * row_number, so [[operators.Ranks.globalRowNumbers]] computes it
+    * from balanced range partitions (a per-nation window would sort
+    * the whole table on 25 tasks); slicePred keeps only slices whose
+    * offset < 3 — at most one slice boundary past the top-3 per nation
+    * reaches the rank exchange — and the lag/gap window runs over the
+    * ≤3-rows-per-nation survivor set. */
   val q38: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    t.customer
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("gap", round(lag(col("c_acctbal"), 1).over(w) - col("c_acctbal"), 2))
-      .filter(col("rnk") <= 3)
-      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+    val ranked = Ranks.globalRowNumbers(
+      Tables(s, dir).customer
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+      Seq("c_nationkey"),
+      Seq(col("c_acctbal").desc, col("c_custkey").asc),
+      slicePred = (off, _, _) => off < 3,
+      rowPred = (g, _) => g <= 3)
+    val wg = Window.partitionBy(col("c_nationkey")).orderBy(col("_g"))
+    ranked
+      .withColumn("gap",
+        round(lag(col("c_acctbal"), 1).over(wg) - col("c_acctbal"), 2))
+      .select(col("c_nationkey"), col("_g").as("rnk"), col("c_custkey"),
         round(col("c_acctbal"), 2).as("acctbal"), col("gap"))
   }
   val q38Sql: String =
@@ -889,22 +900,32 @@ object Queries {
   /** q40 — exact discrete percentiles (p50/p95 of order value per
     * priority) via explicit rank selection: value at 1-based rank
     * ⌈p·n⌉ in (o_totalprice, o_orderkey) order — the SQL-standard
-    * percentile_disc, expressed as a window so the selection rule is
-    * bit-identical in both engines (continuous interpolation differs
-    * in last-ulp FP between implementations; discrete selection cannot).
-    * At sketch-friendly scale the approx path is q50 (rows-only). */
+    * percentile_disc, whose selection rule is bit-identical in both
+    * engines (continuous interpolation differs in last-ulp FP between
+    * implementations; discrete selection cannot).
+    *
+    * Scale shape: [[operators.Ranks.globalRowNumbers]] — a plain
+    * per-priority window would sort the whole fact on 5 tasks; here
+    * the fact range-partitions into balanced slices, a tiny histogram
+    * locates the two ⌈p·n⌉ ranks, and ONLY the candidate slices are
+    * sorted (slicePred prunes the rest before the rank exchange). At
+    * sketch-friendly scale the approx path is q50 (rows-only). */
   val q40: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables(s, dir).orders
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
-      .filter(col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.95))
-      .groupBy(col("o_orderpriority"))
-      .agg(max(when(col("rn") === ceil(col("n") * 0.5), round(col("o_totalprice"), 2))).as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.95), round(col("o_totalprice"), 2))).as("p95"),
-        max(col("n")).cast("long").as("cnt"))
+    val r50 = (n: Column) => ceil(n * 0.5)
+    val r95 = (n: Column) => ceil(n * 0.95)
+    val ranked = Ranks.globalRowNumbers(
+      Tables(s, dir).orders
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice"), col("o_orderkey")),
+      slicePred = (off, cum, n) =>
+        (r50(n) > off && r50(n) <= cum) || (r95(n) > off && r95(n) <= cum),
+      rowPred = (g, n) => g === r50(n) || g === r95(n))
+    ranked.groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("_g") === r50(col("_n")), round(col("o_totalprice"), 2))).as("p50"),
+        max(when(col("_g") === r95(col("_n")), round(col("o_totalprice"), 2))).as("p95"),
+        max(col("_n")).cast("long").as("cnt"))
   }
   val q40Sql: String =
     """WITH r AS (
@@ -989,16 +1010,38 @@ object Queries {
     * rank ratios are emitted RAW — both engines compute them with the
     * same single IEEE division, so the doubles are bit-identical,
     * whereas round()ing them hits .5 ties that engines break
-    * differently (rank/n terminates when n is 2^a·5^b·k). */
+    * differently (rank/n terminates when n is 2^a·5^b·k).
+    *
+    * Scale shape: native ntile/percent_rank/cume_dist windowed by
+    * c_nationkey would sort the whole table on 25 tasks. With a unique
+    * ordering all three are pure arithmetic over (global row number g,
+    * group size n), so [[operators.Ranks.globalRowNumbers]] supplies
+    * (g, n) from balanced range partitions and the window functions
+    * become projections: ntile's first n%k tiles take ⌈n/k⌉ rows
+    * (integer `div` — a double floor() can land on the wrong side of
+    * an exact quotient at large n); percent_rank = (g-1)/(n-1) and
+    * cume_dist = g/n are the same single IEEE divisions the native
+    * functions perform (RanksSpec pins bit-equality to the native
+    * forms). */
   val q43: Q = (s, dir) => {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables(s, dir).customer.select(
-      col("c_nationkey"), col("c_custkey"),
-      round(col("c_acctbal"), 2).as("acctbal"),
-      ntile(4).over(w).cast("long").as("quartile"),
-      percent_rank().over(w).as("prank"),
-      cume_dist().over(w).as("cdist"))
+    val ranked = Ranks.globalRowNumbers(
+      Tables(s, dir).customer
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+      Seq("c_nationkey"),
+      Seq(col("c_acctbal"), col("c_custkey")))
+    ranked
+      .withColumn("_q", expr("_n div 4"))
+      .withColumn("_r", col("_n") % 4)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        when(col("_g") <= col("_r") * (col("_q") + 1),
+            expr("(_g - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_r + 1 + (_g - _r * (_q + 1) - 1) div _q"))
+          .cast("long").as("quartile"),
+        when(col("_n") === 1, lit(0.0))
+          .otherwise((col("_g") - 1) / (col("_n") - 1)).as("prank"),
+        (col("_g") / col("_n")).as("cdist"))
   }
   val q43Sql: String =
     """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order statistics — global per-group row numbers without a
+  * per-group sort.
+  *
+  * The naive form (`row_number().over(Window.partitionBy(group)
+  * .orderBy(order))`) moves EVERY row of a group onto one task and
+  * sorts it there: partitioned by a bounded-cardinality key (order
+  * priority: 5 values, nation: 25) the whole fact lands on 5–25 tasks —
+  * correct at test SF, a scale-killer at 100×. This operator computes
+  * the identical ranks with no partition ever holding more than
+  * ~|input|/P rows:
+  *
+  *  1. `repartitionByRange(P, group ++ order)` spreads the data into P
+  *     balanced range partitions whose boundaries follow the SAME
+  *     (group, order) total order the ranks are defined over — so a
+  *     row's global rank is (rows before its partition) + (its rank
+  *     within the partition).
+  *  2. A histogram `(partition, group) → count` (P×|groups| rows,
+  *     map-side combinable) is prefix-summed per group with windows
+  *     over the TINY histogram frame, giving each (partition, group)
+  *     slice its starting offset and the group total `n`.
+  *  3. The offsets broadcast-join back onto the ranged data (no
+  *     shuffle: the tiny side broadcasts), and a window partitioned by
+  *     (partition, group) — every partition bounded by construction —
+  *     adds the local `row_number`; global rank = local + offset.
+  *
+  * `slicePred`/`rowPred` prune rank SELECTION queries (percentile,
+  * top-k): slices that cannot contain a wanted rank are dropped by the
+  * broadcast join BEFORE the local-rank exchange, so e.g. an exact
+  * percentile shuffles and sorts only the two candidate slices per
+  * group, not the fact.
+  *
+  * Correctness note (pinned by PlanSpec): the ranged frame is consumed
+  * twice (histogram + data side). Range-exchange boundary sampling is
+  * deterministic only per materialization, so the two consumers MUST
+  * read one reused exchange — which holds because the subtree below the
+  * exchange (scan + column-pruned project) is deterministic and
+  * lambda-free, exactly the canonical-equality condition Spark's
+  * exchange/stage reuse requires. PlanSpec asserts each consumer query
+  * plans exactly one range exchange (the second occurrence a reuse).
+  */
+object Ranks {
+
+  /** Add global per-group 1-based row numbers (`rankCol`, long) and the
+    * group size (`sizeCol`, long) to `df`, computed scale-safe as
+    * described above.
+    *
+    * @param groupCols rank-partition columns (the per-group restart)
+    * @param orderCols rank order within a group; include a unique
+    *                  tie-break column so ranks are deterministic
+    * @param parts     range-partition count; defaults to the session's
+    *                  shuffle partitions
+    * @param slicePred keep a (partition, group) slice? args = (offset,
+    *                  cumulative count, group total n) — rows of
+    *                  dropped slices never reach the rank exchange
+    * @param rowPred   keep a ranked row? args = (global rank, n)
+    */
+  def globalRowNumbers(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[Column], parts: Int = 0,
+                       slicePred: (Column, Column, Column) => Column =
+                         (_, _, _) => lit(true),
+                       rowPred: (Column, Column) => Column =
+                         (_, _) => lit(true),
+                       rankCol: String = "_g",
+                       sizeCol: String = "_n"): DataFrame = {
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
+      .withColumn("_pid", spark_partition_id())
+    val hist = b.groupBy((col("_pid") +: gCols): _*)
+      .agg(count(lit(1)).as("_c"))
+    // histogram-sized windows: P×|groups| rows, never the data
+    val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
+    val wAll = Window.partitionBy(gCols: _*)
+    val offs = hist
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_off", col("_cum") - col("_c"))
+      .withColumn(sizeCol, sum(col("_c")).over(wAll))
+      .filter(slicePred(col("_off"), col("_cum"), col(sizeCol)))
+      .drop("_c", "_cum")
+    val wLocal = Window.partitionBy((col("_pid") +: gCols): _*)
+      .orderBy(orderCols: _*)
+    // Null-SAFE group-key equality, twice over: (a) a null group key is
+    // a real rank partition for window functions, so its slice offsets
+    // must join back rather than vanish through an EqualTo; (b) plain
+    // equality makes the optimizer infer IsNotNull(groupKey) and push
+    // it below the DATA side's range exchange but not the histogram's —
+    // the two exchange subtrees then stop being canonically equal and
+    // stage reuse (which correctness depends on, see above) never fires.
+    val cond = groupCols
+      .map(c => col(s"_d.$c") <=> col(s"_o.$c"))
+      .foldLeft(col("_d._pid") === col("_o._pid"))(_ && _)
+    b.as("_d").join(broadcast(offs.as("_o")), cond)
+      .select(b.columns.map(c => col(s"_d.$c")) ++
+        Seq(col("_o._off"), col(s"_o.$sizeCol")): _*)
+      .withColumn(rankCol, row_number().over(wLocal).cast("long") + col("_off"))
+      .filter(rowPred(col(rankCol), col(sizeCol)))
+      .drop("_pid", "_off")
+  }
+}

@@ -67,6 +67,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  // the window's input must be aggregate-bounded THROUGH a chain of
+  // row-preserving/narrowing single-child nodes — an Aggregate
+  // merely somewhere below (e.g. on one side of a join with a raw
+  // fact) does not bound the rows the sort swallows
+  private def aggBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
+           _: Window | _: GlobalLimit | _: LocalLimit | _: Distinct =>
+        aggBounded(p.children.head)
+      case _ => false
+    }
+  }
+
   test("guardrail: global-order windows only ever sit above an aggregate") {
     // A Window.orderBy with NO partitioning collapses its input to a
     // single partition — fine over a pre-aggregated frame (|days|,
@@ -75,17 +91,6 @@ class PlanSpec extends SparkTestBase {
     // reintroduce the anti-pattern silently (this was prose in q42's
     // comment; now it's checked).
     import org.apache.spark.sql.catalyst.plans.logical._
-    // the window's input must be aggregate-bounded THROUGH a chain of
-    // row-preserving/narrowing single-child nodes — an Aggregate
-    // merely somewhere below (e.g. on one side of a join with a raw
-    // fact) does not bound the rows the global sort swallows
-    def aggBounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
-           _: Window | _: GlobalLimit | _: LocalLimit | _: Distinct =>
-        aggBounded(p.children.head)
-      case _ => false
-    }
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.optimizedPlan
       plan.foreach {
@@ -94,6 +99,49 @@ class PlanSpec extends SparkTestBase {
             s"$name: global-order Window over un-aggregated input — " +
               "pre-aggregate to a bounded frame before a global sort")
         case _ => ()
+      }
+    }
+  }
+
+  test("guardrail: no window partitioned solely by bounded-cardinality keys over raw data") {
+    // The q43-shape anti-pattern: a Window partitioned ONLY by keys
+    // with a small, data-independent domain (5 priorities, 25 nations,
+    // ~30 languages) sorts the whole input on |domain| tasks — correct
+    // at test SF, a scale-killer at 100×. The scale-safe forms are
+    // Ranks.globalRowNumbers (rank family) or pre-aggregation.
+    // Enumerate every catalog plan; waivers document the cases where a
+    // bounded partition key is provably safe (SCALING.md, "bounded-key
+    // windows").
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val boundedKeys = Set(
+      "c_nationkey", "s_nationkey", "n_nationkey", "n_regionkey",
+      "r_regionkey", "c_mktsegment", "o_orderpriority", "o_orderstatus",
+      "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+      "lang", "event_type", "media_type")
+    val waived: Map[String, String] = Map(
+      "q38_rank_lag" -> ("lag window runs over the rank-selected " +
+        "top-3-per-nation survivors: ≤3 rows per key by the upstream " +
+        "rowPred, not the fact"),
+      "q58_seq_pack" -> ("greedy pack fill is a per-lang prefix sum by " +
+        "definition; at lake scale pack within (lang, shard) — SCALING.md"),
+      "q65_token_budget" -> ("token-budget selection is a per-lang " +
+        "prefix sum by definition; at lake scale shard the prefix sums " +
+        "within (lang, shard) — SCALING.md"))
+    Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!waived.contains(name)) {
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        plan.foreach {
+          case w: Window if w.partitionSpec.nonEmpty =>
+            val keys = w.partitionSpec
+              .flatMap(_.references.map(_.name.toLowerCase)).toSet
+            if (keys.nonEmpty && keys.subsetOf(boundedKeys))
+              assert(aggBounded(w.child),
+                s"$name: window partitioned by bounded-cardinality keys " +
+                  s"$keys over un-aggregated input sorts the fact on " +
+                  "|domain| tasks at scale — use Ranks.globalRowNumbers, " +
+                  "pre-aggregate, or add a documented waiver")
+          case _ => ()
+        }
       }
     }
   }

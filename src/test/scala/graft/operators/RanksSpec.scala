@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Queries, SparkTestBase, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranks.globalRowNumbers replaces per-group window sorts (a
+  * bounded-cardinality partition key lands the whole fact on |keys|
+  * tasks) with range-partitioned rank arithmetic. The point of the
+  * rewrite is (a) the values are IDENTICAL to the native window
+  * functions and (b) the plan's two consumers of the ranged frame read
+  * ONE reused range exchange — range-boundary sampling is deterministic
+  * only per materialization, so a second exchange would misalign the
+  * histogram offsets against the data side. Both are pinned here. */
+class RanksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[org.apache.spark.sql.Row] =
+    df.collect().toSet
+
+  test("q43 rank arithmetic is bit-identical to native ntile/percent_rank/cume_dist") {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val native = Tables(spark, sf).customer.select(
+      col("c_nationkey"), col("c_custkey"),
+      round(col("c_acctbal"), 2).as("acctbal"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"))
+    assert(rows(Queries.all("q43_ntile")(spark, sf)) == rows(native))
+  }
+
+  test("q38 rank selection is bit-identical to the native rank/lag window") {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val native = Tables(spark, sf).customer
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("gap",
+        round(lag(col("c_acctbal"), 1).over(w) - col("c_acctbal"), 2))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("gap"))
+    assert(rows(Queries.all("q38_rank_lag")(spark, sf)) == rows(native))
+  }
+
+  test("q40 percentile selection is bit-identical to the single-window form") {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val native = Tables(spark, sf).orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === ceil(col("n") * 0.5) ||
+        col("rn") === ceil(col("n") * 0.95))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5),
+          round(col("o_totalprice"), 2))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95),
+          round(col("o_totalprice"), 2))).as("p95"),
+        max(col("n")).cast("long").as("cnt"))
+    assert(rows(Queries.all("q40_percentile")(spark, sf)) == rows(native))
+  }
+
+  test("globalRowNumbers matches a per-group sort on a skewed synthetic frame") {
+    // group sizes 1 / 7 / 400 with duplicate order values (id tie-break),
+    // parts both above and below the group count
+    val data = (Seq(("a", 5.0, 1L)) ++
+      (1 to 7).map(i => ("b", (i % 3).toDouble, 100L + i)) ++
+      (1 to 400).map(i => ("c", (i % 10).toDouble, 1000L + i)))
+    val df = data.toDF("grp", "v", "id").repartition(6)
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val out = Seq("grp", "v", "id", "_g", "_n").map(col)
+    val native = df
+      .withColumn("_g", row_number().over(w).cast("long"))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))).cast("long"))
+    for (p <- Seq(2, 5, 16)) {
+      val ranked = Ranks.globalRowNumbers(df, Seq("grp"),
+        Seq(col("v"), col("id")), parts = p)
+      assert(rows(ranked.select(out: _*)) == rows(native.select(out: _*)),
+        s"parts=$p")
+      // selection path: top-2 per group through slicePred/rowPred
+      val top2 = Ranks.globalRowNumbers(df, Seq("grp"),
+        Seq(col("v"), col("id")), parts = p,
+        slicePred = (off, _, _) => off < 2,
+        rowPred = (g, _) => g <= 2)
+      assert(rows(top2.select(out: _*)) ==
+        rows(native.filter(col("_g") <= 2).select(out: _*)), s"parts=$p top2")
+    }
+  }
+
+  // ---- the reuse pin -------------------------------------------------
+
+  private def allStages(p: SparkPlan): Seq[ShuffleQueryStageExec] = {
+    val local = p.collect {
+      case s: QueryStageExec => s
+      case a: AdaptiveSparkPlanExec => a
+    }
+    local.flatMap {
+      case s: ShuffleQueryStageExec => s +: allStages(s.plan)
+      case s: QueryStageExec => allStages(s.plan)
+      case a: AdaptiveSparkPlanExec => allStages(a.executedPlan)
+      case _ => Nil
+    }
+  }
+
+  test("ranked queries execute exactly ONE range shuffle stage (reuse is load-bearing)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("q38_rank_lag", "q40_percentile", "q43_ntile").foreach { name =>
+      val df = Queries.all(name)(spark, sf)
+      df.collect()
+      val root = df.queryExecution.executedPlan
+      val rangeStages = allStages(root).filter(_.shuffle.outputPartitioning
+        .isInstanceOf[RangePartitioning])
+      assert(rangeStages.size >= 2,
+        s"$name: expected both consumers of the ranged frame ($rangeStages)")
+      // AQE wraps the second consumer's ReusedExchange in its own stage
+      // id — what must be unique is the MATERIALIZED exchange; every
+      // other range stage must be a reuse of it
+      val materialized = rangeStages.filter(_.plan.isInstanceOf[ShuffleExchangeExec])
+      assert(materialized.size == 1,
+        s"$name: range exchange materialized ${materialized.size} times — " +
+          "histogram offsets and data pids would come from different " +
+          s"boundary samples:\n$root")
+    }
+  }
+}
