@@ -1315,7 +1315,7 @@ object Queries {
   val q55Sql: String =
     """WITH coin AS (
       |  SELECT lang, doc_id,
-      |    (doc_id * 2654435761) % 4294967296 AS c,
+      |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS c,
       |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS rate
       |  FROM documents
       |), k AS (

@@ -98,8 +98,13 @@ object Sampling {
 
   /** Domain mixing: down-sample each domain to its target RATE with a
     * deterministic per-row coin — keep when
-    * `(id·2654435761) mod 2³² < rate·2³²` (Knuth's multiplicative
-    * hash: uniform, engine-portable integer arithmetic, no RNG state).
+    * `((id mod 2³¹)·2654435761) mod 2³² < rate·2³²` (Knuth's
+    * multiplicative hash: uniform, engine-portable integer arithmetic,
+    * no RNG state). The id is reduced mod 2³¹ FIRST so the product is
+    * at most 2³¹·2654435761 < 2⁶³ — it never overflows a signed 64-bit
+    * integer, so engines that silently wrap (Spark) and engines that
+    * promote to 128-bit (DuckDB HUGEINT) compute the identical coin for
+    * ANY 64-bit id, not just ids below ~3.5e9.
     * One filter, no shuffle, reproducible across runs/partitionings/
     * engines — the reweighting step that turns a raw crawl mix into a
     * target training mix. Domains missing from `rates` keep
@@ -110,7 +115,8 @@ object Sampling {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
       when(col(domainCol) === domain, lit(r)).otherwise(acc)
     }
-    val coin = pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L))
+    val reduced = pmod(col(idCol).cast("long"), lit(2147483648L))
+    val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
     df.filter(coin < rate * lit(4294967296L))
   }
 }

@@ -210,6 +210,26 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("domain mix: coin is overflow-free and portable for ids near 2^33") {
+    // Lake-scale doc_ids exceed 2^32; the coin must equal the
+    // infinite-precision value (what a HUGEINT-promoting engine like
+    // DuckDB computes) — the pre-reduction mod 2^31 guarantees the
+    // product never wraps a signed 64-bit long.
+    val base = 1L << 33
+    val ids = (0L until 4096L).map(base + _)
+    val df = ids.map(id => (id, "en")).toDF("doc_id", "lang")
+    val kept = Sampling.mixByRate(df, "lang", "doc_id", Map("en" -> 0.37))
+      .select("doc_id").as[Long].collect().toSet
+    val expected = ids.filter { id =>
+      val coin = ((BigInt(id).mod(BigInt(2147483648L))) * 2654435761L)
+        .mod(BigInt(4294967296L))
+      BigDecimal(coin) < BigDecimal(0.37) * 4294967296L
+    }.toSet
+    assert(kept == expected)
+    // and the keep fraction is still near the rate in the high-id range
+    assert(math.abs(kept.size.toDouble / ids.size - 0.37) < 0.05)
+  }
 }
 
 class SkylineSpec extends SparkTestBase {
