@@ -35,9 +35,19 @@ object Compaction {
     * partition dirs, duplicating the table. Previous files are moved to
     * `_snap_<epochMs>/` beside the data (the "old snapshot"), so readers
     * of the new generation see only right-sized files.
+    *
+    * Crash-ordering knob: the default (`promoteFirst = false`) moves the
+    * old generation aside BEFORE promoting the rewrite, so a reader never
+    * sees a row twice — but a crash between the two steps leaves the live
+    * dir empty until the snapshot is restored by hand. `promoteFirst =
+    * true` inverts the order for DUPLICATE-TOLERANT readers (e.g. the
+    * incremental-dedup posting stores, whose consumers `distinct()`
+    * before thresholding): the worst crash window then shows both
+    * generations at once — transient duplicates, never missing data.
     * Returns (filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, dir: String,
-                       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       promoteFirst: Boolean = false): (Int, Int) = {
     val p = new Path(dir)
     val hfs = fs(spark, p)
     // Drop STALE temp dirs from a crashed run (safe: data files only
@@ -61,7 +71,8 @@ object Compaction {
     // recurse into partition subdirs first (handles nested dt=/hr=)
     val (subBefore, subAfter) = children
       .filter(st => st.isDirectory && isPartitionDir(st.getPath.getName))
-      .map(st => rewriteDataFiles(spark, st.getPath.toString, targetBytes))
+      .map(st => rewriteDataFiles(spark, st.getPath.toString, targetBytes,
+        promoteFirst))
       .foldLeft((0, 0)) { case ((b, a), (x, y)) => (b + x, a + y) }
     val dataFiles = children.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
@@ -79,13 +90,19 @@ object Compaction {
     val tmp = new Path(p,
       s"_compact_tmp_${System.currentTimeMillis()}_${System.nanoTime()}").toString
     df.repartition(nOut).write.mode("overwrite").parquet(tmp)
-    // move old generation into a snapshot dir, promote the new files
+    // swap generations: snapshot-move the old files and promote the new
+    // ones, in the order the reader can tolerate (see scaladoc). Spark's
+    // part-file names embed a per-job UUID, so promoted names never
+    // collide with the old generation's.
     val snap = new Path(p, s"_snap_${System.currentTimeMillis()}")
     hfs.mkdirs(snap)
-    dataFiles.foreach(st => hfs.rename(st.getPath, new Path(snap, st.getPath.getName)))
-    hfs.listStatus(new Path(tmp))
+    def moveOldAside(): Unit = dataFiles.foreach(st =>
+      hfs.rename(st.getPath, new Path(snap, st.getPath.getName)))
+    def promote(): Unit = hfs.listStatus(new Path(tmp))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .foreach(st => hfs.rename(st.getPath, new Path(p, st.getPath.getName)))
+    if (promoteFirst) { promote(); moveOldAside() }
+    else { moveOldAside(); promote() }
     hfs.delete(new Path(tmp), true)
     val after = hfs.listStatus(p)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

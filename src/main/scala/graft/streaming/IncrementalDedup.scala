@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.maintenance.Compaction
 import graft.operators.Dedup
 
 /** Incremental near-dup detection: dedup newly arriving documents
@@ -21,8 +22,34 @@ import graft.operators.Dedup
   *   4. append the batch's bands to the store.
   *
   * The store is a parquet dir here (bands-partitionable; Iceberg
-  * drop-in); its size is ~bands×8B per doc, a tiny fraction of text. */
+  * drop-in); its size is ~bands×8B per doc, a tiny fraction of text.
+  *
+  * Store maintenance: every micro-batch appends one parquet generation
+  * to the store and pairs dirs — a 200 ms trigger makes thousands of
+  * tiny files, and every probe join then pays their open/footer cost.
+  * `compactEvery = N` runs [[graft.maintenance.Compaction
+  * .rewriteDataFiles]] over both dirs after every Nth batch.
+  * `foreachBatch` bodies are serialized per query, so the compactor is
+  * the sole writer during its window (the single-writer contract).
+  * Compaction uses `promoteFirst = true` because every store consumer
+  * deduplicates postings before thresholding (`distinct()` /
+  * `countDistinct`): a crash mid-swap can only surface transient
+  * duplicates, never drop postings. Snapshots are expired immediately
+  * after a successful swap — the store is derivative of the stream, so
+  * retaining generation history would just double disk per cycle. */
 object IncrementalDedup {
+
+  /** Compact `dirs` after every `every`-th batch (no-op if `every` ≤ 0
+    * or a dir doesn't exist yet). */
+  private def maybeCompact(spark: SparkSession, batchId: Long, every: Int,
+                           dirs: Seq[String], targetBytes: Long): Unit =
+    if (every > 0 && batchId % every == every - 1) dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+        Compaction.rewriteDataFiles(spark, d, targetBytes, promoteFirst = true)
+        Compaction.expireSnapshots(spark, d, System.currentTimeMillis() + 1)
+      }
+    }
 
   def processBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
                    pairsDir: String, textCol: String, idCol: String,
@@ -78,12 +105,16 @@ object IncrementalDedup {
           pairsDir: String, checkpoint: String,
           textCol: String = "text", idCol: String = "doc_id",
           numHashes: Int = 64, bands: Int = 16,
-          estThreshold: Double = 0.5): StreamingQuery =
+          estThreshold: Double = 0.5,
+          compactEvery: Int = 0,
+          compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(spark, batch.toDF(), storeDir, pairsDir,
           textCol, idCol, numHashes, bands, estThreshold)
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(storeDir, pairsDir), compactTargetBytes)
       }
       .start()
 
@@ -181,12 +212,16 @@ object IncrementalDedup {
   def runSpans(spark: SparkSession, docs: DataFrame, storeDir: String,
                pairsDir: String, checkpoint: String,
                textCol: String = "text", idCol: String = "doc_id",
-               k: Int = 8, w: Int = 4, minShared: Long = 3L): StreamingQuery =
+               k: Int = 8, w: Int = 4, minShared: Long = 3L,
+               compactEvery: Int = 0,
+               compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processSpanBatch(spark, batch.toDF(), storeDir, pairsDir,
           textCol, idCol, k, w, minShared)
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(storeDir, pairsDir), compactTargetBytes)
       }
       .start()
 
@@ -195,12 +230,16 @@ object IncrementalDedup {
                     pairsDir: String, checkpoint: String,
                     vecCol: String = "embedding", idCol: String = "vec_id",
                     planes: Int = 8, bands: Int = 3,
-                    threshold: Double = 0.95): StreamingQuery =
+                    threshold: Double = 0.95,
+                    compactEvery: Int = 0,
+                    compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processEmbeddingBatch(spark, batch.toDF(), storeDir, pairsDir,
           vecCol, idCol, planes, bands, threshold)
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(storeDir, pairsDir), compactTargetBytes)
       }
       .start()
 }

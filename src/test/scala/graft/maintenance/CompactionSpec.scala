@@ -25,6 +25,22 @@ class CompactionSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == before)
   }
 
+  test("M1 promoteFirst ordering reaches the same end state") {
+    val dir = Files.createTempDirectory("graft_compact_pf_").toString + "/t"
+    (1 to 6).foreach { i =>
+      Seq((i, s"row$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val (nBefore, nAfter) = Compaction.rewriteDataFiles(spark, dir,
+      targetBytes = 1L << 30, promoteFirst = true)
+    assert(nBefore == 6 && nAfter == 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+    assert(Compaction.expireSnapshots(spark, dir,
+      olderThanMs = System.currentTimeMillis() + 1000) == 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+  }
+
   test("M1 on a hive-partitioned table compacts per partition, no row duplication") {
     val dir = Files.createTempDirectory("graft_compact_part_").toString + "/t"
     // two dt= partitions, 4 tiny files each (the streamAppend layout)

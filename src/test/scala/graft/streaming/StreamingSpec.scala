@@ -277,6 +277,45 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
   }
 
+  test("incremental dedup pairs are identical across mid-stream store compaction") {
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight again"
+    val far = "catalyst turns logical plans into physical plans with pushdown pruning and codegen"
+    def variant(i: Int) = base.replace("tonight", s"night$i")
+    def parquetFiles(dir: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).map(_.getPath)
+        .filter(_.endsWith(".parquet"))
+    }
+    def drive(compactEvery: Int): (Set[(Long, Long)], Int, Seq[String]) = {
+      val w = tmp()
+      val in = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.run(spark, in.toDF().toDF("doc_id", "text"),
+        s"$w/store", s"$w/pairs", s"$w/cp", estThreshold = 0.4,
+        compactEvery = compactEvery)
+      in.addData((1L, base), (2L, far)); q.processAllAvailable()
+      in.addData((3L, variant(3))); q.processAllAvailable() // batchId 1: compact fires at every=2
+      in.addData((4L, variant(4))); q.processAllAvailable() // probes the COMPACTED store
+      in.addData((5L, variant(5))); q.processAllAvailable() // batchId 3: compact again
+      q.stop()
+      val pairs = spark.read.parquet(s"$w/pairs")
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (pairs, parquetFiles(s"$w/store").size, parquetFiles(s"$w/store"))
+    }
+    val (plain, plainFiles, _) = drive(compactEvery = 0)
+    val (compacted, compactedFiles, storePaths) = drive(compactEvery = 2)
+    assert(plain.nonEmpty && plain.contains((4L, 1L)),
+      "fixture must produce cross-batch pairs")
+    assert(compacted == plain,
+      s"compaction changed pair results: ${compacted.diff(plain)} / ${plain.diff(compacted)}")
+    // the compacted store holds fewer, larger generations...
+    assert(compactedFiles < plainFiles, s"$compactedFiles !< $plainFiles")
+    // ...and snapshots were expired right after each swap
+    assert(!storePaths.exists(_.contains("_snap_")), storePaths.mkString(","))
+  }
+
   test("R2 dual sink writes both targets from one stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Int]
