@@ -1660,6 +1660,82 @@ object Queries {
        |)
        |SELECT doc_id, lang, toks, cum_toks FROM c WHERE cum_toks <= 20000""".stripMargin
 
+  /** q66 — semantic dedup (the SemDeDup shape) under a VALUE oracle:
+    * nearest-centroid cells → within-cell cosine pairs ≥ 0.35 →
+    * transitive clusters → keep the cell-centroid-closest member.
+    * Production runs pass `Similarity.kmeansCentroids` (seeded init →
+    * rows-only); here the centroids are FIXED data-defined literals
+    * (the vectors of vec_id < 4, collected once at plan build — model
+    * parameters, like q23's), so every step is deterministic and the
+    * DuckDB side can replay assignment (sequential squared-L2 fold,
+    * argmin tie-broken by centroid id), the pair set, a recursive-CTE
+    * closure, and the survivor argmax bit-exactly. Threshold 0.35 is
+    * semantic redundancy on this corpus (max pairwise cosine 0.51 —
+    * q16's 0.3 convention), yielding multi-doc transitive clusters at
+    * sf0.01. */
+  val q66: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val centRows = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+    val cids = centRows.map(_.getLong(0))
+    val cvecs = centRows.map(
+      _.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
+    Dedup.semanticDedup(emb, "embedding", "vec_id", s, (cids, cvecs),
+      threshold = 0.35)
+  }
+  val q66Sql: String =
+    """WITH RECURSIVE cents AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centv
+      |  FROM embeddings WHERE vec_id < 4
+      |), v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), dist AS (
+      |  SELECT vec_id, cell,
+      |    list_sum(list_transform(range(1, len(v)+1),
+      |      i -> (v[i]-centv[i])*(v[i]-centv[i]))) AS d2
+      |  FROM v CROSS JOIN cents
+      |), a AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) WHERE rn = 1
+      |), p AS (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  JOIN v vx ON vx.vec_id = x.vec_id JOIN v vy ON vy.vec_id = y.vec_id
+      |  WHERE list_cosine_similarity(vx.v, vy.v) >= 0.35
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+      |), cl AS (
+      |  SELECT id, MIN(r) AS keep FROM reach GROUP BY id
+      |), m AS (
+      |  SELECT a.vec_id, a.cell, COALESCE(cl.keep, a.vec_id) AS cluster,
+      |    list_cosine_similarity(v.v, c.centv) AS cent_cos
+      |  FROM a JOIN v ON v.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell
+      |  LEFT JOIN cl ON cl.id = a.vec_id
+      |), surv AS (
+      |  SELECT cluster, vec_id AS survivor_id FROM (
+      |    SELECT cluster, vec_id,
+      |      row_number() OVER (PARTITION BY cluster ORDER BY cent_cos DESC, vec_id) AS rn
+      |    FROM m) WHERE rn = 1
+      |)
+      |SELECT m.vec_id, m.cell, surv.survivor_id
+      |FROM m JOIN surv ON m.cluster = surv.cluster""".stripMargin
+
+  /** q67 — int8-quantized two-stage ANN (rows-only: the quantized
+    * stage-1 ranking is implementation-defined; RecallSpec floors its
+    * recall against exact q14 instead). Same query set as q14/q15/q23
+    * so the variants compare directly. */
+  val q67: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5)
+  }
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1728,6 +1804,8 @@ object Queries {
     "q63_span_overlap" -> q63,
     "q64_dedup_survivors" -> q64,
     "q65_token_budget" -> q65,
+    "q66_semantic_dedup" -> q66,
+    "q67_ann_quantized" -> q67,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1790,5 +1868,8 @@ object Queries {
     "q63_span_overlap" -> q63Sql,
     "q64_dedup_survivors" -> q64Sql,
     "q65_token_budget" -> q65Sql,
+    "q66_semantic_dedup" -> q66Sql,
+    // q67_ann_quantized: rows-only (int8 stage-1 ranking is
+    // implementation-defined; RecallSpec floors recall vs exact q14)
   )
 }

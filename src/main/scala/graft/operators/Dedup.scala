@@ -435,4 +435,74 @@ object Dedup {
         Vectors.cosineWithNorms(Vectors.dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Semantic dedup (the SemDeDup shape): cluster-level pruning of
+    * semantically redundant documents.
+    *
+    *  1. assign every vector to its nearest coarse centroid (one
+    *     native `NearestCentroids` projection — centroids are model
+    *     parameters inlined as literals, no corpus shuffle);
+    *  2. find near-dup pairs WITHIN each cell only — exact cosine over
+    *     the cell-blocked self-join, ids-only through the blocking
+    *     exchange, vectors joined back per candidate;
+    *  3. collapse pairs transitively ([[clusterDuplicates]]);
+    *  4. per cluster keep the member closest to its cell centroid
+    *     (max centroid-cosine, min id tie-break) — redundancy is
+    *     pruned toward the cell's semantic center.
+    *
+    * Returns one row per input doc: (idCol, cell, survivor_id);
+    * a doc survives iff survivor_id == id.
+    *
+    * Scale contract (100 TB): the cell count is THE lever — within-cell
+    * scoring is O(Σ cell²), so centroids must grow with the corpus
+    * (k ≈ N/⟨cell⟩ for a target mean cell size; SemDeDup uses ~100k
+    * cells for web-scale corpora). Pass k-means centroids from
+    * [[Similarity.kmeansCentroids]] (seeded, offline) or any fixed
+    * centroid set; with C ≫ cores the cell-keyed exchanges balance and
+    * AQE splits stragglers. Deterministic given fixed centroids — q66
+    * value-oracles exactly that configuration. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    spark: org.apache.spark.sql.SparkSession,
+                    centroids: (Array[Long], Array[Array[Double]]),
+                    threshold: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cids, cvecs) = centroids
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", element_at(
+        graft.expressions.CentroidOps.nearestCentroids(col("v"), cids, cvecs), 1))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    // within-cell candidates: ids only through the cell exchange
+    val slim = assigned.select(col("cell"), col("id"))
+    val cand = slim.join(slim.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+    val vecs = assigned.select(col("id"), col("v"), col("nrm"))
+    val pairs = cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosineWithNorms(Vectors.dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val clusters = clusterDuplicates(pairs.select("id_a", "id_b"), spark)
+    // centroid-cosine per doc via a broadcast of the tiny centroid frame
+    val centDf = spark.createDataFrame(
+        cids.zip(cvecs).map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cell", "centv")
+    val member = assigned
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("cent_cos", Vectors.cosineWithNorms(
+        Vectors.dot(col("v"), col("centv")), col("nrm"), Vectors.norm(col("centv"))))
+      .select(col("id"), col("cell"), col("cent_cos"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("keep_id"), col("id")))
+    // per-cluster argmax: frames are cluster-sized (q64's survivor shape)
+    val wnd = Window.partitionBy(col("cluster"))
+      .orderBy(col("cent_cos").desc, col("id").asc)
+    val surv = member.withColumn("_rn", row_number().over(wnd))
+      .filter(col("_rn") === 1)
+      .select(col("cluster"), col("id").as("survivor_id"))
+    member.join(surv, Seq("cluster"))
+      .select(col("id").as(idCol), col("cell"), col("survivor_id"))
+  }
 }

@@ -163,6 +163,44 @@ object Similarity {
     * explodes to `planes + 1` probe rows, so per-query cost is
     * O(N · (planes+1) / 2^planes). `probeBits = 0` restores the exact
     * single-bucket probe. */
+  /** Int8-quantized two-stage top-k: score ALL pairs with the
+    * quantized dot (4× fewer bytes through the scan/broadcast than
+    * float32 — at lake scale the corpus stores `quantizeInt8(v)` and
+    * never reads the float column in stage 1), keep the top
+    * `k·candFactor` candidates per query, then re-rank just those with
+    * the exact cosine. Approximation error only matters near the k-th
+    * boundary, so a small candFactor recovers recall (RecallSpec floors
+    * it against [[bruteForceTopK]]); the stage-1 score normalizes the
+    * quantized dot by the exact norms so varying corpus magnitudes
+    * don't distort the candidate ranking. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, k: Int, candFactor: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      Vectors.quantizeInt8(col(vecCol)).as("cq"),
+      Vectors.norm(col(vecCol)).as("c_norm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Vectors.quantizeInt8(col(vecCol)).as("qq"),
+      Vectors.norm(col(vecCol)).as("q_norm"))
+    val cands = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Vectors.cosineWithNorms(Vectors.dotQuantized(col("cq"), col("qq")),
+          col("c_norm"), col("q_norm")).as("ascore"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ascore").desc, col("corpus_id").asc)).cast("long"))
+      .filter(col("_rn") <= k.toLong * candFactor)
+      .select(col("query_id"), col("corpus_id"))
+    // exact re-rank of the surviving k·candFactor ids only
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("c_norm"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("q_norm"))
+    val scored = cands.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
+          col("c_norm"), col("q_norm")).as("score"))
+    topK(scored, k)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, planes: Int = 8,
               probeBits: Int = 1): DataFrame = {

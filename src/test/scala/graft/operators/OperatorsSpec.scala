@@ -338,6 +338,40 @@ class DedupSpec extends SparkTestBase {
     assert(large.toSeq == expected)
   }
 
+  test("duplicate clustering at the Pregel boundary: 165k edges, both paths equal") {
+    // The GraphX branch only engages above smallEdgeLimit (default
+    // 100k) and so never runs in the per-query bench. Drive it with a
+    // synthetic edge set big enough to cross the boundary and with an
+    // ANALYTIC truth: 55k disjoint 4-vertex chains (4g)-(4g+1)-(4g+2)-
+    // (4g+3) -> every member's keep_id is its chain's minimum 4g.
+    // Timing both paths here is the recorded crossover evidence
+    // (BASELINE.md "cluster-collapse crossover").
+    val groups = 55000L
+    val edges = spark.range(0, groups * 3)
+      .select(((col("id") / 3).cast("long") * 4 + col("id") % 3).as("id_a"))
+      .withColumn("id_b", col("id_a") + 1)
+      .persist()
+    assert(edges.count() == groups * 3) // materialize before timing
+    def timed(limit: Long): (Map[Long, Long], Double) = {
+      val t0 = System.nanoTime()
+      val m = Dedup.clusterDuplicates(edges, spark, smallEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val (unionFind, tUf) = timed(limit = 200000L) // probe holds all edges
+    val (pregel, tPg) = timed(limit = 100000L)    // 165k > limit -> GraphX
+    info(f"165k-edge collapse: union-find $tUf%.2f s, Pregel $tPg%.2f s")
+    assert(unionFind.size == groups * 4)
+    assert(pregel == unionFind, "paths disagree at the boundary")
+    // analytic truth on a sample stride (full map equality above)
+    (0L until groups by 5000L).foreach { g =>
+      (0L until 4L).foreach { k =>
+        assert(unionFind(g * 4 + k) == g * 4, s"vertex ${g * 4 + k}")
+      }
+    }
+    edges.unpersist()
+  }
+
   test("span fingerprints: a copied span is caught, disjoint text is not") {
     // winnowing guarantee: any verbatim span of >= k+w-1 words shared
     // between two docs contributes >= 1 common fingerprint; here the

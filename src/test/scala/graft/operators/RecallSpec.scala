@@ -155,6 +155,44 @@ class RecallSpec extends SparkTestBase {
       s"false cross-batch pairs: ${cross.diff(truth).take(3)}")
   }
 
+  test("q66: semantic dedup collapses planted near-dups under kmeans cells") {
+    // The production configuration (seeded kmeansCentroids, so
+    // rows-only in the catalog): recall loss can only come from a
+    // planted pair straddling a cell boundary — within-cell scoring is
+    // exact all-pairs. Near-identical vectors have near-identical
+    // centroid distances, so straddles are rare by construction.
+    val (plant, exact) = planted(40, targetCos = 0.97)
+    val truth = exact.filter(_._2 >= 0.95).keySet
+    assert(truth.size >= 30, s"planting produced only ${truth.size} pairs >= 0.95")
+    val corpus = emb.select("vec_id", "embedding").unionByName(plant)
+    val km = Similarity.kmeansCentroids(corpus, "embedding", k = 8, iters = 3)
+    val out = Dedup.semanticDedup(corpus, "embedding", "vec_id", spark,
+      km, threshold = 0.95)
+    val surv = out.select("vec_id", "survivor_id").as[(Long, Long)].collect().toMap
+    // every corpus row maps somewhere, exactly once
+    assert(surv.size == corpus.count())
+    val collapsed = truth.count { case (src, copy) => surv(src) == surv(copy) }
+    val r = collapsed.toDouble / truth.size
+    info(s"semantic dedup same-survivor recall at k=8 cells: $r (n=${truth.size})")
+    assert(r >= 0.80, s"semantic dedup recall was $r")
+    // pruning direction: of each collapsed pair, the survivor is one of
+    // the pair (ambient corpus tops out at cos 0.48, so no third member)
+    truth.foreach { case (src, copy) =>
+      if (surv(src) == surv(copy))
+        assert(Set(src, copy).contains(surv(src)),
+          s"survivor ${surv(src)} outside pair ($src,$copy)")
+    }
+  }
+
+  test("q67: quantized two-stage ANN recall@5 vs exact brute force") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val truth = topkPairs(Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5))
+    val got = topkPairs(Similarity.quantizedTopK(emb, qs, "embedding", "vec_id", 5))
+    val r = recall(got, truth)
+    info(s"int8 two-stage recall@5 at candFactor=4: $r (n=${truth.size})")
+    assert(r >= 0.90, s"quantized ANN recall@5 was $r")
+  }
+
   test("q24: cluster recall — truth-pair mates land in one cluster") {
     val truth = jaccardTruth(0.7)
     assert(truth.nonEmpty)
