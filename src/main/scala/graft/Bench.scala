@@ -8,6 +8,30 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune the projection work out of
   * row-level queries and under-measure them. */
 object Bench {
+
+  /** Pipeline-grain bench: the per-query catalog never exercises the
+    * COMPOSED curation path (persist/unpersist staging, LSH, cluster
+    * collapse, survivor anti-join, four materializing counts in one
+    * lineage). Times `CorpusCuration.run` end-to-end on the documents
+    * table — best of two runs, same JIT rationale as the catalog — and
+    * prints its own JSON line (`"metric":"pipeline_total"`), distinct
+    * from the driver's `"metric":"total"` contract. */
+  private def runPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables(spark, sfDir).documents
+    var bestSec = Double.MaxValue
+    var report: graft.apps.CorpusCuration.Report = null
+    for (_ <- 0 until 2) {
+      val t0 = System.nanoTime()
+      val (survivors, r) = graft.apps.CorpusCuration.run(spark, docs)
+      survivors.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < bestSec) { bestSec = dt; report = r }
+    }
+    val stages = s"""{"input":${report.input},"after_quality":${report.afterQuality},""" +
+      s""""after_exact":${report.afterExact},"after_near_dup":${report.afterNearDup}}"""
+    println(s"""{"metric":"pipeline_total","value":$bestSec,"unit":"sec","stages":$stages,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,6 +42,11 @@ object Bench {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("pipeline")) {
+      runPipeline(spark, sfDir)
+      spark.stop()
+      return
+    }
     // warmup: session/codegen/scan init shouldn't land on the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
