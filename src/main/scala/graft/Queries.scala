@@ -1736,6 +1736,18 @@ object Queries {
       "embedding", "vec_id", k = 5)
   }
 
+  /** q68 — bloom-filter decontamination (rows-only: the murmur3
+    * double-hash false-positive set has no cross-engine oracle;
+    * TextSpec pins the one-sided-error contract against q54's exact
+    * join instead). Same fixture as q54, so the two decontamination
+    * plans — broadcast join vs constant-memory bloom probe — compare
+    * directly at any SF. */
+  val q68: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    Decontaminate.bloomHits(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10), "text", "doc_id")
+  }
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1806,6 +1818,7 @@ object Queries {
     "q65_token_budget" -> q65,
     "q66_semantic_dedup" -> q66,
     "q67_ann_quantized" -> q67,
+    "q68_bloom_decontam" -> q68,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1871,5 +1884,8 @@ object Queries {
     "q66_semantic_dedup" -> q66Sql,
     // q67_ann_quantized: rows-only (int8 stage-1 ranking is
     // implementation-defined; RecallSpec floors recall vs exact q14)
+    // q68_bloom_decontam: rows-only (murmur3 double-hash FP set has no
+    // cross-engine oracle; DecontaminateSpec pins no-false-negatives
+    // and bounded FP inflation against q54's exact join)
   )
 }

@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bloom-filter build + probe for set-membership at scales where the
+  * set no longer broadcasts as data (SURVEY §2.11's custom-aggregate
+  * slot, same family as `Sampling.BottomK`).
+  *
+  * The motivating consumer is benchmark decontamination (q54 joins
+  * corpus shingles against a BROADCAST eval-shingle table — correct
+  * until the eval corpus outgrows the broadcast threshold): a bloom
+  * filter compresses the eval-shingle SET into a fixed `m`-bit array
+  * that rides the plan as a literal model parameter, like IVF
+  * centroids. Membership answers are one-sided — a contained item is
+  * ALWAYS flagged, so decontamination never misses a truly
+  * contaminated doc; false positives over-flag at a tunable rate ε,
+  * which for hygiene filtering errs in the safe direction.
+  *
+  * Determinism contract: bits are an OR-fold of per-item hashes —
+  * order- and partition-independent — and the hash is double-hashed
+  * MurmurHash3 over UTF-8 bytes with fixed seeds, computed by THE SAME
+  * code in the builder (Aggregator) and the prober (Expression), so
+  * build → probe round-trips are bit-stable across runs, partitionings
+  * and plans.
+  */
+object BloomOps {
+
+  /** Bits for `n` expected items at false-positive rate `eps`,
+    * rounded up to a power of two (cheap masking), floored at 1024. */
+  def sizeFor(n: Long, eps: Double): Int = {
+    require(n > 0 && eps > 0 && eps < 1, s"need n>0, 0<eps<1; got $n, $eps")
+    val ideal = math.ceil(-n * math.log(eps) / (math.log(2) * math.log(2)))
+    math.max(1024, Integer.highestOneBit(ideal.toInt - 1) * 2)
+  }
+
+  /** Optimal hash count for the n/m ratio. */
+  def hashesFor(n: Long, mBits: Int): Int =
+    math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+
+  /** Double hashing (Kirsch–Mitzenmacher): index_i = h1 + i·h2 mod m.
+    * Shared by builder and prober — THE parity-critical kernel. */
+  private[expressions] def setBits(bytes: Array[Byte], k: Int, mBits: Int,
+                                   f: Int => Unit): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b) | 1
+    var i = 0
+    while (i < k) {
+      // mask to non-negative before the mod (mBits is a power of two)
+      f(((h1 + i * h2) & Int.MaxValue) & (mBits - 1))
+      i += 1
+    }
+  }
+
+  /** Aggregation buffer = the raw bit words. An OR-merge is
+    * associative and commutative, so Spark runs the build with
+    * map-side partial aggregation: the shuffle carries one m-bit
+    * array per map task, never the items. */
+  class BloomAgg(mBits: Int, k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, s"mBits power of two >= 64, got $mBits")
+    require(k >= 1 && k <= 16, s"1 <= k <= 16, got $k")
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(b: Array[Long], s: String): Array[Long] = {
+      if (s != null) setBits(s.getBytes("UTF-8"), k, mBits,
+        bit => b(bit >>> 6) |= 1L << (bit & 63))
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column aggregate: bloom bit words over a string column. */
+  def bloomAgg(item: Column, mBits: Int, k: Int): Column =
+    udaf(new BloomAgg(mBits, k)).apply(item)
+
+  /** Probe: true iff `child` MIGHT be in the set whose bits were built
+    * by [[BloomAgg]] with the same (mBits, k). Bits are a model
+    * parameter carried in the expression (like `NearestCentroids`'
+    * centroids) — no join side, no shuffle, one primitive loop/row. */
+  case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val mBits = bits.length * 64
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var hit = true
+      setBits(bytes, k, mBits, { bit =>
+        if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) hit = false
+      })
+      hit
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContain =
+      copy(child = c)
+    override def prettyName: String = "bloom_might_contain"
+  }
+
+  def mightContain(item: Column, bits: Array[Long], k: Int): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(item), bits, k))
+}

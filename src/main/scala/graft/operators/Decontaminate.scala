@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expressions.{BloomOps, TextSignatures}
+
+/** Benchmark decontamination beyond broadcast reach.
+  *
+  * q54's form (corpus shingles ⋈ broadcast bench-shingle table) is the
+  * right plan while the eval suite is small. When the eval corpus
+  * grows past the broadcast threshold, the join either flips to a
+  * corpus-wide shuffle (the thing decontamination must never do) or
+  * OOMs the build side. This variant compresses the bench-shingle SET
+  * into a bloom filter: fixed `m` bits at false-positive rate `eps`,
+  * carried as a literal model parameter in a native probe expression —
+  * the corpus still scans exactly once, still no shuffle of it, and
+  * the memory bound is `m/8` bytes regardless of eval-set cardinality
+  * (~1.2 MB per million shingles at eps=0.01; size `eps` to taste for
+  * suites up to ~10⁷ shingles, beyond which ship the bits as a
+  * broadcast variable instead of a literal).
+  *
+  * One-sided error, safe direction: every truly shared shingle is
+  * flagged (bloom guarantees no false negatives — spec-pinned against
+  * the exact q54 join); `eps` of clean shingles over-flag, which for
+  * hygiene filtering means at worst dropping an extra `eps` of clean
+  * docs, never keeping a contaminated one.
+  */
+object Decontaminate {
+
+  /** Per-doc count of corpus shingles that (might) hit the bench set.
+    * Returns (idCol, n_hits); `n_hits ≥` the exact join's count for
+    * every doc, and every doc the exact join flags appears here. */
+  def bloomHits(corpus: DataFrame, bench: DataFrame, textCol: String,
+                idCol: String, n: Int = 3, eps: Double = 0.01): DataFrame = {
+    val benchSh = bench.select(explode(array_distinct(
+        TextSignatures.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    // two tiny jobs over the BENCH side only: size the filter, build it
+    // (OR-fold aggregate, map-side combinable — the shuffle carries one
+    // m-bit array per map task, never the shingles)
+    val nItems = math.max(1L, benchSh.count())
+    val mBits = BloomOps.sizeFor(nItems, eps)
+    val k = BloomOps.hashesFor(nItems, mBits)
+    val bits = benchSh.agg(BloomOps.bloomAgg(col("sh"), mBits, k).as("b"))
+      .head.getSeq[Long](0).toArray
+    corpus.select(col(idCol), explode(array_distinct(
+        TextSignatures.shingles(col(textCol), n))).as("sh"))
+      .filter(BloomOps.mightContain(col("sh"), bits, k))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

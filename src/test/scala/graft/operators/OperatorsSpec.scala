@@ -417,6 +417,42 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.expressions.TextSignatures
+
+  test("bloom decontamination: superset of the exact join, bounded FP inflation") {
+    val docs = graft.Tables(spark, sf).documents
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    // ground truth: q54's exact broadcast-join counts
+    val benchSh = bench.select(explode(array_distinct(
+      TextSignatures.shingles(col("text"), 3))).as("sh")).distinct()
+    val corpusSh = corpus.select(col("doc_id"), explode(array_distinct(
+      TextSignatures.shingles(col("text"), 3))).as("sh"))
+    val exact = corpusSh.join(benchSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture must contain contaminated docs")
+    val bloom = Decontaminate.bloomHits(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // one-sided error: every exact hit is flagged, per doc, at >= count
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n, s"doc $id lost hits: ${bloom.get(id)} < $n")
+    }
+    // false positives bounded: extra flagged shingles <= ~3x the eps
+    // budget over all probes (a loose tripwire, not a tight bound)
+    val probes = corpusSh.count()
+    val extra = bloom.values.sum - exact.values.sum
+    assert(extra >= 0 && extra <= math.max(20L, (3 * 0.01 * probes).toLong),
+      s"FP inflation $extra over $probes probes")
+    // bits are an order-independent OR-fold: partitioning cannot move them
+    val again = Decontaminate.bloomHits(corpus.repartition(17),
+      bench.repartition(5), "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(again == bloom)
+  }
+}
+
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
