@@ -1738,10 +1738,10 @@ object Queries {
 
   /** q68 — bloom-filter decontamination (rows-only: the murmur3
     * double-hash false-positive set has no cross-engine oracle;
-    * TextSpec pins the one-sided-error contract against q54's exact
-    * join instead). Same fixture as q54, so the two decontamination
-    * plans — broadcast join vs constant-memory bloom probe — compare
-    * directly at any SF. */
+    * DecontaminateSpec pins the one-sided-error contract against
+    * q54's exact join instead). Same fixture as q54, so the two
+    * decontamination plans — broadcast join vs constant-memory bloom
+    * probe — compare directly at any SF. */
   val q68: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
     Decontaminate.bloomHits(docs.filter(col("doc_id") >= 10),

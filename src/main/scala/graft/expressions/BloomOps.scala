@@ -34,16 +34,29 @@ import org.apache.spark.unsafe.types.UTF8String
 object BloomOps {
 
   /** Bits for `n` expected items at false-positive rate `eps`,
-    * rounded up to a power of two (cheap masking), floored at 1024. */
+    * rounded up to a power of two (cheap masking), floored at 1024.
+    * Long arithmetic throughout, and an EXPLICIT failure past 2³⁰ bits
+    * (128 MB — far beyond what should ride a plan as a literal):
+    * silent Int overflow here would floor the size instead, saturate
+    * the filter, and flag the whole corpus — precisely in the
+    * large-eval-set regime this operator exists for. Callers above the
+    * cap should raise `eps` or ship the bits as a broadcast variable. */
   def sizeFor(n: Long, eps: Double): Int = {
     require(n > 0 && eps > 0 && eps < 1, s"need n>0, 0<eps<1; got $n, $eps")
-    val ideal = math.ceil(-n * math.log(eps) / (math.log(2) * math.log(2)))
-    math.max(1024, Integer.highestOneBit(ideal.toInt - 1) * 2)
+    val ideal = math.ceil(-n.toDouble * math.log(eps) /
+      (math.log(2) * math.log(2))).toLong
+    require(ideal <= (1L << 30),
+      s"bloom would need $ideal bits (> 2^30) for n=$n at eps=$eps — " +
+        "raise eps or use a broadcast-side filter")
+    math.max(1024L, java.lang.Long.highestOneBit(ideal - 1) * 2).toInt
   }
 
-  /** Optimal hash count for the n/m ratio. */
+  /** Optimal hash count for the n/m ratio, clamped to [[BloomAgg]]'s
+    * supported 1..16 (tiny n against the 1024-bit floor would
+    * otherwise ask for k > 16 and crash the build). */
   def hashesFor(n: Long, mBits: Int): Int =
-    math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+    math.min(16L, math.max(1L,
+      math.round(mBits.toDouble / n * math.log(2)))).toInt
 
   /** Double hashing (Kirsch–Mitzenmacher): index_i = h1 + i·h2 mod m.
     * Shared by builder and prober — THE parity-critical kernel. */

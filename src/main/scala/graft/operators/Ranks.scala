@@ -71,6 +71,21 @@ object Ranks {
     val p =
       if (parts > 0) parts
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // Correctness here RIDES on the two consumers of the ranged frame
+    // reading one reused exchange (see scaladoc). Guard the two ways a
+    // caller can silently break that: reuse disabled in the session, or
+    // a nondeterministic input subtree (rand()/uuid()) that defeats
+    // canonical plan equality — either would misalign the histogram's
+    // _pid offsets with the data rows and produce WRONG ranks, not an
+    // error.
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      "globalRowNumbers requires spark.sql.exchange.reuse=true (offsets " +
+        "and data must read one sampled range exchange)")
+    df.queryExecution.analyzed.foreach { node =>
+      node.expressions.foreach(e => require(e.deterministic,
+        s"globalRowNumbers input must be deterministic; found $e — " +
+          "materialize the nondeterministic column first"))
+    }
     val gCols = groupCols.map(col)
     val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
       .withColumn("_pid", spark_partition_id())

@@ -34,9 +34,16 @@ import graft.operators.Dedup
   * Compaction uses `promoteFirst = true` because every store consumer
   * deduplicates postings before thresholding (`distinct()` /
   * `countDistinct`): a crash mid-swap can only surface transient
-  * duplicates, never drop postings. Snapshots are expired immediately
-  * after a successful swap — the store is derivative of the stream, so
-  * retaining generation history would just double disk per cycle. */
+  * duplicates, never drop postings. For the PAIRS dir the same
+  * ordering is right for a different reason: `foreachBatch` is
+  * at-least-once, so a replayed batch already re-appends its pairs —
+  * the pairs output is an at-least-once product whose consumers must
+  * apply set semantics regardless, and a mid-swap crash (which can
+  * persist both generations into the next rewrite) adds no failure
+  * mode that delivery hasn't already imposed. Snapshots are expired
+  * immediately after a successful swap — both dirs are derivative of
+  * the stream, so retaining generation history would just double disk
+  * per cycle. */
 object IncrementalDedup {
 
   /** Compact `dirs` after every `every`-th batch (no-op if `every` ≤ 0

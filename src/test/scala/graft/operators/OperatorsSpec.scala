@@ -451,6 +451,27 @@ class DecontaminateSpec extends SparkTestBase {
       bench.repartition(5), "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(again == bloom)
   }
+
+  test("bloom sizing edges: tiny bench sets clamp k; oversized sets fail loudly") {
+    import graft.expressions.BloomOps
+    // nItems=1 against the 1024-bit floor would ask for k≈710 without
+    // the clamp — must stay in BloomAgg's supported 1..16
+    assert(BloomOps.hashesFor(1, 1024) == 16)
+    assert(BloomOps.hashesFor(43, 1024) <= 16)
+    // a one-doc bench set must build and probe, not crash
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma something else here"),
+      (11L, "unrelated words only nothing shared at all")).toDF("doc_id", "text")
+    val hits = Decontaminate.bloomHits(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(10L) && !hits.contains(11L))
+    // past the literal cap: explicit refusal, never a saturated filter
+    val e = intercept[IllegalArgumentException] {
+      BloomOps.sizeFor(200000000L, 0.01)
+    }
+    assert(e.getMessage.contains("broadcast"))
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {

@@ -23,6 +23,25 @@ class RanksSpec extends SparkTestBase {
   private def rows(df: DataFrame): Set[org.apache.spark.sql.Row] =
     df.collect().toSet
 
+  test("guards: nondeterministic input and disabled exchange reuse fail loudly") {
+    // both conditions silently break the one-reused-range-exchange
+    // invariant the ranks depend on — they must be errors, not wrong
+    // answers
+    val nondet = spark.range(10).toDF("id").withColumn("r", rand())
+    val e1 = intercept[IllegalArgumentException] {
+      Ranks.globalRowNumbers(nondet, Seq("id"), Seq(col("r")))
+    }
+    assert(e1.getMessage.contains("deterministic"))
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        Ranks.globalRowNumbers(spark.range(10).toDF("id"),
+          Seq("id"), Seq(col("id")))
+      }
+      assert(e2.getMessage.contains("exchange.reuse"))
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("q43 rank arithmetic is bit-identical to native ntile/percent_rank/cume_dist") {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
