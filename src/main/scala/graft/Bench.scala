@@ -22,13 +22,19 @@ object Bench {
     var report: graft.apps.CorpusCuration.Report = null
     for (_ <- 0 until 2) {
       val t0 = System.nanoTime()
-      val (survivors, r) = graft.apps.CorpusCuration.run(spark, docs)
+      // bench = the q54/q68 eval-set fixture, so the composed path runs
+      // every stage incl. bloom decontamination
+      val (survivors, r) = graft.apps.CorpusCuration.run(spark,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 10),
+        benchDocs = Some(docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") < 10)))
       survivors.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       if (dt < bestSec) { bestSec = dt; report = r }
     }
     val stages = s"""{"input":${report.input},"after_quality":${report.afterQuality},""" +
-      s""""after_exact":${report.afterExact},"after_near_dup":${report.afterNearDup}}"""
+      s""""after_exact":${report.afterExact},"after_near_dup":${report.afterNearDup},""" +
+      s""""after_decontam":${report.afterDecontam}}"""
     println(s"""{"metric":"pipeline_total","value":$bestSec,"unit":"sec","stages":$stages,"sf":"$sfDir"}""")
   }
 

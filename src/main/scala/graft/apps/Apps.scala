@@ -268,19 +268,30 @@ object UserPointsBatch {
 
 /** End-to-end training-corpus curation over a documents table: quality
   * filter → language gate → exact-fingerprint dedup → MinHash-LSH
-  * near-dup clustering (connected components) → survivors. Returns
-  * (survivors, per-stage counts). Every stage is a DataFrame plan;
-  * the only iterative piece is the GraphX cluster collapse. */
+  * near-dup clustering (connected components) → optional benchmark
+  * decontamination → survivors. Returns (survivors, per-stage counts).
+  * Every stage is a DataFrame plan; the only iterative pieces are the
+  * GraphX cluster collapse and the (tiny, bench-side) bloom build.
+  *
+  * Decontamination runs LAST, on the deduped survivor set — the
+  * cheapest ordering, since dedup shrinks the corpus the bloom probe
+  * scans, while the probe could never un-contaminate a doc dedup
+  * would keep. `benchDocs` is the eval corpus; a survivor sharing
+  * ≥ `decontamMinHits` word 3-grams with it (bloom-probed, one-sided
+  * error — over-removal only, never a kept contaminated doc) is
+  * dropped. */
 object CorpusCuration {
   import graft.functions.{Text, TextStats}
-  import graft.operators.Dedup
+  import graft.operators.{Decontaminate, Dedup}
 
   final case class Report(input: Long, afterQuality: Long, afterExact: Long,
-                          afterNearDup: Long)
+                          afterNearDup: Long, afterDecontam: Long)
 
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double = 0.3, lang: String = "en",
-          nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
+          nearDupThreshold: Double = 0.5,
+          benchDocs: Option[DataFrame] = None,
+          decontamMinHits: Long = 1L): (DataFrame, Report) = {
     val input = docs.count()
     // ONE MarkerCounts scan feeds both the quality score and the
     // language gate (the q31 projection shape) — the per-marker HOF
@@ -304,8 +315,18 @@ object CorpusCuration {
       estThreshold = nearDupThreshold)
     val clusters = Dedup.clusterDuplicates(pairs, spark)
     val dupLosers = clusters.filter(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
-    val survivors = exact.join(dupLosers, Seq("doc_id"), "left_anti")
-    val afterNearDup = survivors.count()
+    val deduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
+    val afterNearDup = deduped.count()
+    val survivors = benchDocs match {
+      case Some(bench) =>
+        val flagged = Decontaminate.bloomHits(deduped, bench, "text", "doc_id")
+          .filter(col("n_hits") >= decontamMinHits)
+          .select("doc_id")
+        deduped.join(flagged, Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
+    val afterDecontam =
+      if (benchDocs.isDefined) survivors.count() else afterNearDup
     // free the stage caches now that every count is materialized — a
     // long-lived session would otherwise accumulate two pinned frames
     // per invocation (the round-1 advisor's leak class). The returned
@@ -313,7 +334,8 @@ object CorpusCuration {
     // wanting a hot handle should persist it themselves.
     exact.unpersist()
     gated.unpersist()
-    (survivors, Report(input, afterQuality, afterExact, afterNearDup))
+    (survivors,
+      Report(input, afterQuality, afterExact, afterNearDup, afterDecontam))
   }
 }
 

@@ -194,6 +194,17 @@ class AppsSpec extends SparkTestBase {
     assert(rep.input == 6 && rep.afterQuality == 4) // 4,5 gated out
     assert(rep.afterExact == 3)                     // 2 collapses into 1
     assert(rep.afterNearDup == 2 && ids == Set(1L, 6L)) // 3 clusters into 1
+    assert(rep.afterDecontam == 2)                  // no bench -> no-op stage
+
+    // with an eval corpus: the survivor sharing 3-grams with it is
+    // dropped (bloom probe, one-sided — over-removal only), the clean
+    // survivor stays
+    val bench = Seq((100L,
+      "spark catalyst optimizer and the tungsten engine of the runtime compile"))
+      .toDF("doc_id", "text")
+    val (clean, rep2) = CorpusCuration.run(spark, docs, benchDocs = Some(bench))
+    assert(rep2.afterNearDup == 2 && rep2.afterDecontam == 1)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
   test("browse path: category self-join enrich -> points batch -> maintenance") {
