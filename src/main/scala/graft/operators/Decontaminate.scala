@@ -27,26 +27,48 @@ import graft.expressions.{BloomOps, TextSignatures}
   */
 object Decontaminate {
 
-  /** Per-doc count of corpus shingles that (might) hit the bench set.
-    * Returns (idCol, n_hits); `n_hits ≥` the exact join's count for
-    * every doc, and every doc the exact join flags appears here. */
-  def bloomHits(corpus: DataFrame, bench: DataFrame, textCol: String,
-                idCol: String, n: Int = 3, eps: Double = 0.01): DataFrame = {
+  /** Build the bench-shingle bloom once: two tiny jobs over the BENCH
+    * side only — size the filter, then the OR-fold aggregate (map-side
+    * combinable; the shuffle carries one m-bit array per map task,
+    * never the shingles). Returns (bits, k) — the reusable model a
+    * batch probe inlines or a streaming probe holds across
+    * micro-batches. */
+  def bloomBits(bench: DataFrame, textCol: String, n: Int = 3,
+                eps: Double = 0.01): (Array[Long], Int) = {
     val benchSh = bench.select(explode(array_distinct(
         TextSignatures.shingles(col(textCol), n))).as("sh"))
       .distinct()
-    // two tiny jobs over the BENCH side only: size the filter, build it
-    // (OR-fold aggregate, map-side combinable — the shuffle carries one
-    // m-bit array per map task, never the shingles)
     val nItems = math.max(1L, benchSh.count())
     val mBits = BloomOps.sizeFor(nItems, eps)
     val k = BloomOps.hashesFor(nItems, mBits)
     val bits = benchSh.agg(BloomOps.bloomAgg(col("sh"), mBits, k).as("b"))
       .head.getSeq[Long](0).toArray
+    (bits, k)
+  }
+
+  /** Per-doc count of corpus shingles that (might) hit the bench set.
+    * Returns (idCol, n_hits); `n_hits ≥` the exact join's count for
+    * every doc, and every doc the exact join flags appears here. */
+  def bloomHits(corpus: DataFrame, bench: DataFrame, textCol: String,
+                idCol: String, n: Int = 3, eps: Double = 0.01): DataFrame = {
+    val (bits, k) = bloomBits(bench, textCol, n, eps)
     corpus.select(col(idCol), explode(array_distinct(
         TextSignatures.shingles(col(textCol), n))).as("sh"))
       .filter(BloomOps.mightContain(col("sh"), bits, k))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Streaming-safe contamination flag: adds boolean `contaminated`
+    * (any shingle bloom-hits the prebuilt bench bits). A STATELESS
+    * row-local projection — no shuffle, no state store, no watermark —
+    * so it drops into any `readStream` pipeline as ingest-time
+    * hygiene; build the bits once with [[bloomBits]] before starting
+    * the stream. One-sided like the batch form: a truly contaminated
+    * doc always flags. */
+  def flagContaminated(docs: DataFrame, textCol: String,
+                       bits: Array[Long], k: Int, n: Int = 3): DataFrame =
+    docs.withColumn("contaminated",
+      exists(array_distinct(TextSignatures.shingles(col(textCol), n)),
+        sh => BloomOps.mightContain(sh, bits, k)))
 }

@@ -316,6 +316,28 @@ class StreamingSpec extends SparkTestBase {
     assert(!storePaths.exists(_.contains("_snap_")), storePaths.mkString(","))
   }
 
+  test("streaming decontamination flags contaminated docs statelessly") {
+    import graft.operators.Decontaminate
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "the secret benchmark answer key sequence here today"))
+      .toDF("doc_id", "text")
+    val (bits, k) = Decontaminate.bloomBits(bench, "text")
+    val in = MemoryStream[(Long, String)]
+    val flagged = Decontaminate.flagContaminated(
+      in.toDF().toDF("doc_id", "text"), "text", bits, k)
+    // stateless projection: must start with no state store requirement
+    val q = flagged.writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "a clean document about completely different things entirely now"),
+      (2L, "copied the secret benchmark answer key sequence into training data"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("decontam_out")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(rows(2L), "doc sharing bench 3-grams must flag")
+    assert(!rows(1L), "clean doc must pass")
+  }
+
   test("R2 dual sink writes both targets from one stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Int]
