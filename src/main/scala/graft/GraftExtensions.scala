@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{ArrayDot, MarkerCounts, MinHashSig, SimHashSig}
+import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, SimHashSig}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get the same hot
@@ -19,6 +19,8 @@ import graft.expressions.{ArrayDot, MarkerCounts, MinHashSig, SimHashSig}
   *   - `simhash_sig(text)` → bigint
   *   - `array_dot(a, b)` → double
   *   - `marker_counts(text, m1, m2, …)` → array<bigint>
+  *   - `bloom_might_contain(item, bits, k)` → boolean (bits a literal
+  *     array<bigint> from `BloomOps.bloomAgg` — the model parameter)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +33,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
+  }
+
+  private def litLongArray(e: Expression, what: String): Array[Long] = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    e match {
+      case Literal(d: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(LongType, _)) =>
+        d.toLongArray()
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _)
+          if cs.forall(c => c.isInstanceOf[Literal] &&
+            (c.dataType == LongType || c.dataType == IntegerType)) =>
+        cs.map(_.asInstanceOf[Literal].value match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }).toArray
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array<bigint>, got: $other")
+    }
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -73,6 +93,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MarkerCounts(c, ms.map(litString(_, "marker")))
         case _ => throw new IllegalArgumentException(
           "marker_counts expects (text, marker, …)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(item, bits, k) - probe a BloomOps filter"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, bits, k) =>
+          BloomOps.BloomMightContain(c, litLongArray(bits, "bits"), litInt(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain expects (item, bits, k)")
       }))
   }
 }

@@ -80,6 +80,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(out.count() > 0) // plan must stay valid and executable
   }
 
+  test("bloom_might_contain SQL function matches the Column-API probe") {
+    import graft.expressions.BloomOps
+    // build bits over a tiny set with the Column aggregate, then probe
+    // from SQL with the bits inlined as an array literal
+    val items = Seq("alpha", "beta", "gamma").toDF("s")
+    val bits = items.agg(BloomOps.bloomAgg($"s", 1024, 4).as("b"))
+      .as[Seq[Long]].head().toArray
+    val bitsSql = bits.mkString("array(", "L,", "L)")
+    Seq("alpha", "beta", "nope", "gamma", "zeta").toDF("s")
+      .createOrReplaceTempView("ext_b")
+    val sqlHits = spark.sql(
+      s"SELECT s FROM ext_b WHERE bloom_might_contain(s, $bitsSql, 4)")
+      .as[String].collect().toSet
+    val colHits = spark.table("ext_b")
+      .filter(BloomOps.mightContain($"s", bits, 4))
+      .as[String].collect().toSet
+    assert(sqlHits == colHits)
+    // the inserted items must always hit (no false negatives)
+    assert(Set("alpha", "beta", "gamma").subsetOf(sqlHits))
+  }
+
   test("marker_counts SQL function matches replace arithmetic") {
     Seq("the cat and the dog").toDF("t").createOrReplaceTempView("ext_m")
     val got = spark.sql(
