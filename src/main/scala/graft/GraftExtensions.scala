@@ -37,20 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litLongArray(e: Expression, what: String): Array[Long] = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
-    e match {
-      case Literal(d: org.apache.spark.sql.catalyst.util.ArrayData,
-          ArrayType(LongType, _)) =>
-        d.toLongArray()
-      case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _)
-          if cs.forall(c => c.isInstanceOf[Literal] &&
-            (c.dataType == LongType || c.dataType == IntegerType)) =>
-        cs.map(_.asInstanceOf[Literal].value match {
-          case l: java.lang.Long => l.longValue
-          case i: java.lang.Integer => i.longValue
-        }).toArray
-      case other => throw new IllegalArgumentException(
-        s"$what must be a literal array<bigint>, got: $other")
+    // one foldable-eval branch covers every constant form (array(...)
+    // of literals, a pre-folded Literal, CAST of either) instead of
+    // enumerating expression shapes by hand
+    val elemType = e.dataType match {
+      case ArrayType(t @ (LongType | IntegerType), _)
+          if e.resolved && e.foldable => t
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable array<bigint> or array<int>, got: $e")
     }
+    val data = e.eval() match {
+      case d: org.apache.spark.sql.catalyst.util.ArrayData => d
+      case _ => throw new IllegalArgumentException(s"$what must not be null")
+    }
+    require((0 until data.numElements()).forall(!data.isNullAt(_)),
+      s"$what must not contain null elements")
+    if (elemType == LongType) data.toLongArray()
+    else data.toIntArray().map(_.toLong)
   }
 
   private def info(name: String, usage: String): ExpressionInfo =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bloom-filter build + probe for set-membership at scales where the
@@ -102,10 +102,19 @@ object BloomOps {
   /** Probe: true iff `child` MIGHT be in the set whose bits were built
     * by [[BloomAgg]] with the same (mBits, k). Bits are a model
     * parameter carried in the expression (like `NearestCentroids`'
-    * centroids) — no join side, no shuffle, one primitive loop/row. */
+    * centroids) — no join side, no shuffle, one primitive loop/row.
+    * Declares its string input type so a SQL caller probing a
+    * non-string column fails at ANALYSIS, not as a per-task
+    * ClassCastException on the executors. */
   case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
       extends UnaryExpression with CodegenFallback {
     private val mBits = bits.length * 64
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain needs a string item, got ${child.dataType.sql}")
     override def dataType: DataType = BooleanType
     override def nullSafeEval(v: Any): Any = {
       val bytes = v.asInstanceOf[UTF8String].getBytes

@@ -68,7 +68,14 @@ object Decontaminate {
     * doc always flags. */
   def flagContaminated(docs: DataFrame, textCol: String,
                        bits: Array[Long], k: Int, n: Int = 3): DataFrame =
+    // no array_distinct: exists short-circuits on the first hit and
+    // duplicates cannot change the answer — dedup would be pure
+    // per-row overhead on the ingest hot path. coalesce: a null text
+    // has no shingles to share, so it is CLEAN (false), matching the
+    // batch form (zero hits), not a three-valued column.
     docs.withColumn("contaminated",
-      exists(array_distinct(TextSignatures.shingles(col(textCol), n)),
-        sh => BloomOps.mightContain(sh, bits, k)))
+      coalesce(
+        exists(TextSignatures.shingles(col(textCol), n),
+          sh => BloomOps.mightContain(sh, bits, k)),
+        lit(false)))
 }

@@ -99,6 +99,12 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlHits == colHits)
     // the inserted items must always hit (no false negatives)
     assert(Set("alpha", "beta", "gamma").subsetOf(sqlHits))
+    // a non-string probe column fails at ANALYSIS, not per-task on
+    // the executors
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT bloom_might_contain(array(1L), $bitsSql, 4)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
   }
 
   test("marker_counts SQL function matches replace arithmetic") {

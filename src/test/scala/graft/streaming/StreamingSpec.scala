@@ -330,12 +330,17 @@ class StreamingSpec extends SparkTestBase {
       .outputMode("append").start()
     in.addData(
       (1L, "a clean document about completely different things entirely now"),
-      (2L, "copied the secret benchmark answer key sequence into training data"))
+      (2L, "copied the secret benchmark answer key sequence into training data"),
+      (3L, null))
     q.processAllAvailable(); q.stop()
     val rows = spark.table("decontam_out")
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(rows(2L), "doc sharing bench 3-grams must flag")
     assert(!rows(1L), "clean doc must pass")
+    // null text = no shingles = CLEAN false, never a three-valued NULL
+    // (a downstream filter(!contaminated) must keep it, matching the
+    // batch form's zero hits)
+    assert(rows.contains(3L) && !rows(3L), "null text must flag clean, not NULL")
   }
 
   test("R2 dual sink writes both targets from one stream") {
