@@ -384,6 +384,43 @@ object Sinks {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Publish stage of a curation pipeline: write a corpus as `nShards`
+    * DETERMINISTIC shards plus a manifest table — the layout a
+    * training-data loader consumes (shard = the unit of shuffle-free
+    * parallel reads downstream).
+    *
+    * Shard assignment is `xxhash64(id) mod nShards` — a pure function
+    * of the row's id, so it is stable across runs, partitionings and
+    * engines; re-publishing the same corpus reproduces byte-identical
+    * shard membership. One shuffle keyed on the shard id co-locates
+    * each shard into exactly one task, so every `shard=k/` dir holds
+    * exactly ONE parquet file; size shards via nShards ≈ corpus bytes /
+    * target file size (the 128 MB-1 GB sweet spot at lake scale).
+    *
+    * The manifest (written beside the data, one row per shard) carries
+    * n_rows, the id range, and an ORDER-INDEPENDENT content hash (sum
+    * of per-row xxhash64 over the projected columns) — enough for a
+    * loader to plan reads, verify integrity after transfer, and diff
+    * two corpus versions shard-by-shard without reading the data.
+    * Returns the manifest frame. */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val dataCols = df.columns.toSeq
+    val sharded = df.withColumn("shard",
+      pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+    sharded.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    val manifest = sharded
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
+    manifest.write.mode("overwrite").parquet(s"$path/manifest")
+    df.sparkSession.read.parquet(s"$path/manifest")
+  }
+
   /** K7: console debug sink. */
   def console(df: DataFrame, numRows: Int = 20): StreamingQuery =
     df.writeStream.format("console").option("numRows", numRows.toString).start()
