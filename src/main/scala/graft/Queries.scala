@@ -1315,7 +1315,11 @@ object Queries {
   val q55Sql: String =
     """WITH coin AS (
       |  SELECT lang, doc_id,
-      |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS c,
+      |    -- pmod-equivalent: Spark's pmod is always non-negative while
+      |    -- DuckDB's % follows the dividend's sign, so fold negative
+      |    -- 64-bit ids into [0, 2^31) the same way Spark does
+      |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+      |      * 2654435761) % 4294967296 AS c,
       |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS rate
       |  FROM documents
       |), k AS (
@@ -1748,6 +1752,82 @@ object Queries {
       docs.filter(col("doc_id") < 10), "text", "doc_id")
   }
 
+  /** q69 — deterministic stratified train/val/test split: the
+    * content-independent Knuth coin (q55's arithmetic) against
+    * precomputed integer thresholds, counted per (lang, split). A
+    * row's split never changes as the corpus grows — the property
+    * that keeps eval sets uncontaminated across corpus versions. One
+    * projection + one count aggregate; no sort, no RNG state. */
+  private val q69Splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+  val q69: Q = (s, dir) =>
+    Sampling.assignSplit(Tables(s, dir).documents, "doc_id", q69Splits)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  val q69Sql: String = {
+    // identical integer thresholds on both sides (⌊cum·2³²⌋, computed
+    // once here) — the CASE replays assignSplit's first-match chain
+    val ts = q69Splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 4294967296.0).toLong)
+    s"""WITH coin AS (
+       |  SELECT lang, doc_id,
+       |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+       |      * 2654435761) % 4294967296 AS c
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN c < ${ts(0)} THEN '${q69Splits(0)._1}'
+       |       WHEN c < ${ts(1)} THEN '${q69Splits(1)._1}'
+       |       ELSE '${q69Splits(2)._1}' END AS split,
+       |  COUNT(*) AS n_docs
+       |FROM coin GROUP BY lang, split""".stripMargin
+  }
+
+  /** q70 — overlapping document chunking (RAG indexing shape):
+    * size 256, step 192 → 64-char overlap; offsets and the chunk text
+    * itself are value-oracled (1-based substring semantics agree
+    * across engines on this ASCII corpus). One codegen'd
+    * sequence+explode projection — chunking streams at scan speed. */
+  val q70: Q = (s, dir) =>
+    Chunking.chunk(Tables(s, dir).documents.filter(length(col("text")) > 0),
+      "text", size = 256, step = 192, keepCols = Seq("doc_id"))
+  val q70Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len
+      |  FROM documents WHERE length(text) > 0
+      |), i AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (len-1)//192 + 1)) AS chunk_idx
+      |  FROM d)
+      |SELECT doc_id, chunk_idx, chunk_idx*192 AS chunk_start,
+      |  substr(text, CAST(chunk_idx*192 + 1 AS INT), 256) AS chunk_text,
+      |  CAST(length(substr(text, CAST(chunk_idx*192 + 1 AS INT), 256)) AS BIGINT) AS chunk_len
+      |FROM i""".stripMargin
+
+  /** q71 — length-bucketed batch assignment (sequence-bucketing
+    * dataloader shape): tokens rounded up to a 64-multiple bucket
+    * (pure integer arithmetic — no log2 libm hazard), batches of 8
+    * within each bucket by (toks desc, doc_id). The per-bucket rank is
+    * Ranks.globalRowNumbers — bucket cardinality is bounded, so a
+    * native window here would sort the corpus on |buckets| tasks
+    * (the q43 anti-pattern PlanSpec guards). */
+  val q71: Q = (s, dir) => {
+    val d = Tables(s, dir).documents
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .select(col("doc_id"),
+        TextStats.wordCount(col("text"), col("_mc")).cast("long").as("toks"))
+    Batching.lengthBucketBatches(d, col("toks"), "doc_id",
+      batchSize = 8, bucketQuantum = 64, keepCols = Seq("doc_id"))
+  }
+  val q71Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST($wordsSql AS BIGINT) AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id, toks, ((toks + 63) // 64) * 64 AS bucket FROM d
+       |), r AS (
+       |  SELECT doc_id, toks, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY toks DESC, doc_id) AS rn
+       |  FROM b)
+       |SELECT doc_id, toks, bucket, (rn-1) // 8 AS batch_id FROM r""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1819,6 +1899,9 @@ object Queries {
     "q66_semantic_dedup" -> q66,
     "q67_ann_quantized" -> q67,
     "q68_bloom_decontam" -> q68,
+    "q69_split_assign" -> q69,
+    "q70_chunking" -> q70,
+    "q71_length_batching" -> q71,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1887,5 +1970,8 @@ object Queries {
     // q68_bloom_decontam: rows-only (murmur3 double-hash FP set has no
     // cross-engine oracle; DecontaminateSpec pins no-false-negatives
     // and bounded FP inflation against q54's exact join)
+    "q69_split_assign" -> q69Sql,
+    "q70_chunking" -> q70Sql,
+    "q71_length_batching" -> q71Sql,
   )
 }

@@ -81,11 +81,25 @@ object Ranks {
     require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
       "globalRowNumbers requires spark.sql.exchange.reuse=true (offsets " +
         "and data must read one sampled range exchange)")
-    df.queryExecution.analyzed.foreach { node =>
-      node.expressions.foreach(e => require(e.deterministic,
-        s"globalRowNumbers input must be deterministic; found $e — " +
-          "materialize the nondeterministic column first"))
-    }
+    // Walk the OPTIMIZED plan (cache substitution has run by then) and
+    // stop at materialization boundaries: below an InMemoryRelation or
+    // LogicalRDD (checkpoint) the values are already fixed, so a
+    // rand() that produced them can no longer misalign the two reads.
+    // Matching by nodeName keeps `org.apache.spark.sql.execution`
+    // internals out of the compile-time surface. (Caveat, documented
+    // not guarded: a cache EVICTION recomputes the InMemoryRelation and
+    // can re-roll the column between the two exchange reads —
+    // `checkpoint()` or a write-out/read-back is the airtight fence.)
+    def checkDeterministic(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      if (node.nodeName != "InMemoryRelation" && node.nodeName != "LogicalRDD") {
+        node.expressions.foreach(e => require(e.deterministic,
+          s"globalRowNumbers input must be deterministic; found $e — " +
+            "fix the column behind a materialization boundary first " +
+            "(df.checkpoint(), or write out and re-read; a persist() " +
+            "also clears this guard but can re-roll under cache eviction)"))
+        node.children.foreach(checkDeterministic)
+      }
+    checkDeterministic(df.queryExecution.optimizedPlan)
     val gCols = groupCols.map(col)
     val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
       .withColumn("_pid", spark_partition_id())

@@ -119,4 +119,34 @@ object Sampling {
     val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
     df.filter(coin < rate * lit(4294967296L))
   }
+
+  /** Deterministic stratified train/val/test split: every row gets a
+    * split label from the SAME content-independent coin [[mixByRate]]
+    * flips (Knuth multiplicative hash of the id — overflow-free for
+    * any 64-bit id, identical in any engine), compared against
+    * PRE-COMPUTED integer thresholds: coin < ⌊cum_frac·2³²⌋ picks the
+    * first matching split. No RNG state, no shuffle, no sort — one
+    * codegen'd projection — and a row's split NEVER changes as the
+    * corpus grows, which is the property that keeps eval sets
+    * uncontaminated across corpus versions (a fraction-of-row_number
+    * split reshuffles membership on every insert). `splits` fractions
+    * must sum to 1 (±1e-9); labels are assigned in the given order. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive fractions, got $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 4294967296.0).toLong)
+    val reduced = pmod(col(idCol).cast("long"), lit(2147483648L))
+    val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
+    // last split catches the rounding residue so no row is unlabeled
+    val label = splits.init.zip(thresholds.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), t)) =>
+        when(coin < lit(t), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
 }

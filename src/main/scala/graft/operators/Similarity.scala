@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -10,8 +10,8 @@ import graft.functions.Vectors
   *
   * Baseline: brute-force cosine top-k — the query set is broadcast (it
   * is small by construction), the corpus streams through one codegen'd
-  * projection per (query, vector) pair, and a per-query top-k window
-  * keeps only k rows per query after the rank. Corpus-side norms are
+  * projection per (query, vector) pair, and a bounded-heap top-k
+  * aggregate keeps only k rows per query. Corpus-side norms are
   * computed once per row, not per pair.
   *
   * Scale path: sign-random-projection LSH bucketing — corpus hashed once
@@ -21,15 +21,86 @@ import graft.functions.Vectors
   */
 object Similarity {
 
-  /** Per-query top-k tail shared by all search variants: rank by
-    * (score desc, corpus_id) and keep k. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  /** Aggregation buffer for [[TopKByScore]]: parallel arrays sorted
+    * best-first by (score desc, id asc), `n` live entries, capacity k.
+    * A case class of arrays gets a product (Tungsten) encoder. */
+  case class TKBuf(scores: Array[Double], ids: Array[Long], n: Int)
+
+  /** One ranked neighbor in the aggregate's output (array position =
+    * rank - 1). */
+  case class ScoredId(id: Long, score: Double)
+
+  /** Keep the k (score, id) pairs ranked best by (score desc, id asc);
+    * emit them in rank order. The merge is associative+commutative, so
+    * Spark runs map-side partial aggregation: each map task carries at
+    * most k entries per query through the shuffle, and no task ever
+    * sorts a corpus-sized partition — this is what keeps "top-5 of 10⁸
+    * corpus rows per query" O(k) memory instead of a single-task
+    * full-partition sort (the q43-shape anti-pattern the per-query
+    * `row_number` Window tail had).
+    *
+    * Hot path mirrors [[Sampling.BottomK]]: constant-time reject
+    * against the current worst entry once full (the common case on a
+    * large corpus), else one binary search + `System.arraycopy` shift.
+    * Score order uses `java.lang.Double.compare` — the same total
+    * order (NaN greatest, so ranked first under desc) Spark's sort
+    * uses. */
+  class TopKByScore(k: Int) extends Aggregator[(Double, Long), TKBuf, Seq[ScoredId]] {
+    require(k > 0, s"TopKByScore needs k > 0, got $k")
+
+    // (score desc, id asc) — true iff entry 1 outranks entry 2
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
+
+    private def insert(b: TKBuf, score: Double, id: Long): TKBuf = {
+      if (b.n == k && !better(score, id, b.scores(k - 1), b.ids(k - 1))) return b
+      var lo = 0
+      var hi = b.n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(b.scores(mid), b.ids(mid), score, id)) lo = mid + 1 else hi = mid
+      }
+      val lastKept = math.min(b.n, k - 1) // entry at k-1 falls off when full
+      System.arraycopy(b.scores, lo, b.scores, lo + 1, lastKept - lo)
+      System.arraycopy(b.ids, lo, b.ids, lo + 1, lastKept - lo)
+      b.scores(lo) = score
+      b.ids(lo) = id
+      if (b.n < k) b.copy(n = b.n + 1) else b
+    }
+
+    override def zero: TKBuf = TKBuf(new Array[Double](k), new Array[Long](k), 0)
+    override def reduce(b: TKBuf, a: (Double, Long)): TKBuf =
+      insert(b, a._1, a._2)
+    override def merge(x: TKBuf, y: TKBuf): TKBuf = {
+      var b = x
+      var i = 0
+      while (i < y.n) { b = insert(b, y.scores(i), y.ids(i)); i += 1 }
+      b
+    }
+    override def finish(b: TKBuf): Seq[ScoredId] =
+      (0 until b.n).map(i => ScoredId(b.ids(i), b.scores(i)))
+    override def bufferEncoder: Encoder[TKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TKBuf]()
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
   }
+
+  /** Column aggregate: the k best (id, score) structs by
+    * (score desc, id asc), in rank order. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    udaf(new TopKByScore(k)).apply(score, id)
+
+  /** Per-query top-k tail shared by all search variants: keep the k
+    * best (score desc, corpus_id asc) per query via the bounded-heap
+    * aggregate, then unnest with the array position as the rank. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("score"), col("corpus_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("corpus_id"), col("col.score").as("score"))
 
   /** Row array → double[] regardless of the column's numeric element
     * type (array<float> and array<double> are both supported across
@@ -185,10 +256,9 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         Vectors.cosineWithNorms(Vectors.dotQuantized(col("cq"), col("qq")),
           col("c_norm"), col("q_norm")).as("ascore"))
-      .withColumn("_rn", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("ascore").desc, col("corpus_id").asc)).cast("long"))
-      .filter(col("_rn") <= k.toLong * candFactor)
-      .select(col("query_id"), col("corpus_id"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("ascore"), col("corpus_id"), k * candFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("corpus_id"))
     // exact re-rank of the surviving k·candFactor ids only
     val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       Vectors.norm(col(vecCol)).as("c_norm"))

@@ -411,14 +411,74 @@ object Sinks {
       pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
     sharded.repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
-    val manifest = sharded
-      .groupBy(col("shard"))
+    // The manifest is an integrity check on the PUBLISHED bytes, so it
+    // must read the files just written — not re-evaluate the input
+    // lineage, which (a) re-runs the whole upstream pipeline (for the
+    // intended caller, the end of a curation cascade, that doubles its
+    // most expensive stages) and (b) could silently describe different
+    // rows if the source is nondeterministic or changed between the two
+    // evaluations. `shard` comes back as the partition directory column;
+    // dataCols re-selects the original column order so content_hash
+    // hashes the same field sequence the input would.
+    val written = df.sparkSession.read.parquet(s"$path/data")
+    val manifest = written
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"),
         sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
     manifest.write.mode("overwrite").parquet(s"$path/manifest")
     df.sparkSession.read.parquet(s"$path/manifest")
+  }
+
+  /** Integrity check for a [[writeShards]] layout: recompute each
+    * shard's (n_rows, id range, content hash) from the published data
+    * files and diff against the stored manifest. One scan of the data,
+    * one tiny manifest join — the post-transfer / post-restore check a
+    * loader runs before trusting a corpus copy. Returns one row per
+    * shard seen on either side: (shard, ok, n_rows, manifest_rows,
+    * content_hash, manifest_hash); `ok = false` covers mismatched
+    * counts/hashes AND shards present on only one side. */
+  def verifyShards(spark: SparkSession, path: String,
+                   idCol: String): DataFrame = {
+    val written = spark.read.parquet(s"$path/data")
+    val dataCols = written.columns.filter(_ != "shard").toSeq
+    val actual = written
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
+    val manifest = spark.read.parquet(s"$path/manifest")
+      .select(col("shard"), col("n_rows").as("manifest_rows"),
+        col("content_hash").as("manifest_hash"))
+    actual.join(manifest, Seq("shard"), "full_outer")
+      .withColumn("ok",
+        col("n_rows") === col("manifest_rows") &&
+          col("content_hash") === col("manifest_hash"))
+      .withColumn("ok", coalesce(col("ok"), lit(false)))
+      .select("shard", "ok", "n_rows", "manifest_rows",
+        "content_hash", "manifest_hash")
+  }
+
+  /** Shard-level diff of two corpus versions from their manifests
+    * alone — no data read, |shards| rows a side. Status per shard:
+    * `same` (hash equal), `changed`, `added` (only in `b`), `removed`
+    * (only in `a`). This is what makes the manifest a corpus VERSION
+    * artifact: re-publish, diff, and ship only changed shards. */
+  def diffManifests(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("shard"), col("n_rows").as("rows_a"),
+      col("content_hash").as("hash_a"))
+    val r = b.select(col("shard"), col("n_rows").as("rows_b"),
+      col("content_hash").as("hash_b"))
+    l.join(r, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("hash_a").isNull, lit("added"))
+          .when(col("hash_b").isNull, lit("removed"))
+          .when(col("hash_a") === col("hash_b") &&
+            col("rows_a") === col("rows_b"), lit("same"))
+          .otherwise(lit("changed")))
+      .select("shard", "status", "rows_a", "rows_b")
   }
 
   /** K7: console debug sink. */

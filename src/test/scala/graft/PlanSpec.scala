@@ -117,7 +117,12 @@ class PlanSpec extends SparkTestBase {
       "c_nationkey", "s_nationkey", "n_nationkey", "n_regionkey",
       "r_regionkey", "c_mktsegment", "o_orderpriority", "o_orderstatus",
       "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
-      "lang", "event_type", "media_type")
+      "lang", "event_type", "media_type",
+      // ANN query sets are small by construction, so a window
+      // partitioned only by query_id sorts full-corpus score partitions
+      // on |queries| tasks — the round-6 finding; the tail is now the
+      // TopKByScore aggregate and must stay one
+      "query_id")
     val waived: Map[String, String] = Map(
       "q38_rank_lag" -> ("lag window runs over the rank-selected " +
         "top-3-per-nation survivors: ≤3 rows per key by the upstream " +

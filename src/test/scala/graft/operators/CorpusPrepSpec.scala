@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Splits / chunking / batching — the dataloader-prep operators added
+  * round 7 (q69/q70/q71). */
+class CorpusPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf).documents
+
+  test("assignSplit: total cover, engine-portable coin, stable under corpus growth") {
+    val out = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(out.count() == docs.count()) // every row labeled
+    val labels = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    // replay the coin in plain Scala — the label is a pure function of
+    // the id, nothing else
+    def coin(id: Long): Long = {
+      val reduced = ((id % 2147483648L) + 2147483648L) % 2147483648L
+      (reduced * 2654435761L) % 4294967296L
+    }
+    val t1 = math.floor(0.9 * 4294967296.0).toLong
+    val t2 = math.floor(0.95 * 4294967296.0).toLong
+    labels.foreach { case (id, s) =>
+      val expect = if (coin(id) < t1) "train" else if (coin(id) < t2) "val" else "test"
+      assert(s == expect, s"doc $id: got $s expected $expect")
+    }
+    // growth stability: labels on a subset are the subset of labels —
+    // membership never reshuffles as the corpus grows
+    val sub = Sampling.assignSplit(docs.filter($"doc_id" < 100), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(labels(id) == s) }
+    // shares land near the fractions (hash uniformity sanity)
+    val trainShare = labels.values.count(_ == "train").toDouble / labels.size
+    assert(math.abs(trainShare - 0.9) < 0.05, s"train share $trainShare")
+  }
+
+  test("assignSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("chunk: ceil(len/step) chunks, exact offsets, overlap and reconstruction") {
+    val size = 64
+    val step = 48
+    val out = Chunking.chunk(docs.filter(length($"text") > 0), "text",
+        size, step, keepCols = Seq("doc_id"))
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_text", "chunk_len")
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, chunks) =>
+      val text = texts(id)
+      val expectN = (text.length - 1) / step + 1
+      assert(chunks.length == expectN, s"doc $id: ${chunks.length} != $expectN chunks")
+      chunks.foreach { case (_, idx, start, ct, clen) =>
+        assert(start == idx * step)
+        assert(ct == text.substring(start.toInt,
+          math.min(start.toInt + size, text.length)))
+        assert(clen == ct.length.toLong)
+      }
+      // consecutive full chunks overlap by size-step identical chars
+      chunks.sliding(2).foreach { pair =>
+        if (pair.length == 2 && pair(0)._4.length == size) {
+          val (a, b) = (pair(0)._4, pair(1)._4)
+          assert(a.takeRight(size - step) ==
+            b.take(math.min(size - step, b.length)))
+        }
+      }
+      // stitching step-prefixes + the full last chunk rebuilds the doc
+      val rebuilt = chunks.init.map(_._4.take(step)).mkString + chunks.last._4
+      assert(rebuilt == text, s"doc $id: reconstruction mismatch")
+    }
+  }
+
+  test("chunk: empty text yields no rows; step > size rejected") {
+    val df = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
+    val out = Chunking.chunk(df, "text", 4, 2, Seq("doc_id"))
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    assert(out.toSet == Set((2L, "abc"), (2L, "c")))
+    intercept[IllegalArgumentException] {
+      Chunking.chunk(df, "text", 2, 4, Seq("doc_id"))
+    }
+  }
+
+  test("lengthBucketBatches equals the window reference; batches bounded and length-ordered") {
+    val d = docs.select($"doc_id", (length($"text") / 10).cast("long").as("toks"))
+    val out = Batching.lengthBucketBatches(d, $"toks", "doc_id",
+        batchSize = 8, bucketQuantum = 64, keepCols = Seq("doc_id"))
+      .select("doc_id", "toks", "bucket", "batch_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // reference: local sort per bucket
+    val ref = d.as[(Long, Long)].collect().toSeq
+      .map { case (id, t) => (id, t, ((t + 63) / 64) * 64) }
+      .groupBy(_._3).toSeq.flatMap { case (bucket, rows) =>
+        rows.sortBy { case (id, t, _) => (-t, id) }.zipWithIndex
+          .map { case ((id, t, _), i) => (id, t, bucket, i.toLong / 8) }
+      }.toSet
+    assert(out.toSet == ref)
+    // no batch exceeds batchSize; only the last batch of a bucket is short
+    out.groupBy(r => (r._3, r._4)).foreach { case ((b, bid), rows) =>
+      assert(rows.length <= 8, s"batch ($b,$bid) has ${rows.length} rows")
+    }
+  }
+}

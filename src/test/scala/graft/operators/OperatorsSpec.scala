@@ -535,6 +535,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(km._2.length == 8 && km._2.forall(_.length == 64))
   }
 
+  test("topKByScore aggregate equals the sort-based reference, partition-invariant") {
+    // deterministic pseudo-random scores (hash-derived, includes exact
+    // ties across distinct ids so the (score desc, id asc) tie-break is
+    // exercised) — the aggregate must match a full-sort reference and
+    // be invariant to partitioning (merge order)
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      val g = i % 7
+      val score = ((i * 2654435761L) % 1000L).toDouble / 1000.0 // ~1000 distinct → ties
+      (g.toLong, score, i.toLong)
+    }
+    val df = rows.toDF("query_id", "score", "corpus_id")
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, s, id) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((_, s, id), r) => (g, r + 1L, id, s) }
+    }.toSet
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy($"query_id")
+        .agg(Similarity.topKByScore($"score", $"corpus_id", 10).as("tk"))
+        .select($"query_id", posexplode($"tk"))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("corpus_id"), $"col.score".as("score"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(run(df) == expected)
+    assert(run(df.repartition(13)) == expected) // merge-safe
+    assert(run(df.repartition(1)) == expected)
+  }
+
+  test("ANN top-k tail carries at most k entries per query through the shuffle (no Window)") {
+    // the q43-shape regression this round fixed: the shared tail must
+    // be a map-side-combinable aggregate, never a per-query window sort
+    // of corpus-sized partitions
+    val emb = graft.Tables(spark, sf).embeddings.limit(500)
+    val qs = emb.filter($"vec_id" < 3)
+    for (df <- Seq(
+        Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5),
+        Similarity.quantizedTopK(emb, qs, "embedding", "vec_id", 5))) {
+      val plan = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.Window
+      assert(!plan.exists(_.isInstanceOf[Window]),
+        s"ANN tail must be an aggregate, found a Window:\n$plan")
+    }
+  }
+
   private implicit class PairsOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, s) => (a, b) -> s }.toMap

@@ -32,6 +32,15 @@ class RanksSpec extends SparkTestBase {
       Ranks.globalRowNumbers(nondet, Seq("id"), Seq(col("r")))
     }
     assert(e1.getMessage.contains("deterministic"))
+    // a MATERIALIZED nondeterministic column is legitimate — the values
+    // are fixed before the two exchange reads, so the guard must accept
+    // it (round-6 advice: the old analyzed-plan walk rejected it with
+    // misleading advice)
+    val fixed = nondet.withColumn("grp", col("id") % 2).localCheckpoint(true)
+    try {
+      val ranked = Ranks.globalRowNumbers(fixed, Seq("grp"), Seq(col("r"), col("id")))
+      assert(ranked.count() == 10)
+    } finally fixed.unpersist()
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
       val e2 = intercept[IllegalArgumentException] {

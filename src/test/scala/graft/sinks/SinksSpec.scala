@@ -205,4 +205,53 @@ class SinksSpec extends SparkTestBase {
       "doc_id", nShards = 8).orderBy("shard").collect().toSeq
     assert(again == manifest)
   }
+
+  test("verifyShards detects intact, corrupted, and missing shards") {
+    val dir = Files.createTempDirectory("graft_vshard_").toString + "/pub"
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang")
+    Sinks.writeShards(docs, dir, "doc_id", nShards = 4)
+    // pristine publish verifies clean
+    val ok = Sinks.verifyShards(spark, dir, "doc_id")
+    assert(ok.count() == 4 && ok.filter(!col("ok")).count() == 0)
+    // corrupt one shard (replace its parquet file with a truncated
+    // rewrite: drop a row) and delete another entirely
+    val shard0 = new java.io.File(s"$dir/data/shard=0")
+    val fixed = spark.read.parquet(shard0.toString)
+    val fewer = fixed.limit(fixed.count().toInt - 1).collect()
+    val fewerDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(fewer.toSeq), fixed.schema)
+    fewerDf.write.mode("overwrite").parquet(shard0.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/data/shard=1"))
+    val after = Sinks.verifyShards(spark, dir, "doc_id")
+      .select("shard", "ok").as[(Long, Boolean)].collect().toMap
+    assert(!after(0L), "row-dropped shard must fail verification")
+    assert(!after(1L), "deleted shard must fail verification")
+    assert(after(2L) && after(3L), "untouched shards must stay ok")
+  }
+
+  test("diffManifests classifies same/changed/added/removed shards") {
+    val base = Files.createTempDirectory("graft_diff_").toString
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang")
+    val m1 = Sinks.writeShards(docs, s"$base/v1", "doc_id", nShards = 4)
+    // v2: drop some docs (changes the shards those ids hashed into)
+    val m2 = Sinks.writeShards(docs.filter(col("doc_id") % 7 =!= 0),
+      s"$base/v2", "doc_id", nShards = 4)
+    val d = Sinks.diffManifests(m1, m2)
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    assert(d.values.forall(Set("same", "changed").contains))
+    assert(d.values.exists(_ == "changed")) // every 7th id removed somewhere
+    // identical manifests diff to all-same; a missing shard classifies
+    val same = Sinks.diffManifests(m1, m1)
+      .select("status").as[String].collect()
+    assert(same.forall(_ == "same"))
+    val dropped = Sinks.diffManifests(m1, m1.filter(col("shard") =!= 2L))
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    assert(dropped(2L) == "removed")
+    val added = Sinks.diffManifests(m1.filter(col("shard") =!= 3L), m1)
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    assert(added(3L) == "added")
+  }
 }
