@@ -131,4 +131,47 @@ object BloomOps {
 
   def mightContain(item: Column, bits: Array[Long], k: Int): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(item), bits, k))
+
+  /** Probe variant for bit arrays too large to ride the plan as a
+    * literal: the words live in a `Broadcast` variable, so the plan
+    * carries a HANDLE and each executor fetches the array once
+    * (torrent, off the driver's plan-serialization path) instead of
+    * deserializing ~m/8 bytes with every task closure. Same kernel,
+    * same one-sided contract, same single-scan shape — this is the
+    * "ship the bits as a broadcast variable" escape hatch
+    * [[sizeFor]]'s 2³⁰ cap points at (the cap still bounds the BUILD
+    * aggregate's buffer; past it, partition the eval set and AND the
+    * verdicts of several filters). */
+  case class BloomMightContainBroadcast(
+      child: Expression,
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      k: Int)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val bits = bcast.value
+    @transient private lazy val mBits = bits.length * 64
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain needs a string item, got ${child.dataType.sql}")
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var hit = true
+      setBits(bytes, k, mBits, { bit =>
+        if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) hit = false
+      })
+      hit
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContainBroadcast =
+      copy(child = c)
+    override def prettyName: String = "bloom_might_contain_bcast"
+  }
+
+  def mightContainBroadcast(item: Column,
+                            bits: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                            k: Int): Column =
+    ColumnBridge.column(
+      BloomMightContainBroadcast(ColumnBridge.expression(item), bits, k))
 }

@@ -59,6 +59,25 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[bloomHits]] with the bits shipped as a BROADCAST VARIABLE
+    * instead of an expression literal — the large-eval-set escape
+    * hatch (SCALING debt #6, now closed): a literal's words serialize
+    * into every task closure, so a 128 MB filter would re-ship with
+    * each task; the broadcast handle ships bytes-per-executor once.
+    * Identical answers to [[bloomHits]] for the same (bench, n, eps) —
+    * same build, same probe kernel — pinned by DecontaminateSpec. */
+  def bloomHitsBroadcast(corpus: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String, n: Int = 3,
+                         eps: Double = 0.01): DataFrame = {
+    val (bits, k) = bloomBits(bench, textCol, n, eps)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bits)
+    corpus.select(col(idCol), explode(array_distinct(
+        TextSignatures.shingles(col(textCol), n))).as("sh"))
+      .filter(BloomOps.mightContainBroadcast(col("sh"), bcast, k))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Streaming-safe contamination flag: adds boolean `contaminated`
     * (any shingle bloom-hits the prebuilt bench bits). A STATELESS
     * row-local projection — no shuffle, no state store, no watermark —

@@ -450,6 +450,11 @@ class DecontaminateSpec extends SparkTestBase {
     val again = Decontaminate.bloomHits(corpus.repartition(17),
       bench.repartition(5), "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(again == bloom)
+    // the broadcast-variable probe is the SAME filter behind a handle:
+    // answers must be identical row for row (large-eval-set path)
+    val viaBcast = Decontaminate.bloomHitsBroadcast(corpus, bench,
+      "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(viaBcast == bloom)
   }
 
   test("bloom sizing edges: tiny bench sets clamp k; oversized sets fail loudly") {

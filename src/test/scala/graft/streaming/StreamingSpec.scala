@@ -343,6 +343,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(3L) && !rows(3L), "null text must flag clean, not NULL")
   }
 
+  test("streaming chunking + split assignment are stateless ingest projections") {
+    // chunk + assignSplit are pure row-local projections (explode +
+    // hash coin), so they must run in a stream with no state store,
+    // no watermark — ingest-time dataloader prep — and agree exactly
+    // with their batch forms on the same rows
+    import graft.operators.{Chunking, Sampling}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val prepped = Sampling.assignSplit(
+      Chunking.chunk(in.toDF().toDF("doc_id", "text"), "text",
+        size = 8, step = 6, keepCols = Seq("doc_id")),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    val q = prepped.writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").start()
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "short"), (3L, ""))
+    in.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("prep_out")
+      .select("doc_id", "chunk_idx", "chunk_text", "split")
+      .as[(Long, Long, String, String)].collect().toSet
+    val batch = Sampling.assignSplit(
+      Chunking.chunk(docs.toDF("doc_id", "text"), "text",
+        size = 8, step = 6, keepCols = Seq("doc_id")),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "chunk_idx", "chunk_text", "split")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == 1L) && !streamed.exists(_._1 == 3L))
+  }
+
   test("R2 dual sink writes both targets from one stream") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Int]
