@@ -1410,18 +1410,21 @@ object Queries {
 
   /** q58 — sequence packing: assign documents to contiguous ~4096-char
     * packs (the pretraining batch-construction op — concatenate docs
-    * until the context budget fills, start the next pack). Greedy
-    * contiguous fill via ONE cumulative-sum window per language
-    * partition: pack_id = (cumulative_chars - 1) div budget. Partition-
-    * parallel (the window partitions by lang — at lake scale pack
-    * within (lang, shard) so no partition is unbounded); deterministic
-    * for any partitioning because the order key is the unique doc_id. */
+    * until the context budget fills, start the next pack):
+    * pack_id = (cumulative_chars - 1) div budget, with the per-lang
+    * cumulative computed by `Ranks.globalCumSum` (range-partitioned
+    * prefix sums — no partition holds more than ~|corpus|/P rows, vs
+    * the naive per-lang window's |langs|-task sort). Deterministic for
+    * any partitioning because the order key is the unique doc_id. */
   val q58: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("lang"), col("doc_id"), length(col("text")).as("chars"))
-      .withColumn("cum", sum(col("chars")).over(w))
+    val base = docs.select(col("lang"), col("doc_id"),
+      length(col("text")).as("chars"))
+    // per-lang prefix sum via range-partitioned slices — identical
+    // values to the single-window form, but no |langs|-task sort
+    // (round 7: the former PlanSpec waiver, now the implemented path)
+    Ranks.globalCumSum(base, Seq("lang"), Seq(col("doc_id")),
+        "chars", cumCol = "cum")
       .withColumn("pack_id", expr("(cum - 1) div 4096"))
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("pack_chars"))
@@ -1633,22 +1636,22 @@ object Queries {
     * highest-quality docs per language (quality ∝ n_chars here,
     * doc_id tie-break) until a per-language token budget is spent —
     * the data-mixing step that turns "ranked corpus" into "training
-    * set". One cumulative-sum window per lang partition (same shape
-    * as q58's packing; at 100 TB shard the prefix sums within
-    * (lang, shard) or replace the exact scan with a quality-threshold
-    * chosen from a quantile sketch — the greedy result is identical
-    * when scores are distinct). Tokens are q19's whitespace count, so
-    * both engines agree exactly. */
+    * set". The per-lang cumulative runs through `Ranks.globalCumSum`
+    * (range-partitioned prefix sums, same machinery as q58 — no
+    * |langs|-task sort; the greedy cut is a prefix of the
+    * (n_chars desc, doc_id) order, so the selected set AND cum_toks
+    * are bit-identical to the single-window form). Tokens are q19's
+    * whitespace count, so both engines agree exactly. */
   val q65: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val d = Tables(s, dir).documents
       .withColumn("_mc", TextStats.counts(col("text")))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextStats.wordCount(col("text"), col("_mc")).cast("long").as("toks"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum_toks", sum(col("toks")).over(w))
+    // per-lang greedy prefix sum via range-partitioned slices (round 7
+    // — the former PlanSpec waiver, now the implemented scale path)
+    Ranks.globalCumSum(d, Seq("lang"),
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        "toks", cumCol = "cum_toks")
       .filter(col("cum_toks") <= 20000L)
       .select(col("doc_id"), col("lang"), col("toks"), col("cum_toks"))
   }
@@ -1828,6 +1831,99 @@ object Queries {
        |  FROM b)
        |SELECT doc_id, toks, bucket, (rn-1) // 8 AS batch_id FROM r""".stripMargin
 
+  /** q72 — quality-weighted sampling: keep each doc with probability
+    * equal to its q18 quality score (importance sampling toward
+    * high-quality text — the re-weighting step between scoring and
+    * training-mix assembly). The keep decision is the deterministic
+    * Knuth coin against the per-row score, so both engines replay it
+    * exactly: the score is q18's value-oracled rounded double, and
+    * coin/threshold arithmetic is the q55 integer form. Counted per
+    * (lang, source-grained) cell to keep the output compact. */
+  val q72: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val scored = docs
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .withColumn("q_score", TextStats.qualityScore(col("text"), col("_mc")))
+    // exact order-independent score sum: the 6-decimal score scales to
+    // integer micro-units (q01's cents pattern) — a double SUM would be
+    // partition-order dependent and break the cross-engine hash
+    val kept = Sampling.sampleByWeight(scored, "q_score", "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"),
+        (sum(round(col("q_score") * 1e6).cast("long")) / 1e6).as("kept_score_sum"))
+    scored.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+      .join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("total"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        coalesce(col("kept_score_sum"), lit(0.0)).as("kept_score_sum"))
+  }
+  val q72Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    round(0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       |        + 0.5 * least(CAST($stopSql AS DOUBLE) * 8.0 / greatest(CAST($wordsSql AS DOUBLE), 1.0), 1.0)
+       |        - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score,
+       |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+       |      * 2654435761) % 4294967296 AS c
+       |  FROM documents
+       |), k AS (
+       |  SELECT lang, COUNT(*) AS kept,
+       |    SUM(CAST(round(q_score * 1000000) AS BIGINT)) / 1000000.0 AS kept_score_sum
+       |  FROM s
+       |  WHERE CAST(c AS DOUBLE) < least(greatest(q_score, 0.0), 1.0) * 4294967296.0
+       |  GROUP BY lang
+       |)
+       |SELECT d.lang, COUNT(*) AS total,
+       |  COALESCE(MAX(k.kept), 0) AS kept,
+       |  COALESCE(MAX(k.kept_score_sum), 0.0) AS kept_score_sum
+       |FROM documents d LEFT JOIN k ON d.lang = k.lang
+       |GROUP BY d.lang""".stripMargin
+
+  /** q73 — chunk-level exact dedup (C4-style paragraph-granularity
+    * dedup, composed from q70's chunker + q10's hash-groupBy shape):
+    * duplicated 64-char chunks across the corpus, with the canonical
+    * occurrence = lexicographic min (doc_id, chunk_idx) encoded as one
+    * integer (doc_id·10⁶ + idx — portable argmin without a struct-min,
+    * exact while doc_id < 2⁶³/10⁶ ≈ 9·10¹²). The fingerprint groupBy
+    * is map-side combinable; nothing ever holds more than a group's
+    * aggregates. 127 cross-doc duplicate groups in the sf0.01 fixture,
+    * so the oracle exercises real collisions, not an empty result. */
+  val q73: Q = (s, dir) => {
+    val chunks = Chunking.chunk(
+      Tables(s, dir).documents.filter(length(col("text")) > 0),
+      "text", size = 64, step = 48, keepCols = Seq("doc_id"))
+    chunks
+      .withColumn("fp", md5(col("chunk_text")))
+      .withColumn("pos", col("doc_id") * 1000000L + col("chunk_idx"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("pos")).as("_mp"))
+      .filter(col("n_copies") > 1)
+      .select(col("fp"), col("n_copies"), col("n_docs"),
+        expr("_mp div 1000000").as("canonical_doc"),
+        pmod(col("_mp"), lit(1000000L)).as("canonical_idx"))
+  }
+  val q73Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len
+      |  FROM documents WHERE length(text) > 0
+      |), i AS (
+      |  SELECT doc_id, text, unnest(range(0, (len-1)//48 + 1)) AS chunk_idx
+      |  FROM d
+      |), c AS (
+      |  SELECT doc_id, chunk_idx,
+      |    substr(text, CAST(chunk_idx*48 + 1 AS INT), 64) AS ct
+      |  FROM i
+      |), g AS (
+      |  SELECT md5(ct) AS fp, COUNT(*) AS n_copies,
+      |    COUNT(DISTINCT doc_id) AS n_docs,
+      |    MIN(doc_id*1000000 + chunk_idx) AS mp
+      |  FROM c GROUP BY 1 HAVING COUNT(*) > 1
+      |)
+      |SELECT fp, n_copies, n_docs,
+      |  mp // 1000000 AS canonical_doc, mp % 1000000 AS canonical_idx
+      |FROM g""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -1902,6 +1998,8 @@ object Queries {
     "q69_split_assign" -> q69,
     "q70_chunking" -> q70,
     "q71_length_batching" -> q71,
+    "q72_weighted_sample" -> q72,
+    "q73_chunk_dedup" -> q73,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1973,5 +2071,7 @@ object Queries {
     "q69_split_assign" -> q69Sql,
     "q70_chunking" -> q70Sql,
     "q71_length_batching" -> q71Sql,
+    "q72_weighted_sample" -> q72Sql,
+    "q73_chunk_dedup" -> q73Sql,
   )
 }

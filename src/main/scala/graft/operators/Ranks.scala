@@ -46,6 +46,38 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Correctness RIDES on the two consumers of the ranged frame reading
+    * one reused exchange (see scaladoc). Guard the two ways a caller
+    * can silently break that: reuse disabled in the session, or a
+    * nondeterministic input subtree (rand()/uuid()) that defeats
+    * canonical plan equality — either would misalign the histogram's
+    * _pid offsets with the data rows and produce WRONG results, not an
+    * error. The walk inspects the OPTIMIZED plan (cache substitution
+    * has run by then) and stops at materialization boundaries: below an
+    * InMemoryRelation or LogicalRDD (checkpoint) the values are already
+    * fixed, so a rand() that produced them can no longer misalign the
+    * two reads. Matching by nodeName keeps
+    * `org.apache.spark.sql.execution` internals out of the compile-time
+    * surface. (Caveat, documented not guarded: a cache EVICTION
+    * recomputes the InMemoryRelation and can re-roll the column between
+    * the two exchange reads — `checkpoint()` or a write-out/read-back
+    * is the airtight fence.) */
+  private def requireReusableRangeExchange(df: DataFrame, what: String): Unit = {
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      s"$what requires spark.sql.exchange.reuse=true (offsets " +
+        "and data must read one sampled range exchange)")
+    def checkDeterministic(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      if (node.nodeName != "InMemoryRelation" && node.nodeName != "LogicalRDD") {
+        node.expressions.foreach(e => require(e.deterministic,
+          s"$what input must be deterministic; found $e — " +
+            "fix the column behind a materialization boundary first " +
+            "(df.checkpoint(), or write out and re-read; a persist() " +
+            "also clears this guard but can re-roll under cache eviction)"))
+        node.children.foreach(checkDeterministic)
+      }
+    checkDeterministic(df.queryExecution.optimizedPlan)
+  }
+
   /** Add global per-group 1-based row numbers (`rankCol`, long) and the
     * group size (`sizeCol`, long) to `df`, computed scale-safe as
     * described above.
@@ -71,35 +103,7 @@ object Ranks {
     val p =
       if (parts > 0) parts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // Correctness here RIDES on the two consumers of the ranged frame
-    // reading one reused exchange (see scaladoc). Guard the two ways a
-    // caller can silently break that: reuse disabled in the session, or
-    // a nondeterministic input subtree (rand()/uuid()) that defeats
-    // canonical plan equality — either would misalign the histogram's
-    // _pid offsets with the data rows and produce WRONG ranks, not an
-    // error.
-    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
-      "globalRowNumbers requires spark.sql.exchange.reuse=true (offsets " +
-        "and data must read one sampled range exchange)")
-    // Walk the OPTIMIZED plan (cache substitution has run by then) and
-    // stop at materialization boundaries: below an InMemoryRelation or
-    // LogicalRDD (checkpoint) the values are already fixed, so a
-    // rand() that produced them can no longer misalign the two reads.
-    // Matching by nodeName keeps `org.apache.spark.sql.execution`
-    // internals out of the compile-time surface. (Caveat, documented
-    // not guarded: a cache EVICTION recomputes the InMemoryRelation and
-    // can re-roll the column between the two exchange reads —
-    // `checkpoint()` or a write-out/read-back is the airtight fence.)
-    def checkDeterministic(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
-      if (node.nodeName != "InMemoryRelation" && node.nodeName != "LogicalRDD") {
-        node.expressions.foreach(e => require(e.deterministic,
-          s"globalRowNumbers input must be deterministic; found $e — " +
-            "fix the column behind a materialization boundary first " +
-            "(df.checkpoint(), or write out and re-read; a persist() " +
-            "also clears this guard but can re-roll under cache eviction)"))
-        node.children.foreach(checkDeterministic)
-      }
-    checkDeterministic(df.queryExecution.optimizedPlan)
+    requireReusableRangeExchange(df, "globalRowNumbers")
     val gCols = groupCols.map(col)
     val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
       .withColumn("_pid", spark_partition_id())
@@ -131,6 +135,62 @@ object Ranks {
         Seq(col("_o._off"), col(s"_o.$sizeCol")): _*)
       .withColumn(rankCol, row_number().over(wLocal).cast("long") + col("_off"))
       .filter(rowPred(col(rankCol), col(sizeCol)))
+      .drop("_pid", "_off")
+  }
+
+  /** Add a global per-group RUNNING SUM of `valueCol` (`cumCol`) in
+    * (groupCols, orderCols) order — the prefix-sum sibling of
+    * [[globalRowNumbers]], and the implemented form of the "shard the
+    * prefix sums" scale path that q58 (sequence packing) and q65
+    * (token-budget selection) previously carried as documented
+    * waivers: a `sum().over(Window.partitionBy(lang))` concentrates
+    * the whole corpus on |langs| tasks, while this computes the
+    * identical cumulative values with no partition ever holding more
+    * than ~|input|/P rows.
+    *
+    * Same three-step shape as the ranks: range-partition on the cum
+    * order, per-(partition, group) VALUE SUMS (tiny histogram),
+    * broadcast the strictly-before-this-partition offsets back, add
+    * the partition-local running sum. Same reused-exchange
+    * precondition, actively guarded. `valueCol` is a column NAME in
+    * `df`, not an expression — an expression would be aliased into one
+    * consumer's subtree only, the histogram and data copies of the
+    * range exchange would then column-prune DIFFERENTLY, canonical
+    * equality would fail, and each copy would sample its own range
+    * boundaries (misaligned offsets = wrong sums — the executed-plan
+    * reuse pin in RanksSpec caught exactly this). Compute derived
+    * values with `withColumn` BEFORE calling. `valueCol` must be
+    * non-null (null-skipping semantics across slice boundaries would
+    * otherwise diverge from the single-window form); include a unique
+    * tie-break in `orderCols` so the running sum is deterministic. */
+  def globalCumSum(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[Column], valueCol: String,
+                   cumCol: String = "_cum", parts: Int = 0): DataFrame = {
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    requireReusableRangeExchange(df, "globalCumSum")
+    val gCols = groupCols.map(col)
+    val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
+      .withColumn("_pid", spark_partition_id())
+    val hist = b.groupBy((col("_pid") +: gCols): _*)
+      .agg(sum(col(valueCol)).as("_c"))
+    // histogram-sized window: P×|groups| rows, never the data
+    val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("_off", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+      .drop("_c")
+    val wLocal = Window.partitionBy((col("_pid") +: gCols): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe group equality for the same two reasons as the ranks
+    val cond = groupCols
+      .map(c => col(s"_d.$c") <=> col(s"_o.$c"))
+      .foldLeft(col("_d._pid") === col("_o._pid"))(_ && _)
+    b.as("_d").join(broadcast(offs.as("_o")), cond)
+      .select(b.columns.map(c => col(s"_d.$c")) :+ col("_o._off"): _*)
+      .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("_off"))
       .drop("_pid", "_off")
   }
 }

@@ -120,6 +120,23 @@ object Sampling {
     df.filter(coin < rate * lit(4294967296L))
   }
 
+  /** Importance sampling: keep each row with probability equal to its
+    * OWN weight column (clamped to [0,1]) — the per-document form of
+    * [[mixByRate]] (rate looked up per row instead of per domain).
+    * This is quality-weighted down-sampling: feed it a quality score
+    * and the kept corpus is re-weighted toward high-quality docs
+    * without a sort, a shuffle, or RNG state. Same Knuth coin, so the
+    * decision is a pure function of (id, weight): reproducible across
+    * runs/partitionings/engines, and stable per doc as the corpus
+    * grows. Weights outside [0,1] clamp (≤0 never keeps, ≥1 always). */
+  def sampleByWeight(df: DataFrame, weightCol: String,
+                     idCol: String): DataFrame = {
+    val reduced = pmod(col(idCol).cast("long"), lit(2147483648L))
+    val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(coin.cast("double") < w * lit(4294967296.0))
+  }
+
   /** Deterministic stratified train/val/test split: every row gets a
     * split label from the SAME content-independent coin [[mixByRate]]
     * flips (Knuth multiplicative hash of the id — overflow-free for

@@ -123,15 +123,14 @@ class PlanSpec extends SparkTestBase {
       // on |queries| tasks — the round-6 finding; the tail is now the
       // TopKByScore aggregate and must stay one
       "query_id")
+    // round 7: the q58/q65 waivers are GONE — their per-lang prefix
+    // sums run through Ranks.globalCumSum now, so their windows are
+    // (pid, lang)-partitioned and histogram-sized, and the guardrail
+    // checks them like everything else
     val waived: Map[String, String] = Map(
       "q38_rank_lag" -> ("lag window runs over the rank-selected " +
         "top-3-per-nation survivors: ≤3 rows per key by the upstream " +
-        "rowPred, not the fact"),
-      "q58_seq_pack" -> ("greedy pack fill is a per-lang prefix sum by " +
-        "definition; at lake scale pack within (lang, shard) — SCALING.md"),
-      "q65_token_budget" -> ("token-budget selection is a per-lang " +
-        "prefix sum by definition; at lake scale shard the prefix sums " +
-        "within (lang, shard) — SCALING.md"))
+        "rowPred, not the fact"))
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!waived.contains(name)) {
         val plan = fn(spark, sf).queryExecution.optimizedPlan

@@ -124,4 +124,53 @@ class PropertySpec extends SparkTestBase {
       assert(got == want, s"trial $trial k=$k rows=$rows")
     }
   }
+
+  test("TopKByScore == sorted.take(k) under arbitrary reduce/merge groupings") {
+    import graft.operators.Similarity
+    // same adversarial harness as BottomK: the ANN tail aggregate must
+    // match the (score desc, id asc) sort oracle for every way rows
+    // can be split between partial buffers — including duplicate
+    // scores AND duplicate (score, id) pairs
+    val rnd = new scala.util.Random(23)
+    (0 until 50).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      val rows = (0 until n).map { _ =>
+        (rnd.nextInt(6).toDouble / 2.0, rnd.nextLong() % 50)
+      }
+      val agg = new Similarity.TopKByScore(k)
+      val parts = rows.grouped(math.max(1, 1 + rnd.nextInt(5))).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged).map(s => (s.score, s.id))
+      val want = rows.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got == want, s"trial $trial k=$k rows=$rows")
+    }
+  }
+
+  test("chunking reconstructs any text exactly at any size/step") {
+    import graft.operators.Chunking
+    val text = Gen.oneOf(
+      Gen.asciiPrintableStr, Gen.alphaStr,
+      Gen.listOf(Gen.oneOf(" ", "ab", ".")).map(_.mkString))
+    val inputs = sample(text, 120).filter(_.nonEmpty).distinct
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 5) {
+      val step = 1 + rnd.nextInt(9)
+      val size = step + rnd.nextInt(9)
+      val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = Chunking.chunk(df, "text", size, step, Seq("doc_id"))
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      inputs.zipWithIndex.foreach { case (t, i) =>
+        val cs = chunks(i.toLong)
+        assert(cs.length == (t.length - 1) / step + 1, s"size=$size step=$step")
+        val rebuilt = cs.init.map(_.take(step)).mkString + cs.last
+        assert(rebuilt == t, s"size=$size step=$step text=${t.take(40)}")
+      }
+    }
+  }
 }

@@ -230,6 +230,31 @@ class SamplingSpec extends SparkTestBase {
     // and the keep fraction is still near the rate in the high-id range
     assert(math.abs(kept.size.toDouble / ids.size - 0.37) < 0.05)
   }
+
+  test("weighted sampling: per-row keep probability, clamped, partition-invariant") {
+    // weight column drives the keep decision row by row: 0 never
+    // keeps, 1 always keeps, and a mid weight replays the exact coin
+    val df = (0L until 2000L).map { id =>
+      (id, (id % 4) match {
+        case 0 => 0.0; case 1 => 1.0; case 2 => 0.5; case _ => 1.5 // clamps to 1
+      })
+    }.toDF("doc_id", "w")
+    val kept = Sampling.sampleByWeight(df, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.exists(_ % 4 == 0), "weight 0 must never keep")
+    assert((1L until 2000L by 4).forall(kept.contains), "weight 1 must always keep")
+    assert((3L until 2000L by 4).forall(kept.contains), "weight 1.5 clamps to always-keep")
+    val mids = (2L until 2000L by 4)
+    val expectMid = mids.filter { id =>
+      val coin = ((id % 2147483648L) * 2654435761L) % 4294967296L
+      coin.toDouble < 0.5 * 4294967296.0
+    }.toSet
+    assert(kept.filter(_ % 4 == 2) == expectMid)
+    // deterministic across partitionings
+    val again = Sampling.sampleByWeight(df.repartition(13), "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
 }
 
 class SkylineSpec extends SparkTestBase {
@@ -566,6 +591,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(run(df) == expected)
     assert(run(df.repartition(13)) == expected) // merge-safe
     assert(run(df.repartition(1)) == expected)
+  }
+
+  test("topKByScore orders NaN greatest and -0.0/0.0 by compare — Spark sort parity") {
+    // the aggregate must impose the SAME total order a desc sort
+    // would (NaN above +Inf), or swapping the tail silently changes
+    // which rows survive on pathological scores
+    val df = Seq((0L, 1.0, 1L), (0L, Double.NaN, 2L),
+      (0L, Double.PositiveInfinity, 3L), (0L, 2.0, 4L))
+      .toDF("query_id", "score", "corpus_id")
+    val got = df.groupBy($"query_id")
+      .agg(Similarity.topKByScore($"score", $"corpus_id", 3).as("tk"))
+      .select(explode($"tk.id")).as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L), s"expected NaN, +Inf, 2.0 order; got $got")
   }
 
   test("ANN top-k tail carries at most k entries per query through the shuffle (no Window)") {

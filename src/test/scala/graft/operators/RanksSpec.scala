@@ -139,9 +139,31 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("globalCumSum is bit-identical to the native per-group cumulative window") {
+    // duplicate order values with an id tie-break, a single-row group,
+    // and an empty-offset first slice — across partition counts
+    val data = (Seq(("a", 5.0, 1L)) ++
+      (1 to 7).map(i => ("b", (i % 3).toDouble, 100L + i)) ++
+      (1 to 400).map(i => ("c", (i % 10).toDouble, 1000L + i)))
+      .map { case (g, v, id) => (g, v, id, id % 13 + 1) }
+    val df = data.toDF("grp", "v", "id", "toks").repartition(6)
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val native = df.withColumn("cum", sum(col("toks")).over(w))
+    val out = Seq("grp", "v", "id", "toks", "cum").map(col)
+    for (p <- Seq(2, 5, 16)) {
+      val cummed = Ranks.globalCumSum(df, Seq("grp"),
+        Seq(col("v"), col("id")), "toks", cumCol = "cum", parts = p)
+      assert(rows(cummed.select(out: _*)) == rows(native.select(out: _*)),
+        s"parts=$p")
+    }
+  }
+
   test("ranked queries execute exactly ONE range shuffle stage (reuse is load-bearing)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    Seq("q38_rank_lag", "q40_percentile", "q43_ntile").foreach { name =>
+    Seq("q38_rank_lag", "q40_percentile", "q43_ntile",
+        "q58_seq_pack", "q65_token_budget", "q71_length_batching")
+      .foreach { name =>
       val df = Queries.all(name)(spark, sf)
       df.collect()
       val root = df.queryExecution.executedPlan
