@@ -337,6 +337,35 @@ object CorpusCuration {
     (survivors,
       Report(input, afterQuality, afterExact, afterNearDup, afterDecontam))
   }
+
+  /** [[run]] + the publish handoff: write the survivors as
+    * deterministic shards + manifest ([[graft.sinks.Sinks.writeShards]])
+    * and verify the published bytes before returning
+    * ([[graft.sinks.Sinks.verifyShards]]). The survivors frame is
+    * persisted across the write — writeShards' manifest reads the
+    * published files (round 7), so the expensive curation lineage runs
+    * ONCE for the write; the persist covers the driver-side count the
+    * report needs. Returns the verified manifest; throws if any shard
+    * fails post-write verification (a publish that cannot be trusted
+    * must not look like success). */
+  def runAndPublish(spark: SparkSession, docs: DataFrame, publishPath: String,
+                    nShards: Int, minQuality: Double = 0.3,
+                    lang: String = "en", nearDupThreshold: Double = 0.5,
+                    benchDocs: Option[DataFrame] = None,
+                    decontamMinHits: Long = 1L): (DataFrame, Report) = {
+    import graft.sinks.Sinks
+    val (survivors, report) = run(spark, docs, minQuality, lang,
+      nearDupThreshold, benchDocs, decontamMinHits)
+    val pinned = survivors.persist()
+    try {
+      Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
+      val verdict = Sinks.verifyShards(spark, publishPath, "doc_id")
+      val bad = verdict.filter(!col("ok")).count()
+      require(bad == 0L, s"$bad shard(s) failed post-publish verification " +
+        s"at $publishPath — manifest and data disagree")
+    } finally pinned.unpersist()
+    (spark.read.parquet(s"$publishPath/manifest"), report)
+  }
 }
 
 /** Compaction + snapshot expiry over every lakehouse dir (reference

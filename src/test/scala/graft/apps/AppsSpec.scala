@@ -207,6 +207,22 @@ class AppsSpec extends SparkTestBase {
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("curation publish: survivors shard out verified, manifest agrees with report") {
+    val docs = graft.Tables(spark, sf).documents
+    val pub = work() + "/published"
+    val (manifest, rep) = CorpusCuration.runAndPublish(spark, docs, pub,
+      nShards = 4, minQuality = 0.0)
+    // the manifest describes exactly the published survivors: row
+    // total matches the report's final stage, data files agree
+    val manifestRows = manifest.agg(sum("n_rows")).as[Long].head
+    assert(manifestRows == rep.afterNearDup,
+      s"manifest $manifestRows vs report ${rep.afterNearDup}")
+    assert(spark.read.parquet(s"$pub/data").count() == manifestRows)
+    // and the published layout re-verifies clean after the fact
+    assert(Sinks.verifyShards(spark, pub, "doc_id")
+      .filter(!col("ok")).count() == 0)
+  }
+
   test("browse path: category self-join enrich -> points batch -> maintenance") {
     val w = work()
     Sinks.upsertParquet(spark,
