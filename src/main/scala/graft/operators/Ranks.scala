@@ -47,35 +47,52 @@ import org.apache.spark.sql.functions._
 object Ranks {
 
   /** Correctness RIDES on the two consumers of the ranged frame reading
-    * one reused exchange (see scaladoc). Guard the two ways a caller
-    * can silently break that: reuse disabled in the session, or a
-    * nondeterministic input subtree (rand()/uuid()) that defeats
-    * canonical plan equality — either would misalign the histogram's
-    * _pid offsets with the data rows and produce WRONG results, not an
-    * error. The walk inspects the OPTIMIZED plan (cache substitution
-    * has run by then) and stops at materialization boundaries: below an
-    * InMemoryRelation or LogicalRDD (checkpoint) the values are already
-    * fixed, so a rand() that produced them can no longer misalign the
-    * two reads. Matching by nodeName keeps
+    * one reused exchange (see scaladoc). Guard the three ways a caller
+    * can silently break that, each of which would misalign the
+    * histogram's _pid offsets with the data rows and produce WRONG
+    * results, not an error:
+    *
+    *  - reuse disabled in the session;
+    *  - a nondeterministic input subtree (rand()/uuid()) that defeats
+    *    canonical plan equality;
+    *  - a CACHED input (InMemoryRelation): AQE compiles each consumer's
+    *    exchange over the cached relation as its own stage and does NOT
+    *    reuse one across the other, so the two range exchanges sample
+    *    DIFFERENT boundaries — measured in round 7 as ~1M wrong ranks
+    *    on a 3M-row persisted frame (RanksSpec pins the rejection).
+    *    `localCheckpoint`/`checkpoint` (LogicalRDD) is the safe fence:
+    *    both consumers scan ONE materialized RDD, verified exact at
+    *    volume.
+    *
+    * The walk inspects the OPTIMIZED plan (cache substitution has run
+    * by then); the determinism scan stops below a LogicalRDD because
+    * its values are already fixed. Matching by nodeName keeps
     * `org.apache.spark.sql.execution` internals out of the compile-time
-    * surface. (Caveat, documented not guarded: a cache EVICTION
-    * recomputes the InMemoryRelation and can re-roll the column between
-    * the two exchange reads — `checkpoint()` or a write-out/read-back
-    * is the airtight fence.) */
+    * surface. */
   private def requireReusableRangeExchange(df: DataFrame, what: String): Unit = {
     require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
       s"$what requires spark.sql.exchange.reuse=true (offsets " +
         "and data must read one sampled range exchange)")
-    def checkDeterministic(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
-      if (node.nodeName != "InMemoryRelation" && node.nodeName != "LogicalRDD") {
-        node.expressions.foreach(e => require(e.deterministic,
-          s"$what input must be deterministic; found $e — " +
-            "fix the column behind a materialization boundary first " +
-            "(df.checkpoint(), or write out and re-read; a persist() " +
-            "also clears this guard but can re-roll under cache eviction)"))
-        node.children.foreach(checkDeterministic)
+    def walk(node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      node.nodeName match {
+        case "InMemoryRelation" =>
+          require(false,
+            s"$what input must not be cached: AQE does not reuse " +
+              "exchange stages over an InMemoryRelation, so the " +
+              "histogram and data sides would sample different range " +
+              "boundaries (wrong results, silently) — unpersist() the " +
+              "input, or pin it with localCheckpoint()/checkpoint() " +
+              "instead")
+        case "LogicalRDD" => () // checkpoint boundary: values fixed, reuse-safe
+        case _ =>
+          node.expressions.foreach(e => require(e.deterministic,
+            s"$what input must be deterministic; found $e — fix the " +
+              "column behind a materialization boundary first " +
+              "(df.localCheckpoint(), df.checkpoint(), or write out " +
+              "and re-read)"))
+          node.children.foreach(walk)
       }
-    checkDeterministic(df.queryExecution.optimizedPlan)
+    walk(df.queryExecution.optimizedPlan)
   }
 
   /** Add global per-group 1-based row numbers (`rankCol`, long) and the

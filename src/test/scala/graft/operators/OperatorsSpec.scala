@@ -593,6 +593,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(run(df.repartition(1)) == expected)
   }
 
+  test("topKByScore at volume: equals the window tail on 2M scored pairs, timed") {
+    // The round-7 re-plan's evidence at a size where the difference is
+    // mechanical, not theoretical: 2M (query, score, id) rows across 4
+    // queries — the window tail sorts four 500k-row partitions on four
+    // tasks; the aggregate never holds more than k entries per query
+    // per task. Results must agree EXACTLY; both wall times are the
+    // recorded comparison (BASELINE.md round-7 "top-k tail at volume").
+    import org.apache.spark.sql.expressions.Window
+    val n = 2000000L
+    val scored = spark.range(n)
+      .select((col("id") % 4).as("query_id"),
+        (pmod(col("id") * 2654435761L, lit(1000003L)).cast("double") / 1000003.0)
+          .as("score"),
+        col("id").as("corpus_id"))
+      .persist()
+    assert(scored.count() == n) // materialize before timing
+    def timedRun(f: => Set[(Long, Long, Long, Double)]): (Set[(Long, Long, Long, Double)], Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (aggR, aggS) = timedRun {
+      scored.groupBy($"query_id")
+        .agg(Similarity.topKByScore($"score", $"corpus_id", 10).as("tk"))
+        .select($"query_id", posexplode($"tk"))
+        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("corpus_id"), $"col.score".as("score"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+    }
+    val (winR, winS) = timedRun {
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"corpus_id".asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"corpus_id", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    }
+    scored.unpersist()
+    assert(aggR == winR, "aggregate and window tails disagree at volume")
+    assert(aggR.size == 40)
+    info(f"top-10 of 2M pairs/4 queries: aggregate $aggS%.2f s, window-sort $winS%.2f s")
+  }
+
   test("topKByScore orders NaN greatest and -0.0/0.0 by compare — Spark sort parity") {
     // the aggregate must impose the SAME total order a desc sort
     // would (NaN above +Inf), or swapping the tail silently changes

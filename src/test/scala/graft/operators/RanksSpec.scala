@@ -32,15 +32,29 @@ class RanksSpec extends SparkTestBase {
       Ranks.globalRowNumbers(nondet, Seq("id"), Seq(col("r")))
     }
     assert(e1.getMessage.contains("deterministic"))
-    // a MATERIALIZED nondeterministic column is legitimate — the values
-    // are fixed before the two exchange reads, so the guard must accept
-    // it (round-6 advice: the old analyzed-plan walk rejected it with
-    // misleading advice)
+    // a CHECKPOINTED nondeterministic column is legitimate — the values
+    // are fixed in ONE materialized RDD both exchange consumers scan,
+    // so the guard must accept it (and the values are right: the
+    // volume test below verifies a LogicalRDD input exactly)
     val fixed = nondet.withColumn("grp", col("id") % 2).localCheckpoint(true)
     try {
       val ranked = Ranks.globalRowNumbers(fixed, Seq("grp"), Seq(col("r"), col("id")))
       assert(ranked.count() == 10)
     } finally fixed.unpersist()
+    // a PERSISTED input — even a fully deterministic one — must be
+    // rejected: AQE does not reuse exchange stages over an
+    // InMemoryRelation, so the two range exchanges sample different
+    // boundaries and the offsets silently misalign (measured: ~1M
+    // wrong ranks on a 3M-row persisted frame before this guard)
+    val cached = spark.range(10).toDF("id").withColumn("grp", col("id") % 2)
+      .persist()
+    try {
+      cached.count()
+      val e3 = intercept[IllegalArgumentException] {
+        Ranks.globalRowNumbers(cached, Seq("grp"), Seq(col("id")))
+      }
+      assert(e3.getMessage.contains("cached"))
+    } finally cached.unpersist()
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
       val e2 = intercept[IllegalArgumentException] {
@@ -157,6 +171,40 @@ class RanksSpec extends SparkTestBase {
       assert(rows(cummed.select(out: _*)) == rows(native.select(out: _*)),
         s"parts=$p")
     }
+  }
+
+  test("globalCumSum at volume: equals the window form on 3M rows / 5 groups, timed") {
+    // the q58/q65 re-plan's evidence at a size where the per-group
+    // window concentrates 600k-row partitions on 5 tasks while the
+    // range-partitioned form keeps every partition ~|input|/P; values
+    // must agree exactly (BASELINE.md round-7 "prefix sums at volume").
+    // localCheckpoint, NOT persist: this very test found that a cached
+    // input silently misaligns the offsets (no AQE stage reuse over
+    // InMemoryRelation) — the guard now rejects persist, and the
+    // LogicalRDD path is verified exact here.
+    val n = 3000000L
+    val df = spark.range(n)
+      .select((col("id") % 5).cast("string").as("grp"),
+        col("id").as("id"),
+        (pmod(col("id") * 2654435761L, lit(97L)) + 1L).as("toks"))
+      .localCheckpoint(true)
+    assert(df.count() == n)
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      // order-independent fingerprint of (grp, id, cum): compare 3M
+      // rows without collecting them
+      val t0 = System.nanoTime()
+      val h = d.agg(sum(xxhash64(col("grp"), col("id"), col("cum"))))
+        .head.getLong(0)
+      (h, (System.nanoTime() - t0) / 1e9)
+    }
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (winH, winS) = fp(df.withColumn("cum", sum(col("toks")).over(w)))
+    val (cumH, cumS) = fp(Ranks.globalCumSum(df, Seq("grp"),
+      Seq(col("id")), "toks", cumCol = "cum"))
+    df.unpersist()
+    assert(cumH == winH, "globalCumSum diverges from the window form at volume")
+    info(f"prefix sums over 3M rows/5 groups: globalCumSum $cumS%.2f s, per-group window $winS%.2f s")
   }
 
   test("ranked queries execute exactly ONE range shuffle stage (reuse is load-bearing)") {
