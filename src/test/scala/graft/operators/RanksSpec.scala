@@ -202,9 +202,18 @@ class RanksSpec extends SparkTestBase {
     val (winH, winS) = fp(df.withColumn("cum", sum(col("toks")).over(w)))
     val (cumH, cumS) = fp(Ranks.globalCumSum(df, Seq("grp"),
       Seq(col("id")), "toks", cumCol = "cum"))
-    df.unpersist()
     assert(cumH == winH, "globalCumSum diverges from the window form at volume")
     info(f"prefix sums over 3M rows/5 groups: globalCumSum $cumS%.2f s, per-group window $winS%.2f s")
+    // and the rank sibling on the same 3M-row frame (the round-7
+    // cached-input find means volume parity deserves its own pin here
+    // too, not just the 400-row unit test)
+    val wr = Window.partitionBy(col("grp")).orderBy(col("id"))
+    val (winRH, _) = fp(df.withColumn("cum",
+      row_number().over(wr).cast("long")))
+    val (rnkRH, _) = fp(Ranks.globalRowNumbers(df, Seq("grp"),
+      Seq(col("id")), rankCol = "cum").drop("_n"))
+    df.unpersist()
+    assert(rnkRH == winRH, "globalRowNumbers diverges from the window form at volume")
   }
 
   test("ranked queries execute exactly ONE range shuffle stage (reuse is load-bearing)") {
