@@ -411,6 +411,16 @@ object Queries {
 
   private val wordsSql =
     "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+  /** The Sampling coin (Knuth multiplicative hash of the id), in the
+    * pmod-equivalent SQL form shared by every oracle that replays it
+    * (q55/q69/q72): Spark's pmod is always non-negative while DuckDB's
+    * % follows the dividend's sign, so negative 64-bit ids are folded
+    * into [0, 2^31) the same way Spark does. ONE definition on purpose
+    * — a coin fix applied to one oracle but not another shows up as a
+    * phantom cross-engine mismatch. */
+  private val coinSql =
+    """((((doc_id % 2147483648) + 2147483648) % 2147483648)
+      |      * 2654435761) % 4294967296""".stripMargin
   private val punctSql =
     Seq(".", ",", "!", "?", ";", ":").map(markerCountSql).mkString("(", " + ", ")")
   private val stopSql =
@@ -1313,13 +1323,9 @@ object Queries {
       .select(col("lang"), col("total"), coalesce(col("kept"), lit(0L)).as("kept"))
   }
   val q55Sql: String =
-    """WITH coin AS (
+    s"""WITH coin AS (
       |  SELECT lang, doc_id,
-      |    -- pmod-equivalent: Spark's pmod is always non-negative while
-      |    -- DuckDB's % follows the dividend's sign, so fold negative
-      |    -- 64-bit ids into [0, 2^31) the same way Spark does
-      |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
-      |      * 2654435761) % 4294967296 AS c,
+      |    $coinSql AS c,
       |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS rate
       |  FROM documents
       |), k AS (
@@ -1773,8 +1779,7 @@ object Queries {
       .map(f => math.floor(f * 4294967296.0).toLong)
     s"""WITH coin AS (
        |  SELECT lang, doc_id,
-       |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
-       |      * 2654435761) % 4294967296 AS c
+       |    $coinSql AS c
        |  FROM documents)
        |SELECT lang,
        |  CASE WHEN c < ${ts(0)} THEN '${q69Splits(0)._1}'
@@ -1850,7 +1855,10 @@ object Queries {
     val kept = Sampling.sampleByWeight(scored, "q_score", "doc_id")
       .groupBy(col("lang")).agg(count(lit(1)).as("kept"),
         (sum(round(col("q_score") * 1e6).cast("long")) / 1e6).as("kept_score_sum"))
-    scored.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    // totals read the raw docs, not `scored`: the count doesn't need
+    // the marker scan, and grouping the un-projected frame makes the
+    // column pruning explicit rather than optimizer-dependent
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("total"))
       .join(kept, Seq("lang"), "left_outer")
       .select(col("lang"), col("total"),
         coalesce(col("kept"), lit(0L)).as("kept"),
@@ -1862,8 +1870,7 @@ object Queries {
        |    round(0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
        |        + 0.5 * least(CAST($stopSql AS DOUBLE) * 8.0 / greatest(CAST($wordsSql AS DOUBLE), 1.0), 1.0)
        |        - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score,
-       |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
-       |      * 2654435761) % 4294967296 AS c
+       |    $coinSql AS c
        |  FROM documents
        |), k AS (
        |  SELECT lang, COUNT(*) AS kept,
@@ -1883,8 +1890,13 @@ object Queries {
     * duplicated 64-char chunks across the corpus, with the canonical
     * occurrence = lexicographic min (doc_id, chunk_idx) encoded as one
     * integer (doc_id·10⁶ + idx — portable argmin without a struct-min,
-    * exact while doc_id < 2⁶³/10⁶ ≈ 9·10¹²). The fingerprint groupBy
-    * is map-side combinable; nothing ever holds more than a group's
+    * exact while |doc_id| < 2⁶³/10⁶ ≈ 9·10¹²). The decomposition is
+    * FLOOR-based on both sides — idx = floor-mod (pmod / DuckDB's
+    * sign-folded %), doc = exact division of the remainder-stripped
+    * value — so a negative doc_id decodes identically in both engines
+    * (Spark `div` truncates toward zero while DuckDB `//` floors; the
+    * naive div/% pair diverges below zero). The fingerprint groupBy is
+    * map-side combinable; nothing ever holds more than a group's
     * aggregates. 127 cross-doc duplicate groups in the sf0.01 fixture,
     * so the oracle exercises real collisions, not an empty result. */
   val q73: Q = (s, dir) => {
@@ -1899,9 +1911,12 @@ object Queries {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("pos")).as("_mp"))
       .filter(col("n_copies") > 1)
+      .withColumn("canonical_idx", pmod(col("_mp"), lit(1000000L)))
       .select(col("fp"), col("n_copies"), col("n_docs"),
-        expr("_mp div 1000000").as("canonical_doc"),
-        pmod(col("_mp"), lit(1000000L)).as("canonical_idx"))
+        // (_mp - floor-mod) is exactly divisible, so truncating div IS
+        // floor div here — engine-identical for negative ids too
+        expr("(_mp - canonical_idx) div 1000000").as("canonical_doc"),
+        col("canonical_idx"))
   }
   val q73Sql: String =
     """WITH d AS (
@@ -1919,10 +1934,16 @@ object Queries {
       |    COUNT(DISTINCT doc_id) AS n_docs,
       |    MIN(doc_id*1000000 + chunk_idx) AS mp
       |  FROM c GROUP BY 1 HAVING COUNT(*) > 1
+      |), d2 AS (
+      |  -- floor-mod first (sign-folded like Spark's pmod), then exact
+      |  -- division — identical for negative ids in both engines
+      |  SELECT fp, n_copies, n_docs,
+      |    ((mp % 1000000) + 1000000) % 1000000 AS canonical_idx, mp
+      |  FROM g
       |)
       |SELECT fp, n_copies, n_docs,
-      |  mp // 1000000 AS canonical_doc, mp % 1000000 AS canonical_idx
-      |FROM g""".stripMargin
+      |  (mp - canonical_idx) // 1000000 AS canonical_doc, canonical_idx
+      |FROM d2""".stripMargin
 
   // ----------------------------------------------------------- registry
 

@@ -340,14 +340,19 @@ object CorpusCuration {
 
   /** [[run]] + the publish handoff: write the survivors as
     * deterministic shards + manifest ([[graft.sinks.Sinks.writeShards]])
-    * and verify the published bytes before returning
-    * ([[graft.sinks.Sinks.verifyShards]]). The survivors frame is
-    * persisted across the write — writeShards' manifest reads the
-    * published files (round 7), so the expensive curation lineage runs
-    * ONCE for the write; the persist covers the driver-side count the
-    * report needs. Returns the verified manifest; throws if any shard
-    * fails post-write verification (a publish that cannot be trusted
-    * must not look like success). */
+    * and check the publish against the CURATION LINEAGE before
+    * returning: the manifest is derived from the published files
+    * (round 7), so re-verifying those same files right after writing
+    * would be circular — the non-circular check is that the published
+    * row total equals what the pipeline actually produced. The
+    * survivors frame is persisted because BOTH consumers need the
+    * expensive lineage: the shard write and the expected-count read
+    * (without the pin, the count would re-run LSH + clustering).
+    * Throws if the publish lost or invented rows — a publish that
+    * cannot be trusted must not look like success.
+    * `Sinks.verifyShards` remains the POST-TRANSFER tool (it re-reads
+    * the files against the stored manifest, which is exactly right
+    * once the bytes have moved). */
   def runAndPublish(spark: SparkSession, docs: DataFrame, publishPath: String,
                     nShards: Int, minQuality: Double = 0.3,
                     lang: String = "en", nearDupThreshold: Double = 0.5,
@@ -358,13 +363,15 @@ object CorpusCuration {
       nearDupThreshold, benchDocs, decontamMinHits)
     val pinned = survivors.persist()
     try {
-      Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
-      val verdict = Sinks.verifyShards(spark, publishPath, "doc_id")
-      val bad = verdict.filter(!col("ok")).count()
-      require(bad == 0L, s"$bad shard(s) failed post-publish verification " +
-        s"at $publishPath — manifest and data disagree")
+      val expected = pinned.count()
+      val manifest = Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
+      val published = manifest
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+      require(published == expected,
+        s"publish at $publishPath wrote $published rows but the curation " +
+          s"pipeline produced $expected — do not trust this publish")
+      (manifest, report)
     } finally pinned.unpersist()
-    (spark.read.parquet(s"$publishPath/manifest"), report)
   }
 }
 

@@ -99,6 +99,26 @@ object BloomOps {
   def bloomAgg(item: Column, mBits: Int, k: Int): Column =
     udaf(new BloomAgg(mBits, k)).apply(item)
 
+  /** THE probe kernel shared by the literal and broadcast expressions
+    * — one definition so the two can never drift. */
+  private[expressions] def probe(v: Any, bits: Array[Long], k: Int): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val mBits = bits.length * 64
+    var hit = true
+    setBits(bytes, k, mBits, { bit =>
+      if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) hit = false
+    })
+    hit
+  }
+
+  /** Shared string-input analysis check for both probe expressions. */
+  private[expressions] def checkStringInput(dt: DataType): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (dt == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain needs a string item, got ${dt.sql}")
+
   /** Probe: true iff `child` MIGHT be in the set whose bits were built
     * by [[BloomAgg]] with the same (mBits, k). Bits are a model
     * parameter carried in the expression (like `NearestCentroids`'
@@ -108,22 +128,10 @@ object BloomOps {
     * ClassCastException on the executors. */
   case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
       extends UnaryExpression with CodegenFallback {
-    private val mBits = bits.length * 64
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (child.dataType == StringType)
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bloom_might_contain needs a string item, got ${child.dataType.sql}")
+      checkStringInput(child.dataType)
     override def dataType: DataType = BooleanType
-    override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      var hit = true
-      setBits(bytes, k, mBits, { bit =>
-        if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) hit = false
-      })
-      hit
-    }
+    override def nullSafeEval(v: Any): Any = probe(v, bits, k)
     override protected def withNewChildInternal(c: Expression): BloomMightContain =
       copy(child = c)
     override def prettyName: String = "bloom_might_contain"
@@ -148,22 +156,10 @@ object BloomOps {
       k: Int)
       extends UnaryExpression with CodegenFallback {
     @transient private lazy val bits = bcast.value
-    @transient private lazy val mBits = bits.length * 64
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (child.dataType == StringType)
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bloom_might_contain needs a string item, got ${child.dataType.sql}")
+      checkStringInput(child.dataType)
     override def dataType: DataType = BooleanType
-    override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      var hit = true
-      setBits(bytes, k, mBits, { bit =>
-        if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) hit = false
-      })
-      hit
-    }
+    override def nullSafeEval(v: Any): Any = probe(v, bits, k)
     override protected def withNewChildInternal(c: Expression): BloomMightContainBroadcast =
       copy(child = c)
     override def prettyName: String = "bloom_might_contain_bcast"

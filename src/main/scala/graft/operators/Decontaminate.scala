@@ -46,17 +46,24 @@ object Decontaminate {
     (bits, k)
   }
 
+  /** THE shingle→probe→count pipeline both probe variants share. */
+  private def hitsPipeline(corpus: DataFrame, textCol: String,
+                           idCol: String, n: Int,
+                           probeFilter: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    corpus.select(col(idCol), explode(array_distinct(
+        TextSignatures.shingles(col(textCol), n))).as("sh"))
+      .filter(probeFilter(col("sh")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Per-doc count of corpus shingles that (might) hit the bench set.
     * Returns (idCol, n_hits); `n_hits ≥` the exact join's count for
     * every doc, and every doc the exact join flags appears here. */
   def bloomHits(corpus: DataFrame, bench: DataFrame, textCol: String,
                 idCol: String, n: Int = 3, eps: Double = 0.01): DataFrame = {
     val (bits, k) = bloomBits(bench, textCol, n, eps)
-    corpus.select(col(idCol), explode(array_distinct(
-        TextSignatures.shingles(col(textCol), n))).as("sh"))
-      .filter(BloomOps.mightContain(col("sh"), bits, k))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+    hitsPipeline(corpus, textCol, idCol, n,
+      BloomOps.mightContain(_, bits, k))
   }
 
   /** [[bloomHits]] with the bits shipped as a BROADCAST VARIABLE
@@ -65,18 +72,29 @@ object Decontaminate {
     * into every task closure, so a 128 MB filter would re-ship with
     * each task; the broadcast handle ships bytes-per-executor once.
     * Identical answers to [[bloomHits]] for the same (bench, n, eps) —
-    * same build, same probe kernel — pinned by DecontaminateSpec. */
+    * same build, same probe kernel — pinned by DecontaminateSpec.
+    *
+    * Broadcast lifecycle: the variable must outlive every action on
+    * the returned (lazy) frame, so this convenience form leaves it
+    * alive for the session; for a long-lived session publishing many
+    * filters, build the bits once, broadcast them yourself, probe via
+    * [[bloomHitsWith]], and `destroy()` after the final action. */
   def bloomHitsBroadcast(corpus: DataFrame, bench: DataFrame,
                          textCol: String, idCol: String, n: Int = 3,
                          eps: Double = 0.01): DataFrame = {
     val (bits, k) = bloomBits(bench, textCol, n, eps)
     val bcast = corpus.sparkSession.sparkContext.broadcast(bits)
-    corpus.select(col(idCol), explode(array_distinct(
-        TextSignatures.shingles(col(textCol), n))).as("sh"))
-      .filter(BloomOps.mightContainBroadcast(col("sh"), bcast, k))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+    bloomHitsWith(corpus, bcast, k, textCol, idCol, n)
   }
+
+  /** Probe against caller-managed broadcast bits (lifecycle stays with
+    * the caller — see [[bloomHitsBroadcast]]). */
+  def bloomHitsWith(corpus: DataFrame,
+                    bits: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                    k: Int, textCol: String, idCol: String,
+                    n: Int = 3): DataFrame =
+    hitsPipeline(corpus, textCol, idCol, n,
+      BloomOps.mightContainBroadcast(_, bits, k))
 
   /** Streaming-safe contamination flag: adds boolean `contaminated`
     * (any shingle bloom-hits the prebuilt bench bits). A STATELESS

@@ -94,9 +94,15 @@ object Similarity {
 
   /** Per-query top-k tail shared by all search variants: keep the k
     * best (score desc, corpus_id asc) per query via the bounded-heap
-    * aggregate, then unnest with the array position as the rank. */
+    * aggregate, then unnest with the array position as the rank.
+    * Null scores (a null/empty vector upstream) are EXCLUDED before
+    * the aggregate: the udaf's primitive input encoder would otherwise
+    * crash on decode, and "no similarity" is not a neighbor — the old
+    * window tail only ever surfaced null-score rows when a query had
+    * fewer than k scorable corpus rows. */
   private def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+    scored.filter(col("score").isNotNull)
+      .groupBy(col("query_id"))
       .agg(topKByScore(col("score"), col("corpus_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -256,6 +262,7 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         Vectors.cosineWithNorms(Vectors.dotQuantized(col("cq"), col("qq")),
           col("c_norm"), col("q_norm")).as("ascore"))
+      .filter(col("ascore").isNotNull) // null = unscorable, never a candidate
       .groupBy(col("query_id"))
       .agg(topKByScore(col("ascore"), col("corpus_id"), k * candFactor).as("tk"))
       .select(col("query_id"), explode(col("tk.id")).as("corpus_id"))

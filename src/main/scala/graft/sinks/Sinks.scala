@@ -421,15 +421,23 @@ object Sinks {
     // dataCols re-selects the original column order so content_hash
     // hashes the same field sequence the input would.
     val written = df.sparkSession.read.parquet(s"$path/data")
-    val manifest = written
+    val manifest = shardSummary(written, idCol, dataCols)
+    manifest.write.mode("overwrite").parquet(s"$path/manifest")
+    df.sparkSession.read.parquet(s"$path/manifest")
+  }
+
+  /** THE per-shard summary both the publisher's manifest and the
+    * verifier recompute — one definition on purpose: if the hash or
+    * counting semantics ever change, publisher and verifier must move
+    * together or every healthy publish starts failing verification. */
+  private def shardSummary(written: DataFrame, idCol: String,
+                           dataCols: Seq[String]): DataFrame =
+    written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"),
         sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
-    manifest.write.mode("overwrite").parquet(s"$path/manifest")
-    df.sparkSession.read.parquet(s"$path/manifest")
-  }
 
   /** Integrity check for a [[writeShards]] layout: recompute each
     * shard's (n_rows, id range, content hash) from the published data
@@ -443,12 +451,7 @@ object Sinks {
                    idCol: String): DataFrame = {
     val written = spark.read.parquet(s"$path/data")
     val dataCols = written.columns.filter(_ != "shard").toSeq
-    val actual = written
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(idCol)).as("min_id"),
-        max(col(idCol)).as("max_id"),
-        sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
+    val actual = shardSummary(written, idCol, dataCols)
     val manifest = spark.read.parquet(s"$path/manifest")
       .select(col("shard"), col("n_rows").as("manifest_rows"),
         col("content_hash").as("manifest_hash"))
