@@ -636,6 +636,24 @@ class SimilaritySpec extends SparkTestBase {
     info(f"top-10 of 2M pairs/4 queries: aggregate $aggS%.2f s, window-sort $winS%.2f s")
   }
 
+  test("ANN tails tolerate null vectors: unscorable rows are excluded, not a crash") {
+    // a null embedding yields a null cosine; the udaf's primitive
+    // input encoder would crash on decode, so the tails filter nulls
+    // first — "no similarity" is not a neighbor
+    val df = Seq(
+      (0L, Some(Seq(1f, 0f))), (1L, Some(Seq(0.9f, 0.1f))),
+      (2L, None: Option[Seq[Float]]), (3L, Some(Seq(0f, 1f))))
+      .toDF("vec_id", "embedding")
+    for (out <- Seq(
+        Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0L),
+          "embedding", "vec_id", k = 3),
+        Similarity.quantizedTopK(df, df.filter($"vec_id" === 0L),
+          "embedding", "vec_id", k = 3))) {
+      val ids = out.select("corpus_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"expected null-vector row excluded, got $ids")
+    }
+  }
+
   test("topKByScore orders NaN greatest and -0.0/0.0 by compare — Spark sort parity") {
     // the aggregate must impose the SAME total order a desc sort
     // would (NaN above +Inf), or swapping the tail silently changes
