@@ -338,40 +338,52 @@ object CorpusCuration {
       Report(input, afterQuality, afterExact, afterNearDup, afterDecontam))
   }
 
+  /** Result of [[runAndPublish]] — a named shape on purpose: [[run]]
+    * returns (survivors, report) and this returns a MANIFEST, so a
+    * bare tuple would let a caller switch between the two and silently
+    * bind the 5-column manifest where the corpus was expected. */
+  final case class Published(manifest: DataFrame, report: Report)
+
   /** [[run]] + the publish handoff: write the survivors as
     * deterministic shards + manifest ([[graft.sinks.Sinks.writeShards]])
     * and check the publish against the CURATION LINEAGE before
     * returning: the manifest is derived from the published files
     * (round 7), so re-verifying those same files right after writing
     * would be circular — the non-circular check is that the published
-    * row total equals what the pipeline actually produced. The
-    * survivors frame is persisted because BOTH consumers need the
-    * expensive lineage: the shard write and the expected-count read
-    * (without the pin, the count would re-run LSH + clustering).
-    * Throws if the publish lost or invented rows — a publish that
-    * cannot be trusted must not look like success.
-    * `Sinks.verifyShards` remains the POST-TRANSFER tool (it re-reads
-    * the files against the stored manifest, which is exactly right
-    * once the bytes have moved). */
+    * row total equals what the pipeline itself counted
+    * (`report.afterDecontam`, materialized inside [[run]] — every
+    * stage is deterministic, so the re-evaluated survivors lineage
+    * publishes exactly the rows that count describes; reusing it also
+    * means the expensive lineage runs ONCE here, for the write).
+    * On a mismatch the manifest is DELETED before throwing, so a
+    * known-bad publish can never pass a later
+    * [[graft.sinks.Sinks.verifyShards]] — which remains the
+    * POST-TRANSFER tool (re-reading moved bytes against the stored
+    * manifest is exactly right once the data has shipped). */
   def runAndPublish(spark: SparkSession, docs: DataFrame, publishPath: String,
                     nShards: Int, minQuality: Double = 0.3,
                     lang: String = "en", nearDupThreshold: Double = 0.5,
                     benchDocs: Option[DataFrame] = None,
-                    decontamMinHits: Long = 1L): (DataFrame, Report) = {
+                    decontamMinHits: Long = 1L): Published = {
     import graft.sinks.Sinks
     val (survivors, report) = run(spark, docs, minQuality, lang,
       nearDupThreshold, benchDocs, decontamMinHits)
-    val pinned = survivors.persist()
-    try {
-      val expected = pinned.count()
-      val manifest = Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
-      val published = manifest
-        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
-      require(published == expected,
+    val expected = report.afterDecontam
+    val manifest = Sinks.writeShards(survivors, publishPath, "doc_id", nShards)
+    val published = manifest
+      .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+    if (published != expected) {
+      // poison the layout: a failed publish must not leave a
+      // data+manifest pair that a later verifyShards would certify
+      val mPath = new org.apache.hadoop.fs.Path(s"$publishPath/manifest")
+      val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(mPath, true)
+      throw new IllegalStateException(
         s"publish at $publishPath wrote $published rows but the curation " +
-          s"pipeline produced $expected — do not trust this publish")
-      (manifest, report)
-    } finally pinned.unpersist()
+          s"pipeline produced $expected — manifest deleted, do not trust " +
+          "this publish")
+    }
+    Published(manifest, report)
   }
 }
 

@@ -406,6 +406,8 @@ object Sinks {
   def writeShards(df: DataFrame, path: String, idCol: String,
                   nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard"),
+      "writeShards derives its own `shard` column; rename the input's")
     val dataCols = df.columns.toSeq
     val sharded = df.withColumn("shard",
       pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
@@ -419,8 +421,15 @@ object Sinks {
     // rows if the source is nondeterministic or changed between the two
     // evaluations. `shard` comes back as the partition directory column;
     // dataCols re-selects the original column order so content_hash
-    // hashes the same field sequence the input would.
-    val written = df.sparkSession.read.parquet(s"$path/data")
+    // hashes the same field sequence the input would. The schema is
+    // passed EXPLICITLY: an empty input writes zero part files and
+    // schema inference would throw, turning "publish an empty corpus"
+    // into an unrelated AnalysisException instead of an empty manifest.
+    val writtenSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType))
+    val written = df.sparkSession.read.schema(writtenSchema)
+      .parquet(s"$path/data")
     val manifest = shardSummary(written, idCol, dataCols)
     manifest.write.mode("overwrite").parquet(s"$path/manifest")
     df.sparkSession.read.parquet(s"$path/manifest")
@@ -449,12 +458,29 @@ object Sinks {
     * counts/hashes AND shards present on only one side. */
   def verifyShards(spark: SparkSession, path: String,
                    idCol: String): DataFrame = {
-    val written = spark.read.parquet(s"$path/data")
-    val dataCols = written.columns.filter(_ != "shard").toSeq
-    val actual = shardSummary(written, idCol, dataCols)
     val manifest = spark.read.parquet(s"$path/manifest")
       .select(col("shard"), col("n_rows").as("manifest_rows"),
         col("content_hash").as("manifest_hash"))
+    // no data files at all (empty publish, or the data dir was lost
+    // wholesale): schema inference would throw an unrelated error, so
+    // answer from the manifest alone — every shard it describes is
+    // missing (ok=false); an empty manifest verifies vacuously clean
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParquet = fs.exists(dataPath) && {
+      val it = fs.listFiles(dataPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!hasParquet)
+      return manifest.select(col("shard"), lit(false).as("ok"),
+        lit(null).cast("long").as("n_rows"), col("manifest_rows"),
+        lit(null).cast("long").as("content_hash"), col("manifest_hash"))
+    val written = spark.read.parquet(s"$path/data")
+    val dataCols = written.columns.filter(_ != "shard").toSeq
+    val actual = shardSummary(written, idCol, dataCols)
     actual.join(manifest, Seq("shard"), "full_outer")
       .withColumn("ok",
         col("n_rows") === col("manifest_rows") &&

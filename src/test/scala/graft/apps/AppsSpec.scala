@@ -210,17 +210,30 @@ class AppsSpec extends SparkTestBase {
   test("curation publish: survivors shard out verified, manifest agrees with report") {
     val docs = graft.Tables(spark, sf).documents
     val pub = work() + "/published"
-    val (manifest, rep) = CorpusCuration.runAndPublish(spark, docs, pub,
+    val out = CorpusCuration.runAndPublish(spark, docs, pub,
       nShards = 4, minQuality = 0.0)
     // the manifest describes exactly the published survivors: row
     // total matches the report's final stage, data files agree
-    val manifestRows = manifest.agg(sum("n_rows")).as[Long].head
-    assert(manifestRows == rep.afterNearDup,
-      s"manifest $manifestRows vs report ${rep.afterNearDup}")
+    val manifestRows = out.manifest.agg(sum("n_rows")).as[Long].head
+    assert(manifestRows == out.report.afterNearDup,
+      s"manifest $manifestRows vs report ${out.report.afterNearDup}")
     assert(spark.read.parquet(s"$pub/data").count() == manifestRows)
     // and the published layout re-verifies clean after the fact
     assert(Sinks.verifyShards(spark, pub, "doc_id")
       .filter(!col("ok")).count() == 0)
+  }
+
+  test("curation publish of an empty survivor set yields an empty, checkable layout") {
+    // a quality gate strict enough to drop everything must publish an
+    // EMPTY corpus (empty manifest, vacuously clean verify), not die
+    // on parquet schema inference
+    val docs = graft.Tables(spark, sf).documents
+    val pub = work() + "/published_empty"
+    val out = CorpusCuration.runAndPublish(spark, docs, pub,
+      nShards = 4, minQuality = 1.0e9)
+    assert(out.report.afterQuality == 0)
+    assert(out.manifest.count() == 0)
+    assert(Sinks.verifyShards(spark, pub, "doc_id").count() == 0)
   }
 
   test("browse path: category self-join enrich -> points batch -> maintenance") {

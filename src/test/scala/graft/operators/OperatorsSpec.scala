@@ -614,26 +614,27 @@ class SimilaritySpec extends SparkTestBase {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (aggR, aggS) = timedRun {
-      scored.groupBy($"query_id")
-        .agg(Similarity.topKByScore($"score", $"corpus_id", 10).as("tk"))
-        .select($"query_id", posexplode($"tk"))
-        .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
-          $"col.id".as("corpus_id"), $"col.score".as("score"))
-        .as[(Long, Long, Long, Double)].collect().toSet
-    }
-    val (winR, winS) = timedRun {
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"score".desc, $"corpus_id".asc)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 10)
-        .select($"query_id", $"rank", $"corpus_id", $"score")
-        .as[(Long, Long, Long, Double)].collect().toSet
-    }
-    scored.unpersist()
-    assert(aggR == winR, "aggregate and window tails disagree at volume")
-    assert(aggR.size == 40)
-    info(f"top-10 of 2M pairs/4 queries: aggregate $aggS%.2f s, window-sort $winS%.2f s")
+    try {
+      val (aggR, aggS) = timedRun {
+        scored.groupBy($"query_id")
+          .agg(Similarity.topKByScore($"score", $"corpus_id", 10).as("tk"))
+          .select($"query_id", posexplode($"tk"))
+          .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+            $"col.id".as("corpus_id"), $"col.score".as("score"))
+          .as[(Long, Long, Long, Double)].collect().toSet
+      }
+      val (winR, winS) = timedRun {
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score".desc, $"corpus_id".asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"corpus_id", $"score")
+          .as[(Long, Long, Long, Double)].collect().toSet
+      }
+      assert(aggR == winR, "aggregate and window tails disagree at volume")
+      assert(aggR.size == 40)
+      info(f"top-10 of 2M pairs/4 queries: aggregate $aggS%.2f s, window-sort $winS%.2f s")
+    } finally scored.unpersist() // a thrown run must not leak 2M cached rows
   }
 
   test("ANN tails tolerate null vectors: unscorable rows are excluded, not a crash") {

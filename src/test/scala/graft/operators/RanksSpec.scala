@@ -212,7 +212,17 @@ class RanksSpec extends SparkTestBase {
       row_number().over(wr).cast("long")))
     val (rnkRH, _) = fp(Ranks.globalRowNumbers(df, Seq("grp"),
       Seq(col("id")), rankCol = "cum").drop("_n"))
-    df.unpersist()
+    // Dataset.unpersist is a no-op for a localCheckpoint (the backing
+    // RDD is not CacheManager-tracked) — free the 3M-row blocks by
+    // unpersisting the LogicalRDD's RDD directly, so later suites in
+    // this JVM don't inherit the storage pressure
+    df.queryExecution.optimizedPlan.foreach { node =>
+      if (node.nodeName == "LogicalRDD")
+        node.getClass.getMethod("rdd").invoke(node) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(false)
+          case _ => ()
+        }
+    }
     assert(rnkRH == winRH, "globalRowNumbers diverges from the window form at volume")
   }
 
