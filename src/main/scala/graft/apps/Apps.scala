@@ -368,22 +368,37 @@ object CorpusCuration {
     import graft.sinks.Sinks
     val (survivors, report) = run(spark, docs, minQuality, lang,
       nearDupThreshold, benchDocs, decontamMinHits)
-    val expected = report.afterDecontam
-    val manifest = Sinks.writeShards(survivors, publishPath, "doc_id", nShards)
-    val published = manifest
-      .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
-    if (published != expected) {
-      // poison the layout: a failed publish must not leave a
-      // data+manifest pair that a later verifyShards would certify
-      val mPath = new org.apache.hadoop.fs.Path(s"$publishPath/manifest")
-      val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(mPath, true)
-      throw new IllegalStateException(
-        s"publish at $publishPath wrote $published rows but the curation " +
-          s"pipeline produced $expected — manifest deleted, do not trust " +
-          "this publish")
-    }
-    Published(manifest, report)
+    // Pin the survivors so the row set that is COUNTED is the row set
+    // that is WRITTEN (one cache materialization feeds both) — and
+    // cross-check that count against the report's own number, which
+    // catches a source that changed (or rolled new nondeterministic
+    // values) between curation and publish.
+    val pinned = survivors.persist()
+    try {
+      val expected = pinned.count()
+      require(expected == report.afterDecontam,
+        s"survivor count $expected no longer matches the curation " +
+          s"report's ${report.afterDecontam} — the source changed (or is " +
+          "nondeterministic) between curation and publish; aborting " +
+          "before writing anything")
+      val manifest = Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
+      val published = manifest
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
+      if (published != expected) {
+        // poison the layout: a failed publish must not leave a
+        // data+manifest pair that a later verifyShards would certify
+        val mPath = new org.apache.hadoop.fs.Path(s"$publishPath/manifest")
+        val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val deleted = fs.delete(mPath, true)
+        throw new IllegalStateException(
+          s"publish at $publishPath wrote $published rows but the curation " +
+            s"pipeline produced $expected — " +
+            (if (deleted) "manifest deleted, do not trust this publish"
+             else "AND THE MANIFEST DELETE FAILED: remove " +
+               s"$publishPath/manifest manually before anything reads it"))
+      }
+      Published(manifest, report)
+    } finally pinned.unpersist()
   }
 }
 

@@ -406,7 +406,11 @@ object Sinks {
   def writeShards(df: DataFrame, path: String, idCol: String,
                   nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    require(!df.columns.contains("shard"),
+    // case-insensitive on purpose: Spark resolves columns
+    // case-insensitively by default, so an input 'Shard' would be
+    // silently REPLACED by the derived id even though a
+    // case-sensitive contains() check passes
+    require(!df.columns.exists(_.equalsIgnoreCase("shard")),
       "writeShards derives its own `shard` column; rename the input's")
     val dataCols = df.columns.toSeq
     val sharded = df.withColumn("shard",
@@ -467,11 +471,27 @@ object Sinks {
     // missing (ok=false); an empty manifest verifies vacuously clean
     val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only VISIBLE committed files count: a killed write leaves
+    // _temporary/.../part-*.parquet that Spark's reader ignores, so
+    // counting it here would re-introduce the schema-inference crash
+    // this branch exists to prevent
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      var ok = true
+      while (ok && cur != null && cur.toString != dataPath.toString) {
+        val n = cur.getName
+        ok = !n.startsWith("_") && !n.startsWith(".")
+        cur = cur.getParent
+      }
+      ok
+    }
     val hasParquet = fs.exists(dataPath) && {
       val it = fs.listFiles(dataPath, true)
       var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
+      while (!found && it.hasNext) {
+        val f = it.next().getPath
+        found = f.getName.endsWith(".parquet") && visible(f)
+      }
       found
     }
     if (!hasParquet)

@@ -188,6 +188,17 @@ class RanksSpec extends SparkTestBase {
         col("id").as("id"),
         (pmod(col("id") * 2654435761L, lit(97L)) + 1L).as("toks"))
       .localCheckpoint(true)
+    // Dataset.unpersist is a no-op for a localCheckpoint (the backing
+    // RDD is not CacheManager-tracked) — free the 3M-row blocks via
+    // the LogicalRDD's RDD, in a finally so a failed assertion can't
+    // leak them into later suites
+    def freeCheckpoint(): Unit =
+      df.queryExecution.optimizedPlan.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    try {
     assert(df.count() == n)
     def fp(d: org.apache.spark.sql.DataFrame): (Long, Double) = {
       // order-independent fingerprint of (grp, id, cum): compare 3M
@@ -212,18 +223,8 @@ class RanksSpec extends SparkTestBase {
       row_number().over(wr).cast("long")))
     val (rnkRH, _) = fp(Ranks.globalRowNumbers(df, Seq("grp"),
       Seq(col("id")), rankCol = "cum").drop("_n"))
-    // Dataset.unpersist is a no-op for a localCheckpoint (the backing
-    // RDD is not CacheManager-tracked) — free the 3M-row blocks by
-    // unpersisting the LogicalRDD's RDD directly, so later suites in
-    // this JVM don't inherit the storage pressure
-    df.queryExecution.optimizedPlan.foreach { node =>
-      if (node.nodeName == "LogicalRDD")
-        node.getClass.getMethod("rdd").invoke(node) match {
-          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(false)
-          case _ => ()
-        }
-    }
     assert(rnkRH == winRH, "globalRowNumbers diverges from the window form at volume")
+    } finally freeCheckpoint()
   }
 
   test("ranked queries execute exactly ONE range shuffle stage (reuse is load-bearing)") {
