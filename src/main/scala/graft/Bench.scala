@@ -9,6 +9,34 @@ import org.apache.spark.sql.SparkSession
   * row-level queries and under-measure them. */
 object Bench {
 
+  /** Ambient-disk probe: time a ~256 MB buffered write + fsync into
+    * the Spark local dir and return MB/s. Every bench line carries it
+    * (start and end of the run) so a degraded-environment window is
+    * visible IN the artifact: round 7's official bench read one query
+    * 62× slow purely from a throttled disk, and min-of-three can't
+    * discount a degradation that outlasts the whole bench — the probe
+    * is what lets a reader adjudicate a number without re-running. */
+  private def ioProbeMbps(spark: SparkSession): Double = {
+    val dir = new java.io.File(spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+    val f = java.io.File.createTempFile("graft_io_probe_", ".bin", dir)
+    try {
+      // non-zero pattern: all-zero blocks invite filesystem/device
+      // shortcuts that would inflate the figure
+      val block = Array.tabulate(4 * 1024 * 1024)(i => (i & 0xFF).toByte)
+      val blocks = 64 // × 4 MB = 256 MB
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var j = 0
+        while (j < blocks) { out.write(block); j += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      blocks * block.length / (1024.0 * 1024.0) / sec
+    } finally { f.delete(); () }
+  }
+
   /** Pipeline-grain bench: the per-query catalog never exercises the
     * COMPOSED curation path (persist/unpersist staging, LSH, cluster
     * collapse, survivor anti-join, four materializing counts in one
@@ -17,6 +45,7 @@ object Bench {
     * prints its own JSON line (`"metric":"pipeline_total"`), distinct
     * from the driver's `"metric":"total"` contract. */
   private def runPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val ioStart = ioProbeMbps(spark)
     val docs = Tables(spark, sfDir).documents
     var bestSec = Double.MaxValue
     var report: graft.apps.CorpusCuration.Report = null
@@ -35,7 +64,9 @@ object Bench {
     val stages = s"""{"input":${report.input},"after_quality":${report.afterQuality},""" +
       s""""after_exact":${report.afterExact},"after_near_dup":${report.afterNearDup},""" +
       s""""after_decontam":${report.afterDecontam}}"""
-    println(s"""{"metric":"pipeline_total","value":$bestSec,"unit":"sec","stages":$stages,"sf":"$sfDir"}""")
+    val ioEnd = ioProbeMbps(spark)
+    println(s"""{"metric":"pipeline_total","value":$bestSec,"unit":"sec",""" +
+      s""""stages":$stages,"io_mbps":$ioStart,"io_mbps_end":$ioEnd,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,6 +84,9 @@ object Bench {
       spark.stop()
       return
     }
+    // environment probe BEFORE any Spark work so the figure is the
+    // disk's, not contention with the bench itself
+    val ioStart = ioProbeMbps(spark)
     // warmup: session/codegen/scan init shouldn't land on the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
@@ -71,6 +105,13 @@ object Bench {
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).toVector
     val n = entries.size
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // per-pass samples are PUBLISHED, not just min-reduced: with only
+    // the min in the artifact, a degradation spanning all three passes
+    // is indistinguishable from a slow query — the pass arrays (read
+    // with the io probes) let a reader see whether one window, one
+    // pass, or the whole run was degraded
+    val passTimes = Array.fill(3)(
+      scala.collection.mutable.Map.empty[String, Double])
     for (pass <- 0 until 3) {
       val off = if (n == 0) 0 else pass * n / 3
       val order = entries.drop(off) ++ entries.take(off)
@@ -81,14 +122,20 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        passTimes(pass)(name) = dt
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       }
     }
+    val ioEnd = ioProbeMbps(spark)
     val results = entries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passes = passTimes.map(p =>
+      entries.map { case (name, _) => "\"" + name + "\":" + p(name) }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""passes":$passes,"io_mbps":$ioStart,"io_mbps_end":$ioEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

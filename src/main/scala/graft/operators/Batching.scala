@@ -31,6 +31,13 @@ object Batching {
                           keepCols: Seq[String]): DataFrame = {
     require(batchSize > 0 && bucketQuantum > 0,
       s"need positive batchSize/bucketQuantum, got $batchSize/$bucketQuantum")
+    // derived + internal rank columns must not collide with (or
+    // case-insensitively shadow) a kept input column — same hazard
+    // class writeShards guards for `shard`
+    val derived = Seq("toks", "bucket", "batch_id", "_g", "_n")
+    require(!keepCols.exists(k => derived.exists(_.equalsIgnoreCase(k))),
+      s"lengthBucketBatches derives ${derived.mkString("/")}; " +
+        "rename the colliding keepCols")
     val base = df.select(keepCols.map(col) :+ toks.cast("long").as("toks"): _*)
       .withColumn("bucket",
         expr(s"((toks + ${bucketQuantum - 1}) div $bucketQuantum) * $bucketQuantum"))

@@ -26,22 +26,38 @@ object Chunking {
 
   /** Explode `textCol` into (chunk_idx, chunk_start, chunk_text,
     * chunk_len) rows, keeping `keepCols`. Rows with empty/null text
-    * yield no chunks. 1-based `substring` semantics match ANSI SQL, so
-    * the chunk text itself is engine-portable. */
+    * yield no chunks. 1-based `substr` semantics match ANSI SQL
+    * `substring`, so the chunk text itself is engine-portable. */
   def chunk(df: DataFrame, textCol: String, size: Int, step: Int,
             keepCols: Seq[String]): DataFrame = {
     require(size > 0 && step > 0 && step <= size,
       s"need 0 < step <= size, got size=$size step=$step")
-    val len = length(col(textCol)).cast("long")
-    // integer ceil(len/step): `div` keeps it exact (a double `/` would
-    // round near 2^53 at extreme lengths)
-    val nChunks = expr(s"((length($textCol) - 1) div $step) + 1").cast("long")
-    val idx = explode(when(len > 0L,
-      sequence(lit(0L), nChunks - 1L)).otherwise(lit(Array.empty[Long])))
-    df.select(keepCols.map(col) :+ col(textCol) :+ idx.as("chunk_idx"): _*)
-      .withColumn("chunk_start", col("chunk_idx") * step)
+    // the four outputs plus the internal text alias must not collide
+    // with (or case-insensitively shadow) a kept input column — same
+    // hazard class writeShards guards for `shard`
+    val derived =
+      Seq("chunk_idx", "chunk_start", "chunk_text", "chunk_len", "_graft_text")
+    require(!keepCols.exists(k => derived.exists(_.equalsIgnoreCase(k))),
+      s"chunk derives ${derived.mkString("/")}; rename the colliding keepCols")
+    // everything below references the INTERNAL alias, never the
+    // caller's column name spliced into SQL text (a name needing
+    // backticks would otherwise break parsing / resolve as a struct
+    // field) — and the alias frees keepCols to contain textCol itself
+    val text = col("_graft_text")
+    val len = length(text).cast("long")
+    // chunk starts 0, step, 2·step … ≤ len-1 directly from stepped
+    // `sequence` — exact integer arithmetic, no division anywhere
+    val start = explode(when(len > 0L,
+      sequence(lit(0L), len - 1L, lit(step.toLong)))
+      .otherwise(lit(Array.empty[Long])))
+    df.select(keepCols.map(col) :+ col(textCol).as("_graft_text"): _*)
+      .select(keepCols.map(col) ++
+        Seq(text, start.as("chunk_start")): _*)
+      // start = idx·step with start < 2^31 (string length is an int),
+      // so the double division is exact and the cast lossless
+      .withColumn("chunk_idx", (col("chunk_start") / step).cast("long"))
       .withColumn("chunk_text",
-        expr(s"substring($textCol, cast(chunk_start + 1 as int), $size)"))
+        text.substr(col("chunk_start").cast("int") + 1, lit(size)))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
       .select(keepCols.map(col) ++
         Seq(col("chunk_idx"), col("chunk_start"),

@@ -178,8 +178,10 @@ object Ranks {
     * reuse pin in RanksSpec caught exactly this). Compute derived
     * values with `withColumn` BEFORE calling. `valueCol` must be
     * non-null (null-skipping semantics across slice boundaries would
-    * otherwise diverge from the single-window form); include a unique
-    * tie-break in `orderCols` so the running sum is deterministic. */
+    * otherwise diverge from the single-window form) — ENFORCED: a null
+    * value raises at execution rather than summing wrong; include a
+    * unique tie-break in `orderCols` so the running sum is
+    * deterministic. */
   def globalCumSum(df: DataFrame, groupCols: Seq[String],
                    orderCols: Seq[Column], valueCol: String,
                    cumCol: String = "_cum", parts: Int = 0): DataFrame = {
@@ -188,7 +190,21 @@ object Ranks {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     requireReusableRangeExchange(df, "globalCumSum")
     val gCols = groupCols.map(col)
-    val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
+    // ENFORCE the non-null precondition rather than document it: a
+    // null value would silently diverge from the single-window form
+    // (a partition-leading null makes cum = null + _off = null where
+    // the window carries the offset through) — exactly the
+    // silent-wrongness class the exchange guard above exists to
+    // prevent, so it fails the same way: loudly. The when/raise_error
+    // projection is shared by both exchange consumers (it sits below
+    // the range repartition), so canonical equality and stage reuse
+    // are untouched.
+    val checked = df.withColumn(valueCol,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .otherwise(raise_error(lit(
+          s"globalCumSum: $valueCol is null — the running sum requires " +
+            "a non-null value column; filter or coalesce() it first"))))
+    val b = checked.repartitionByRange(p, (gCols ++ orderCols): _*)
       .withColumn("_pid", spark_partition_id())
     val hist = b.groupBy((col("_pid") +: gCols): _*)
       .agg(sum(col(valueCol)).as("_c"))

@@ -402,6 +402,15 @@ object Sinks {
     * of per-row xxhash64 over the projected columns) — enough for a
     * loader to plan reads, verify integrity after transfer, and diff
     * two corpus versions shard-by-shard without reading the data.
+    *
+    * Publish is ATOMIC at generation granularity: data + manifest are
+    * written into `$path/_staging_<stamp>`, a commit marker seals the
+    * staged generation, and only then is the live generation moved
+    * aside and the staged one renamed in (data first, manifest last).
+    * A crash before the marker leaves the old generation untouched; a
+    * kill mid-promote is rolled forward (marker present) or back
+    * (absent) by the next call's [[recoverPublish]] sweep — at no
+    * recoverable point is a mixed old/new pair the end state.
     * Returns the manifest frame. */
   def writeShards(df: DataFrame, path: String, idCol: String,
                   nShards: Int): DataFrame = {
@@ -412,11 +421,34 @@ object Sinks {
     // case-sensitive contains() check passes
     require(!df.columns.exists(_.equalsIgnoreCase("shard")),
       "writeShards derives its own `shard` column; rename the input's")
+    val spark = df.sparkSession
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish whatever a killed predecessor left behind BEFORE touching
+    // the layout (single writer, like all table maintenance here)
+    recoverPublish(fs, base)
     val dataCols = df.columns.toSeq
+    val stamp = System.nanoTime()
+    val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
+    val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
+    val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
+    // STAGE, don't overwrite: every expensive write lands beside the
+    // live generation, so a crash or failing Spark task anywhere up to
+    // the commit marker leaves the previous publish untouched and
+    // fully verifiable (the pre-round-8 form overwrote $path/data in
+    // place — a mid-write kill had already destroyed the old corpus).
     val sharded = df.withColumn("shard",
       pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
-    sharded.repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    // an in-process staging failure (failed task, bad input) deletes
+    // its own debris; a process KILL can't, so recoverPublish sweeps
+    // marker-less staging dirs at the next call either way
+    try {
+      sharded.repartition(nShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(stagedData.toString)
+    } catch {
+      case e: Throwable => fs.delete(staging, true); throw e
+    }
     // The manifest is an integrity check on the PUBLISHED bytes, so it
     // must read the files just written — not re-evaluate the input
     // lineage, which (a) re-runs the whole upstream pipeline (for the
@@ -432,11 +464,118 @@ object Sinks {
     val writtenSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         "shard", org.apache.spark.sql.types.LongType))
-    val written = df.sparkSession.read.schema(writtenSchema)
-      .parquet(s"$path/data")
+    val written = spark.read.schema(writtenSchema)
+      .parquet(stagedData.toString)
     val manifest = shardSummary(written, idCol, dataCols)
-    manifest.write.mode("overwrite").parquet(s"$path/manifest")
-    df.sparkSession.read.parquet(s"$path/manifest")
+    manifest.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+    // COMMIT POINT: the marker flips crash recovery from roll-back
+    // (incomplete staging → discard, old generation stands) to
+    // roll-forward (staged generation is complete → a later call
+    // finishes the promote). Written only after BOTH staged parts
+    // exist in full.
+    fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+      true).close()
+    promoteStaged(fs, base, staging, old)
+    spark.read.parquet(s"$path/manifest")
+  }
+
+  /** Name of the staged-generation commit marker — `private[graft]` so
+    * the crash-envelope spec can construct mid-publish states. */
+  private[graft] val PublishCommitMarker = "_COMMITTED"
+  private val GenParts = Seq("data", "manifest")
+
+  /** Promote a complete staged generation: per part, move the live dir
+    * aside into `old` and rename the staged dir in — data first,
+    * manifest LAST, so a manifest is never live before the data it
+    * describes (the `upsertParquet` move-aside/promote/delete dance,
+    * per part). In-process failure unwinds: the commit marker is
+    * withdrawn FIRST (so a half-unwound tree reads as roll-back, not
+    * roll-forward, to the next call's recovery), then every rename is
+    * reversed and the staging discarded — the old generation is back,
+    * the caller gets the exception. A process KILL mid-promote is
+    * finished by [[recoverPublish]] at the next call instead. */
+  private def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
+                            base: org.apache.hadoop.fs.Path,
+                            staging: org.apache.hadoop.fs.Path,
+                            old: org.apache.hadoop.fs.Path): Unit = {
+    val moved = scala.collection.mutable.ListBuffer
+      .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
+        org.apache.hadoop.fs.Path, Boolean)]
+    try {
+      for (part <- GenParts) {
+        val live = new org.apache.hadoop.fs.Path(base, part)
+        val aside = new org.apache.hadoop.fs.Path(old, part)
+        val staged = new org.apache.hadoop.fs.Path(staging, part)
+        val hadLive = fs.exists(live)
+        moved += ((live, aside, staged, hadLive))
+        if (hadLive) {
+          if (!fs.exists(old)) fs.mkdirs(old)
+          if (!fs.rename(live, aside))
+            throw new java.io.IOException(
+              s"writeShards: could not move live $live aside; aborting promote")
+        }
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"writeShards: promoting $staged to $live failed")
+      }
+      fs.delete(old, true)
+      fs.delete(staging, true)
+    } catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+          false)
+        moved.reverseIterator.foreach { case (live, aside, staged, hadLive) =>
+          // un-promote (the staged dir became live), then restore old
+          if (!fs.exists(staged) && fs.exists(live)) fs.rename(live, staged)
+          if (hadLive && fs.exists(aside)) fs.rename(aside, live)
+        }
+        fs.delete(staging, true)
+        fs.delete(old, true)
+        throw e
+    }
+  }
+
+  /** Crash recovery for the [[writeShards]] layout (single writer,
+    * idempotent; runs before every publish). A generation staged to
+    * completion — its [[PublishCommitMarker]] exists — is rolled
+    * FORWARD: the promote is finished part by part, so "new data live
+    * but old manifest live" can never outlast the next call. Anything
+    * else aside or staged is rolled BACK: live parts missing after a
+    * mid-promote kill are restored from the newest `_old_` that still
+    * holds them, then every `_old_`/`_staging_` dir is discarded. */
+  private[graft] def recoverPublish(fs: org.apache.hadoop.fs.FileSystem,
+                                    base: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(base)) return
+    def ls(prefix: String) = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).sortBy(_.getName)
+    ls("_staging_")
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s, PublishCommitMarker)))
+      .lastOption.foreach { staging =>
+        val stamp = staging.getName.stripPrefix("_staging_")
+        val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
+        for (part <- GenParts) {
+          val staged = new org.apache.hadoop.fs.Path(staging, part)
+          if (fs.exists(staged)) {
+            val live = new org.apache.hadoop.fs.Path(base, part)
+            if (fs.exists(live)) {
+              if (!fs.exists(old)) fs.mkdirs(old)
+              fs.rename(live, new org.apache.hadoop.fs.Path(old, part))
+            }
+            fs.rename(staged, live)
+          }
+        }
+      }
+    val olds = ls("_old_")
+    for (part <- GenParts) {
+      val live = new org.apache.hadoop.fs.Path(base, part)
+      if (!fs.exists(live))
+        olds.reverseIterator.map(o => new org.apache.hadoop.fs.Path(o, part))
+          .find(fs.exists).foreach(p => fs.rename(p, live))
+    }
+    olds.foreach(o => fs.delete(o, true))
+    ls("_staging_").foreach(s => fs.delete(s, true))
   }
 
   /** THE per-shard summary both the publisher's manifest and the
@@ -475,10 +614,16 @@ object Sinks {
     // _temporary/.../part-*.parquet that Spark's reader ignores, so
     // counting it here would re-introduce the schema-inference crash
     // this branch exists to prevent
+    // qualify before comparing: listFiles returns fully-qualified
+    // paths (file:/…), so an unqualified dataPath would never match
+    // and the walk would run past the data dir to the filesystem root
+    // — any '_'/'.'-prefixed ANCESTOR of the publish path would then
+    // make every committed part file invisible
+    val qualifiedData = fs.makeQualified(dataPath)
     def visible(p: org.apache.hadoop.fs.Path): Boolean = {
       var cur = p
       var ok = true
-      while (ok && cur != null && cur.toString != dataPath.toString) {
+      while (ok && cur != null && cur != qualifiedData) {
         val n = cur.getName
         ok = !n.startsWith("_") && !n.startsWith(".")
         cur = cur.getParent

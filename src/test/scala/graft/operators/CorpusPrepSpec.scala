@@ -88,6 +88,26 @@ class CorpusPrepSpec extends SparkTestBase {
     }
   }
 
+  test("chunk/batching reject keepCols colliding with derived columns; " +
+    "chunk keeps the text column itself") {
+    val df = Seq((1L, "abcdef", 3L)).toDF("doc_id", "text", "Chunk_Text")
+    intercept[IllegalArgumentException] {
+      Chunking.chunk(df, "text", 4, 2, Seq("doc_id", "Chunk_Text"))
+    }
+    intercept[IllegalArgumentException] {
+      Batching.lengthBucketBatches(df.withColumnRenamed("Chunk_Text", "Bucket"),
+        lit(3L), "doc_id", 8, 64, Seq("doc_id", "Bucket"))
+    }
+    // keeping the source text column alongside the chunks works (the
+    // operator references an internal alias, not the caller's name)
+    val kept = Chunking.chunk(df.select("doc_id", "text"), "text", 4, 2,
+        Seq("doc_id", "text"))
+      .select("doc_id", "text", "chunk_text").as[(Long, String, String)]
+      .collect().toSet
+    assert(kept == Set((1L, "abcdef", "abcd"), (1L, "abcdef", "cdef"),
+      (1L, "abcdef", "ef")))
+  }
+
   test("lengthBucketBatches equals the window reference; batches bounded and length-ordered") {
     val d = docs.select($"doc_id", (length($"text") / 10).cast("long").as("toks"))
     val out = Batching.lengthBucketBatches(d, $"toks", "doc_id",

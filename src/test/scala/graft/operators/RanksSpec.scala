@@ -173,6 +173,21 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("globalCumSum raises on a null value instead of silently diverging") {
+    val df = Seq(("a", 1.0, 1L, java.lang.Long.valueOf(2L)),
+      ("a", 2.0, 2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("grp", "v", "id", "toks")
+    val e = intercept[Exception] {
+      Ranks.globalCumSum(df, Seq("grp"), Seq(col("v"), col("id")), "toks",
+        cumCol = "cum").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("toks is null")),
+      s"expected the null-value error, got: ${messages(e)}")
+  }
+
   test("globalCumSum at volume: equals the window form on 3M rows / 5 groups, timed") {
     // the q58/q65 re-plan's evidence at a size where the per-group
     // window concentrates 600k-row partitions on 5 tasks while the

@@ -254,4 +254,105 @@ class SinksSpec extends SparkTestBase {
       .select("shard", "status").as[(Long, String)].collect().toMap
     assert(added(3L) == "added")
   }
+
+  test("writeShards: a publish that fails mid-write leaves the old " +
+    "generation intact and verifiable") {
+    val dir = Files.createTempDirectory("graft_atomic_").toString + "/pub"
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang")
+    val m1 = Sinks.writeShards(docs, dir, "doc_id", nShards = 4)
+      .orderBy("shard").collect().toSeq
+    // no publish debris after a clean promote
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("_staging_") || n.startsWith("_old_"))
+    assert(leftovers.isEmpty, s"stranded generations: ${leftovers.toSeq}")
+    // second publish dies in a Spark task mid-staging — the pre-atomic
+    // writeShards would already have DELETED the v1 data at this point
+    val boom = udf((id: Long) =>
+      if (id % 5L == 0L) throw new RuntimeException("injected task failure")
+      else id)
+    intercept[org.apache.spark.SparkException] {
+      Sinks.writeShards(docs.withColumn("doc_id", boom(col("doc_id"))),
+        dir, "doc_id", nShards = 4)
+    }
+    // old generation still fully readable, manifest still matches it
+    val check = Sinks.verifyShards(spark, dir, "doc_id")
+    assert(check.count() == 4 && check.filter(!col("ok")).count() == 0,
+      "v1 must still verify clean after the failed v2 publish")
+    val mAfter = spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().toSeq
+    assert(mAfter == m1, "live manifest must still be v1's")
+    // and the NEXT publish sweeps the debris and succeeds normally
+    val m3 = Sinks.writeShards(docs.filter(col("doc_id") % 3L =!= 0L),
+      dir, "doc_id", nShards = 4)
+    assert(m3.count() == 4)
+    val after = Sinks.verifyShards(spark, dir, "doc_id")
+    assert(after.filter(!col("ok")).count() == 0)
+  }
+
+  test("recoverPublish rolls a committed staged generation forward and " +
+    "an uncommitted one back") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang")
+    val v2docs = docs.filter(col("doc_id") % 7L =!= 0L)
+
+    // --- roll FORWARD: crash after data was promoted but before the
+    // manifest was (the mixed state: new data live, OLD manifest live)
+    val fwd = Files.createTempDirectory("graft_recover_").toString + "/pub"
+    Sinks.writeShards(docs, fwd, "doc_id", nShards = 4)
+    val side = Files.createTempDirectory("graft_recover_").toString + "/v2"
+    val m2 = Sinks.writeShards(v2docs, side, "doc_id", nShards = 4)
+      .orderBy("shard").collect().toSeq
+    val base = new Path(fwd)
+    val staging = new Path(base, "_staging_99")
+    val old = new Path(base, "_old_99")
+    fs.mkdirs(staging); fs.mkdirs(old)
+    // staged v2 generation, sealed by the commit marker
+    fs.rename(new Path(side, "manifest"), new Path(staging, "manifest"))
+    fs.create(new Path(staging, Sinks.PublishCommitMarker), true).close()
+    // ...whose data half already got promoted before the "kill"
+    fs.rename(new Path(base, "data"), new Path(old, "data"))
+    fs.rename(new Path(side, "data"), new Path(base, "data"))
+    Sinks.recoverPublish(fs, base)
+    val recovered = spark.read.parquet(s"$fwd/manifest")
+      .orderBy("shard").collect().toSeq
+    assert(recovered == m2, "roll-forward must finish promoting v2")
+    val fcheck = Sinks.verifyShards(spark, fwd, "doc_id")
+    assert(fcheck.filter(!col("ok")).count() == 0)
+    assert(!fs.exists(staging) && !fs.exists(old), "debris must be swept")
+
+    // --- roll BACK: crash mid-promote of an UNCOMMITTED generation
+    // (live data moved aside, no marker) restores the old generation
+    val bwd = Files.createTempDirectory("graft_recover_").toString + "/pub"
+    val m1 = Sinks.writeShards(docs, bwd, "doc_id", nShards = 4)
+      .orderBy("shard").collect().toSeq
+    val bbase = new Path(bwd)
+    val bstaging = new Path(bbase, "_staging_77")
+    val bold = new Path(bbase, "_old_77")
+    fs.mkdirs(bstaging); fs.mkdirs(bold)
+    fs.rename(new Path(bbase, "data"), new Path(bold, "data"))
+    Sinks.recoverPublish(fs, bbase)
+    val restored = spark.read.parquet(s"$bwd/manifest")
+      .orderBy("shard").collect().toSeq
+    assert(restored == m1, "roll-back must restore v1")
+    val bcheck = Sinks.verifyShards(spark, bwd, "doc_id")
+    assert(bcheck.filter(!col("ok")).count() == 0)
+    assert(!fs.exists(bstaging) && !fs.exists(bold), "debris must be swept")
+  }
+
+  test("verifyShards survives a '.'/'_'-prefixed ancestor in the " +
+    "publish path") {
+    // the visibility walk must stop at the (qualified) data dir — an
+    // underscore ancestor above it must not hide committed files
+    val dir = Files.createTempDirectory("graft_vq_").toString + "/_work/pub"
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang").limit(50)
+    Sinks.writeShards(docs, dir, "doc_id", nShards = 2)
+    val check = Sinks.verifyShards(spark, dir, "doc_id")
+    assert(check.count() == 2 && check.filter(!col("ok")).count() == 0,
+      "a healthy publish under an _-prefixed ancestor must verify ok")
+  }
 }
