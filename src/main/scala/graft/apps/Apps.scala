@@ -268,30 +268,52 @@ object UserPointsBatch {
 
 /** End-to-end training-corpus curation over a documents table: quality
   * filter → language gate → exact-fingerprint dedup → MinHash-LSH
-  * near-dup clustering (connected components) → optional benchmark
-  * decontamination → survivors. Returns (survivors, per-stage counts).
-  * Every stage is a DataFrame plan; the only iterative pieces are the
-  * GraphX cluster collapse and the (tiny, bench-side) bloom build.
+  * near-dup clustering (connected components) → optional SEMANTIC
+  * dedup (SemDeDup: embedding cells → within-cell cosine prune) →
+  * optional benchmark decontamination → survivors. Returns
+  * (survivors, per-stage counts). Every stage is a DataFrame plan;
+  * the only iterative pieces are the GraphX cluster collapse and the
+  * (tiny, bench-side) bloom build.
   *
-  * Decontamination runs LAST, on the deduped survivor set — the
-  * cheapest ordering, since dedup shrinks the corpus the bloom probe
-  * scans, while the probe could never un-contaminate a doc dedup
-  * would keep. `benchDocs` is the eval corpus; a survivor sharing
-  * ≥ `decontamMinHits` word 3-grams with it (bloom-probed, one-sided
-  * error — over-removal only, never a kept contaminated doc) is
-  * dropped. */
+  * The semantic stage sits between near-dup and decontamination: it
+  * removes the redundancy the LEXICAL stages can't see (paraphrases,
+  * translations-of-boilerplate), so it runs on the lexically-deduped
+  * survivor set (smallest input that still contains every semantic
+  * cluster representative). Decontamination stays LAST — the cheapest
+  * ordering, since every dedup stage shrinks the corpus the bloom
+  * probe scans, while the probe could never un-contaminate a doc
+  * dedup would keep. `benchDocs` is the eval corpus; a survivor
+  * sharing ≥ `decontamMinHits` word 3-grams with it (bloom-probed,
+  * one-sided error — over-removal only, never a kept contaminated
+  * doc) is dropped. */
 object CorpusCuration {
   import graft.functions.{Text, TextStats}
   import graft.operators.{Decontaminate, Dedup}
 
+  /** Inputs of the optional SemDeDup stage: `embeddings` maps the
+    * corpus id (`idCol`, joinable to the documents' `doc_id`) to its
+    * vector (`vecCol`); `centroids` are model parameters — k-means
+    * cells from [[graft.operators.Similarity.kmeansCentroids]] or any
+    * fixed set (cells are THE 100 TB lever: within-cell scoring is
+    * O(Σ cell²), so k grows with the corpus). Docs WITHOUT an
+    * embedding row pass through unpruned — the stage only ever drops
+    * a doc it positively scored as redundant. */
+  final case class SemanticStage(
+      embeddings: DataFrame,
+      centroids: (Array[Long], Array[Array[Double]]),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95)
+
   final case class Report(input: Long, afterQuality: Long, afterExact: Long,
-                          afterNearDup: Long, afterDecontam: Long)
+                          afterNearDup: Long, afterSemantic: Long,
+                          afterDecontam: Long)
 
   def run(spark: SparkSession, docs: DataFrame,
           minQuality: Double = 0.3, lang: String = "en",
           nearDupThreshold: Double = 0.5,
           benchDocs: Option[DataFrame] = None,
-          decontamMinHits: Long = 1L): (DataFrame, Report) = {
+          decontamMinHits: Long = 1L,
+          semantic: Option[SemanticStage] = None): (DataFrame, Report) = {
     val input = docs.count()
     // ONE MarkerCounts scan feeds both the quality score and the
     // language gate (the q31 projection shape) — the per-marker HOF
@@ -317,16 +339,32 @@ object CorpusCuration {
     val dupLosers = clusters.filter(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
     val deduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
     val afterNearDup = deduped.count()
-    val survivors = benchDocs match {
-      case Some(bench) =>
-        val flagged = Decontaminate.bloomHits(deduped, bench, "text", "doc_id")
-          .filter(col("n_hits") >= decontamMinHits)
+    val semDeduped = semantic match {
+      case Some(s) =>
+        // embeddings of still-surviving docs only (left-semi: ids-only
+        // probe, no vector payload moves for already-pruned docs)
+        val emb = s.embeddings
+          .select(col(s.idCol).as("doc_id"), col(s.vecCol))
+          .join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
+        val verdict = Dedup.semanticDedup(emb, s.vecCol, "doc_id", spark,
+          s.centroids, s.threshold)
+        val losers = verdict.filter(col("survivor_id") =!= col("doc_id"))
           .select("doc_id")
-        deduped.join(flagged, Seq("doc_id"), "left_anti")
+        deduped.join(losers, Seq("doc_id"), "left_anti")
       case None => deduped
     }
+    val afterSemantic =
+      if (semantic.isDefined) semDeduped.count() else afterNearDup
+    val survivors = benchDocs match {
+      case Some(bench) =>
+        val flagged = Decontaminate.bloomHits(semDeduped, bench, "text", "doc_id")
+          .filter(col("n_hits") >= decontamMinHits)
+          .select("doc_id")
+        semDeduped.join(flagged, Seq("doc_id"), "left_anti")
+      case None => semDeduped
+    }
     val afterDecontam =
-      if (benchDocs.isDefined) survivors.count() else afterNearDup
+      if (benchDocs.isDefined) survivors.count() else afterSemantic
     // free the stage caches now that every count is materialized — a
     // long-lived session would otherwise accumulate two pinned frames
     // per invocation (the round-1 advisor's leak class). The returned
@@ -335,14 +373,19 @@ object CorpusCuration {
     exact.unpersist()
     gated.unpersist()
     (survivors,
-      Report(input, afterQuality, afterExact, afterNearDup, afterDecontam))
+      Report(input, afterQuality, afterExact, afterNearDup, afterSemantic,
+        afterDecontam))
   }
 
   /** Result of [[runAndPublish]] — a named shape on purpose: [[run]]
     * returns (survivors, report) and this returns a MANIFEST, so a
     * bare tuple would let a caller switch between the two and silently
-    * bind the 5-column manifest where the corpus was expected. */
-  final case class Published(manifest: DataFrame, report: Report)
+    * bind the 5-column manifest where the corpus was expected.
+    * `publishSec` is the wall-time of the publish handoff alone
+    * (shard write + manifest, not curation) — the number a capacity
+    * plan needs separately from the curate cost. */
+  final case class Published(manifest: DataFrame, report: Report,
+                             publishSec: Double)
 
   /** [[run]] + the publish handoff: write the survivors as
     * deterministic shards + manifest ([[graft.sinks.Sinks.writeShards]])
@@ -364,10 +407,11 @@ object CorpusCuration {
                     nShards: Int, minQuality: Double = 0.3,
                     lang: String = "en", nearDupThreshold: Double = 0.5,
                     benchDocs: Option[DataFrame] = None,
-                    decontamMinHits: Long = 1L): Published = {
+                    decontamMinHits: Long = 1L,
+                    semantic: Option[SemanticStage] = None): Published = {
     import graft.sinks.Sinks
     val (survivors, report) = run(spark, docs, minQuality, lang,
-      nearDupThreshold, benchDocs, decontamMinHits)
+      nearDupThreshold, benchDocs, decontamMinHits, semantic)
     // Pin the survivors so the row set that is COUNTED is the row set
     // that is WRITTEN (one cache materialization feeds both) — and
     // cross-check that count against the report's own number, which
@@ -381,7 +425,9 @@ object CorpusCuration {
           s"report's ${report.afterDecontam} — the source changed (or is " +
           "nondeterministic) between curation and publish; aborting " +
           "before writing anything")
+      val tPub = System.nanoTime()
       val manifest = Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
+      val publishSec = (System.nanoTime() - tPub) / 1e9
       val published = manifest
         .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)
       if (published != expected) {
@@ -397,7 +443,7 @@ object CorpusCuration {
              else "AND THE MANIFEST DELETE FAILED: remove " +
                s"$publishPath/manifest manually before anything reads it"))
       }
-      Published(manifest, report)
+      Published(manifest, report, publishSec)
     } finally pinned.unpersist()
   }
 }

@@ -207,16 +207,62 @@ class AppsSpec extends SparkTestBase {
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("corpus curation: semantic stage prunes within-cell redundancy " +
+    "between near-dup and decontam") {
+    val good = "the cat and the dog of the house ran to the park in the morning " * 8
+    val docs = Seq(
+      (1L, good),
+      (6L, ("spark catalyst optimizer and the tungsten engine of the runtime " +
+        "compile the plans to the bytecode in the executors every day ") * 8))
+      .toDF("doc_id", "text")
+    // both docs are lexically distinct (pass every lexical stage) but
+    // live in the same embedding cell with cosine ≈ 1: SemDeDup keeps
+    // the member closest to the cell centroid (doc 1)
+    val embeddings = Seq(
+      (1L, Seq(1.0, 0.01)), (6L, Seq(0.99, 0.02)),
+      (4L, Seq(0.0, 1.0))) // id outside the survivor set: ignored
+      .toDF("vec_id", "embedding")
+    val cents = (Array(0L, 1L), Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val (surv, rep) = CorpusCuration.run(spark, docs,
+      semantic = Some(CorpusCuration.SemanticStage(embeddings, cents)))
+    assert(rep.afterNearDup == 2 && rep.afterSemantic == 1
+      && rep.afterDecontam == 1,
+      s"expected 2 -> 1 -> 1, got $rep")
+    assert(surv.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // a doc WITHOUT an embedding row passes through unpruned — the
+    // stage only drops docs it positively scored as redundant
+    val (surv2, rep2) = CorpusCuration.run(spark, docs,
+      semantic = Some(CorpusCuration.SemanticStage(
+        embeddings.filter($"vec_id" =!= 6L), cents)))
+    assert(rep2.afterSemantic == 2)
+    assert(surv2.select("doc_id").as[Long].collect().toSet == Set(1L, 6L))
+    // and with no semantic stage the count passes through unchanged
+    val (_, rep3) = CorpusCuration.run(spark, docs)
+    assert(rep3.afterSemantic == rep3.afterNearDup)
+  }
+
   test("curation publish: survivors shard out verified, manifest agrees with report") {
     val docs = graft.Tables(spark, sf).documents
     val pub = work() + "/published"
+    // the bench-pipeline configuration: semantic stage with fixed
+    // data-defined centroids (q66's), so publish covers every stage
+    val emb = graft.Tables(spark, sf).embeddings
+    val centRows = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+    val cents = (centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Any](1)
+        .map(_.asInstanceOf[Number].doubleValue).toArray))
     val out = CorpusCuration.runAndPublish(spark, docs, pub,
-      nShards = 4, minQuality = 0.0)
+      nShards = 4, minQuality = 0.0,
+      semantic = Some(CorpusCuration.SemanticStage(emb, cents,
+        threshold = 0.35)))
     // the manifest describes exactly the published survivors: row
     // total matches the report's final stage, data files agree
     val manifestRows = out.manifest.agg(sum("n_rows")).as[Long].head
-    assert(manifestRows == out.report.afterNearDup,
-      s"manifest $manifestRows vs report ${out.report.afterNearDup}")
+    assert(manifestRows == out.report.afterDecontam,
+      s"manifest $manifestRows vs report ${out.report.afterDecontam}")
+    assert(out.report.afterSemantic <= out.report.afterNearDup)
+    assert(out.publishSec > 0.0)
     assert(spark.read.parquet(s"$pub/data").count() == manifestRows)
     // and the published layout re-verifies clean after the fact
     assert(Sinks.verifyShards(spark, pub, "doc_id")
