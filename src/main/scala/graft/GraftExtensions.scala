@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
+import org.apache.spark.sql.graftshim.ColumnBridge
+
 import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, SimHashSig}
+import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get the same hot
@@ -21,6 +24,18 @@ import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, SimHashS
   *   - `marker_counts(text, m1, m2, …)` → array<bigint>
   *   - `bloom_might_contain(item, bits, k)` → boolean (bits a literal
   *     array<bigint> from `BloomOps.bloomAgg` — the model parameter)
+  *   - `chunk_text(text, size, step)` →
+  *     array<struct<chunk_idx,chunk_start,chunk_text,chunk_len>>
+  *     (`inline`/`explode` to rows — the `Chunking.chunk` projection)
+  *   - `assign_split(id, label1, frac1[, label2, frac2, …])` → string
+  *     (the `Sampling.assignSplit` label; fractions must sum to 1)
+  *   - `sample_by_weight(id, weight)` → boolean keep-decision
+  *     (the `Sampling.sampleByWeight` coin)
+  *
+  * The dataloader-prep trio delegates to the SAME Column builders the
+  * DataFrame operators use (`Chunking.chunkArray`,
+  * `Sampling.splitLabel`, `Sampling.weightKeep`), so SQL and Scala
+  * callers get identical chunks/splits/coins by construction.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -33,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
+  }
+  private def litFraction(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got: $other")
   }
 
   private def litLongArray(e: Expression, what: String): Array[Long] = {
@@ -106,6 +129,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BloomOps.BloomMightContain(c, litLongArray(bits, "bits"), litInt(k, "k"))
         case _ => throw new IllegalArgumentException(
           "bloom_might_contain expects (item, bits, k)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_text"),
+      info("chunk_text",
+        "chunk_text(text, size, step) - array of (chunk_idx, chunk_start, " +
+          "chunk_text, chunk_len) structs; inline/explode to rows"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, s, p) => ColumnBridge.catalystExpression(
+          Chunking.chunkArray(ColumnBridge.column(t),
+            litInt(s, "size"), litInt(p, "step")))
+        case _ => throw new IllegalArgumentException(
+          "chunk_text expects (text, size, step)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("assign_split"),
+      info("assign_split",
+        "assign_split(id, label1, frac1[, label2, frac2, …]) - " +
+          "deterministic stratified split label (fractions sum to 1)"),
+      (args: Seq[Expression]) => args match {
+        case id +: rest if rest.nonEmpty && rest.size % 2 == 0 =>
+          val splits = rest.grouped(2).map { p =>
+            (litString(p.head, "label"), litFraction(p(1), "fraction"))
+          }.toSeq
+          ColumnBridge.catalystExpression(
+            Sampling.splitLabel(ColumnBridge.column(id), splits))
+        case _ => throw new IllegalArgumentException(
+          "assign_split expects (id, label1, frac1[, label2, frac2, …])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sample_by_weight"),
+      info("sample_by_weight",
+        "sample_by_weight(id, weight) - deterministic keep-decision with " +
+          "probability = weight clamped to [0,1]"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, w) => ColumnBridge.catalystExpression(
+          Sampling.weightKeep(ColumnBridge.column(id), ColumnBridge.column(w)))
+        case _ => throw new IllegalArgumentException(
+          "sample_by_weight expects (id, weight)")
       }))
   }
 }

@@ -24,43 +24,52 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** Explode `textCol` into (chunk_idx, chunk_start, chunk_text,
-    * chunk_len) rows, keeping `keepCols`. Rows with empty/null text
-    * yield no chunks. 1-based `substr` semantics match ANSI SQL
-    * `substring`, so the chunk text itself is engine-portable. */
-  def chunk(df: DataFrame, textCol: String, size: Int, step: Int,
-            keepCols: Seq[String]): DataFrame = {
+  /** The chunking projection as ONE array column: each element a
+    * (chunk_idx, chunk_start, chunk_text, chunk_len) struct, empty/
+    * null text → empty array. Shared by [[chunk]] and the SQL surface
+    * (`chunk_text(text, size, step)` via [[graft.GraftExtensions]] —
+    * `inline`/`explode` it to rows), so both APIs produce identical
+    * chunks by construction. Chunk starts 0, step, 2·step … ≤ len-1
+    * come from a stepped `sequence` — exact integer arithmetic; the
+    * idx division is exact (start = idx·step < 2^31, string length is
+    * an int). 1-based `substr` matches ANSI SQL `substring`, so the
+    * chunk text itself is engine-portable. */
+  def chunkArray(text: Column, size: Int, step: Int): Column = {
     require(size > 0 && step > 0 && step <= size,
       s"need 0 < step <= size, got size=$size step=$step")
-    // the four outputs plus the internal text alias must not collide
+    val len = length(text).cast("long")
+    val starts = when(len > 0L,
+      sequence(lit(0L), len - 1L, lit(step.toLong)))
+      .otherwise(lit(Array.empty[Long]))
+    transform(starts, s => struct(
+      (s / step).cast("long").as("chunk_idx"),
+      s.as("chunk_start"),
+      text.substr(s.cast("int") + 1, lit(size)).as("chunk_text"),
+      length(text.substr(s.cast("int") + 1, lit(size))).cast("long")
+        .as("chunk_len")))
+  }
+
+  /** Explode `textCol` into (chunk_idx, chunk_start, chunk_text,
+    * chunk_len) rows, keeping `keepCols`. Rows with empty/null text
+    * yield no chunks. */
+  def chunk(df: DataFrame, textCol: String, size: Int, step: Int,
+            keepCols: Seq[String]): DataFrame = {
+    // the four outputs plus the internal chunk alias must not collide
     // with (or case-insensitively shadow) a kept input column — same
     // hazard class writeShards guards for `shard`
     val derived =
-      Seq("chunk_idx", "chunk_start", "chunk_text", "chunk_len", "_graft_text")
+      Seq("chunk_idx", "chunk_start", "chunk_text", "chunk_len", "_graft_c")
     require(!keepCols.exists(k => derived.exists(_.equalsIgnoreCase(k))),
       s"chunk derives ${derived.mkString("/")}; rename the colliding keepCols")
-    // everything below references the INTERNAL alias, never the
-    // caller's column name spliced into SQL text (a name needing
-    // backticks would otherwise break parsing / resolve as a struct
-    // field) — and the alias frees keepCols to contain textCol itself
-    val text = col("_graft_text")
-    val len = length(text).cast("long")
-    // chunk starts 0, step, 2·step … ≤ len-1 directly from stepped
-    // `sequence` — exact integer arithmetic, no division anywhere
-    val start = explode(when(len > 0L,
-      sequence(lit(0L), len - 1L, lit(step.toLong)))
-      .otherwise(lit(Array.empty[Long])))
-    df.select(keepCols.map(col) :+ col(textCol).as("_graft_text"): _*)
+    // the operator references the caller's column through the Column
+    // API only (never spliced into SQL text), so any legal column name
+    // works and keepCols may contain textCol itself
+    df.select(keepCols.map(col) :+
+        explode(chunkArray(col(textCol), size, step)).as("_graft_c"): _*)
       .select(keepCols.map(col) ++
-        Seq(text, start.as("chunk_start")): _*)
-      // start = idx·step with start < 2^31 (string length is an int),
-      // so the double division is exact and the cast lossless
-      .withColumn("chunk_idx", (col("chunk_start") / step).cast("long"))
-      .withColumn("chunk_text",
-        text.substr(col("chunk_start").cast("int") + 1, lit(size)))
-      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
-      .select(keepCols.map(col) ++
-        Seq(col("chunk_idx"), col("chunk_start"),
-          col("chunk_text"), col("chunk_len")): _*)
+        Seq(col("_graft_c.chunk_idx").as("chunk_idx"),
+          col("_graft_c.chunk_start").as("chunk_start"),
+          col("_graft_c.chunk_text").as("chunk_text"),
+          col("_graft_c.chunk_len").as("chunk_len")): _*)
   }
 }

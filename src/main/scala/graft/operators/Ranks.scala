@@ -15,25 +15,31 @@ import org.apache.spark.sql.functions._
   * the identical ranks with no partition ever holding more than
   * ~|input|/P rows:
   *
-  *  1. `repartitionByRange(P, group ++ order)` spreads the data into P
-  *     balanced range partitions whose boundaries follow the SAME
-  *     (group, order) total order the ranks are defined over — so a
-  *     row's global rank is (rows before its partition) + (its rank
-  *     within the partition).
+  *  1. `repartitionByRange(group ++ order)` spreads the data into
+  *     balanced range partitions (AQE-sized unless `parts` is given)
+  *     whose boundaries follow the SAME (group, order) total order the
+  *     ranks are defined over — so a row's global rank is (rows before
+  *     its slice) + (its position within the slice).
   *  2. A histogram `(partition, group) → count` (P×|groups| rows,
   *     map-side combinable) is prefix-summed per group with windows
   *     over the TINY histogram frame, giving each (partition, group)
-  *     slice its starting offset and the group total `n`.
+  *     slice its starting offset, the group total `n`, and — from a
+  *     per-partition prefix in the same pass — the slice's first
+  *     partition-local position.
   *  3. The offsets broadcast-join back onto the ranged data (no
-  *     shuffle: the tiny side broadcasts), and a window partitioned by
-  *     (partition, group) — every partition bounded by construction —
-  *     adds the local `row_number`; global rank = local + offset.
+  *     shuffle: the tiny side broadcasts), which is then sorted WITHIN
+  *     partitions; a row's rank is pure arithmetic over
+  *     `monotonically_increasing_id` (= partition·2^33 + row index in
+  *     sorted order) and the slice offsets. ONE full-data shuffle
+  *     total: the data is never hash-exchanged a second time for a
+  *     rank window, and nothing outside the tiny histogram ever
+  *     crosses the network again.
   *
   * `slicePred`/`rowPred` prune rank SELECTION queries (percentile,
   * top-k): slices that cannot contain a wanted rank are dropped by the
-  * broadcast join BEFORE the local-rank exchange, so e.g. an exact
-  * percentile shuffles and sorts only the two candidate slices per
-  * group, not the fact.
+  * broadcast join BEFORE the partition-local sort, so e.g. an exact
+  * percentile sorts only the two candidate slices per group, not the
+  * fact.
   *
   * Correctness note (pinned by PlanSpec): the ranged frame is consumed
   * twice (histogram + data side). Range-exchange boundary sampling is
@@ -117,26 +123,37 @@ object Ranks {
                          (_, _) => lit(true),
                        rankCol: String = "_g",
                        sizeCol: String = "_n"): DataFrame = {
-    val p =
-      if (parts > 0) parts
-      else df.sparkSession.sessionState.conf.numShufflePartitions
     requireReusableRangeExchange(df, "globalRowNumbers")
     val gCols = groupCols.map(col)
-    val b = df.repartitionByRange(p, (gCols ++ orderCols): _*)
-      .withColumn("_pid", spark_partition_id())
-    val hist = b.groupBy((col("_pid") +: gCols): _*)
+    val keys = gCols ++ orderCols
+    val ranged =
+      if (parts > 0) df.repartitionByRange(parts, keys: _*)
+      else df.repartitionByRange(keys: _*)
+    // Histogram side: COUNTS ONLY, over the unsorted exchange read —
+    // this consumer never sorts and never sees a payload column after
+    // pruning. `monotonically_increasing_id` is documented as
+    // `partition id · 2^33 + record index`, so the first position of
+    // slice (p, g) among the KEPT slices is
+    // `p · 2^33 + (rows of p's earlier kept groups)` — a per-partition
+    // prefix sum over the tiny histogram (computed AFTER the slice
+    // filter, in the same ascending group order the range keys
+    // impose), no `_mid` aggregation needed.
+    val hist = ranged.withColumn("_pid", spark_partition_id())
+      .groupBy((col("_pid") +: gCols): _*)
       .agg(count(lit(1)).as("_c"))
     // histogram-sized windows: P×|groups| rows, never the data
     val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
     val wAll = Window.partitionBy(gCols: _*)
+    val wPid = Window.partitionBy(col("_pid")).orderBy(gCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offs = hist
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_off", col("_cum") - col("_c"))
       .withColumn(sizeCol, sum(col("_c")).over(wAll))
       .filter(slicePred(col("_off"), col("_cum"), col(sizeCol)))
+      .withColumn("_m0", shiftleft(col("_pid").cast("long"), 33) +
+        coalesce(sum(col("_c")).over(wPid), lit(0L)))
       .drop("_c", "_cum")
-    val wLocal = Window.partitionBy((col("_pid") +: gCols): _*)
-      .orderBy(orderCols: _*)
     // Null-SAFE group-key equality, twice over: (a) a null group key is
     // a real rank partition for window functions, so its slice offsets
     // must join back rather than vanish through an EqualTo; (b) plain
@@ -147,12 +164,26 @@ object Ranks {
     val cond = groupCols
       .map(c => col(s"_d.$c") <=> col(s"_o.$c"))
       .foldLeft(col("_d._pid") === col("_o._pid"))(_ && _)
-    b.as("_d").join(broadcast(offs.as("_o")), cond)
-      .select(b.columns.map(c => col(s"_d.$c")) ++
-        Seq(col("_o._off"), col(s"_o.$sizeCol")): _*)
-      .withColumn(rankCol, row_number().over(wLocal).cast("long") + col("_off"))
+    // Data side: broadcast-join the slice offsets onto the UNSORTED
+    // exchange read (dropping pruned slices), THEN sort within
+    // partitions and rank by pure arithmetic
+    // (`_mid - first kept mid of the slice + 1`). Two scale wins over
+    // the pre-round-8 form: no second full-data exchange for a
+    // (pid, group)-partitioned row_number window (at 100 TB that was
+    // half the operator's shuffle I/O), and rank-SELECTION queries
+    // (percentile, top-k) sort only the rows of candidate slices —
+    // the join prunes before the sort, like the old plan pruned
+    // before its window exchange.
+    val data = ranged.withColumn("_pid", spark_partition_id())
+    data.as("_d").join(broadcast(offs.as("_o")), cond)
+      .select(df.columns.map(c => col(s"_d.$c")) ++
+        Seq(col(s"_o.$sizeCol"), col("_o._m0"), col("_o._off")): _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn(rankCol,
+        col("_mid") - col("_m0") + lit(1L) + col("_off"))
       .filter(rowPred(col(rankCol), col(sizeCol)))
-      .drop("_pid", "_off")
+      .drop("_m0", "_off", "_mid")
   }
 
   /** Add a global per-group RUNNING SUM of `valueCol` (`cumCol`) in
@@ -165,11 +196,13 @@ object Ranks {
     * identical cumulative values with no partition ever holding more
     * than ~|input|/P rows.
     *
-    * Same three-step shape as the ranks: range-partition on the cum
-    * order, per-(partition, group) VALUE SUMS (tiny histogram),
-    * broadcast the strictly-before-this-partition offsets back, add
-    * the partition-local running sum. Same reused-exchange
-    * precondition, actively guarded. `valueCol` is a column NAME in
+    * Same shape as the ranks — range-partition on the cum order,
+    * per-(partition, group) VALUE SUMS (tiny histogram), broadcast the
+    * strictly-before-this-partition offsets back — then the
+    * partition-local running sum is a streaming per-partition fold
+    * over the sorted partitions (groups are contiguous), NOT a
+    * (pid, group)-partitioned window: one full-data shuffle total.
+    * Same reused-exchange precondition, actively guarded. `valueCol` is a column NAME in
     * `df`, not an expression — an expression would be aliased into one
     * consumer's subtree only, the histogram and data copies of the
     * range exchange would then column-prune DIFFERENTLY, canonical
@@ -185,9 +218,6 @@ object Ranks {
   def globalCumSum(df: DataFrame, groupCols: Seq[String],
                    orderCols: Seq[Column], valueCol: String,
                    cumCol: String = "_cum", parts: Int = 0): DataFrame = {
-    val p =
-      if (parts > 0) parts
-      else df.sparkSession.sessionState.conf.numShufflePartitions
     requireReusableRangeExchange(df, "globalCumSum")
     val gCols = groupCols.map(col)
     // ENFORCE the non-null precondition rather than document it: a
@@ -204,9 +234,16 @@ object Ranks {
         .otherwise(raise_error(lit(
           s"globalCumSum: $valueCol is null — the running sum requires " +
             "a non-null value column; filter or coalesce() it first"))))
-    val b = checked.repartitionByRange(p, (gCols ++ orderCols): _*)
-      .withColumn("_pid", spark_partition_id())
-    val hist = b.groupBy((col("_pid") +: gCols): _*)
+    // AQE-sized when parts=0 (same rationale as the ranks); the
+    // histogram side reads the exchange UNSORTED (sums don't need
+    // order), the data side sorts within partitions for the running
+    // fold
+    val keys = gCols ++ orderCols
+    val ranged =
+      if (parts > 0) checked.repartitionByRange(parts, keys: _*)
+      else checked.repartitionByRange(keys: _*)
+    val hist = ranged.withColumn("_pid", spark_partition_id())
+      .groupBy((col("_pid") +: gCols): _*)
       .agg(sum(col(valueCol)).as("_c"))
     // histogram-sized window: P×|groups| rows, never the data
     val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
@@ -214,16 +251,68 @@ object Ranks {
     val offs = hist
       .withColumn("_off", coalesce(sum(col("_c")).over(wCum), lit(0L)))
       .drop("_c")
-    val wLocal = Window.partitionBy((col("_pid") +: gCols): _*)
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = ranged.sortWithinPartitions(keys: _*)
+      .withColumn("_pid", spark_partition_id())
     // null-safe group equality for the same two reasons as the ranks
     val cond = groupCols
       .map(c => col(s"_d.$c") <=> col(s"_o.$c"))
       .foldLeft(col("_d._pid") === col("_o._pid"))(_ && _)
-    b.as("_d").join(broadcast(offs.as("_o")), cond)
-      .select(b.columns.map(c => col(s"_d.$c")) :+ col("_o._off"): _*)
-      .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("_off"))
-      .drop("_pid", "_off")
+    val joined = b.as("_d").join(broadcast(offs.as("_o")), cond)
+      .select(checked.columns.map(c => col(s"_d.$c")) :+ col("_o._off"): _*)
+    // Data-side running sum: a per-partition streaming fold over the
+    // sorted partitions (groups are contiguous; the accumulator resets
+    // at each group boundary; a broadcast hash join preserves streamed-
+    // side order, so rows arrive exactly in (group, order) sequence).
+    // The pre-round-8 form hash-exchanged the whole frame a SECOND
+    // time for a (pid, group)-partitioned window — at 100 TB half the
+    // operator's shuffle I/O. Addition order is identical to that
+    // window's (left-to-right within the slice), so values — including
+    // double folds — stay bit-exact. Long/double value columns cover
+    // the machinery's callers; anything else (decimal) takes the
+    // windowed slice path below, where Spark's own sum semantics
+    // apply.
+    import org.apache.spark.sql.types._
+    val sumsToLong = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val sumsToDouble = Set[DataType](FloatType, DoubleType)
+    val vType = checked.schema(valueCol).dataType
+    if (sumsToLong.contains(vType) || sumsToDouble.contains(vType)) {
+      val cumType: DataType =
+        if (sumsToLong.contains(vType)) LongType else DoubleType
+      val outSchema = joined.schema.add(cumCol, cumType, nullable = false)
+      val cols = joined.columns
+      val gIdx = groupCols.map(c => cols.indexOf(c)).toArray
+      val vIdx = cols.indexOf(valueCol)
+      val oIdx = cols.indexOf("_off")
+      val longCum = cumType == LongType
+      joined.mapPartitions { it =>
+        var curKey: Seq[Any] = null
+        var accL = 0L
+        var accD = 0.0
+        it.map { r =>
+          val k = gIdx.toSeq.map(r.get)
+          if (curKey == null || k != curKey) {
+            curKey = k; accL = 0L; accD = 0.0
+          }
+          val cum: Any =
+            if (longCum) {
+              accL += r.getAs[Number](vIdx).longValue()
+              accL + r.getLong(oIdx)
+            } else {
+              accD += r.getAs[Number](vIdx).doubleValue()
+              accD + r.getDouble(oIdx)
+            }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .drop("_off")
+    } else {
+      val wLocal = Window.partitionBy((col("_pid") +: gCols): _*)
+        .orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.as("_d").join(broadcast(offs.as("_o")), cond)
+        .select(b.columns.map(c => col(s"_d.$c")) :+ col("_o._off"): _*)
+        .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("_off"))
+        .drop("_pid", "_off")
+    }
   }
 }

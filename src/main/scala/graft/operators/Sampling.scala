@@ -115,9 +115,45 @@ object Sampling {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
       when(col(domainCol) === domain, lit(r)).otherwise(acc)
     }
-    val reduced = pmod(col(idCol).cast("long"), lit(2147483648L))
-    val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
-    df.filter(coin < rate * lit(4294967296L))
+    df.filter(knuthCoin(col(idCol)) < rate * lit(4294967296L))
+  }
+
+  /** THE deterministic per-row coin every sampler here flips —
+    * `((id mod 2³¹)·2654435761) mod 2³²` (see [[mixByRate]] for the
+    * overflow-free/engine-portability argument). One definition on
+    * purpose: the DataFrame operators and the SQL function surface
+    * (`assign_split`, `sample_by_weight` via
+    * [[graft.GraftExtensions]]) must flip the IDENTICAL coin or the
+    * same row would land in different splits depending on which API
+    * asked. */
+  def knuthCoin(id: Column): Column = {
+    val reduced = pmod(id.cast("long"), lit(2147483648L))
+    pmod(reduced * lit(2654435761L), lit(4294967296L))
+  }
+
+  /** The [[sampleByWeight]] keep-decision as a boolean column over
+    * (id, weight) — shared by the operator and the SQL surface. */
+  def weightKeep(id: Column, weight: Column): Column = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    knuthCoin(id).cast("double") < w * lit(4294967296.0)
+  }
+
+  /** The [[assignSplit]] label as a string column over the id —
+    * shared by the operator and the SQL surface. */
+  def splitLabel(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive fractions, got $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 4294967296.0).toLong)
+    val coin = knuthCoin(id)
+    // last split catches the rounding residue so no row is unlabeled
+    splits.init.zip(thresholds.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), t)) =>
+        when(coin < lit(t), lit(name)).otherwise(acc)
+      }
   }
 
   /** Importance sampling: keep each row with probability equal to its
@@ -130,12 +166,8 @@ object Sampling {
     * runs/partitionings/engines, and stable per doc as the corpus
     * grows. Weights outside [0,1] clamp (≤0 never keeps, ≥1 always). */
   def sampleByWeight(df: DataFrame, weightCol: String,
-                     idCol: String): DataFrame = {
-    val reduced = pmod(col(idCol).cast("long"), lit(2147483648L))
-    val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
-    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
-    df.filter(coin.cast("double") < w * lit(4294967296.0))
-  }
+                     idCol: String): DataFrame =
+    df.filter(weightKeep(col(idCol), col(weightCol)))
 
   /** Deterministic stratified train/val/test split: every row gets a
     * split label from the SAME content-independent coin [[mixByRate]]
@@ -149,21 +181,6 @@ object Sampling {
     * split reshuffles membership on every insert). `splits` fractions
     * must sum to 1 (±1e-9); labels are assigned in the given order. */
   def assignSplit(df: DataFrame, idCol: String,
-                  splits: Seq[(String, Double)]): DataFrame = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0),
-      s"splits need positive fractions, got $splits")
-    val total = splits.map(_._2).sum
-    require(math.abs(total - 1.0) < 1e-9,
-      s"split fractions must sum to 1, got $total")
-    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
-      .map(f => math.floor(f * 4294967296.0).toLong)
-    val reduced = pmod(col(idCol).cast("long"), lit(2147483648L))
-    val coin = pmod(reduced * lit(2654435761L), lit(4294967296L))
-    // last split catches the rounding residue so no row is unlabeled
-    val label = splits.init.zip(thresholds.init).reverse
-      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), t)) =>
-        when(coin < lit(t), lit(name)).otherwise(acc)
-      }
-    df.withColumn("split", label)
-  }
+                  splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), splits))
 }

@@ -125,6 +125,40 @@ object IncrementalDedup {
       }
       .start()
 
+  /** C4-at-ingest: chunk each micro-batch
+    * ([[graft.operators.Chunking.chunk]]) and dedup the CHUNKS
+    * incrementally across batches — the grain C4 dedups at (q73 is
+    * this shape in batch), composed from the existing chunker and the
+    * [[processBatch]] band store. Each chunk rides the machinery as
+    * its own document with id `<doc id>#<chunk idx>`; exact duplicate
+    * chunks agree on their whole signature (est_jaccard = 1.0), so
+    * the default `estThreshold = 1.0` recovers exact C4 semantics,
+    * while lower thresholds also flag near-dup chunks. Store/pairs
+    * layout, compaction, single-writer and at-least-once contracts
+    * are exactly [[run]]'s — the store just holds chunk-grain bands
+    * (chunks per doc × bands × ~8 B, still a sliver of the text). */
+  def runChunks(spark: SparkSession, docs: DataFrame, storeDir: String,
+                pairsDir: String, checkpoint: String,
+                textCol: String = "text", idCol: String = "doc_id",
+                size: Int = 512, step: Int = 512,
+                numHashes: Int = 64, bands: Int = 16,
+                estThreshold: Double = 1.0,
+                compactEvery: Int = 0,
+                compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val chunks = graft.operators.Chunking
+          .chunk(batch.toDF(), textCol, size, step, Seq(idCol))
+          .withColumn("chunk_id",
+            concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
+        processBatch(spark, chunks, storeDir, pairsDir,
+          "chunk_text", "chunk_id", numHashes, bands, estThreshold)
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(storeDir, pairsDir), compactTargetBytes)
+      }
+      .start()
+
   /** Embedding twin of [[processBatch]]: incremental near-dup over
     * vectors with banded sign-RP blocking (operators.Dedup
     * .embeddingNearDup's blocking, applied new-vs-corpus). The store

@@ -118,4 +118,49 @@ class GraftExtensionsSpec extends SparkTestBase {
       Text.markerCount($"t", "q")).as("c")).as[Seq[Long]].head()
     assert(got == want && got == Seq(1L, 1L, 0L))
   }
+
+  test("chunk_text SQL function yields the exact Chunking.chunk rows") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").createOrReplaceTempView("ext_ch")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk_start, c.chunk_text, c.chunk_len
+        |FROM ext_ch LATERAL VIEW explode(chunk_text(text, 64, 48)) AS c"""
+        .stripMargin)
+      .as[(Long, Long, Long, String, Long)].collect().sorted.toSeq
+    val colRows = graft.operators.Chunking
+      .chunk(spark.table("ext_ch"), "text", 64, 48, Seq("doc_id"))
+      .as[(Long, Long, Long, String, Long)].collect().sorted.toSeq
+    assert(sqlRows.nonEmpty && sqlRows == colRows)
+  }
+
+  test("assign_split / sample_by_weight SQL functions flip the " +
+    "operators' exact coins") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", (pmod($"n_chars", lit(97)) / 96.0).as("quality_score"))
+      .createOrReplaceTempView("ext_sp")
+    val sqlSplit = spark.sql(
+      "SELECT doc_id, assign_split(doc_id, 'train', 0.8, 'val', 0.1, " +
+        "'test', 0.1) AS split FROM ext_sp")
+      .as[(Long, String)].collect().toMap
+    val colSplit = graft.operators.Sampling
+      .assignSplit(spark.table("ext_sp"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(sqlSplit == colSplit && sqlSplit.values.toSet.size == 3)
+    val sqlKept = spark.sql(
+      "SELECT doc_id FROM ext_sp WHERE sample_by_weight(doc_id, quality_score)")
+      .as[Long].collect().toSet
+    val colKept = graft.operators.Sampling
+      .sampleByWeight(spark.table("ext_sp"), "quality_score", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sqlKept == colKept)
+    assert(sqlKept.nonEmpty && sqlKept.size < sqlSplit.size,
+      "the weight coin should keep a strict, non-empty subset")
+    // malformed fraction lists fail at function resolution
+    val e = intercept[Exception] {
+      spark.sql("SELECT assign_split(doc_id, 'train', 0.5) FROM ext_sp")
+        .collect()
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
 }

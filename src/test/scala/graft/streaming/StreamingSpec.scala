@@ -202,6 +202,41 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
   }
 
+  test("incremental chunk dedup flags cross-batch duplicate chunks " +
+    "(C4-at-ingest)") {
+    implicit val sc = spark.sqlContext
+    // 64-char chunks; doc 1 and doc 3 share their SECOND chunk exactly
+    // (different first chunks), doc 2 shares nothing
+    val shared = "shared boilerplate licence text that repeats verbatim in docs!!!"
+    assert(shared.length == 64)
+    def pad(s: String) = (s + " filler words to round out the chunk body")
+      .padTo(64, 'x').take(64)
+    val w = tmp()
+    val in = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.runChunks(spark, in.toDF().toDF("doc_id", "text"),
+      s"$w/store", s"$w/pairs", s"$w/cp", size = 64, step = 64,
+      numHashes = 32, bands = 8)
+    in.addData(
+      (1L, pad("alpha document opening") + shared),
+      (2L, pad("unrelated clean document") + pad("equally clean second chunk")))
+    q.processAllAvailable()
+    in.addData((3L, pad("gamma document different opening") + shared))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.read.parquet(s"$w/pairs")
+      .select("new_id", "corpus_id", "est_jaccard")
+      .as[(String, String, Double)].collect()
+    // the duplicated chunk is flagged ACROSS batches at chunk grain,
+    // with full-signature agreement (exact dup → est_jaccard 1.0)
+    assert(pairs.exists(p => p._1 == "3#1" && p._2 == "1#1" && p._3 == 1.0),
+      s"expected cross-batch chunk pair (3#1, 1#1), got ${pairs.toSeq}")
+    // no chunk of the clean doc is flagged, nor the distinct openings
+    assert(!pairs.exists(p => p._1.startsWith("2#") || p._2.startsWith("2#")))
+    assert(!pairs.exists(p => p._1 == "3#0" || p._2 == "3#0"))
+    // the store accumulated every chunk of both batches
+    assert(spark.read.parquet(s"$w/store")
+      .select("id").distinct().count() == 6)
+  }
+
   test("incremental span dedup flags a copied span against the corpus store") {
     implicit val sc = spark.sqlContext
     val span = (1 to 20).map(i => s"copied$i").mkString(" ")
