@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, SimHashSig}
+import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, SimHashSig, TopKByScoreAgg}
 import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
@@ -31,6 +31,9 @@ import graft.operators.{Chunking, Sampling}
   *     (the `Sampling.assignSplit` label; fractions must sum to 1)
   *   - `sample_by_weight(id, weight)` → boolean keep-decision
   *     (the `Sampling.sampleByWeight` coin)
+  *   - `top_k_by_score(score, id, k)` → aggregate; the k best
+  *     (id, score) structs by (score desc, id asc) in rank order —
+  *     the ANN tail's bounded heap, O(k) through the shuffle
   *
   * The dataloader-prep trio delegates to the SAME Column builders the
   * DataFrame operators use (`Chunking.chunkArray`,
@@ -167,6 +170,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Sampling.weightKeep(ColumnBridge.column(id), ColumnBridge.column(w)))
         case _ => throw new IllegalArgumentException(
           "sample_by_weight expects (id, weight)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k) - aggregate: the k best (id, score) " +
+          "structs by (score desc, id asc), in rank order"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, i, kk) => TopKByScoreAgg(s, i, litInt(kk, "k"))
+        case _ => throw new IllegalArgumentException(
+          "top_k_by_score expects (score, id, k)")
       }))
   }
 }

@@ -38,6 +38,17 @@ object GraftSession {
     // to µs timestamps in the loader — the same truncation DuckDB does.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",
+    // ObjectHashAggregate (every TypedImperativeAggregate: the ANN
+    // top-k tail, bloom build) falls back to SORT-based aggregation
+    // once a task sees this many distinct keys — default 128. JFR on a
+    // 40M-pair top-k with 128 query groups showed the fallback sorting
+    // the whole input partition: exactly the corpus-sized-sort
+    // anti-pattern the bounded-heap aggregate exists to avoid. The
+    // engine's many-group object aggregates all carry O(k) buffers
+    // (top-k: k·16 B), so holding 64k of them costs ~MBs; the
+    // big-buffer aggregates (bloom bits) group into a handful of keys
+    // and never approach the threshold.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
   )
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

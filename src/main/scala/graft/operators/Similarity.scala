@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import graft.expressions.TopKByScoreAgg
 import graft.functions.Vectors
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -21,85 +22,29 @@ import graft.functions.Vectors
   */
 object Similarity {
 
-  /** Aggregation buffer for [[TopKByScore]]: parallel arrays sorted
-    * best-first by (score desc, id asc), `n` live entries, capacity k.
-    * A case class of arrays gets a product (Tungsten) encoder. */
-  case class TKBuf(scores: Array[Double], ids: Array[Long], n: Int)
-
-  /** One ranked neighbor in the aggregate's output (array position =
-    * rank - 1). */
-  case class ScoredId(id: Long, score: Double)
-
-  /** Keep the k (score, id) pairs ranked best by (score desc, id asc);
-    * emit them in rank order. The merge is associative+commutative, so
-    * Spark runs map-side partial aggregation: each map task carries at
-    * most k entries per query through the shuffle, and no task ever
-    * sorts a corpus-sized partition — this is what keeps "top-5 of 10⁸
-    * corpus rows per query" O(k) memory instead of a single-task
-    * full-partition sort (the q43-shape anti-pattern the per-query
-    * `row_number` Window tail had).
-    *
-    * Hot path mirrors [[Sampling.BottomK]]: constant-time reject
-    * against the current worst entry once full (the common case on a
-    * large corpus), else one binary search + `System.arraycopy` shift.
-    * Score order uses `java.lang.Double.compare` — the same total
-    * order (NaN greatest, so ranked first under desc) Spark's sort
-    * uses. */
-  class TopKByScore(k: Int) extends Aggregator[(Double, Long), TKBuf, Seq[ScoredId]] {
-    require(k > 0, s"TopKByScore needs k > 0, got $k")
-
-    // (score desc, id asc) — true iff entry 1 outranks entry 2
-    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-      val c = java.lang.Double.compare(s1, s2)
-      c > 0 || (c == 0 && i1 < i2)
-    }
-
-    private def insert(b: TKBuf, score: Double, id: Long): TKBuf = {
-      if (b.n == k && !better(score, id, b.scores(k - 1), b.ids(k - 1))) return b
-      var lo = 0
-      var hi = b.n
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (better(b.scores(mid), b.ids(mid), score, id)) lo = mid + 1 else hi = mid
-      }
-      val lastKept = math.min(b.n, k - 1) // entry at k-1 falls off when full
-      System.arraycopy(b.scores, lo, b.scores, lo + 1, lastKept - lo)
-      System.arraycopy(b.ids, lo, b.ids, lo + 1, lastKept - lo)
-      b.scores(lo) = score
-      b.ids(lo) = id
-      if (b.n < k) b.copy(n = b.n + 1) else b
-    }
-
-    override def zero: TKBuf = TKBuf(new Array[Double](k), new Array[Long](k), 0)
-    override def reduce(b: TKBuf, a: (Double, Long)): TKBuf =
-      insert(b, a._1, a._2)
-    override def merge(x: TKBuf, y: TKBuf): TKBuf = {
-      var b = x
-      var i = 0
-      while (i < y.n) { b = insert(b, y.scores(i), y.ids(i)); i += 1 }
-      b
-    }
-    override def finish(b: TKBuf): Seq[ScoredId] =
-      (0 until b.n).map(i => ScoredId(b.ids(i), b.scores(i)))
-    override def bufferEncoder: Encoder[TKBuf] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TKBuf]()
-    override def outputEncoder: Encoder[Seq[ScoredId]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
-  }
-
   /** Column aggregate: the k best (id, score) structs by
-    * (score desc, id asc), in rank order. */
+    * (score desc, id asc), in rank order — the native
+    * [[graft.expressions.TopKByScoreAgg]] bounded heap. The merge is
+    * associative+commutative, so Spark runs map-side partial
+    * aggregation: each map task carries at most k entries per query
+    * through the shuffle, and no task ever sorts a corpus-sized
+    * partition — this is what keeps "top-5 of 10⁸ corpus rows per
+    * query" O(k) memory instead of a single-task full-partition sort
+    * (the q43-shape anti-pattern the per-query `row_number` Window
+    * tail had). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
-    udaf(new TopKByScore(k)).apply(score, id)
+    ColumnBridge.column(TopKByScoreAgg(
+      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
 
   /** Per-query top-k tail shared by all search variants: keep the k
     * best (score desc, corpus_id asc) per query via the bounded-heap
     * aggregate, then unnest with the array position as the rank.
-    * Null scores (a null/empty vector upstream) are EXCLUDED before
-    * the aggregate: the udaf's primitive input encoder would otherwise
-    * crash on decode, and "no similarity" is not a neighbor — the old
-    * window tail only ever surfaced null-score rows when a query had
-    * fewer than k scorable corpus rows. */
+    * Null scores (a null/empty vector upstream) are EXCLUDED: "no
+    * similarity" is not a neighbor — the old window tail only ever
+    * surfaced null-score rows when a query had fewer than k scorable
+    * corpus rows. (The native aggregate also skips nulls itself; the
+    * explicit filter keeps the contract visible in the plan.) */
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.filter(col("score").isNotNull)
       .groupBy(col("query_id"))

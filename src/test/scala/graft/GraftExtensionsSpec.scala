@@ -163,4 +163,40 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("sum to 1"))
   }
+
+  test("top_k_by_score SQL aggregate matches the Scala tail and the " +
+    "sort oracle") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        (pmod($"doc_id" * 2654435761L, lit(997)) / 996.0).as("score"),
+        pmod($"doc_id", lit(7)).as("q"))
+      .createOrReplaceTempView("ext_tk")
+    val sqlRows = spark.sql(
+      """SELECT q, e.pos AS rnk, e.col.id, e.col.score
+        |FROM (SELECT q, top_k_by_score(score, doc_id, 5) AS tk
+        |      FROM ext_tk GROUP BY q)
+        |LATERAL VIEW posexplode(tk) e""".stripMargin)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val colRows = spark.table("ext_tk")
+      .groupBy($"q")
+      .agg(graft.operators.Similarity
+        .topKByScore($"score", $"doc_id", 5).as("tk"))
+      .select($"q", posexplode($"tk"))
+      .select($"q", $"pos", $"col.id", $"col.score")
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(sqlRows.nonEmpty && sqlRows == colRows)
+    // the (score desc, id asc) sort oracle, per group
+    val oracle = spark.table("ext_tk")
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._3).toSeq.flatMap { case (q, rows) =>
+        rows.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(5).zipWithIndex
+          .map { case ((id, s, _), i) => (q, i, id, s) }
+      }.sorted
+    assert(sqlRows == oracle)
+    // a mistyped score fails at analysis with the cast hint
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_k_by_score(q, doc_id, 3) FROM ext_tk").collect()
+    }
+    assert(e2.getMessage.contains("DOUBLE"))
+  }
 }

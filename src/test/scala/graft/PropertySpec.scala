@@ -125,12 +125,12 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("TopKByScore == sorted.take(k) under arbitrary reduce/merge groupings") {
-    import graft.operators.Similarity
-    // same adversarial harness as BottomK: the ANN tail aggregate must
-    // match the (score desc, id asc) sort oracle for every way rows
-    // can be split between partial buffers — including duplicate
-    // scores AND duplicate (score, id) pairs
+  test("TopKHeap == sorted.take(k) under arbitrary insert/merge groupings") {
+    import graft.expressions.TopKHeap
+    // same adversarial harness as BottomK: the ANN tail aggregate's
+    // heap must match the (score desc, id asc) sort oracle for every
+    // way rows can be split between partial buffers — including
+    // duplicate scores AND duplicate (score, id) pairs
     val rnd = new scala.util.Random(23)
     (0 until 50).foreach { trial =>
       val k = 1 + rnd.nextInt(6)
@@ -138,12 +138,15 @@ class PropertySpec extends SparkTestBase {
       val rows = (0 until n).map { _ =>
         (rnd.nextInt(6).toDouble / 2.0, rnd.nextLong() % 50)
       }
-      val agg = new Similarity.TopKByScore(k)
       val parts = rows.grouped(math.max(1, 1 + rnd.nextInt(5))).toSeq
       val merged = parts
-        .map(p => p.foldLeft(agg.zero)(agg.reduce))
-        .foldLeft(agg.zero)(agg.merge)
-      val got = agg.finish(merged).map(s => (s.score, s.id))
+        .map { p =>
+          val h = new TopKHeap(k)
+          p.foreach { case (s, id) => h.insert(s, id) }
+          h
+        }
+        .foldLeft(new TopKHeap(k)) { (acc, h) => acc.mergeFrom(h); acc }
+      val got = (0 until merged.n).map(i => (merged.scores(i), merged.ids(i)))
       val want = rows.sortBy { case (s, id) => (-s, id) }.take(k)
       assert(got == want, s"trial $trial k=$k rows=$rows")
     }
