@@ -17,8 +17,16 @@ object Bench {
     * discount a degradation that outlasts the whole bench — the probe
     * is what lets a reader adjudicate a number without re-running. */
   private def ioProbeMbps(spark: SparkSession): Double = {
-    val dir = new java.io.File(spark.sparkContext.getConf
-      .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+    // spark.local.dir is a comma-separated LIST (multi-disk configs —
+    // the very setups the probe exists to adjudicate); probe the first
+    // entry that exists or can be created, else fall back to tmpdir
+    val tmpdir = System.getProperty("java.io.tmpdir", "/tmp")
+    val dir = spark.sparkContext.getConf
+      .get("spark.local.dir", tmpdir)
+      .split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(new java.io.File(_))
+      .find(d => d.isDirectory || d.mkdirs())
+      .getOrElse(new java.io.File(tmpdir))
     val f = java.io.File.createTempFile("graft_io_probe_", ".bin", dir)
     try {
       // non-zero pattern: all-zero blocks invite filesystem/device
@@ -67,6 +75,7 @@ object Bench {
       .createTempDirectory("graft_bench_pub_").toString + "/pub"
     var bestSec = Double.MaxValue
     var best: graft.apps.CorpusCuration.Published = null
+    var publishRows = 0L
     for (_ <- 0 until 2) {
       val t0 = System.nanoTime()
       // bench = the q54/q68 eval-set fixture, so the composed path runs
@@ -76,13 +85,17 @@ object Bench {
         benchDocs = Some(docs.filter(col("doc_id") < 10)),
         semantic = sem)
       val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < bestSec) { bestSec = dt; best = out }
+      // count THIS run's manifest now (outside the timed window): the
+      // frame's file index points at the current generation, which the
+      // next run's publish replaces — reading a stale run's manifest
+      // after a re-publish is a FileNotFoundException
+      val rows = out.manifest
+        .agg(org.apache.spark.sql.functions.coalesce(
+          sum(col("n_rows")), org.apache.spark.sql.functions.lit(0L)))
+        .head.getLong(0)
+      if (dt < bestSec) { bestSec = dt; best = out; publishRows = rows }
     }
     val report = best.report
-    val publishRows = best.manifest
-      .agg(org.apache.spark.sql.functions.coalesce(
-        sum(col("n_rows")), org.apache.spark.sql.functions.lit(0L)))
-      .head.getLong(0)
     val stages = s"""{"input":${report.input},"after_quality":${report.afterQuality},""" +
       s""""after_exact":${report.afterExact},"after_near_dup":${report.afterNearDup},""" +
       s""""after_semantic":${report.afterSemantic},"after_decontam":${report.afterDecontam}}"""

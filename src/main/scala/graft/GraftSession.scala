@@ -39,16 +39,21 @@ object GraftSession {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",
     // ObjectHashAggregate (every TypedImperativeAggregate: the ANN
-    // top-k tail, bloom build) falls back to SORT-based aggregation
-    // once a task sees this many distinct keys — default 128. JFR on a
-    // 40M-pair top-k with 128 query groups showed the fallback sorting
-    // the whole input partition: exactly the corpus-sized-sort
-    // anti-pattern the bounded-heap aggregate exists to avoid. The
-    // engine's many-group object aggregates all carry O(k) buffers
-    // (top-k: k·16 B), so holding 64k of them costs ~MBs; the
-    // big-buffer aggregates (bloom bits) group into a handful of keys
-    // and never approach the threshold.
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
+    // top-k tail, bloom build, collect_list posting lists) falls back
+    // to SORT-based aggregation once a task sees this many distinct
+    // keys — default 128. JFR on a 40M-pair top-k with 128 query
+    // groups showed the fallback sorting the whole input partition:
+    // exactly the corpus-sized-sort anti-pattern the bounded-heap
+    // aggregate exists to avoid. 8192 (64× the default) keeps hash
+    // mode through any realistic per-task ANN query count, while
+    // still bounding the aggregates whose buffers grow with group
+    // size (collect_list posting lists in jaccardSelfJoin — hash mode
+    // holds `threshold` whole buffers per task, so the threshold IS
+    // their peak-memory knob; the fallback's one-buffer-at-a-time
+    // merge is the safety net on skewed keys). The big-buffer bloom
+    // aggregate groups into a handful of keys and never approaches
+    // either value.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "8192",
   )
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -285,13 +285,25 @@ object Ranks {
       val oIdx = cols.indexOf("_off")
       val longCum = cumType == LongType
       joined.mapPartitions { it =>
-        var curKey: Seq[Any] = null
+        // groups are contiguous, so the key comparison is field-by-field
+        // against the carried values — no per-row key collection (this
+        // is the full-data frame's hottest map stage; a per-row Seq
+        // allocation here is pure garbage at 100 TB)
+        var curKey: Array[Any] = null
         var accL = 0L
         var accD = 0.0
         it.map { r =>
-          val k = gIdx.toSeq.map(r.get)
-          if (curKey == null || k != curKey) {
-            curKey = k; accL = 0L; accD = 0.0
+          var same = curKey != null
+          var i = 0
+          while (same && i < gIdx.length) {
+            if (r.get(gIdx(i)) != curKey(i)) same = false
+            i += 1
+          }
+          if (!same) {
+            if (curKey == null) curKey = new Array[Any](gIdx.length)
+            var j = 0
+            while (j < gIdx.length) { curKey(j) = r.get(gIdx(j)); j += 1 }
+            accL = 0L; accD = 0.0
           }
           val cum: Any =
             if (longCum) {

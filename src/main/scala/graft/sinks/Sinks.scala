@@ -428,7 +428,14 @@ object Sinks {
     // the layout (single writer, like all table maintenance here)
     recoverPublish(fs, base)
     val dataCols = df.columns.toSeq
-    val stamp = System.nanoTime()
+    // FIXED-WIDTH wall-clock stamp: recovery picks "the newest"
+    // generation by name order, so the stamp must sort correctly
+    // lexicographically (zero-padded) and across process restarts
+    // (nanoTime's origin is arbitrary per boot — a raw nanoTime stamp
+    // could make a pre-reboot leftover sort as newer than a live
+    // publish). The nano suffix disambiguates same-millisecond
+    // publishes under the single-writer contract.
+    val stamp = f"${System.currentTimeMillis()}%013d${System.nanoTime() % 1000000L}%06d"
     val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
     val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
     val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
@@ -489,13 +496,20 @@ object Sinks {
     * aside into `old` and rename the staged dir in — data first,
     * manifest LAST, so a manifest is never live before the data it
     * describes (the `upsertParquet` move-aside/promote/delete dance,
-    * per part). In-process failure unwinds: the commit marker is
-    * withdrawn FIRST (so a half-unwound tree reads as roll-back, not
-    * roll-forward, to the next call's recovery), then every rename is
-    * reversed and the staging discarded — the old generation is back,
-    * the caller gets the exception. A process KILL mid-promote is
-    * finished by [[recoverPublish]] at the next call instead. */
-  private def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
+    * per part). In-process failure unwinds: every rename is reversed
+    * FIRST, then the commit marker is withdrawn with the staging —
+    * the old generation is back and the caller gets the exception.
+    * The ORDER is load-bearing: while any rename may still be
+    * un-reversed the marker must survive, so a kill mid-unwind reads
+    * as roll-forward to the next call's recovery, which finishes the
+    * promote from the sealed staging — converging to the complete NEW
+    * generation. (Withdrawing the marker first — the pre-round-8
+    * order — left a kill window where promoted data paired with the
+    * old manifest was the PERMANENT recovery outcome, and the old
+    * data was discarded: the exact mixed end state the invariant
+    * forbids.) A process KILL mid-promote is likewise finished by
+    * [[recoverPublish]] at the next call. */
+  private[graft] def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
                             base: org.apache.hadoop.fs.Path,
                             staging: org.apache.hadoop.fs.Path,
                             old: org.apache.hadoop.fs.Path): Unit = {
@@ -523,13 +537,20 @@ object Sinks {
       fs.delete(staging, true)
     } catch {
       case e: Throwable =>
-        fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
-          false)
+        // reverse every rename BEFORE withdrawing the marker (see
+        // scaladoc: marker-first left a kill window whose permanent
+        // outcome was new data under the old manifest)
         moved.reverseIterator.foreach { case (live, aside, staged, hadLive) =>
           // un-promote (the staged dir became live), then restore old
           if (!fs.exists(staged) && fs.exists(live)) fs.rename(live, staged)
           if (hadLive && fs.exists(aside)) fs.rename(aside, live)
         }
+        // marker explicitly BEFORE the recursive staging delete: a
+        // kill mid-delete must read as roll-back — were the marker
+        // still present over a half-deleted staging, recovery would
+        // promote partial data
+        fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+          false)
         fs.delete(staging, true)
         fs.delete(old, true)
         throw e

@@ -131,9 +131,15 @@ object IncrementalDedup {
     * this shape in batch), composed from the existing chunker and the
     * [[processBatch]] band store. Each chunk rides the machinery as
     * its own document with id `<doc id>#<chunk idx>`; exact duplicate
-    * chunks agree on their whole signature (est_jaccard = 1.0), so
-    * the default `estThreshold = 1.0` recovers exact C4 semantics,
-    * while lower thresholds also flag near-dup chunks. Store/pairs
+    * chunks always agree on their whole signature, so the default
+    * `estThreshold = 1.0` flags every exact C4-style duplicate —
+    * ONE-SIDED, like the bloom decontaminator: est_jaccard = 1.0
+    * means all `numHashes` minhashes collide, which a DISTINCT
+    * near-identical pair also achieves with probability ~J^numHashes
+    * (≈0.1% at J=0.9, 64 hashes), so a consumer needing guaranteed
+    * textual equality must compare the flagged pair's chunk texts (or
+    * fingerprints, the batch-side q73 shape) before deleting; lower
+    * thresholds flag near-dup chunks too. Store/pairs
     * layout, compaction, single-writer and at-least-once contracts
     * are exactly [[run]]'s — the store just holds chunk-grain bands
     * (chunks per doc × bands × ~8 B, still a sliver of the text). */

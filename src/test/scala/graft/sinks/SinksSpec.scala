@@ -343,6 +343,42 @@ class SinksSpec extends SparkTestBase {
     assert(!fs.exists(bstaging) && !fs.exists(bold), "debris must be swept")
   }
 
+  test("a promote-phase failure unwinds to the full old generation " +
+    "(no mixed pair, no debris)") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang")
+    val dir = Files.createTempDirectory("graft_unwind_").toString + "/pub"
+    val m1 = Sinks.writeShards(docs, dir, "doc_id", nShards = 4)
+      .orderBy("shard").collect().toSeq
+    // stage a sealed v2 whose manifest half is MISSING, so the promote
+    // fails AFTER the data part was already swapped in — the unwind
+    // must reverse the data swap, restore v1 whole, and sweep; the
+    // pre-round-8 bug class (new data left under the old manifest,
+    // old data destroyed) is exactly what this pins
+    val side = Files.createTempDirectory("graft_unwind_").toString + "/v2"
+    Sinks.writeShards(docs.filter(col("doc_id") % 7L =!= 0L),
+      side, "doc_id", nShards = 4)
+    val base = new Path(dir)
+    val staging = new Path(base, "_staging_55")
+    fs.mkdirs(staging)
+    fs.rename(new Path(side, "data"), new Path(staging, "data"))
+    fs.create(new Path(staging, Sinks.PublishCommitMarker), true).close()
+    intercept[java.io.IOException] {
+      Sinks.promoteStaged(fs, base, staging, new Path(base, "_old_55"))
+    }
+    val check = Sinks.verifyShards(spark, dir, "doc_id")
+    assert(check.count() == 4 && check.filter(!col("ok")).count() == 0,
+      "v1 must verify clean after the unwound promote")
+    assert(spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().toSeq == m1, "live manifest must be v1's")
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("_staging_") || n.startsWith("_old_"))
+    assert(leftovers.isEmpty, s"stranded generations: ${leftovers.toSeq}")
+  }
+
   test("verifyShards survives a '.'/'_'-prefixed ancestor in the " +
     "publish path") {
     // the visibility walk must stop at the (qualified) data dir — an
