@@ -264,4 +264,45 @@ class RanksSpec extends SparkTestBase {
           s"boundary samples:\n$root")
     }
   }
+
+  test("the rank machinery adds no full-data exchange beyond the range one " +
+    "(the round-8 shave is load-bearing)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // bare operator output (the catalog queries legitimately add their
+    // own post-rank exchanges, e.g. q38's lag window over survivors):
+    // the data crosses the network ONCE, in the single materialized
+    // range exchange; every other materialized exchange belongs to the
+    // P×|groups| histogram and must be histogram-SIZED — shuffled
+    // bytes a small fraction of the range exchange's. The pre-shave
+    // form hash-exchanged the FULL frame a second time for its
+    // (pid, group) rank window; at 100 TB that exchange was half the
+    // operator's shuffle I/O, so its return is a regression even
+    // though values would stay correct.
+    // big enough that histogram bytes vs data bytes is a robust ratio
+    // (sf0.001's 1500-row customer is not), deterministic so the
+    // reused-exchange guard accepts it
+    val big = spark.range(200000).toDF("id")
+      .select((col("id") % 25).as("grp"), col("id"),
+        (col("id") * 2654435761L % 1000).as("v"))
+    for ((label, df) <- Seq(
+        "globalRowNumbers" -> Ranks.globalRowNumbers(big,
+          Seq("grp"), Seq(col("v").desc, col("id"))),
+        "globalCumSum" -> Ranks.globalCumSum(
+          big, Seq("grp"), Seq(col("id")), "v"))) {
+      df.collect()
+      val materialized = allStages(df.queryExecution.executedPlan)
+        .filter(_.plan.isInstanceOf[ShuffleExchangeExec])
+      val (range, hash) = materialized.partition(
+        _.shuffle.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(range.size == 1, s"$label: ${range.size} range exchanges")
+      val rangeBytes = range.head.getRuntimeStatistics.sizeInBytes
+      hash.foreach { h =>
+        val b = h.getRuntimeStatistics.sizeInBytes
+        assert(b * 4 < rangeBytes,
+          s"$label: a hash exchange shuffled $b bytes vs the range " +
+            s"exchange's $rangeBytes — a full-data rank/cumsum exchange " +
+            "is back in the plan")
+      }
+    }
+  }
 }
