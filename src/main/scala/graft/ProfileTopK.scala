@@ -7,8 +7,9 @@ import graft.operators.Similarity
 
 /** Debt-#7 measurement harness (and its regression watch): times the
   * ANN tail aggregate against the input scan and the `max_by` codegen
-  * floor on a synthetic scored-pair frame (default 40M pairs — 2× the
-  * 20M bar the round-7 verdict set), looping the aggregate so an
+  * floor on a synthetic scored-pair frame (args: [pairs] [queries];
+  * default 40M pairs — 2× the 20M bar the round-7 verdict set — and
+  * 128 query groups), looping the aggregate so an
   * attached JFR recording (`-XX:StartFlightRecording`) collects
   * execution samples dominated by the aggregate, not setup. Run
   * directly with `java -cp` (not sbt) so the profile contains only

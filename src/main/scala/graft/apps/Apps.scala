@@ -384,8 +384,13 @@ object CorpusCuration {
     * `publishSec` is the wall-time of the publish handoff alone
     * (shard write + manifest, not curation) — the number a capacity
     * plan needs separately from the curate cost. */
+  /** `publishedRows` is the manifest's verified row total — computed
+    * (and required equal to `report.afterDecontam`) during the publish
+    * cross-check, carried here so consumers don't re-read the manifest
+    * (whose file index is only valid until the next publish over the
+    * same path replaces the generation). */
   final case class Published(manifest: DataFrame, report: Report,
-                             publishSec: Double)
+                             publishSec: Double, publishedRows: Long)
 
   /** [[run]] + the publish handoff: write the survivors as
     * deterministic shards + manifest ([[graft.sinks.Sinks.writeShards]])
@@ -443,7 +448,7 @@ object CorpusCuration {
              else "AND THE MANIFEST DELETE FAILED: remove " +
                s"$publishPath/manifest manually before anything reads it"))
       }
-      Published(manifest, report, publishSec)
+      Published(manifest, report, publishSec, published)
     } finally pinned.unpersist()
   }
 }

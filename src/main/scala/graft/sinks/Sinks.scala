@@ -435,7 +435,9 @@ object Sinks {
     // could make a pre-reboot leftover sort as newer than a live
     // publish). The nano suffix disambiguates same-millisecond
     // publishes under the single-writer contract.
-    val stamp = f"${System.currentTimeMillis()}%013d${System.nanoTime() % 1000000L}%06d"
+    // floorMod: nanoTime's origin may be negative, and a '-' in the
+    // suffix would break the fixed-width sort contract
+    val stamp = f"${System.currentTimeMillis()}%013d${java.lang.Math.floorMod(System.nanoTime(), 1000000L)}%06d"
     val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
     val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
     val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
@@ -533,8 +535,6 @@ object Sinks {
           throw new java.io.IOException(
             s"writeShards: promoting $staged to $live failed")
       }
-      fs.delete(old, true)
-      fs.delete(staging, true)
     } catch {
       case e: Throwable =>
         // reverse every rename BEFORE withdrawing the marker (see
@@ -555,6 +555,18 @@ object Sinks {
         fs.delete(old, true)
         throw e
     }
+    // cleanup OUTSIDE the unwind scope: once every rename has landed
+    // the publish has succeeded, and a transient delete failure here
+    // must not un-promote it (an unwind at this point would rename the
+    // only copy of the new generation back into a staging dir it then
+    // deletes — destroying both generations). Best-effort: leftovers
+    // are exactly what the next call's recoverPublish sweeps.
+    try {
+      fs.delete(old, true)
+      fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+        false)
+      fs.delete(staging, true)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Crash recovery for the [[writeShards]] layout (single writer,

@@ -261,6 +261,8 @@ class AppsSpec extends SparkTestBase {
     val manifestRows = out.manifest.agg(sum("n_rows")).as[Long].head
     assert(manifestRows == out.report.afterDecontam,
       s"manifest $manifestRows vs report ${out.report.afterDecontam}")
+    assert(out.publishedRows == manifestRows,
+      "the carried row total must be the manifest's")
     assert(out.report.afterSemantic <= out.report.afterNearDup)
     assert(out.publishSec > 0.0)
     assert(spark.read.parquet(s"$pub/data").count() == manifestRows)
