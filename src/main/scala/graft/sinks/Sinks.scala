@@ -594,9 +594,10 @@ object Sinks {
             val live = new org.apache.hadoop.fs.Path(base, part)
             if (fs.exists(live)) {
               if (!fs.exists(old)) fs.mkdirs(old)
-              fs.rename(live, new org.apache.hadoop.fs.Path(old, part))
+              renameOrAbort(fs, live,
+                new org.apache.hadoop.fs.Path(old, part), "roll-forward")
             }
-            fs.rename(staged, live)
+            renameOrAbort(fs, staged, live, "roll-forward")
           }
         }
       }
@@ -605,11 +606,26 @@ object Sinks {
       val live = new org.apache.hadoop.fs.Path(base, part)
       if (!fs.exists(live))
         olds.reverseIterator.map(o => new org.apache.hadoop.fs.Path(o, part))
-          .find(fs.exists).foreach(p => fs.rename(p, live))
+          .find(fs.exists)
+          // abort on a failed restore: proceeding would SWEEP the
+          // `_old_` dir still holding the only copy of this part
+          .foreach(p => renameOrAbort(fs, p, live, "roll-back restore"))
     }
     olds.foreach(o => fs.delete(o, true))
     ls("_staging_").foreach(s => fs.delete(s, true))
   }
+
+  /** `fs.rename` reports failure as `false`, not an exception; in
+    * recovery every rename guards data the trailing sweep would
+    * otherwise delete, so a silent false must become an abort. */
+  private def renameOrAbort(fs: org.apache.hadoop.fs.FileSystem,
+                            from: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path,
+                            what: String): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"recoverPublish: $what rename $from -> $to failed; aborting " +
+          "recovery before the sweep (nothing has been deleted)")
 
   /** THE per-shard summary both the publisher's manifest and the
     * verifier recompute — one definition on purpose: if the hash or
