@@ -178,7 +178,7 @@ object Sinks {
     // Write the new generation, move the old one ASIDE (not deleted),
     // promote, and only then drop the old generation — a failed promote
     // rolls the old table back instead of leaving nothing.
-    val stamp = System.nanoTime()
+    val stamp = genStamp()
     val tmp = new org.apache.hadoop.fs.Path(path + "_tmp_" + stamp)
     val old = new org.apache.hadoop.fs.Path(path + "_old_" + stamp)
     merged.write.mode("overwrite").parquet(tmp.toString)
@@ -304,7 +304,7 @@ object Sinks {
         .filter(col("_rn") === 1).drop("_rn")
       val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
       // new generation beside the table, then per-bucket swap
-      val stamp = System.nanoTime()
+      val stamp = genStamp()
       val tmp = new Path(path + "_tmp_" + stamp)
       merged.write.mode("overwrite").partitionBy("pkb").parquet(tmp.toString)
       fs.mkdirs(dst)
@@ -428,16 +428,7 @@ object Sinks {
     // the layout (single writer, like all table maintenance here)
     recoverPublish(fs, base)
     val dataCols = df.columns.toSeq
-    // FIXED-WIDTH wall-clock stamp: recovery picks "the newest"
-    // generation by name order, so the stamp must sort correctly
-    // lexicographically (zero-padded) and across process restarts
-    // (nanoTime's origin is arbitrary per boot — a raw nanoTime stamp
-    // could make a pre-reboot leftover sort as newer than a live
-    // publish). The nano suffix disambiguates same-millisecond
-    // publishes under the single-writer contract.
-    // floorMod: nanoTime's origin may be negative, and a '-' in the
-    // suffix would break the fixed-width sort contract
-    val stamp = f"${System.currentTimeMillis()}%013d${java.lang.Math.floorMod(System.nanoTime(), 1000000L)}%06d"
+    val stamp = genStamp()
     val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
     val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
     val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
@@ -488,6 +479,18 @@ object Sinks {
     promoteStaged(fs, base, staging, old)
     spark.read.parquet(s"$path/manifest")
   }
+
+  /** FIXED-WIDTH wall-clock generation stamp, shared by every
+    * move-aside/promote dance here: recovery picks "the newest"
+    * generation by NAME order, so stamps must sort correctly
+    * lexicographically (zero-padded) and across process restarts —
+    * nanoTime's origin is arbitrary (possibly negative) per boot, so
+    * a raw nanoTime stamp could make a pre-reboot leftover sort as
+    * newer than a live generation. The floorMod nano suffix
+    * disambiguates same-millisecond calls under the single-writer
+    * contract without ever printing a sign. */
+  private def genStamp(): String =
+    f"${System.currentTimeMillis()}%013d${java.lang.Math.floorMod(System.nanoTime(), 1000000L)}%06d"
 
   /** Name of the staged-generation commit marker — `private[graft]` so
     * the crash-envelope spec can construct mid-publish states. */
