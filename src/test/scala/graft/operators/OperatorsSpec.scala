@@ -682,6 +682,16 @@ class SimilaritySpec extends SparkTestBase {
       assert(!plan.exists(_.isInstanceOf[Window]),
         s"ANN tail must be an aggregate, found a Window:\n$plan")
     }
+    // the aggregate's no-partition-sort promise also depends on a
+    // session conf: past this many distinct keys per task,
+    // ObjectHashAggregateExec silently falls back to SORT-based
+    // aggregation (round-8 JFR find) — the tuning must not vanish
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt
+      >= 8192,
+      "GraftSession must raise the object-agg sort fallback threshold — " +
+        "at the 128 default, >128 ANN queries/task re-acquire the " +
+        "corpus-sized partition sort")
   }
 
   private implicit class PairsOps(rows: Array[(Long, Long, Double)]) {
