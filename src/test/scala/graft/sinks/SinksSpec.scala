@@ -379,6 +379,79 @@ class SinksSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"stranded generations: ${leftovers.toSeq}")
   }
 
+  test("publish crash envelope, exhaustively: every kill point along " +
+    "promote AND unwind recovers to one consistent generation") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang")
+    val v2docs = docs.filter(col("doc_id") % 7L =!= 0L)
+    val v1Rows = docs.count()
+    val v2Rows = v2docs.count()
+
+    // the promote's rename sequence, in code order (promoteStaged):
+    //   1. data:     live -> old        2. data:     staged -> live
+    //   3. manifest: live -> old        4. manifest: staged -> live
+    // and the unwind's reversal, in ITS order (manifest part first):
+    //   5. manifest: old -> live (data un-promote skipped: staged
+    //      manifest never landed in the failure this models)
+    //   6. data:     live -> staged     7. data:     old -> live
+    //   8. marker withdrawn
+    // A kill can land after ANY prefix; recovery must always converge
+    // to a layout where data and manifest come from the SAME
+    // generation, verifyShards is clean, and no debris remains.
+    def mkState(dir: String, steps: Int, marker: Boolean): Path = {
+      Sinks.writeShards(docs, dir, "doc_id", nShards = 4)
+      val side = Files.createTempDirectory("graft_env_").toString + "/v2"
+      Sinks.writeShards(v2docs, side, "doc_id", nShards = 4)
+      val base = new Path(dir)
+      val staging = new Path(base, "_staging_01000000000000000001")
+      val old = new Path(base, "_old_01000000000000000001")
+      fs.mkdirs(staging); fs.mkdirs(old)
+      fs.rename(new Path(side, "data"), new Path(staging, "data"))
+      fs.rename(new Path(side, "manifest"), new Path(staging, "manifest"))
+      if (marker)
+        fs.create(new Path(staging, Sinks.PublishCommitMarker), true).close()
+      val ops: Seq[() => Unit] = Seq(
+        () => fs.rename(new Path(base, "data"), new Path(old, "data")),
+        () => fs.rename(new Path(staging, "data"), new Path(base, "data")),
+        () => fs.rename(new Path(base, "manifest"), new Path(old, "manifest")),
+        () => fs.rename(new Path(staging, "manifest"), new Path(base, "manifest")),
+        // unwind from a post-step-4 failure (e.g. old-delete error):
+        () => fs.rename(new Path(base, "manifest"), new Path(staging, "manifest")),
+        () => fs.rename(new Path(old, "manifest"), new Path(base, "manifest")),
+        () => fs.rename(new Path(base, "data"), new Path(staging, "data")),
+        () => fs.rename(new Path(old, "data"), new Path(base, "data")))
+      ops.take(steps).foreach(_.apply())
+      base
+    }
+    // marker=false pairs ONLY with steps=0: the marker is written
+    // before promoteStaged ever runs, so marker-less mid-promote
+    // states are unreachable under the single-writer contract (and
+    // genuinely ambiguous — "both live parts present, different
+    // generations" is indistinguishable from a healthy layout)
+    for ((marker, steps) <- (false, 0) +: (0 to 8).map((true, _))) {
+      val dir = Files.createTempDirectory("graft_env_").toString + "/pub"
+      val base = mkState(dir, steps, marker)
+      Sinks.recoverPublish(fs, base)
+      val label = s"marker=$marker steps=$steps"
+      val check = Sinks.verifyShards(spark, dir, "doc_id")
+      assert(check.count() == 4 && check.filter(!col("ok")).count() == 0,
+        s"$label: recovered layout must verify clean")
+      val rows = spark.read.parquet(s"$dir/data").count()
+      assert(rows == v1Rows || rows == v2Rows,
+        s"$label: recovered data is neither full v1 nor full v2 ($rows)")
+      val mRows = spark.read.parquet(s"$dir/manifest")
+        .agg(sum("n_rows")).as[Long].head
+      assert(mRows == rows, s"$label: manifest ($mRows) disagrees with " +
+        s"data ($rows) — mixed generations survived recovery")
+      val debris = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(n => n.startsWith("_staging_") || n.startsWith("_old_"))
+      assert(debris.isEmpty, s"$label: stranded $debris")
+    }
+  }
+
   test("verifyShards survives a '.'/'_'-prefixed ancestor in the " +
     "publish path") {
     // the visibility walk must stop at the (qualified) data dir — an
