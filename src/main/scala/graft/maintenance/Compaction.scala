@@ -96,11 +96,22 @@ object Compaction {
     // collide with the old generation's.
     val snap = new Path(p, s"_snap_${System.currentTimeMillis()}")
     hfs.mkdirs(snap)
+    // `fs.rename` reports failure as FALSE, not an exception — and a
+    // silent false here is worse than an abort: an un-moved old file
+    // coexists with its compacted copy (permanent double-count), and a
+    // silently un-promoted new file is destroyed by the tmp delete
+    // below. Abort instead; the resulting states are the documented
+    // crash windows (snapshot restorable / transient duplicates).
+    def renameOrAbort(from: Path, to: Path): Unit =
+      if (!hfs.rename(from, to))
+        throw new java.io.IOException(
+          s"compaction: rename $from -> $to failed; aborting (old " +
+            "generation is in the snapshot dir / live dir, nothing deleted)")
     def moveOldAside(): Unit = dataFiles.foreach(st =>
-      hfs.rename(st.getPath, new Path(snap, st.getPath.getName)))
+      renameOrAbort(st.getPath, new Path(snap, st.getPath.getName)))
     def promote(): Unit = hfs.listStatus(new Path(tmp))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .foreach(st => hfs.rename(st.getPath, new Path(p, st.getPath.getName)))
+      .foreach(st => renameOrAbort(st.getPath, new Path(p, st.getPath.getName)))
     if (promoteFirst) { promote(); moveOldAside() }
     else { moveOldAside(); promote() }
     hfs.delete(new Path(tmp), true)

@@ -150,7 +150,15 @@ object Sinks {
       fs.listStatus(dst.getParent).map(_.getPath)
         .filter(_.getName.startsWith(dst.getName + "_old_"))
         .sortBy(_.getName).lastOption
-        .foreach(o => fs.rename(o, dst))
+        .foreach { o =>
+          // checked: were this false and ignored, the absent dst would
+          // read as an EMPTY table below and this call would quietly
+          // rebuild the dim from one batch, discarding the accumulation
+          if (!fs.rename(o, dst))
+            throw new java.io.IOException(
+              s"upsertParquet: restoring $o to $dst failed; aborting " +
+                "rather than rebuilding the table from a single batch")
+        }
     }
     if (fs.exists(dst.getParent)) {
       fs.listStatus(dst.getParent).map(_.getPath)
@@ -259,7 +267,15 @@ object Sinks {
         .filter(_.getName.startsWith("_old_"))
         .foreach { o =>
           val live = new Path(dst, o.getName.substring(o.getName.indexOf("pkb=")))
-          if (!fs.exists(live)) fs.rename(o, live) else fs.delete(o, true)
+          // checked: a silently un-restored bucket would be read as
+          // absent, its keys dropped from the merge, and the next
+          // call's sweep would then delete the only copy
+          if (!fs.exists(live)) {
+            if (!fs.rename(o, live))
+              throw new java.io.IOException(
+                s"upsertParquetBucketed: restoring $o to $live failed; " +
+                  "aborting before the merge reads an absent bucket")
+          } else fs.delete(o, true)
         }
     }
     if (fs.exists(dst.getParent)) {
