@@ -67,6 +67,12 @@ object Compaction {
         })
       }
       .foreach(st => hfs.delete(st.getPath, true))
+    // a surviving in-flight marker means the previous run died MID-SWAP
+    // — without healing, this run would treat whatever files remain
+    // live as the whole level and silently finalize the loss (or bake
+    // in the duplicates, for promoteFirst). Heal back to the pure old
+    // generation first.
+    healInflight(hfs, p)
     val children = hfs.listStatus(p)
     // recurse into partition subdirs first (handles nested dt=/hr=)
     val (subBefore, subAfter) = children
@@ -96,28 +102,96 @@ object Compaction {
     // collide with the old generation's.
     val snap = new Path(p, s"_snap_${System.currentTimeMillis()}")
     hfs.mkdirs(snap)
-    // `fs.rename` reports failure as FALSE, not an exception — and a
-    // silent false here is worse than an abort: an un-moved old file
-    // coexists with its compacted copy (permanent double-count), and a
-    // silently un-promoted new file is destroyed by the tmp delete
-    // below. Abort instead; the resulting states are the documented
-    // crash windows (snapshot restorable / transient duplicates).
-    def renameOrAbort(from: Path, to: Path): Unit =
-      if (!hfs.rename(from, to))
-        throw new java.io.IOException(
-          s"compaction: rename $from -> $to failed; aborting (old " +
-            "generation is in the snapshot dir / live dir, nothing deleted)")
+    // A silent rename false here is worse than an abort: an un-moved
+    // old file coexists with its compacted copy (permanent
+    // double-count), and a silently un-promoted new file is destroyed
+    // by the tmp delete below. Abort instead (shared checked-rename
+    // helper); the resulting states are the crash windows the
+    // in-flight marker makes self-healing.
     def moveOldAside(): Unit = dataFiles.foreach(st =>
-      renameOrAbort(st.getPath, new Path(snap, st.getPath.getName)))
-    def promote(): Unit = hfs.listStatus(new Path(tmp))
+      graft.sinks.Sinks.renameOrAbort(hfs, st.getPath,
+        new Path(snap, st.getPath.getName), "compaction move-aside"))
+    val newNames = hfs.listStatus(new Path(tmp))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .foreach(st => renameOrAbort(st.getPath, new Path(p, st.getPath.getName)))
+      .map(_.getPath.getName)
+    def promote(): Unit = newNames.foreach(n =>
+      graft.sinks.Sinks.renameOrAbort(hfs, new Path(new Path(tmp), n),
+        new Path(p, n), "compaction promote"))
+    // In-flight marker BEFORE the swap: the tmp/snap names plus the
+    // exact new-generation file names. If this run dies or aborts
+    // anywhere in the swap, the marker lets the NEXT run reconstruct
+    // which live files are promoted-new (delete them — the rewrite is
+    // reproducible), restore the snapshot, and re-compact — instead of
+    // silently compacting a partial level (promoteFirst=false loses
+    // the moved-aside rows forever; promoteFirst=true bakes in the
+    // duplicates). Marker deleted only after the swap + tmp cleanup
+    // fully land.
+    val inflight = new Path(p, InflightMarker)
+    writeText(hfs, inflight,
+      (Seq(new Path(tmp).getName, snap.getName) ++ newNames).mkString("\n"))
     if (promoteFirst) { promote(); moveOldAside() }
     else { moveOldAside(); promote() }
     hfs.delete(new Path(tmp), true)
+    hfs.delete(inflight, false)
     val after = hfs.listStatus(p)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     (dataFiles.length + subBefore, after + subAfter)
+  }
+
+  /** Name of the per-level mid-swap marker — `private[graft]` so the
+    * crash spec can construct died-mid-swap states. */
+  private[graft] val InflightMarker = "_compact_inflight"
+
+  private def writeText(hfs: FileSystem, p: Path, text: String): Unit = {
+    val out = hfs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(hfs: FileSystem, p: Path): String = {
+    val in = hfs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Roll a died-mid-swap level back to its pure OLD generation:
+    * delete any promoted new-generation files (named in the marker —
+    * the rewrite is reproducible, the old rows are not), restore every
+    * snapshot file to the live dir, drop the tmp, marker LAST. A kill
+    * anywhere mid-heal leaves the marker, so the next call re-heals —
+    * each step is idempotent (deletes of the absent no-op; restores
+    * skip names already live). Called before every compaction of the
+    * level; also safe when the marker survived a run that actually
+    * COMPLETED its swap (the heal then undoes a finished compaction —
+    * wasted work, never lost rows — and the level recompacts). */
+  private def healInflight(hfs: FileSystem, p: Path): Unit = {
+    val inflight = new Path(p, InflightMarker)
+    if (!hfs.exists(inflight)) return
+    val lines = readText(hfs, inflight).split("\n").toSeq
+    require(lines.size >= 2,
+      s"corrupt $inflight — refusing to guess; inspect $p by hand")
+    val (tmpDir, snapDir) = (new Path(p, lines.head), new Path(p, lines(1)))
+    val newNames = lines.drop(2).filter(_.nonEmpty).toSet
+    newNames.foreach { n =>
+      val live = new Path(p, n)
+      if (hfs.exists(live)) hfs.delete(live, false)
+    }
+    if (hfs.exists(snapDir))
+      hfs.listStatus(snapDir).filter(_.isFile).foreach { st =>
+        val live = new Path(p, st.getPath.getName)
+        if (!hfs.exists(live))
+          graft.sinks.Sinks.renameOrAbort(hfs, st.getPath, live,
+            "compaction heal restore")
+        else hfs.delete(st.getPath, false)
+      }
+    hfs.delete(snapDir, true)
+    hfs.delete(tmpDir, true)
+    hfs.delete(inflight, false)
   }
 
   /** M2: expire snapshot generations older than `olderThanMs`
@@ -132,6 +206,11 @@ object Compaction {
       .filter(st => st.isDirectory && isPartitionDir(st.getPath.getName))
       .map(st => expireSnapshots(spark, st.getPath.toString, olderThanMs))
       .sum
+    // a surviving in-flight marker means this level died mid-swap and
+    // its newest snapshot holds the only copy of the moved-aside rows
+    // until the next compaction heals — expiring it now would turn the
+    // recoverable crash into data loss
+    if (hfs.exists(new Path(dir, Compaction.InflightMarker))) return nested
     val expired = children.filter { st =>
       st.isDirectory && st.getPath.getName.startsWith("_snap_") &&
         st.getPath.getName.stripPrefix("_snap_").toLong < olderThanMs

@@ -150,20 +150,24 @@ object Sinks {
       fs.listStatus(dst.getParent).map(_.getPath)
         .filter(_.getName.startsWith(dst.getName + "_old_"))
         .sortBy(_.getName).lastOption
-        .foreach { o =>
-          // checked: were this false and ignored, the absent dst would
-          // read as an EMPTY table below and this call would quietly
-          // rebuild the dim from one batch, discarding the accumulation
-          if (!fs.rename(o, dst))
-            throw new java.io.IOException(
-              s"upsertParquet: restoring $o to $dst failed; aborting " +
-                "rather than rebuilding the table from a single batch")
-        }
+        // checked: were this false and ignored, the absent dst would
+        // read as an EMPTY table below and this call would quietly
+        // rebuild the dim from one batch, discarding the accumulation
+        .foreach(o => renameOrAbort(fs, o, dst, "upsertParquet restore"))
     }
     if (fs.exists(dst.getParent)) {
       fs.listStatus(dst.getParent).map(_.getPath)
         .filter(_.getName.startsWith(dst.getName + "_tmp_"))
         .foreach(t => fs.delete(t, true))
+      // with dst LIVE, any _old_ sibling is a promote that died before
+      // its final delete — finish the delete. (Also retires pre-
+      // genStamp leftovers whose raw-nanoTime names would otherwise
+      // lexicographically outrank every new fixed-width stamp in the
+      // restore's newest-by-name pick, forever.)
+      if (fs.exists(dst))
+        fs.listStatus(dst.getParent).map(_.getPath)
+          .filter(_.getName.startsWith(dst.getName + "_old_"))
+          .foreach(o => fs.delete(o, true))
     }
     // Only a genuinely absent table reads as empty; a transient read
     // failure (permissions, corrupt footer) must propagate rather than
@@ -270,12 +274,9 @@ object Sinks {
           // checked: a silently un-restored bucket would be read as
           // absent, its keys dropped from the merge, and the next
           // call's sweep would then delete the only copy
-          if (!fs.exists(live)) {
-            if (!fs.rename(o, live))
-              throw new java.io.IOException(
-                s"upsertParquetBucketed: restoring $o to $live failed; " +
-                  "aborting before the merge reads an absent bucket")
-          } else fs.delete(o, true)
+          if (!fs.exists(live))
+            renameOrAbort(fs, o, live, "upsertParquetBucketed restore")
+          else fs.delete(o, true)
         }
     }
     if (fs.exists(dst.getParent)) {
@@ -556,22 +557,32 @@ object Sinks {
       }
     } catch {
       case e: Throwable =>
-        // reverse every rename BEFORE withdrawing the marker (see
+        // Reverse every rename BEFORE withdrawing the marker (see
         // scaladoc: marker-first left a kill window whose permanent
-        // outcome was new data under the old manifest)
-        moved.reverseIterator.foreach { case (live, aside, staged, hadLive) =>
-          // un-promote (the staged dir became live), then restore old
-          if (!fs.exists(staged) && fs.exists(live)) fs.rename(live, staged)
-          if (hadLive && fs.exists(aside)) fs.rename(aside, live)
+        // outcome was new data under the old manifest) — and every
+        // reversal is CHECKED: a silent rename false followed by the
+        // deletes below would destroy the sole copy of a generation.
+        // On a failed reversal, skip the deletes and keep the marker:
+        // the staging is still sealed, so the next call's recovery
+        // rolls the publish FORWARD and converges.
+        val reversed = moved.reverseIterator.forall {
+          case (live, aside, staged, hadLive) =>
+            // un-promote (the staged dir became live), then restore old
+            (if (!fs.exists(staged) && fs.exists(live))
+               fs.rename(live, staged) else true) &&
+            (if (hadLive && fs.exists(aside))
+               fs.rename(aside, live) else true)
         }
-        // marker explicitly BEFORE the recursive staging delete: a
-        // kill mid-delete must read as roll-back — were the marker
-        // still present over a half-deleted staging, recovery would
-        // promote partial data
-        fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
-          false)
-        fs.delete(staging, true)
-        fs.delete(old, true)
+        if (reversed) {
+          // marker explicitly BEFORE the recursive staging delete: a
+          // kill mid-delete must read as roll-back — were the marker
+          // still present over a half-deleted staging, recovery would
+          // promote partial data
+          fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+            false)
+          fs.delete(staging, true)
+          fs.delete(old, true)
+        }
         throw e
     }
     // cleanup OUTSIDE the unwind scope: once every rename has landed
@@ -614,9 +625,10 @@ object Sinks {
             if (fs.exists(live)) {
               if (!fs.exists(old)) fs.mkdirs(old)
               renameOrAbort(fs, live,
-                new org.apache.hadoop.fs.Path(old, part), "roll-forward")
+                new org.apache.hadoop.fs.Path(old, part),
+                "recoverPublish roll-forward")
             }
-            renameOrAbort(fs, staged, live, "roll-forward")
+            renameOrAbort(fs, staged, live, "recoverPublish roll-forward")
           }
         }
       }
@@ -628,23 +640,26 @@ object Sinks {
           .find(fs.exists)
           // abort on a failed restore: proceeding would SWEEP the
           // `_old_` dir still holding the only copy of this part
-          .foreach(p => renameOrAbort(fs, p, live, "roll-back restore"))
+          .foreach(p => renameOrAbort(fs, p, live, "recoverPublish roll-back restore"))
     }
     olds.foreach(o => fs.delete(o, true))
     ls("_staging_").foreach(s => fs.delete(s, true))
   }
 
-  /** `fs.rename` reports failure as `false`, not an exception; in
-    * recovery every rename guards data the trailing sweep would
-    * otherwise delete, so a silent false must become an abort. */
-  private def renameOrAbort(fs: org.apache.hadoop.fs.FileSystem,
-                            from: org.apache.hadoop.fs.Path,
-                            to: org.apache.hadoop.fs.Path,
-                            what: String): Unit =
+  /** `fs.rename` reports failure as `false`, not an exception; every
+    * recovery/maintenance rename here guards data a trailing sweep (or
+    * an empty-table fallback) would otherwise destroy, so a silent
+    * false must become an abort. ONE definition — the invariant must
+    * not drift across its call sites. `context` names the caller and
+    * the consequence being averted. */
+  private[graft] def renameOrAbort(fs: org.apache.hadoop.fs.FileSystem,
+                                   from: org.apache.hadoop.fs.Path,
+                                   to: org.apache.hadoop.fs.Path,
+                                   context: String): Unit =
     if (!fs.rename(from, to))
       throw new java.io.IOException(
-        s"recoverPublish: $what rename $from -> $to failed; aborting " +
-          "recovery before the sweep (nothing has been deleted)")
+        s"$context: rename $from -> $to failed; aborting with the " +
+          "recoverable state intact (nothing has been deleted)")
 
   /** THE per-shard summary both the publisher's manifest and the
     * verifier recompute — one definition on purpose: if the hash or

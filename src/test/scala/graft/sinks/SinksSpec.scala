@@ -393,14 +393,18 @@ class SinksSpec extends SparkTestBase {
     // the promote's rename sequence, in code order (promoteStaged):
     //   1. data:     live -> old        2. data:     staged -> live
     //   3. manifest: live -> old        4. manifest: staged -> live
-    // and the unwind's reversal, in ITS order (manifest part first):
-    //   5. manifest: old -> live (data un-promote skipped: staged
-    //      manifest never landed in the failure this models)
-    //   6. data:     live -> staged     7. data:     old -> live
-    //   8. marker withdrawn
-    // A kill can land after ANY prefix; recovery must always converge
-    // to a layout where data and manifest come from the SAME
-    // generation, verifyShards is clean, and no debris remains.
+    // steps 5-8 continue with unwind-SHAPED reversals:
+    //   5. manifest: live -> staging    6. manifest: old -> live
+    //   7. data:     live -> staging    8. data:     old -> live
+    // Steps 1-4 model kills at every real mid-promote point. 5-8 are
+    // defense-in-depth: with the post-round-8 code an unwind only runs
+    // for failures INSIDE the rename loop (post-promote cleanup errors
+    // are swallowed, not unwound), so a full 1-8 walk is not a
+    // reachable production trace — recovery must converge from these
+    // marker-present layouts anyway, since a kill can interrupt a real
+    // unwind after any prefix of its reversals. In every case the
+    // recovered layout must have data and manifest from the SAME
+    // generation, verifyShards clean, and no debris.
     def mkState(dir: String, steps: Int, marker: Boolean): Path = {
       Sinks.writeShards(docs, dir, "doc_id", nShards = 4)
       val side = Files.createTempDirectory("graft_env_").toString + "/v2"
