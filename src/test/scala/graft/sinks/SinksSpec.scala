@@ -140,6 +140,48 @@ class SinksSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("u1", "lvl1", 100L)))
   }
 
+  test("flat-upsert crash envelope, exhaustively: every kill point along " +
+    "the move-aside/promote/delete swap recovers to a full generation") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // upsertParquet's swap, in code order:
+    //   1. dst -> dst_old_<stamp>   2. dst_tmp_<stamp> -> dst
+    //   3. delete dst_old_<stamp>
+    // A kill after any prefix must leave the NEXT upsert able to
+    // produce the correct merged table — v1's accumulation never
+    // silently replaced by a single batch, no duplicate generations.
+    val b1 = Seq(("u1", "a", 1L), ("u2", "a", 1L)).toDF("user_id", "lvl", "ver")
+    val b2 = Seq(("u2", "b", 2L), ("u3", "b", 2L)).toDF("user_id", "lvl", "ver")
+    val want = Seq(("u1", "a", 1L), ("u2", "b", 2L), ("u3", "b", 2L))
+    for (steps <- 0 to 2) {
+      // steps=3 (delete done) is the clean end state — covered by the
+      // plain K6 tests; 0..2 are the kill windows
+      val root = Files.createTempDirectory("graft_flatenv_").toString
+      val dir = s"$root/dim"
+      Sinks.upsertParquet(spark, b1, dir, "user_id", "ver")
+      // build the mid-swap state of the SECOND upsert by hand: its
+      // merged output staged in _tmp_, then `steps` ops applied
+      val side = s"$root/side"
+      Sinks.upsertParquet(spark, b1, side, "user_id", "ver")
+      Sinks.upsertParquet(spark, b2, side, "user_id", "ver")
+      val stamp = "01000000000000000001"
+      fs.rename(new Path(side), new Path(s"${dir}_tmp_$stamp"))
+      val ops: Seq[() => Unit] = Seq(
+        () => { fs.rename(new Path(dir), new Path(s"${dir}_old_$stamp")); () },
+        () => { fs.rename(new Path(s"${dir}_tmp_$stamp"), new Path(dir)); () })
+      ops.take(steps).foreach(_.apply())
+      // the next call's recovery + merge must land the correct table
+      Sinks.upsertParquet(spark, b2, dir, "user_id", "ver")
+      val got = Sinks.readDim(spark, dir).as[(String, String, Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(got == want, s"steps=$steps: recovered merge wrong: $got")
+      val debris = fs.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(n => n.startsWith("dim_old_") || n.startsWith("dim_tmp_"))
+      assert(debris.isEmpty, s"steps=$steps: stranded $debris")
+    }
+  }
+
   test("sorted layout: a pushed range predicate skips non-matching row groups") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
