@@ -38,23 +38,43 @@ object GraftSession {
     // to µs timestamps in the loader — the same truncation DuckDB does.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",
-    // ObjectHashAggregate (every TypedImperativeAggregate: the ANN
-    // top-k tail, bloom build, collect_list posting lists) falls back
-    // to SORT-based aggregation once a task sees this many distinct
-    // keys — default 128. JFR on a 40M-pair top-k with 128 query
-    // groups showed the fallback sorting the whole input partition:
-    // exactly the corpus-sized-sort anti-pattern the bounded-heap
-    // aggregate exists to avoid. 8192 (64× the default) keeps hash
-    // mode through any realistic per-task ANN query count, while
-    // still bounding the aggregates whose buffers grow with group
-    // size (collect_list posting lists in jaccardSelfJoin — hash mode
-    // holds `threshold` whole buffers per task, so the threshold IS
-    // their peak-memory knob; the fallback's one-buffer-at-a-time
-    // merge is the safety net on skewed keys). The big-buffer bloom
-    // aggregate groups into a handful of keys and never approaches
-    // either value.
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "8192",
   )
+
+  /** ObjectHashAggregate falls back to SORT-based aggregation once a
+    * task sees this many distinct keys (default 128). JFR on a 40M-pair
+    * ANN top-k with 128 query groups showed the fallback sorting the
+    * whole input partition — exactly the corpus-sized-sort anti-pattern
+    * the bounded-heap aggregate exists to avoid — so the ANN tail wants
+    * 8192. But the threshold is also the peak-memory knob for
+    * GROWING-buffer aggregates (collect_list posting lists in
+    * jaccardSelfJoin): hash mode holds `threshold` whole buffers per
+    * task, and 64× the live buffers on skewed/high-cardinality keys is
+    * a real OOM trade. So the raise is SCOPED, not global: ANN frames
+    * are re-bound (via [[annScope]]) to a cloned session carrying the
+    * override, and every other aggregate keeps Spark's conservative
+    * default. SQL-surface users composing `top_k_by_score` directly
+    * set the conf on their own session if their query count per task
+    * exceeds the default. */
+  private val AnnFallbackThreshold = "8192"
+  private val annSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Re-bind `df` (an ANN top-k plan) to the session clone carrying the
+    * raised fallback threshold. Frames DERIVED from the result keep the
+    * clone, so a query composed on the ANN tail executes all its
+    * aggregates at the raised threshold — the scope is "queries built
+    * on the ANN tail", deliberately wider than the single aggregate but
+    * far narrower than the engine. */
+  def annScope(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = df.sparkSession
+    val ann = annSessions.computeIfAbsent(base, (s: SparkSession) => {
+      val c = org.apache.spark.sql.graftshim.SessionBridge.cloneSession(s)
+      c.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        AnnFallbackThreshold)
+      c
+    })
+    org.apache.spark.sql.graftshim.SessionBridge.bindTo(ann, df)
+  }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val b = SparkSession

@@ -32,6 +32,11 @@ object ProfileTopK {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.tune(spark)
+    // the engine scopes this raise to ANN frames via GraftSession
+    // .annScope; the harness times the raw aggregate on its own
+    // session, so it applies the ANN-path conf directly
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
     spark.sparkContext.setLogLevel("WARN")
 
     // all-codegen input: deterministic Knuth-mix score in [0,1)

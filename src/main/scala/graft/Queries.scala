@@ -1945,6 +1945,41 @@ object Queries {
       |  (mp - canonical_idx) // 1000000 AS canonical_doc, canonical_idx
       |FROM d2""".stripMargin
 
+  /** q74 — snapshot read / time travel (S4 extension; reference
+    * ProcessUserPoints.scala:30-41 scans an Iceberg table whose
+    * snapshots CombinDataAndRemoveOldSnap.scala:44-53 manages): build
+    * a managed dim from the customer table (v1 = every customer at
+    * version 1), upsert a mutating batch (acctbal zeroed for every
+    * 10th custkey, version 2), then `readAt` the retired generation.
+    * The oracle is the v1 content BY CONSTRUCTION — the deterministic
+    * customer projection — so the driver's hash compare proves the
+    * frozen generation is bit-identical to the pre-upsert table while
+    * the live table has moved on (asserted in-query: a time-travel
+    * read that could see v2 rows would be the silent-wrongness
+    * failure mode). Doubles round-trip parquet bit-exactly, so the
+    * compare is exact. */
+  val q74: Q = (s, dir) => {
+    val fmt = graft.storage.ParquetDirFormat
+    val root = java.nio.file.Files.createTempDirectory("graft_q74_").toString
+    val t = s"$root/dim"
+    val cust = Tables(s, dir).customer
+    val v1 = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("ver", lit(1L))
+    fmt.upsert(s, v1, t, "c_custkey", "ver")
+    val batch = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        lit(0.0).cast("double").as("c_acctbal"))
+      .withColumn("ver", lit(2L))
+    fmt.upsert(s, batch, t, "c_custkey", "ver")
+    val versions = fmt.listVersions(s, t)
+    require(versions.size == 1,
+      s"q74: expected exactly one retired generation, got $versions")
+    fmt.readAt(s, t, versions.head)
+  }
+  val q74Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, CAST(1 AS BIGINT) AS ver
+      |FROM customer""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2021,6 +2056,7 @@ object Queries {
     "q71_length_batching" -> q71,
     "q72_weighted_sample" -> q72,
     "q73_chunk_dedup" -> q73,
+    "q74_time_travel" -> q74,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2094,5 +2130,6 @@ object Queries {
     "q71_length_batching" -> q71Sql,
     "q72_weighted_sample" -> q72Sql,
     "q73_chunk_dedup" -> q73Sql,
+    "q74_time_travel" -> q74Sql,
   )
 }

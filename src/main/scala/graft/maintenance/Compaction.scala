@@ -142,10 +142,20 @@ object Compaction {
     * crash spec can construct died-mid-swap states. */
   private[graft] val InflightMarker = "_compact_inflight"
 
+  /** Atomic text write: body to a temp sibling, then rename in. A
+    * direct create+write+close can crash mid-write and leave a
+    * truncated marker, which `healInflight`'s corrupt-marker abort
+    * would then treat as needing manual repair — turning a routine
+    * crash window into a stuck level. Rename is the same atomic
+    * primitive every other swap step here already relies on, so a
+    * reader observes either no marker or a complete one. */
   private def writeText(hfs: FileSystem, p: Path, text: String): Unit = {
-    val out = hfs.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + s"_wip_${System.nanoTime()}")
+    val out = hfs.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (hfs.exists(p)) hfs.delete(p, false)
+    graft.sinks.Sinks.renameOrAbort(hfs, tmp, p, "marker write")
   }
 
   private def readText(hfs: FileSystem, p: Path): String = {
@@ -171,6 +181,12 @@ object Compaction {
     * wasted work, never lost rows — and the level recompacts). */
   private def healInflight(hfs: FileSystem, p: Path): Unit = {
     val inflight = new Path(p, InflightMarker)
+    // sweep marker-write temps from a crash mid-writeText: never
+    // renamed in, so the swap they were written for never started
+    hfs.listStatus(p)
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(InflightMarker + "_wip_"))
+      .foreach(st => hfs.delete(st.getPath, false))
     if (!hfs.exists(inflight)) return
     val lines = readText(hfs, inflight).split("\n").toSeq
     require(lines.size >= 2,

@@ -74,7 +74,27 @@ object Ranks {
     * by then); the determinism scan stops below a LogicalRDD because
     * its values are already fixed. Matching by nodeName keeps
     * `org.apache.spark.sql.execution` internals out of the compile-time
-    * surface. */
+    * surface.
+    *
+    * SPARK-VERSION COUPLING (audit on every Spark upgrade): beyond the
+    * reuse precondition this guard enforces, the arithmetic plan leans
+    * on three internals no API contract pins —
+    *  1. `monotonically_increasing_id` = partitionId·2^33 + record
+    *     index (documented layout, but "documented" ≠ stable across
+    *     majors);
+    *  2. the partition-local `sortWithinPartitions` surviving
+    *     `EliminateSorts` — today it survives because the adjacent
+    *     `spark_partition_id()`/`monotonically_increasing_id`
+    *     projections are nondeterministic barriers, an optimizer
+    *     accident, not a guarantee;
+    *  3. AQE coalescing the two reads of the reused range exchange
+    *     IDENTICALLY (one ShuffleQueryStage, both consumers see the
+    *     same post-coalesce partitioning).
+    * All three fail SILENTLY-WRONG, not loudly. Defense in depth:
+    * RanksSpec's bit-exact oracles pin them at CI scale, and
+    * `spark.graft.ranks.selfCheck=true` (see [[checkRanks]] /
+    * [[checkCumSum]]) audits the executed output at any scale — run it
+    * once on the target data after ANY Spark version bump. */
   private def requireReusableRangeExchange(df: DataFrame, what: String): Unit = {
     require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
       s"$what requires spark.sql.exchange.reuse=true (offsets " +
@@ -117,13 +137,15 @@ object Ranks {
     */
   def globalRowNumbers(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[Column], parts: Int = 0,
-                       slicePred: (Column, Column, Column) => Column =
-                         (_, _, _) => lit(true),
-                       rowPred: (Column, Column) => Column =
-                         (_, _) => lit(true),
+                       slicePred: (Column, Column, Column) => Column = null,
+                       rowPred: (Column, Column) => Column = null,
                        rankCol: String = "_g",
                        sizeCol: String = "_n"): DataFrame = {
     requireReusableRangeExchange(df, "globalRowNumbers")
+    val pruned = slicePred != null || rowPred != null
+    val sPred = Option(slicePred)
+      .getOrElse((_: Column, _: Column, _: Column) => lit(true))
+    val rPred = Option(rowPred).getOrElse((_: Column, _: Column) => lit(true))
     val gCols = groupCols.map(col)
     val keys = gCols ++ orderCols
     val ranged =
@@ -150,7 +172,7 @@ object Ranks {
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_off", col("_cum") - col("_c"))
       .withColumn(sizeCol, sum(col("_c")).over(wAll))
-      .filter(slicePred(col("_off"), col("_cum"), col(sizeCol)))
+      .filter(sPred(col("_off"), col("_cum"), col(sizeCol)))
       .withColumn("_m0", shiftleft(col("_pid").cast("long"), 33) +
         coalesce(sum(col("_c")).over(wPid), lit(0L)))
       .drop("_c", "_cum")
@@ -175,15 +197,65 @@ object Ranks {
     // the join prunes before the sort, like the old plan pruned
     // before its window exchange.
     val data = ranged.withColumn("_pid", spark_partition_id())
-    data.as("_d").join(broadcast(offs.as("_o")), cond)
+    val out = data.as("_d").join(broadcast(offs.as("_o")), cond)
       .select(df.columns.map(c => col(s"_d.$c")) ++
         Seq(col(s"_o.$sizeCol"), col("_o._m0"), col("_o._off")): _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn(rankCol,
         col("_mid") - col("_m0") + lit(1L) + col("_off"))
-      .filter(rowPred(col(rankCol), col(sizeCol)))
+      .filter(rPred(col(rankCol), col(sizeCol)))
       .drop("_m0", "_off", "_mid")
+    if (!selfCheckOn(df)) out
+    else checkRanks(out, gCols, orderCols, rankCol, sizeCol, pruned)
+  }
+
+  /** `spark.graft.ranks.selfCheck=true` turns on an execution-time
+    * audit of the rank/cumsum OUTPUT (see [[checkRanks]] /
+    * [[checkCumSum]]). Off by default: the audit window re-partitions
+    * by the group key alone — the exact bounded-cardinality shape this
+    * operator exists to avoid — so it is a debug/canary mode for
+    * upgrade validation and incident triage, not the production path. */
+  private def selfCheckOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.ranks.selfCheck", "false").toBoolean
+
+  /** Execution-time invariant for the arithmetic ranks, run over the
+    * operator's own output (so it audits what actually executed,
+    * including everything AQE re-planned). In global (group, order)
+    * order the ranks of a group must be 1-bounded, ≤ n, and strictly
+    * ascending; with no pruning they must be exactly 1,2,…,n and count
+    * to n. Each of the three Spark internals the plan leans on fails
+    * this loudly if it shifts:
+    *  - a changed `monotonically_increasing_id` bit layout throws
+    *    ranks far outside [1, n];
+    *  - a dropped partition-local sort (EliminateSorts) permutes rank
+    *    assignment, breaking ascending-in-order-key;
+    *  - divergent AQE coalescing of the two exchange reads misaligns
+    *    slice offsets, producing duplicate or gapped ranks. */
+  private def checkRanks(out: DataFrame, gCols: Seq[Column],
+                         orderCols: Seq[Column], rankCol: String,
+                         sizeCol: String, pruned: Boolean): DataFrame = {
+    val w = Window.partitionBy(gCols: _*).orderBy(orderCols: _*)
+    val prev = lag(col(rankCol), 1).over(w)
+    val bad =
+      if (pruned)
+        // pruned output: ranks are a filtered subsequence — bounds and
+        // strict ascent still hold, contiguity does not
+        col(rankCol) < 1 || col(rankCol) > col(sizeCol) ||
+          (prev.isNotNull && col(rankCol) <= prev)
+      else
+        col(rankCol) =!= coalesce(prev, lit(0L)) + lit(1L) ||
+          col(rankCol) > col(sizeCol) ||
+          (col(rankCol) === col(sizeCol)) =!=
+            (lead(col(rankCol), 1).over(w).isNull)
+    out.withColumn(rankCol,
+      when(bad, raise_error(concat(
+        lit("globalRowNumbers selfCheck: rank invariant violated " +
+          "(rank="), col(rankCol).cast("string"),
+        lit(", n="), col(sizeCol).cast("string"),
+        lit(") — a Spark internal this plan relies on has shifted; " +
+          "see the requireReusableRangeExchange scaladoc"))
+      ).cast("long")).otherwise(col(rankCol)))
   }
 
   /** Add a global per-group RUNNING SUM of `valueCol` (`cumCol`) in
@@ -275,7 +347,7 @@ object Ranks {
     val sumsToLong = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     val sumsToDouble = Set[DataType](FloatType, DoubleType)
     val vType = checked.schema(valueCol).dataType
-    if (sumsToLong.contains(vType) || sumsToDouble.contains(vType)) {
+    val res = if (sumsToLong.contains(vType) || sumsToDouble.contains(vType)) {
       val cumType: DataType =
         if (sumsToLong.contains(vType)) LongType else DoubleType
       val outSchema = joined.schema.add(cumCol, cumType, nullable = false)
@@ -326,5 +398,36 @@ object Ranks {
         .withColumn(cumCol, sum(col(valueCol)).over(wLocal) + col("_off"))
         .drop("_pid", "_off")
     }
+    if (!selfCheckOn(df)) res
+    else checkCumSum(res, gCols, orderCols, valueCol, cumCol,
+      exact = sumsToLong.contains(vType))
+  }
+
+  /** Execution-time invariant for the streaming cumsum: in global
+    * (group, order) order, every output row must satisfy
+    * `cum == lag(cum, default 0) + value` — the defining recurrence of
+    * a running sum. A misaligned partition offset (the AQE-coalescing
+    * failure mode), a dropped partition-local sort, or a fold that
+    * reset at the wrong boundary all break the recurrence at the first
+    * affected row. Long sums check exactly; double sums allow relative
+    * 1e-9 (the fold adds the partition offset after the local
+    * accumulation, so last-ulp association differences are legal). */
+  private def checkCumSum(out: DataFrame, gCols: Seq[Column],
+                          orderCols: Seq[Column], valueCol: String,
+                          cumCol: String, exact: Boolean): DataFrame = {
+    val w = Window.partitionBy(gCols: _*).orderBy(orderCols: _*)
+    val want = coalesce(lag(col(cumCol), 1).over(w), lit(0L)) + col(valueCol)
+    val bad =
+      if (exact) col(cumCol) =!= want
+      else abs(col(cumCol) - want) >
+        lit(1e-9) * greatest(abs(col(cumCol)), abs(want), lit(1.0))
+    out.withColumn(cumCol,
+      when(bad, raise_error(concat(
+        lit("globalCumSum selfCheck: running-sum recurrence violated " +
+          "(cum="), col(cumCol).cast("string"),
+        lit(", expected "), want.cast("string"),
+        lit(") — a Spark internal this plan relies on has shifted; " +
+          "see the requireReusableRangeExchange scaladoc"))
+      ).cast(out.schema(cumCol).dataType)).otherwise(col(cumCol)))
   }
 }

@@ -46,12 +46,15 @@ object Similarity {
     * corpus rows. (The native aggregate also skips nulls itself; the
     * explicit filter keeps the contract visible in the plan.) */
   private def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.filter(col("score").isNotNull)
+    // annScope: execute under the raised ObjectHashAggregate fallback
+    // threshold (scoped session clone) so a task holding hundreds of
+    // query groups stays in hash mode — see GraftSession.annScope.
+    graft.GraftSession.annScope(scored.filter(col("score").isNotNull)
       .groupBy(col("query_id"))
       .agg(topKByScore(col("score"), col("corpus_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("corpus_id"), col("col.score").as("score"))
+        col("col.id").as("corpus_id"), col("col.score").as("score")))
 
   /** Row array → double[] regardless of the column's numeric element
     * type (array<float> and array<double> are both supported across

@@ -149,7 +149,18 @@ object Sinks {
     if (!fs.exists(dst) && fs.exists(dst.getParent)) {
       fs.listStatus(dst.getParent).map(_.getPath)
         .filter(_.getName.startsWith(dst.getName + "_old_"))
-        .sortBy(_.getName).lastOption
+        // Newest by PARSED stamp, not by name: a legacy raw-nanoTime
+        // leftover (unpadded, possibly 19+ digits of boot-relative
+        // nanos) can lexicographically outrank every fixed-width
+        // wall-clock genStamp, and a transitional mixed directory
+        // would then restore a stale generation. Fixed-width stamps
+        // (current format) always win over legacy names; within a
+        // class, larger numeric value wins; unparseable sorts first.
+        .sortBy { o =>
+          val s = o.getName.stripPrefix(dst.getName + "_old_")
+          val fixed = s.length == 19 && s.forall(_.isDigit)
+          (fixed, s.toLongOption.getOrElse(Long.MinValue), o.getName)
+        }.lastOption
         // checked: were this false and ignored, the absent dst would
         // read as an EMPTY table below and this call would quietly
         // rebuild the dim from one batch, discarding the accumulation
@@ -160,14 +171,15 @@ object Sinks {
         .filter(_.getName.startsWith(dst.getName + "_tmp_"))
         .foreach(t => fs.delete(t, true))
       // with dst LIVE, any _old_ sibling is a promote that died before
-      // its final delete — finish the delete. (Also retires pre-
-      // genStamp leftovers whose raw-nanoTime names would otherwise
-      // lexicographically outrank every new fixed-width stamp in the
-      // restore's newest-by-name pick, forever.)
+      // its final retain — finish the retain (time travel keeps retired
+      // generations under `<table>_versions/`, see [[readDimAt]]).
+      // Also retires pre-genStamp leftovers whose raw-nanoTime names
+      // would otherwise lexicographically outrank every new fixed-width
+      // stamp in the restore's newest-by-name pick, forever.
       if (fs.exists(dst))
         fs.listStatus(dst.getParent).map(_.getPath)
           .filter(_.getName.startsWith(dst.getName + "_old_"))
-          .foreach(o => fs.delete(o, true))
+          .foreach(o => retainVersion(fs, dst, o))
     }
     // Only a genuinely absent table reads as empty; a transient read
     // failure (permissions, corrupt footer) must propagate rather than
@@ -214,8 +226,95 @@ object Sinks {
       throw new java.io.IOException(
         s"upsertParquet: promoting $tmp to $path failed; old generation restored")
     }
-    if (hadOld) fs.delete(old, true)
+    if (hadOld) retainVersion(fs, dst, old)
     ()
+  }
+
+  /** Sibling directory holding RETIRED dim-table generations — the
+    * parquet-dir analog of Iceberg's snapshot log, and what
+    * [[readDimAt]] time travel reads. Underscore-free on purpose: it
+    * is a sibling of the table dir, never inside it, so table reads
+    * and partition discovery never see it. */
+  private def versionsDir(dst: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "_versions")
+
+  /** Retire an `_old_<stamp>` generation into `<table>_versions/<stamp>`
+    * instead of deleting it. The version is named by its RETIRE stamp —
+    * the stamp of the upsert that superseded it — so
+    * `readDimAt(stamp)` answers "what did the table say just before
+    * the <stamp> upsert". Idempotent: a re-run that finds the stamp
+    * already retained drops the duplicate copy. Rename, not copy —
+    * retention costs no data I/O; the disk cost is bounded by
+    * [[expireDimVersions]] (wired into the TableFormat
+    * `expireSnapshots` maintenance door, like Iceberg
+    * `expire_snapshots`). */
+  private def retainVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            dst: org.apache.hadoop.fs.Path,
+                            old: org.apache.hadoop.fs.Path): Unit = {
+    val stamp = old.getName.stripPrefix(dst.getName + "_old_")
+    val vd = versionsDir(dst)
+    if (!fs.exists(vd)) fs.mkdirs(vd)
+    val tgt = new org.apache.hadoop.fs.Path(vd, stamp)
+    if (fs.exists(tgt)) fs.delete(old, true)
+    else renameOrAbort(fs, old, tgt, "version retain")
+  }
+
+  /** S4 extension — snapshot read / time travel (Iceberg
+    * `SELECT … VERSION AS OF`, reference ProcessUserPoints.scala:30-41
+    * reads an Iceberg table whose storage keeps every snapshot until
+    * expiry). Reads the retained generation retired at `stamp`; fails
+    * LOUDLY when that version was expired or never existed — silently
+    * returning the live table would be the one unforgivable answer to
+    * "what did this table say yesterday". */
+  def readDimAt(spark: SparkSession, path: String, stamp: String): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(versionsDir(dst), stamp)
+    if (!fs.exists(tgt)) {
+      val have = listDimVersions(spark, path)
+      throw new java.util.NoSuchElementException(
+        s"version $stamp of $path is not retained (expired, or never " +
+          s"existed); retained versions: ${
+            if (have.isEmpty) "none" else have.mkString(", ")}")
+    }
+    spark.read.parquet(tgt.toString)
+  }
+
+  /** Retained version stamps of a dim table, oldest first (fixed-width
+    * wall-clock stamps ordered numerically; legacy raw-nanoTime names
+    * sort before all fixed stamps — same ordering rule as the
+    * dst-absent restore pick). */
+  def listDimVersions(spark: SparkSession, path: String): Seq[String] = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = versionsDir(dst)
+    if (!fs.exists(vd)) Seq.empty
+    else fs.listStatus(vd).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sortBy { s =>
+        val fixed = s.length == 19 && s.forall(_.isDigit)
+        (fixed, s.toLongOption.getOrElse(Long.MinValue), s)
+      }
+  }
+
+  /** Expire retained versions whose retire time is older than
+    * `olderThanMs` (fixed-width stamps embed wall-clock millis in the
+    * first 13 digits; legacy stamps carry no wall clock and count as
+    * always-expired). Returns the number removed. */
+  def expireDimVersions(spark: SparkSession, path: String,
+                        olderThanMs: Long): Int = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = versionsDir(dst)
+    if (!fs.exists(vd)) return 0
+    val expired = fs.listStatus(vd).filter(_.isDirectory).filter { st =>
+      val s = st.getPath.getName
+      val ms =
+        if (s.length == 19 && s.forall(_.isDigit)) s.take(13).toLong
+        else Long.MinValue
+      ms < olderThanMs
+    }
+    expired.foreach(st => fs.delete(st.getPath, true))
+    expired.length
   }
 
   /** Scale variant of [[upsertParquet]]: the flat upsert reads and
@@ -441,8 +540,21 @@ object Sinks {
     val spark = df.sparkSession
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-writer contract, ENFORCED: the lease must be held before
+    // the recovery sweep — two interleaved publishes would sweep each
+    // other's staging as crash debris (see [[acquirePublishLease]])
+    val lease = acquirePublishLease(fs, base)
+    try {
+      writeShardsLeased(df, path, idCol, nShards, spark, base, fs)
+    } finally releasePublishLease(fs, base, lease)
+  }
+
+  private def writeShardsLeased(df: DataFrame, path: String, idCol: String,
+                                nShards: Int, spark: SparkSession,
+                                base: org.apache.hadoop.fs.Path,
+                                fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
-    // the layout (single writer, like all table maintenance here)
+    // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
     val dataCols = df.columns.toSeq
     val stamp = genStamp()
@@ -513,6 +625,85 @@ object Sinks {
     * the crash-envelope spec can construct mid-publish states. */
   private[graft] val PublishCommitMarker = "_COMMITTED"
   private val GenParts = Seq("data", "manifest")
+
+  /** Name of the single-writer lease file at the publish root. */
+  private[graft] val PublishLock = "_publish_lock"
+
+  /** Default staleness horizon for an abandoned lease: long enough
+    * that no healthy publish outlives it (the lease spans only
+    * recovery + staging + promote of ONE generation), short enough
+    * that a crashed writer does not block the pipeline for hours. */
+  private[graft] val PublishLeaseTtlMs: Long = 30L * 60 * 1000
+
+  /** Acquire the publish lease, or throw. The publisher's recovery
+    * sweep and generation swap assume a SINGLE writer; two concurrent
+    * publishes interleave catastrophically (writer A's recoverPublish
+    * sweeps writer B's live staging as "crash debris"). The lease
+    * makes the contract ENFORCED rather than documented: an atomic
+    * `create(overwrite = false)` of `_publish_lock` (stamp + pid
+    * inside, for the human debugging a conflict) must succeed before
+    * any layout mutation. A lease older than `ttlMs` is a crashed
+    * writer's leftover — reclaimed by delete-and-recreate (two reapers
+    * racing: both delete, at most one create wins, the loser gets the
+    * conflict error). A held, fresh lease REFUSES loudly: blocking
+    * politely would serialize publishes through silent waits; the
+    * caller decides whether to retry. Returns the token that
+    * [[releasePublishLease]] matches on, so a reclaimer never deletes
+    * a lease it does not own. */
+  private[graft] def acquirePublishLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      ttlMs: Long = PublishLeaseTtlMs): String = {
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val lock = new org.apache.hadoop.fs.Path(base, PublishLock)
+    val token =
+      s"${genStamp()} pid=${ProcessHandle.current().pid()} host=${
+        java.net.InetAddress.getLocalHost.getHostName}"
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false) // overwrite=false: atomic claim
+        try out.write(token.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def conflict(detail: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"publish lease at $lock is held ($detail) — a publish is in " +
+          "flight for this layout; the single-writer contract forbids " +
+          "proceeding. Retry later, or remove the lease by hand if the " +
+          "holder is known dead.")
+    if (tryCreate()) return token
+    val st =
+      try Some(fs.getFileStatus(lock))
+      catch { case _: java.io.FileNotFoundException => None }
+    val stale = st.forall(s =>
+      System.currentTimeMillis() - s.getModificationTime > ttlMs)
+    if (stale) {
+      try { fs.delete(lock, false); () }
+      catch { case _: java.io.IOException => () }
+      if (tryCreate()) token
+      else conflict("just re-claimed by another writer")
+    } else conflict(
+      st.map(s => s"age ${System.currentTimeMillis() - s.getModificationTime} ms, " +
+        s"ttl $ttlMs ms").getOrElse("racing writer"))
+  }
+
+  /** Release the lease IF it is still ours: a stale-reclaim may have
+    * replaced it mid-flight (we exceeded the TTL), and deleting the
+    * new holder's lease would let a third writer in on top of them. */
+  private[graft] def releasePublishLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, token: String): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(base, PublishLock)
+    try {
+      val in = fs.open(lock)
+      val held =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (held == token) { fs.delete(lock, false); () }
+    } catch { case _: java.io.IOException => () }
+  }
 
   /** Promote a complete staged generation: per part, move the live dir
     * aside into `old` and rename the staged dir in — data first,

@@ -63,6 +63,18 @@ trait TableFormat {
     * number removed. */
   def expireSnapshots(spark: SparkSession, table: String,
                       olderThanMs: Long = System.currentTimeMillis()): Int
+
+  /** Snapshot read / time travel: the table as of retained version
+    * `version` (Iceberg: `SELECT … FROM table VERSION AS OF v`,
+    * reference ProcessUserPoints.scala:30-41 scans an Iceberg table
+    * whose snapshots CombinDataAndRemoveOldSnap.scala:44-53 manages).
+    * MUST fail loudly when the version was expired or never retained —
+    * never silently fall back to the live table. */
+  def readAt(spark: SparkSession, table: String, version: String): DataFrame
+
+  /** Retained version identifiers of a table, oldest first
+    * (Iceberg: the `table.snapshots` metadata table). */
+  def listVersions(spark: SparkSession, table: String): Seq[String]
 }
 
 /** Plain-parquet implementation: `table` is a directory path. Delegates
@@ -100,5 +112,23 @@ object ParquetDirFormat extends TableFormat {
 
   override def expireSnapshots(spark: SparkSession, table: String,
                                olderThanMs: Long): Int =
-    Compaction.expireSnapshots(spark, table, olderThanMs)
+    // two retention stores, one maintenance door (like Iceberg's one
+    // expire_snapshots): compaction's pre-rewrite file snapshots
+    // (`_snap_` inside the dir) and upsert's retired generations
+    // (`<table>_versions` sibling, the time-travel store)
+    Compaction.expireSnapshots(spark, table, olderThanMs) +
+      Sinks.expireDimVersions(spark, table, olderThanMs)
+
+  /** Versions are retained by the flat generation-swap [[upsert]] (each
+    * upsert retires the previous whole-table generation by rename —
+    * zero data I/O). The bucketed upsert variant rewrites per-bucket
+    * and does not retain; large dims wanting time travel use the
+    * Iceberg implementation of this seam, where MERGE INTO snapshots
+    * come free. */
+  override def readAt(spark: SparkSession, table: String,
+                      version: String): DataFrame =
+    Sinks.readDimAt(spark, table, version)
+
+  override def listVersions(spark: SparkSession, table: String): Seq[String] =
+    Sinks.listDimVersions(spark, table)
 }

@@ -685,13 +685,25 @@ class SimilaritySpec extends SparkTestBase {
     // the aggregate's no-partition-sort promise also depends on a
     // session conf: past this many distinct keys per task,
     // ObjectHashAggregateExec silently falls back to SORT-based
-    // aggregation (round-8 JFR find) — the tuning must not vanish
-    assert(spark.conf.get(
+    // aggregation (round-8 JFR find). The raise is SCOPED: the ANN
+    // tail executes on the annScope session clone (raised threshold);
+    // the base session keeps the conservative default so growing-
+    // buffer aggregates (collect_list posting lists) keep their
+    // peak-memory bound.
+    val annTail = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+    assert(annTail.sparkSession.conf.get(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt
       >= 8192,
-      "GraftSession must raise the object-agg sort fallback threshold — " +
-        "at the 128 default, >128 ANN queries/task re-acquire the " +
-        "corpus-sized partition sort")
+      "ANN tail frames must execute under the raised object-agg sort " +
+        "fallback threshold — at the 128 default, >128 ANN queries/task " +
+        "re-acquire the corpus-sized partition sort")
+    assert(annTail.sparkSession ne spark,
+      "annScope must be a session CLONE, not the base session")
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt
+      <= 128,
+      "the base session must keep the conservative fallback threshold " +
+        "(it bounds growing-buffer aggregates' peak memory)")
   }
 
   private implicit class PairsOps(rows: Array[(Long, Long, Double)]) {

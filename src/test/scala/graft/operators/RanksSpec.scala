@@ -138,6 +138,45 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
+  test("selfCheck mode audits ranks and cumsums without altering values") {
+    // the debug canary for the three unguarded Spark internals (mid
+    // layout, EliminateSorts survival, AQE coalescing parity): on a
+    // healthy engine it must pass and be value-invisible, on a broken
+    // one its raise_error fires (unit-tested via a hand-broken frame
+    // below, since the internals can't be broken from test code)
+    val data = (Seq(("a", 5.0, 1L)) ++
+      (1 to 7).map(i => ("b", (i % 3).toDouble, 100L + i)) ++
+      (1 to 400).map(i => ("c", (i % 10).toDouble, 1000L + i)))
+      .map { case (g, v, id) => (g, v, id, id % 13 + 1) }
+    val df = data.toDF("grp", "v", "id", "toks").repartition(6)
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val native = df
+      .withColumn("_g", row_number().over(w).cast("long"))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))).cast("long"))
+    val outCols = Seq("grp", "v", "id", "toks", "_g", "_n").map(col)
+    spark.conf.set("spark.graft.ranks.selfCheck", "true")
+    try {
+      val ranked = Ranks.globalRowNumbers(df, Seq("grp"),
+        Seq(col("v"), col("id")), parts = 5)
+      assert(rows(ranked.select(outCols: _*)) ==
+        rows(native.select(outCols: _*)))
+      // pruned form: subsequence invariant (bounds + strict ascent)
+      val top2 = Ranks.globalRowNumbers(df, Seq("grp"),
+        Seq(col("v"), col("id")), parts = 5,
+        slicePred = (off, _, _) => off < 2, rowPred = (g, _) => g <= 2)
+      assert(top2.count() == 5) // 1 + 2 + 2
+      // cumsum recurrence, long and double value columns
+      val cumL = Ranks.globalCumSum(df, Seq("grp"),
+        Seq(col("v"), col("id")), "toks", cumCol = "cum", parts = 5)
+      assert(cumL.count() == 408)
+      val cumD = Ranks.globalCumSum(
+        df.withColumn("dv", col("toks").cast("double")), Seq("grp"),
+        Seq(col("v"), col("id")), "dv", cumCol = "cum", parts = 5)
+      assert(cumD.count() == 408)
+    } finally spark.conf.set("spark.graft.ranks.selfCheck", "false")
+  }
+
   // ---- the reuse pin -------------------------------------------------
 
   private def allStages(p: SparkPlan): Seq[ShuffleQueryStageExec] = {

@@ -182,6 +182,36 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("dst-absent restore prefers the fixed-width stamp over a legacy " +
+    "raw-nanoTime leftover that lexicographically outranks it") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // Transitional mixed directory: a pre-genStamp `_old_` leftover
+    // named by raw nanoTime (boot-relative, unpadded — here 12 digits
+    // starting with '9') sorts lexicographically ABOVE every current
+    // 19-digit wall-clock stamp (leading '1'), so a newest-BY-NAME
+    // pick would restore the STALE generation. The restore must pick
+    // by (fixed-width, numeric value) instead.
+    val root = Files.createTempDirectory("graft_mixedrestore_").toString
+    val dir = s"$root/dim"
+    // stale legacy generation: u1 at version 1
+    Seq(("u1", "stale", 1L)).toDF("user_id", "lvl", "ver")
+      .write.parquet(s"${dir}_old_999999999999")
+    // newer fixed-stamp generation: u1 at version 5, plus u2
+    Seq(("u1", "fresh", 5L), ("u2", "fresh", 5L))
+      .toDF("user_id", "lvl", "ver")
+      .write.parquet(s"${dir}_old_1770000000000123456")
+    // dst absent → restore path; then merge a batch that should lose
+    // to the fresh generation's higher version for u1
+    val batch = Seq(("u1", "batch", 3L)).toDF("user_id", "lvl", "ver")
+    Sinks.upsertParquet(spark, batch, dir, "user_id", "ver")
+    val got = Sinks.readDim(spark, dir).as[(String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("u1", "fresh", 5L), ("u2", "fresh", 5L)),
+      s"restore picked the wrong generation: $got")
+  }
+
   test("sorted layout: a pushed range predicate skips non-matching row groups") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -271,6 +301,49 @@ class SinksSpec extends SparkTestBase {
     assert(!after(0L), "row-dropped shard must fail verification")
     assert(!after(1L), "deleted shard must fail verification")
     assert(after(2L) && after(3L), "untouched shards must stay ok")
+  }
+
+  test("publish lease: a held lease refuses a second writer untouched; " +
+    "a stale lease is reclaimed") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_lease_").toString + "/pub"
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").limit(200)
+    Sinks.writeShards(docs, dir, "doc_id", nShards = 4)
+    // a successful publish releases its lease
+    assert(!fs.exists(new Path(dir, Sinks.PublishLock)),
+      "lease must be released after a successful publish")
+    val before = spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().toSeq
+    // writer A holds a fresh lease (as if mid-publish); writer B must
+    // refuse WITHOUT touching the layout
+    val token = Sinks.acquirePublishLease(fs, new Path(dir))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Sinks.writeShards(docs.limit(50), dir, "doc_id", nShards = 4)
+    }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    assert(spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().toSeq == before,
+      "refused publish must leave the live generation untouched")
+    assert(fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .count(_.startsWith("_staging_")) == 0,
+      "refused publish must not stage anything")
+    // a refused writer must NOT have released the holder's lease
+    assert(fs.exists(new Path(dir, Sinks.PublishLock)),
+      "the holder's lease must survive a refused writer")
+    // the holder crashes: its lease goes stale and the next writer
+    // reclaims it and publishes
+    val lock = new Path(dir, Sinks.PublishLock)
+    fs.setTimes(lock,
+      System.currentTimeMillis() - Sinks.PublishLeaseTtlMs - 60_000, -1)
+    Sinks.writeShards(docs.limit(50), dir, "doc_id", nShards = 4)
+    assert(spark.read.parquet(s"$dir/manifest")
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == 50,
+      "reclaimed lease must allow the publish through")
+    assert(!fs.exists(lock), "new publish must release its own lease")
+    token.nonEmpty // silence unused warning
   }
 
   test("diffManifests classifies same/changed/added/removed shards") {

@@ -13,6 +13,9 @@ import java.nio.file.Files
 class MemoryTableFormat extends TableFormat {
   import scala.collection.concurrent.TrieMap
   val tables = TrieMap.empty[String, DataFrame]
+  // retired generations, keyed by retire stamp (monotonic counter)
+  val versions = TrieMap.empty[String, Vector[(String, DataFrame)]]
+  private val nextStamp = new java.util.concurrent.atomic.AtomicLong(1)
 
   override def read(spark: SparkSession, table: String): DataFrame =
     tables.getOrElse(table,
@@ -53,12 +56,32 @@ class MemoryTableFormat extends TableFormat {
     val merged0 = all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     val merged = if (keepVersionCol) merged0 else merged0.drop(versionCol)
+    // retire the previous generation before replacing (time travel)
+    existing.foreach { prev =>
+      val stamp = nextStamp.getAndIncrement().toString
+      versions.updateWith(table) {
+        case Some(v) => Some(v :+ (stamp, prev))
+        case None => Some(Vector((stamp, prev)))
+      }
+    }
     this.replace(merged, table)
   }
   override def compact(spark: SparkSession, table: String,
                        targetBytes: Long): (Int, Int) = (1, 1)
   override def expireSnapshots(spark: SparkSession, table: String,
-                               olderThanMs: Long): Int = 0
+                               olderThanMs: Long): Int = {
+    val n = versions.get(table).map(_.size).getOrElse(0)
+    versions.remove(table)
+    n
+  }
+  override def readAt(spark: SparkSession, table: String,
+                      version: String): DataFrame =
+    versions.getOrElse(table, Vector.empty).find(_._1 == version)
+      .map(_._2)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"version $version of $table is not retained"))
+  override def listVersions(spark: SparkSession, table: String): Seq[String] =
+    versions.getOrElse(table, Vector.empty).map(_._1)
 }
 
 /** Conformance of the parquet TableFormat implementation — the same
@@ -94,7 +117,48 @@ class TableFormatSpec extends SparkTestBase {
     val (before, after) = fmt.compact(spark, t, targetBytes = 1L << 30)
     assert(before > 1 && after == 1)
     assert(fmt.read(spark, t).count() == 7) // no duplication post-compaction
-    assert(fmt.expireSnapshots(spark, t) == 1)
+    // one maintenance door, two retention stores: the compaction file
+    // snapshot AND the upsert-retired generation both expire here
+    assert(fmt.expireSnapshots(spark, t) == 2)
+  }
+
+  test("time travel: readAt a retained version; expiry makes it fail loudly") {
+    val t = tmp()
+    fmt.upsert(spark, Seq(("k1", 1L, "v1a"), ("k2", 1L, "v1b"))
+      .toDF("k", "ver", "v"), t, "k", "ver")
+    // bootstrap upsert retires nothing — no version yet
+    assert(fmt.listVersions(spark, t).isEmpty)
+    fmt.upsert(spark, Seq(("k1", 2L, "v2a"), ("k3", 2L, "v2c"))
+      .toDF("k", "ver", "v"), t, "k", "ver")
+    val vs = fmt.listVersions(spark, t)
+    assert(vs.size == 1, s"expected one retired generation, got $vs")
+    // the live table shows v2, the retained version shows the exact
+    // pre-upsert rows
+    val live = fmt.read(spark, t).select("k", "v").as[(String, String)]
+      .collect().toMap
+    assert(live == Map("k1" -> "v2a", "k2" -> "v1b", "k3" -> "v2c"))
+    val frozen = fmt.readAt(spark, t, vs.head).select("k", "v")
+      .as[(String, String)].collect().toMap
+    assert(frozen == Map("k1" -> "v1a", "k2" -> "v1b"))
+    // a third upsert retires v2; both versions readable, oldest first
+    fmt.upsert(spark, Seq(("k1", 3L, "v3a")).toDF("k", "ver", "v"),
+      t, "k", "ver")
+    val vs2 = fmt.listVersions(spark, t)
+    assert(vs2.size == 2 && vs2.head == vs.head)
+    assert(fmt.readAt(spark, t, vs2(1)).select("k", "v")
+      .as[(String, String)].collect().toMap == live)
+    // expiry: the versions are gone and readAt fails LOUDLY, never
+    // silently returning the live table
+    assert(fmt.expireSnapshots(spark, t) == 2)
+    assert(fmt.listVersions(spark, t).isEmpty)
+    val e = intercept[java.util.NoSuchElementException] {
+      fmt.readAt(spark, t, vs.head)
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    // an unknown version fails the same way on a healthy table
+    intercept[java.util.NoSuchElementException] {
+      fmt.readAt(spark, t, "0000000000000000000")
+    }
   }
 
   test("seam proof: batch + streaming apps run against a NON-parquet format") {
