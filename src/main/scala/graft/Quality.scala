@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TextSignatures
+import graft.operators.{Decontaminate, Dedup, Similarity}
+
+/** Machine-readable quality floors for the catalog's rows-only queries.
+  *
+  * Nine catalog entries carry no DuckDB value oracle (hash-seeded
+  * candidate generation, sketch estimates, one-sided filters) — their
+  * correctness story lives in recall/error floors that, before this,
+  * existed only inside ScalaTest specs (RecallSpec, DecontaminateSpec,
+  * DedupSpec). This emits the same floors as an artifact
+  * (`QUALITY.json`) the driver and judge can gate on without reading
+  * spec source: per query, the floor metric, the measured value, and
+  * pass/fail.
+  *
+  * Ground truth is computed EXACTLY (all-pairs Jaccard / cosine,
+  * brute-force top-k) — affordable because the documents/embeddings
+  * fixtures are 500 rows at every SF. Where the natural corpus lacks
+  * near-dup structure at a threshold (embeddings: max ambient cosine
+  * ≈ 0.48), truth pairs are PLANTED as seeded noisy copies, exactly as
+  * RecallSpec does — every operator measured here is seed-
+  * deterministic, so the measured values are reproducible numbers and
+  * the floors are regression tripwires, not statistical hopes. */
+object Quality {
+
+  final case class Entry(query: String, metric: String, op: String,
+                         floor: Double, measured: Double) {
+    def pass: Boolean = op match {
+      case ">=" => measured >= floor
+      case "<=" => measured <= floor
+      case o => sys.error(s"unknown op $o")
+    }
+    def json: String =
+      s"""\"$query\": {\"metric\": \"$metric\", \"op\": \"$op\", """ +
+        s"""\"floor\": $floor, \"measured\": $measured, \"pass\": $pass}"""
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def topkPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("corpus_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else got.intersect(truth).size.toDouble / truth.size
+
+  /** Exact all-pairs word-3-gram Jaccard ≥ 0.7 — the near-dup truth
+    * the minhash/simhash/cluster floors are measured against. */
+  private def jaccardTruth(docs: DataFrame): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id").as("id"),
+      array_distinct(TextSignatures.shingles(col("text"), 3)).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.7)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** Planted near-duplicates at cosine ≈ `targetCos` (seeded —
+    * RecallSpec's protocol): returns (planted frame with ids +100000,
+    * truth pairs at exact cosine ≥ 0.95). */
+  private def planted(emb: DataFrame, n: Int, targetCos: Double)
+  : (DataFrame, Set[(Long, Long)]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val eps = math.sqrt(1.0 / (targetCos * targetCos) - 1.0)
+    val base = emb.filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val rnd = new scala.util.Random(7)
+    val rows = base.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val nrm = math.sqrt(vd.map(x => x * x).sum)
+      val noise = vd.map(_ => rnd.nextGaussian())
+      val nNorm = math.sqrt(noise.map(x => x * x).sum)
+      val scaled = noise.map(_ / nNorm * eps * nrm)
+      (id + 100000L, vd.zip(scaled).map { case (x, d) => (x + d).toFloat })
+    }
+    val truth = base.zip(rows).flatMap { case ((id, v), (pid, p)) =>
+      val vd = v.map(_.toDouble); val pd = p.map(_.toDouble)
+      val dot = vd.zip(pd).map { case (x, y) => x * y }.sum
+      val c = dot / (math.sqrt(vd.map(x => x * x).sum) *
+        math.sqrt(pd.map(x => x * x).sum))
+      if (c >= 0.95) Some((id, pid)) else None
+    }.toSet
+    (rows.toSeq.toDF("vec_id", "embedding"), truth)
+  }
+
+  def entries(spark: SparkSession, sfDir: String): Seq[Entry] = {
+    GraftSession.tune(spark) // same session prep as the catalog queries
+    val docs = Tables(spark, sfDir).documents
+    val emb = Tables(spark, sfDir).embeddings
+    val jTruth = jaccardTruth(docs)
+    require(jTruth.nonEmpty, "quality fixture must contain near-dups")
+
+    // q11: the shipped minhash query's pairs vs exact J>=0.7 truth
+    val minhashPairs = pairSet(Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, estThreshold = 0.2))
+    val q11 = Entry("q11_dedup_minhash", "recall_of_jaccard_ge_0.7_pairs",
+      ">=", 0.90, recall(minhashPairs, jTruth))
+
+    // q12: the shipped simhash query (maxHamming=8) vs the same truth
+    val simhashPairs = pairSet(
+      Dedup.simHashDup(docs, "text", "doc_id", maxHamming = 8))
+    val q12 = Entry("q12_dedup_simhash", "recall_of_jaccard_ge_0.7_pairs",
+      ">=", 0.80, recall(simhashPairs, jTruth))
+
+    // q15: planted-neighbor recall@5 (each query's true nearest
+    // neighbor is its source vector, cos≈0.97 vs <=0.48 ambient)
+    val (lshQs, lshTruthSrc) = planted(emb, 20, targetCos = 0.97)
+    val lshTruth = lshTruthSrc.map { case (src, q) => (q, src) }
+    val q15 = Entry("q15_ann_lsh", "planted_neighbor_recall_at_5",
+      ">=", 0.85, recall(topkPairs(Similarity.lshTopK(emb, lshQs,
+        "embedding", "vec_id", 5, planes = 8, probeBits = 1)), lshTruth))
+
+    // q16: banded near-dup recall on planted cos>=0.95 pairs
+    val (plant16, truth16) = planted(emb, 40, targetCos = 0.97)
+    val corpus16 = emb.select("vec_id", "embedding").unionByName(plant16)
+    val q16 = Entry("q16_embed_neardup", "planted_cos_ge_0.95_recall",
+      ">=", 0.75, recall(pairSet(Dedup.embeddingNearDup(corpus16,
+        "embedding", "vec_id", threshold = 0.95)), truth16))
+
+    // q23: IVF recall@5 vs brute-force truth, trained centroids
+    val ivfQs = emb.filter(col("vec_id") < 20)
+    val bruteTruth = topkPairs(
+      Similarity.bruteForceTopK(emb, ivfQs, "embedding", "vec_id", 5))
+    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val q23 = Entry("q23_ann_ivf", "recall_at_5_vs_exact",
+      ">=", 0.50, recall(topkPairs(Similarity.ivfTopK(emb, ivfQs,
+        "embedding", "vec_id", 5, nCentroids = 8, nProbe = 3,
+        centroids = Some(km))), bruteTruth))
+
+    // q24: truth-pair mates land in one cluster (shipped q24 params)
+    val clusterPairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, estThreshold = 0.2)
+    val clusters = Dedup.clusterDuplicates(clusterPairs, spark)
+      .select(col("id").cast("long"), col("keep_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val together = jTruth.count { case (a, b) =>
+      clusters.get(a).exists(ca => clusters.get(b).contains(ca))
+    }
+    val q24 = Entry("q24_dedup_cluster", "jaccard_ge_0.7_cocluster_rate",
+      ">=", 0.90, together.toDouble / jTruth.size)
+
+    // q50: HLL estimate vs exact distinct, worst group (default rsd 5%)
+    val ev = Tables(spark, sfDir).events
+    val errs = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .select((abs(col("a") - col("e")) / col("e")).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    val q50 = Entry("q50_sketch_agg", "max_rel_err_approx_distinct",
+      "<=", 0.10, errs)
+
+    // q67: int8 two-stage recall@5 vs exact brute force
+    val q67 = Entry("q67_ann_quantized", "recall_at_5_vs_exact",
+      ">=", 0.90, recall(topkPairs(Similarity.quantizedTopK(emb, ivfQs,
+        "embedding", "vec_id", 5)), bruteTruth))
+
+    // q68: one-sided error — per doc, bloom hit count must cover the
+    // exact contaminated-shingle count (false negatives forbidden)
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val benchSh = bench.select(explode(array_distinct(
+      TextSignatures.shingles(col("text"), 3))).as("sh")).distinct()
+    val corpusSh = corpus.select(col("doc_id"), explode(array_distinct(
+      TextSignatures.shingles(col("text"), 3))).as("sh"))
+    val exact = corpusSh.join(benchSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Decontaminate.bloomHits(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lost = exact.map { case (id, n) =>
+      math.max(0L, n - bloom.getOrElse(id, 0L))
+    }.sum
+    val q68 = Entry("q68_bloom_decontam", "false_negative_shingle_hits",
+      "<=", 0.0, lost.toDouble)
+
+    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68)
+  }
+
+  /** Render + write `QUALITY.json`; returns the entries. */
+  def emit(spark: SparkSession, sfDir: String,
+           outPaths: Seq[String]): Seq[Entry] = {
+    val es = entries(spark, sfDir)
+    val json = es.map(_.json).mkString(
+      "{", ",\n ", s""",\n \"all_pass\": ${es.forall(_.pass)}}""")
+    outPaths.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      catch { case e: Exception =>
+        System.err.println(s"[quality] write $p failed: ${e.getMessage}")
+      }
+    }
+    es
+  }
+}

@@ -949,6 +949,150 @@ object Sinks {
       .select("shard", "status", "rows_a", "rows_b")
   }
 
+  /** Delta publish — republish a corpus version writing ONLY the
+    * shards whose content changed. This is the corpus-versioning
+    * workflow the manifest exists for: shard membership is a pure
+    * function of the row id (`xxhash64(id) mod nShards`), so a v2
+    * that touches 2% of documents touches ~2% of shards, and at
+    * 100 TB the difference between "rewrite 100 TB" and "rewrite
+    * 2 TB, reuse the rest" is the whole cost of the publish.
+    *
+    * Mechanics, under the same lease + stage/seal/promote envelope as
+    * [[writeShards]]:
+    *  1. ONE pass over `df` computes the per-shard summary (count,
+    *     id range, order-independent content hash — map-side
+    *     combinable, output is nShards rows);
+    *  2. the summary diffs against the live manifest: an unchanged
+    *     (hash, count) pair means the shard's published bytes already
+    *     hold exactly these rows — parquet round-trips every value
+    *     bit-exactly, so input-side and written-bytes hashes are
+    *     comparable;
+    *  3. only changed/added shards' rows are shuffled and written
+    *     into staging (the shuffle moves ~|changed| rows, not the
+    *     corpus); unchanged shards' files are HARD-LINKED from the
+    *     live generation (zero data I/O; copy fallback where the
+    *     filesystem can't link — an object-store implementation would
+    *     reuse at the manifest level instead);
+    *  4. the staged manifest = carried-forward live rows for
+    *     unchanged shards + a re-read of the newly written files for
+    *     changed ones (the written-bytes contract), sealed and
+    *     promoted atomically — a reader never sees a mixed version.
+    *
+    * `df` must be DETERMINISTIC (it is evaluated once for detection
+    * and once for the changed-shard write): persist, checkpoint, or
+    * re-read a materialized source first — enforced by rejecting
+    * nondeterministic expressions in the plan. Changing `nShards`
+    * between versions degrades gracefully to a full rewrite (every
+    * shard classifies as changed). Returns the new live manifest. */
+  def publishDelta(df: DataFrame, path: String, idCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.exists(_.equalsIgnoreCase("shard")),
+      "publishDelta derives its own `shard` column; rename the input's")
+    df.queryExecution.optimizedPlan.foreach(n =>
+      n.expressions.foreach(e => require(e.deterministic,
+        s"publishDelta input must be deterministic (it is evaluated " +
+          s"twice); found $e — persist()/localCheckpoint() the input first")))
+    val spark = df.sparkSession
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquirePublishLease(fs, base)
+    try {
+      recoverPublish(fs, base)
+      val livePath = new org.apache.hadoop.fs.Path(base, "data")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(base, "manifest")) ||
+          !fs.exists(livePath))
+        // nothing to delta against — a first publish is a full publish
+        return writeShardsLeased(df, path, idCol, nShards, spark, base, fs)
+      val dataCols = df.columns.toSeq
+      val sharded = df.withColumn("shard",
+        pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      // detection: nShards summary rows vs the live manifest
+      val v2sum = shardSummary(sharded, idCol, dataCols)
+        .withColumnRenamed("n_rows", "new_rows")
+        .withColumnRenamed("content_hash", "new_hash")
+        .select("shard", "new_rows", "new_hash")
+      val live = spark.read.parquet(s"$path/manifest")
+      val cls = live.select(col("shard"), col("n_rows"), col("content_hash"))
+        .join(v2sum, Seq("shard"), "full_outer").collect()
+      val unchanged = cls.filter(r => !r.isNullAt(1) && !r.isNullAt(3) &&
+        r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4))
+        .map(_.getLong(0)).toSet
+      val toWrite = cls.filter(r => !r.isNullAt(3))
+        .map(_.getLong(0)).filterNot(unchanged).toSeq.sorted
+      val stamp = genStamp()
+      val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
+      val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
+      val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
+      try {
+        if (toWrite.nonEmpty)
+          sharded.filter(col("shard").isin(toWrite: _*))
+            .repartition(math.min(nShards, toWrite.size), col("shard"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(stagedData.toString)
+        else fs.mkdirs(stagedData)
+        // unchanged shards: link the live generation's files in place
+        unchanged.toSeq.sorted.foreach { s =>
+          val srcDir = new org.apache.hadoop.fs.Path(livePath, s"shard=$s")
+          val dstDir = new org.apache.hadoop.fs.Path(stagedData, s"shard=$s")
+          fs.mkdirs(dstDir)
+          fs.listStatus(srcDir).filter(_.isFile).foreach(st =>
+            linkOrCopy(fs, st.getPath,
+              new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName)))
+        }
+        // staged manifest: written-bytes summaries for rewritten
+        // shards, carried-forward live rows for linked ones
+        val writtenSchema = org.apache.spark.sql.types.StructType(
+          df.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "shard", org.apache.spark.sql.types.LongType))
+        val rewrittenManifest =
+          if (toWrite.isEmpty)
+            live.filter(lit(false)) // empty, same schema
+          else shardSummary(
+            spark.read.schema(writtenSchema).parquet(stagedData.toString)
+              .filter(col("shard").isin(toWrite: _*)), idCol, dataCols)
+        val keptManifest =
+          if (unchanged.isEmpty) live.filter(lit(false))
+          else live.filter(col("shard").isin(unchanged.toSeq: _*))
+        keptManifest.unionByName(rewrittenManifest)
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+      } catch {
+        case e: Throwable => fs.delete(staging, true); throw e
+      }
+      fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+        true).close()
+      promoteStaged(fs, base, staging, old)
+      spark.read.parquet(s"$path/manifest")
+    } finally releasePublishLease(fs, base, lease)
+  }
+
+  /** Hard-link `src` to `dst` when the filesystem supports it (local
+    * FS: zero data I/O, the link shares the inode and survives the old
+    * generation's delete), else byte-copy. */
+  private def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit = {
+    val srcUri = src.toUri
+    val dstUri = dst.toUri
+    val linked =
+      if (srcUri.getScheme == null || srcUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dstUri.getPath),
+            java.nio.file.Paths.get(srcUri.getPath))
+          true
+        } catch { case _: Exception => false }
+      } else false
+    if (!linked) {
+      val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+        false, fs.getConf)
+      if (!ok) throw new java.io.IOException(
+        s"publishDelta: could not link or copy $src -> $dst")
+    }
+  }
+
   /** K7: console debug sink. */
   def console(df: DataFrame, numRows: Int = 20): StreamingQuery =
     df.writeStream.format("console").option("numRows", numRows.toString).start()

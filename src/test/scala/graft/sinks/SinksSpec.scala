@@ -346,6 +346,62 @@ class SinksSpec extends SparkTestBase {
     token.nonEmpty // silence unused warning
   }
 
+  test("publishDelta rewrites only changed shards, links the rest, and " +
+    "the result is verifiable and diff-consistent") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_delta_").toString + "/pub"
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang").localCheckpoint()
+    Sinks.writeShards(docs, dir, "doc_id", nShards = 16)
+    val m1 = spark.read.parquet(s"$dir/manifest").localCheckpoint()
+    def shardFiles(): Map[Long, Set[String]] =
+      (0 until 16).map { s =>
+        val d = new java.io.File(s"$dir/data/shard=$s")
+        s.toLong -> Option(d.list()).map(_.filter(_.endsWith(".parquet")).toSet)
+          .getOrElse(Set.empty[String])
+      }.toMap
+    val files1 = shardFiles()
+    // v2: mutate the text of every doc in exactly 3 shards (shard is a
+    // pure function of doc_id, so the mutation predicate reuses it)
+    val touched = Seq(2L, 7L, 11L)
+    val shardOf = pmod(xxhash64(col("doc_id")), lit(16L))
+    val v2 = docs.withColumn("text",
+      when(shardOf.isin(touched: _*), concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))).localCheckpoint()
+    // localCheckpoint: the returned manifest's file index dies with
+    // its generation once a later publish replaces it
+    val m2 = Sinks.publishDelta(v2, dir, "doc_id", nShards = 16)
+      .localCheckpoint()
+    // exactly the 3 touched shards got new data files; the other 13
+    // kept the v1 generation's files (same part-file names = linked,
+    // not rewritten — Spark part names embed the writing job's UUID)
+    val files2 = shardFiles()
+    val rewritten = files2.filter { case (s, f) => files1(s) != f }.keySet
+    assert(rewritten == touched.toSet,
+      s"expected exactly $touched rewritten, got $rewritten")
+    // layout verifies clean against the new manifest
+    val bad = Sinks.verifyShards(spark, dir, "doc_id")
+      .filter(!col("ok")).count()
+    assert(bad == 0, "delta-published layout must verify clean")
+    // manifest diff agrees: exactly the touched shards changed
+    val d = Sinks.diffManifests(m1, m2)
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    assert(d.count(_._2 == "changed") == 3 &&
+      touched.forall(d(_) == "changed"), s"diff: $d")
+    assert(d.count(_._2 == "same") == 13)
+    // the delta published the same corpus a full publish would
+    val full = Files.createTempDirectory("graft_delta_full_").toString + "/pub"
+    val mFull = Sinks.writeShards(v2, full, "doc_id", nShards = 16)
+    assert(Sinks.diffManifests(m2, mFull).filter(col("status") =!= "same")
+      .count() == 0, "delta and full publish must describe identical bytes")
+    // a no-change delta links everything and rewrites nothing
+    val m3 = Sinks.publishDelta(v2, dir, "doc_id", nShards = 16)
+    val files3 = shardFiles()
+    assert(files3 == files2, "no-change delta must rewrite no data files")
+    assert(Sinks.diffManifests(m2, m3).filter(col("status") =!= "same")
+      .count() == 0)
+  }
+
   test("diffManifests classifies same/changed/added/removed shards") {
     val base = Files.createTempDirectory("graft_diff_").toString
     val docs = graft.Tables(spark, sf).documents
