@@ -165,6 +165,88 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Publish the current chunk-grain survivor set as an atomic shard
+    * generation — the step that turns the incremental dedup VERDICT
+    * into the thing an ingest actually ships: a versioned, verifiable
+    * corpus (`Sinks.publishDelta`: only shards whose membership
+    * changed since the previous generation are rewritten; the rest
+    * hard-link forward, so a steady-state flush costs the new batch,
+    * not the corpus).
+    *
+    * Survivor rule: for every flagged pair, the chunk with the GREATER
+    * chunk_id loses (self-pairs from at-least-once replays are
+    * ignored). At the exact-dup default (`estThreshold = 1.0`)
+    * identical chunks form a pairwise CLIQUE across batches — every
+    * later arrival pairs with every earlier occurrence — so exactly
+    * the minimum chunk_id survives, replay-stably (the rule is a pure
+    * function of the accumulated pair set, and replays only re-append
+    * existing pairs). At near-dup thresholds this is the standard
+    * greedy over-drop: a chain A~B~C drops B and C even though A~C was
+    * never flagged — the conservative direction for dedup.
+    *
+    * Returns the new live manifest. */
+  def flushChunks(spark: SparkSession, chunksDir: String, pairsDir: String,
+                  pubDir: String, nShards: Int): DataFrame = {
+    val pairsPath = new org.apache.hadoop.fs.Path(pairsDir)
+    val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // distinct(): foreachBatch is at-least-once, replays re-append
+    val chunks = spark.read.parquet(chunksDir).distinct()
+    val survivors =
+      if (fs.exists(pairsPath)) {
+        val losers = spark.read.parquet(pairsDir)
+          .filter(col("new_id") =!= col("corpus_id"))
+          .select(greatest(col("new_id"), col("corpus_id")).as("chunk_id"))
+          .distinct()
+        chunks.join(losers, Seq("chunk_id"), "left_anti")
+      } else chunks
+    graft.sinks.Sinks.publishDelta(survivors, pubDir, "chunk_id", nShards)
+  }
+
+  /** [[runChunks]] composed with the publisher: chunk each batch,
+    * dedup incrementally, AND keep the chunk texts in `$workDir/chunks`
+    * so every `publishEvery`-th batch can flush the survivor set to
+    * `$workDir/pub` as an atomic generation ([[flushChunks]]). Layout
+    * under `workDir`: `store` (bands), `pairs` (dup verdicts),
+    * `chunks` (chunk texts — the only copy the publisher needs),
+    * `pub` (the live shard generation + manifest). The foreachBatch
+    * body is serialized per query, so the flush holds the publish
+    * lease uncontended; an EXTERNAL publisher racing the stream is
+    * refused by the lease, loudly. */
+  def runChunksPublishing(spark: SparkSession, docs: DataFrame,
+                          workDir: String, checkpoint: String,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          size: Int = 512, step: Int = 512,
+                          numHashes: Int = 64, bands: Int = 16,
+                          estThreshold: Double = 1.0,
+                          publishEvery: Int = 1, nShards: Int = 16,
+                          compactEvery: Int = 0,
+                          compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
+    val (storeDir, pairsDir) = (s"$workDir/store", s"$workDir/pairs")
+    val (chunksDir, pubDir) = (s"$workDir/chunks", s"$workDir/pub")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val chunks = graft.operators.Chunking
+          .chunk(batch.toDF(), textCol, size, step, Seq(idCol))
+          .withColumn("chunk_id",
+            concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
+          .persist()
+        try {
+          chunks.select(col("chunk_id"), col(idCol), col("chunk_idx"),
+            col("chunk_text")).write.mode("append").parquet(chunksDir)
+          processBatch(spark, chunks, storeDir, pairsDir,
+            "chunk_text", "chunk_id", numHashes, bands, estThreshold)
+        } finally { chunks.unpersist(); () }
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(storeDir, pairsDir, chunksDir), compactTargetBytes)
+        if (publishEvery > 0 && batchId % publishEvery == publishEvery - 1) {
+          flushChunks(spark, chunksDir, pairsDir, pubDir, nShards)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Embedding twin of [[processBatch]]: incremental near-dup over
     * vectors with banded sign-RP blocking (operators.Dedup
     * .embeddingNearDup's blocking, applied new-vs-corpus). The store

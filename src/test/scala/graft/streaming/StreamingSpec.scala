@@ -237,6 +237,51 @@ class StreamingSpec extends SparkTestBase {
       .select("id").distinct().count() == 6)
   }
 
+  test("chunk ingest composed with the publisher: each flush is an " +
+    "atomic verified generation; the delta touches only new shards") {
+    implicit val sc = spark.sqlContext
+    import graft.sinks.Sinks
+    val shared = "shared boilerplate licence text that repeats verbatim in docs!!!"
+    def pad(s: String) = (s + " filler words to round out the chunk body")
+      .padTo(64, 'x').take(64)
+    val w = tmp()
+    val in = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.runChunksPublishing(spark,
+      in.toDF().toDF("doc_id", "text"), w, s"$w/cp",
+      size = 64, step = 64, numHashes = 32, bands = 8,
+      publishEvery = 1, nShards = 8)
+    in.addData(
+      (1L, pad("alpha document opening") + shared),
+      (2L, pad("unrelated clean document") + pad("equally clean second chunk")))
+    q.processAllAvailable()
+    // first flush: a live, verifiable generation of batch-1 chunks
+    val m1 = spark.read.parquet(s"$w/pub/manifest").localCheckpoint()
+    assert(Sinks.verifyShards(spark, s"$w/pub", "chunk_id")
+      .filter(!col("ok")).count() == 0, "flush 1 must verify clean")
+    assert(m1.agg(sum("n_rows")).head.getLong(0) == 4) // 2 docs x 2 chunks
+    in.addData((3L, pad("gamma document different opening") + shared))
+    q.processAllAvailable(); q.stop()
+    val m2 = spark.read.parquet(s"$w/pub/manifest").localCheckpoint()
+    assert(Sinks.verifyShards(spark, s"$w/pub", "chunk_id")
+      .filter(!col("ok")).count() == 0, "flush 2 must verify clean")
+    // the duplicated chunk (3#1 == 1#1) was dropped: only 3#0 arrives
+    val published = spark.read.parquet(s"$w/pub/data")
+      .select("chunk_id").as[String].collect().toSet
+    assert(published.contains("3#0") && !published.contains("3#1"),
+      s"expected 3#0 kept and 3#1 deduped, got $published")
+    assert(published.contains("1#1"), "the canonical first occurrence survives")
+    assert(published.size == 5)
+    // the second flush changed ONLY the shards the new chunk hashes
+    // into; every other shard carried forward
+    val changed = Sinks.diffManifests(m1, m2)
+      .filter(col("status") =!= "same")
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    val newShard = spark.range(1)
+      .select(pmod(xxhash64(lit("3#0")), lit(8L))).head.getLong(0)
+    assert(changed.keySet == Set(newShard),
+      s"expected only shard $newShard to change, got $changed")
+  }
+
   test("incremental span dedup flags a copied span against the corpus store") {
     implicit val sc = spark.sqlContext
     val span = (1 to 20).map(i => s"copied$i").mkString(" ")
