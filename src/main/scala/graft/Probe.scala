@@ -132,6 +132,41 @@ object Probe {
       SparkEntry.queries.get(q).foreach(fn => time(s"catalog $q") {
         fn(spark, sfDir)
       })
+
+    // job timeline for one q38 run: where does the fixed constant sit —
+    // job count, per-job wall, and the gaps between jobs (driver-side
+    // planning/broadcast latency AQE inserts between stages)
+    {
+      val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        private val starts = scala.collection.mutable.Map.empty[Int, Long]
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(js.jobId) = js.time
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.remove(je.jobId).foreach(s => jobs.synchronized {
+            jobs += ((je.jobId, s, je.time)); ()
+          })
+      }
+      SparkEntry.queries.get("q38_rank_lag").foreach { fn =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        val sorted = jobs.sortBy(_._2)
+        var prevEnd = 0L
+        sorted.foreach { case (id, s, e) =>
+          val gap = if (prevEnd == 0) 0 else s - prevEnd
+          prevEnd = e
+          println(f"[probe-jobs] job $id%3d  ${e - s}%5d ms  (+$gap%4d ms gap)")
+        }
+        val inJobs = sorted.map(j => j._3 - j._2).sum
+        println(f"[probe-jobs] q38 wall ${wall}%.3f s, in-jobs ${inJobs / 1e3}%.3f s, " +
+          f"outside-jobs ${wall - inJobs / 1e3}%.3f s, jobs ${sorted.size}")
+      }
+    }
     spark.stop()
   }
 }

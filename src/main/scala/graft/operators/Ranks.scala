@@ -163,18 +163,73 @@ object Ranks {
     val hist = ranged.withColumn("_pid", spark_partition_id())
       .groupBy((col("_pid") +: gCols): _*)
       .agg(count(lit(1)).as("_c"))
-    // histogram-sized windows: P×|groups| rows, never the data
-    val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
-    val wAll = Window.partitionBy(gCols: _*)
-    val wPid = Window.partitionBy(col("_pid")).orderBy(gCols: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = hist
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_off", col("_cum") - col("_c"))
-      .withColumn(sizeCol, sum(col("_c")).over(wAll))
-      .filter(sPred(col("_off"), col("_cum"), col(sizeCol)))
-      .withColumn("_m0", shiftleft(col("_pid").cast("long"), 33) +
-        coalesce(sum(col("_c")).over(wPid), lit(0L)))
+    // Offsets over the tiny histogram (P×|groups| rows) in ONE task.
+    // The round-8 form computed them with three windows (cum-by-group,
+    // group-total, kept-prefix-by-pid) — each window another tiny
+    // exchange, each exchange another sequential AQE stage, and at
+    // small inputs that stage LATENCY dominated the whole operator
+    // (probe: the data side + join costs 0.13 s at sf0.1 while the
+    // full operator read 0.40 s). coalesce(1) is NARROW — the
+    // single-task offsets pass rides the histogram agg's own stage —
+    // and everything from pass 1 through the slice filter to pass 2
+    // is a narrow chain in that one task. The window semantics are
+    // reproduced exactly: pass 1 in (group, pid) order yields cum /
+    // group-total / off; the slice filter prunes; pass 2 in (pid,
+    // group) order yields the kept-prefix _m0. Same column-function
+    // predicates, same null-safe group handling (runs compared
+    // field-by-field), values bit-identical (RanksSpec oracles).
+    val histOne = hist.coalesce(1)
+      .sortWithinPartitions((gCols :+ col("_pid")): _*)
+    val gIdxH = groupCols.map(c => hist.columns.indexOf(c)).toArray
+    val cIdxH = hist.columns.indexOf("_c")
+    val pIdxH = hist.columns.indexOf("_pid")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val p1Schema = StructType(hist.schema.fields ++ Seq(
+      StructField("_cum", LongType, nullable = false),
+      StructField(sizeCol, LongType, nullable = false),
+      StructField("_off", LongType, nullable = false)))
+    val withCums = histOne.mapPartitions { it =>
+      // the whole histogram is one model-sized partition: materialize,
+      // walk the contiguous (group, pid)-ordered runs, emit cum/n/off
+      val rows = it.toArray
+      val out = new Array[org.apache.spark.sql.Row](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        var j = i // [i, j) = one group run
+        while (j < rows.length && gIdxH.forall(k =>
+          rows(j).get(k) == rows(i).get(k))) j += 1
+        var n = 0L
+        var k = i
+        while (k < j) { n += rows(k).getLong(cIdxH); k += 1 }
+        var cum = 0L
+        k = i
+        while (k < j) {
+          val c = rows(k).getLong(cIdxH)
+          cum += c
+          out(k) = org.apache.spark.sql.Row.fromSeq(
+            rows(k).toSeq ++ Seq(cum, n, cum - c))
+          k += 1
+        }
+        i = j
+      }
+      out.iterator
+    }(org.apache.spark.sql.Encoders.row(p1Schema))
+    val kept = withCums.filter(sPred(col("_off"), col("_cum"), col(sizeCol)))
+      .sortWithinPartitions((col("_pid") +: gCols): _*)
+    val p2Schema = StructType(p1Schema.fields :+
+      StructField("_m0", LongType, nullable = false))
+    val offs = kept.mapPartitions { it =>
+      // kept-slice prefix per pid, in the data's (pid, group) order
+      var curPid = -1
+      var run = 0L
+      it.map { r =>
+        val pid = r.getInt(pIdxH)
+        if (pid != curPid) { curPid = pid; run = 0L }
+        val m0 = (pid.toLong << 33) + run
+        run += r.getLong(cIdxH)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m0)
+      }
+    }(org.apache.spark.sql.Encoders.row(p2Schema))
       .drop("_c", "_cum")
     // Null-SAFE group-key equality, twice over: (a) a null group key is
     // a real rank partition for window functions, so its slice offsets
@@ -317,12 +372,49 @@ object Ranks {
     val hist = ranged.withColumn("_pid", spark_partition_id())
       .groupBy((col("_pid") +: gCols): _*)
       .agg(sum(col(valueCol)).as("_c"))
-    // histogram-sized window: P×|groups| rows, never the data
-    val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = hist
-      .withColumn("_off", coalesce(sum(col("_c")).over(wCum), lit(0L)))
-      .drop("_c")
+    // Offsets over the tiny histogram in ONE task (same stage-latency
+    // shave as the ranks — see globalRowNumbers): the exclusive
+    // prefix of _c over pid within each contiguous group run, emitted
+    // in the sum's own type so long sums stay exact and double sums
+    // add in the window's left-to-right order. Non-long/double sum
+    // types (decimal) keep the window form — they also take the
+    // windowed data path below, where Spark's own sum semantics
+    // apply end-to-end.
+    val sumIsLong = hist.schema("_c").dataType ==
+      org.apache.spark.sql.types.LongType
+    val sumIsDouble = hist.schema("_c").dataType ==
+      org.apache.spark.sql.types.DoubleType
+    val offs =
+      if (sumIsLong || sumIsDouble) {
+        val gIdxH = groupCols.map(c => hist.columns.indexOf(c)).toArray
+        val cIdxH = hist.columns.indexOf("_c")
+        val offField = org.apache.spark.sql.types.StructField("_off",
+          hist.schema("_c").dataType, nullable = false)
+        val oSchema = org.apache.spark.sql.types.StructType(
+          hist.schema.fields :+ offField)
+        hist.coalesce(1)
+          .sortWithinPartitions((gCols :+ col("_pid")): _*)
+          .mapPartitions { it =>
+            var curKey: Array[Any] = null
+            var accL = 0L
+            var accD = 0.0
+            it.map { r =>
+              val same = curKey != null && gIdxH.indices.forall(i =>
+                r.get(gIdxH(i)) == curKey(i))
+              if (!same) { curKey = gIdxH.map(r.get); accL = 0L; accD = 0.0 }
+              val off: Any =
+                if (sumIsLong) { val o = accL; accL += r.getLong(cIdxH); o }
+                else { val o = accD; accD += r.getDouble(cIdxH); o }
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ off)
+            }
+          }(org.apache.spark.sql.Encoders.row(oSchema))
+          .drop("_c")
+      } else {
+        val wCum = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist.withColumn("_off",
+          coalesce(sum(col("_c")).over(wCum), lit(0L))).drop("_c")
+      }
     val b = ranged.sortWithinPartitions(keys: _*)
       .withColumn("_pid", spark_partition_id())
     // null-safe group equality for the same two reasons as the ranks
