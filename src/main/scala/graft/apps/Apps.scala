@@ -408,12 +408,20 @@ object CorpusCuration {
     * [[graft.sinks.Sinks.verifyShards]] — which remains the
     * POST-TRANSFER tool (re-reading moved bytes against the stored
     * manifest is exactly right once the data has shipped). */
+  /** `delta = true` republishes through
+    * [[graft.sinks.Sinks.publishDelta]]: only shards whose membership
+    * changed since the live generation are rewritten, the rest
+    * hard-link forward — the periodic re-curation workflow (crawl
+    * grew, thresholds moved) where most of the corpus is unchanged
+    * and a full rewrite is the dominant cost at scale. The pinned
+    * survivors cache makes the double evaluation delta needs exact. */
   def runAndPublish(spark: SparkSession, docs: DataFrame, publishPath: String,
                     nShards: Int, minQuality: Double = 0.3,
                     lang: String = "en", nearDupThreshold: Double = 0.5,
                     benchDocs: Option[DataFrame] = None,
                     decontamMinHits: Long = 1L,
-                    semantic: Option[SemanticStage] = None): Published = {
+                    semantic: Option[SemanticStage] = None,
+                    delta: Boolean = false): Published = {
     import graft.sinks.Sinks
     val (survivors, report) = run(spark, docs, minQuality, lang,
       nearDupThreshold, benchDocs, decontamMinHits, semantic)
@@ -431,7 +439,9 @@ object CorpusCuration {
           "nondeterministic) between curation and publish; aborting " +
           "before writing anything")
       val tPub = System.nanoTime()
-      val manifest = Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
+      val manifest =
+        if (delta) Sinks.publishDelta(pinned, publishPath, "doc_id", nShards)
+        else Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
       val publishSec = (System.nanoTime() - tPub) / 1e9
       val published = manifest
         .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)

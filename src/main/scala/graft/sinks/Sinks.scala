@@ -677,7 +677,26 @@ object Sinks {
     val st =
       try Some(fs.getFileStatus(lock))
       catch { case _: java.io.FileNotFoundException => None }
-    val stale = st.forall(s =>
+    // A lease is reclaimable before its TTL when its holder is
+    // PROVABLY dead: the token names pid+host, so on the same host a
+    // missing pid means the writer crashed — waiting out the TTL
+    // would stall a supervised restart for no safety gain. (On a
+    // different host liveness is unknowable from here; only the TTL
+    // applies.)
+    val holderDead = st.exists { _ =>
+      try {
+        val in = fs.open(lock)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val pid = "pid=(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+        val host = "host=(\\S+)".r.findFirstMatchIn(body).map(_.group(1))
+        host.contains(java.net.InetAddress.getLocalHost.getHostName) &&
+          pid.exists(p => ProcessHandle.of(p)
+            .map[Boolean](h => !h.isAlive).orElse(true))
+      } catch { case _: Exception => false }
+    }
+    val stale = holderDead || st.forall(s =>
       System.currentTimeMillis() - s.getModificationTime > ttlMs)
     if (stale) {
       try { fs.delete(lock, false); () }

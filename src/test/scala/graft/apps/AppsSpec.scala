@@ -271,6 +271,27 @@ class AppsSpec extends SparkTestBase {
       .filter(!col("ok")).count() == 0)
   }
 
+  test("delta re-curation over an unchanged corpus links every shard forward") {
+    val docs = graft.Tables(spark, sf).documents
+    val pub = work() + "/published"
+    val out1 = CorpusCuration.runAndPublish(spark, docs, pub,
+      nShards = 4, minQuality = 0.0)
+    def files(): Map[String, Set[String]] = (0 until 4).map { s =>
+      val d = new java.io.File(s"$pub/data/shard=$s")
+      s"shard=$s" -> Option(d.list())
+        .map(_.filter(_.endsWith(".parquet")).toSet).getOrElse(Set.empty[String])
+    }.toMap
+    val f1 = files()
+    // identical input re-curated with delta=true: the survivor set is
+    // unchanged, so every shard hard-links forward — nothing rewritten
+    val out2 = CorpusCuration.runAndPublish(spark, docs, pub,
+      nShards = 4, minQuality = 0.0, delta = true)
+    assert(files() == f1, "unchanged corpus must rewrite no data files")
+    assert(out2.publishedRows == out1.publishedRows)
+    assert(Sinks.verifyShards(spark, pub, "doc_id")
+      .filter(!col("ok")).count() == 0)
+  }
+
   test("curation publish of an empty survivor set yields an empty, checkable layout") {
     // a quality gate strict enough to drop everything must publish an
     // EMPTY corpus (empty manifest, vacuously clean verify), not die

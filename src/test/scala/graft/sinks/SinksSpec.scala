@@ -339,6 +339,15 @@ class SinksSpec extends SparkTestBase {
     fs.setTimes(lock,
       System.currentTimeMillis() - Sinks.PublishLeaseTtlMs - 60_000, -1)
     Sinks.writeShards(docs.limit(50), dir, "doc_id", nShards = 4)
+    // dead-holder fast path: a FRESH lease whose pid is provably dead
+    // on this host is reclaimed immediately — a supervised restart
+    // must not stall out the whole TTL
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val out = fs.create(lock, true)
+    out.write(s"0000000000000000000 pid=999999999 host=$host"
+      .getBytes("UTF-8")); out.close()
+    Sinks.writeShards(docs.limit(50), dir, "doc_id", nShards = 4)
+    assert(!fs.exists(lock), "dead-holder lease must be reclaimed")
     assert(spark.read.parquet(s"$dir/manifest")
       .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == 50,
       "reclaimed lease must allow the publish through")
