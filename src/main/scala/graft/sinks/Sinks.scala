@@ -529,7 +529,7 @@ object Sinks {
     * recoverable point is a mixed old/new pair the end state.
     * Returns the manifest frame. */
   def writeShards(df: DataFrame, path: String, idCol: String,
-                  nShards: Int): DataFrame = {
+                  nShards: Int, retainPrevious: Boolean = false): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     // case-insensitive on purpose: Spark resolves columns
     // case-insensitively by default, so an input 'Shard' would be
@@ -545,14 +545,16 @@ object Sinks {
     // other's staging as crash debris (see [[acquirePublishLease]])
     val lease = acquirePublishLease(fs, base)
     try {
-      writeShardsLeased(df, path, idCol, nShards, spark, base, fs)
+      writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
+        retainPrevious)
     } finally releasePublishLease(fs, base, lease)
   }
 
   private def writeShardsLeased(df: DataFrame, path: String, idCol: String,
                                 nShards: Int, spark: SparkSession,
                                 base: org.apache.hadoop.fs.Path,
-                                fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                retainPrevious: Boolean = false): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
     // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
@@ -605,7 +607,7 @@ object Sinks {
     // exist in full.
     fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
       true).close()
-    promoteStaged(fs, base, staging, old)
+    promoteStaged(fs, base, staging, old, retainPrevious)
     spark.read.parquet(s"$path/manifest")
   }
 
@@ -625,6 +627,11 @@ object Sinks {
     * the crash-envelope spec can construct mid-publish states. */
   private[graft] val PublishCommitMarker = "_COMMITTED"
   private val GenParts = Seq("data", "manifest")
+
+  /** Retained published generations live under `<path>/_versions/<stamp>`
+    * (underscore prefix: invisible to every data reader; prefix-disjoint
+    * from the `_old_`/`_staging_`/`_publish_lock` names recovery sweeps). */
+  private[graft] val PublishedVersionsDir = "_versions"
 
   /** Name of the single-writer lease file at the publish root. */
   private[graft] val PublishLock = "_publish_lock"
@@ -744,7 +751,8 @@ object Sinks {
   private[graft] def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
                             base: org.apache.hadoop.fs.Path,
                             staging: org.apache.hadoop.fs.Path,
-                            old: org.apache.hadoop.fs.Path): Unit = {
+                            old: org.apache.hadoop.fs.Path,
+                            retain: Boolean = false): Unit = {
     val moved = scala.collection.mutable.ListBuffer
       .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
         org.apache.hadoop.fs.Path, Boolean)]
@@ -801,8 +809,21 @@ object Sinks {
     // only copy of the new generation back into a staging dir it then
     // deletes — destroying both generations). Best-effort: leftovers
     // are exactly what the next call's recoverPublish sweeps.
+    // `retain` retires the displaced generation into `_versions/<stamp>`
+    // instead of deleting it (one rename; under delta publishes the
+    // carried-forward files are hard links, so a retained version
+    // costs only its delta in disk). Best-effort by the same argument
+    // as the deletes: a crash in this window loses the RETAINED COPY,
+    // never the live generation — recoverPublish sweeps a leftover
+    // `_old_` because it cannot distinguish it from mid-promote debris.
     try {
-      fs.delete(old, true)
+      if (retain && fs.exists(old)) {
+        val vd = new org.apache.hadoop.fs.Path(base, PublishedVersionsDir)
+        if (!fs.exists(vd)) fs.mkdirs(vd)
+        val stamp = old.getName.stripPrefix("_old_")
+        val tgt = new org.apache.hadoop.fs.Path(vd, stamp)
+        if (fs.exists(tgt) || !fs.rename(old, tgt)) fs.delete(old, true)
+      } else fs.delete(old, true)
       fs.delete(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
         false)
       fs.delete(staging, true)
@@ -948,6 +969,99 @@ object Sinks {
         "content_hash", "manifest_hash")
   }
 
+  /** Delta-aware integrity check — the [[verifyShards]] a loader runs
+    * after a [[publishDelta]]: re-reading the whole corpus to verify a
+    * publish that rewrote 2% of it gives back the entire saving the
+    * delta bought. `trusted` is a manifest the caller has ALREADY
+    * verified against bytes (typically the previous generation's,
+    * retained after a full [[verifyShards]] pass). A live shard whose
+    * (n_rows, content_hash) matches its `trusted` row was carried
+    * forward by hard link — the very bytes previously verified — so it
+    * is accepted on a metadata-only existence check (the shard dir
+    * still holds a visible data file); every other shard (changed,
+    * added, or absent from `trusted`) is re-read and re-hashed exactly
+    * as [[verifyShards]] does — the reader is given ONLY those shard
+    * directories (explicit paths + `basePath`, not a pruned filter),
+    * so neither schema inference nor the scan ever opens a trusted
+    * shard's files. Shard dirs on disk that appear in NO manifest are
+    * also pulled into the re-read and flagged.
+    *
+    * Contract: this check trusts that previously-verified bytes have
+    * not rotted since — it detects gross loss (missing dir/files) on
+    * trusted shards but not in-place byte corruption; run the full
+    * [[verifyShards]] for end-to-end byte assurance (e.g. after a
+    * copy to new media). Returns the [[verifyShards]] schema plus
+    * `mode` ∈ {trusted, reread}. */
+  def verifyShardsDelta(spark: SparkSession, path: String, idCol: String,
+                        trusted: DataFrame): DataFrame = {
+    val live = spark.read.parquet(s"$path/manifest")
+      .select(col("shard"), col("n_rows").as("manifest_rows"),
+        col("content_hash").as("manifest_hash"))
+    val tr = trusted.select(col("shard"),
+      col("n_rows").as("trusted_rows"),
+      col("content_hash").as("trusted_hash"))
+    val cls = live.join(tr, Seq("shard"), "left_outer").collect()
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // metadata-only: which shard dirs exist, and which hold a visible
+    // committed file (a lost dir must fail the trusted fast path)
+    def shardDirs(): Map[Long, Boolean] =
+      if (!fs.exists(dataPath)) Map.empty
+      else fs.listStatus(dataPath).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .flatMap { st =>
+          val n = st.getPath.getName.stripPrefix("shard=")
+          n.toLongOption.map { s =>
+            s -> fs.listStatus(st.getPath).exists(f => f.isFile && {
+              val fn = f.getPath.getName
+              fn.endsWith(".parquet") && !fn.startsWith("_") &&
+                !fn.startsWith(".")
+            })
+          }
+        }.toMap
+    val onDisk = shardDirs()
+    val trustedShards = cls.filter { r =>
+      !r.isNullAt(3) && !r.isNullAt(4) &&
+        r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4) &&
+        onDisk.getOrElse(r.getLong(0), false)
+    }.map(_.getLong(0)).toSet
+    val manifestShards = cls.map(_.getLong(0)).toSet
+    val reread = (manifestShards -- trustedShards) ++
+      (onDisk.keySet -- manifestShards)
+    val trustedOut = live
+      .filter(col("shard").isin(trustedShards.toSeq: _*))
+      .select(col("shard"), lit(true).as("ok"),
+        col("manifest_rows").as("n_rows"), col("manifest_rows"),
+        col("manifest_hash").as("content_hash"), col("manifest_hash"),
+        lit("trusted").as("mode"))
+    if (reread.isEmpty) return trustedOut
+    val rereadManifest = live.filter(col("shard").isin(reread.toSeq: _*))
+    // only dirs that actually hold a visible file can be scanned; a
+    // manifest row whose dir is gone is a missing shard (ok=false)
+    val scannable = reread.filter(s => onDisk.getOrElse(s, false))
+    val rereadOut =
+      if (scannable.isEmpty)
+        rereadManifest.select(col("shard"), lit(false).as("ok"),
+          lit(null).cast("long").as("n_rows"), col("manifest_rows"),
+          lit(null).cast("long").as("content_hash"), col("manifest_hash"),
+          lit("reread").as("mode"))
+      else {
+        val written = spark.read.option("basePath", s"$path/data")
+          .parquet(scannable.toSeq.sorted
+            .map(s => s"$path/data/shard=$s"): _*)
+        val dataCols = written.columns.filter(_ != "shard").toSeq
+        shardSummary(written, idCol, dataCols)
+          .join(rereadManifest, Seq("shard"), "full_outer")
+          .withColumn("ok",
+            coalesce(col("n_rows") === col("manifest_rows") &&
+              col("content_hash") === col("manifest_hash"), lit(false)))
+          .select(col("shard"), col("ok"), col("n_rows"),
+            col("manifest_rows"), col("content_hash"),
+            col("manifest_hash"), lit("reread").as("mode"))
+      }
+    trustedOut.unionByName(rereadOut)
+  }
+
   /** Shard-level diff of two corpus versions from their manifests
     * alone — no data read, |shards| rows a side. Status per shard:
     * `same` (hash equal), `changed`, `added` (only in `b`), `removed`
@@ -1004,7 +1118,7 @@ object Sinks {
     * between versions degrades gracefully to a full rewrite (every
     * shard classifies as changed). Returns the new live manifest. */
   def publishDelta(df: DataFrame, path: String, idCol: String,
-                   nShards: Int): DataFrame = {
+                   nShards: Int, retainPrevious: Boolean = false): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.exists(_.equalsIgnoreCase("shard")),
       "publishDelta derives its own `shard` column; rename the input's")
@@ -1022,7 +1136,8 @@ object Sinks {
       if (!fs.exists(new org.apache.hadoop.fs.Path(base, "manifest")) ||
           !fs.exists(livePath))
         // nothing to delta against — a first publish is a full publish
-        return writeShardsLeased(df, path, idCol, nShards, spark, base, fs)
+        return writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
+          retainPrevious)
       val dataCols = df.columns.toSeq
       val sharded = df.withColumn("shard",
         pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
@@ -1082,7 +1197,7 @@ object Sinks {
       }
       fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
         true).close()
-      promoteStaged(fs, base, staging, old)
+      promoteStaged(fs, base, staging, old, retainPrevious)
       spark.read.parquet(s"$path/manifest")
     } finally releasePublishLease(fs, base, lease)
   }

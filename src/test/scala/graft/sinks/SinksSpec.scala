@@ -411,6 +411,67 @@ class SinksSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("verifyShardsDelta trusts carried-forward shards and re-reads only the delta") {
+    val dir = Files.createTempDirectory("graft_vdelta_").toString + "/pub"
+    val docs = graft.Tables(spark, sf).documents
+      .select("doc_id", "text", "lang").localCheckpoint()
+    Sinks.writeShards(docs, dir, "doc_id", nShards = 16)
+    // the workflow that makes a manifest "trusted": a full byte-level
+    // verify pass over the generation it describes
+    assert(Sinks.verifyShards(spark, dir, "doc_id")
+      .filter(!col("ok")).count() == 0)
+    val m1 = spark.read.parquet(s"$dir/manifest").localCheckpoint()
+    val touched = Seq(2L, 7L, 11L)
+    val shardOf = pmod(xxhash64(col("doc_id")), lit(16L))
+    val v2 = docs.withColumn("text",
+      when(shardOf.isin(touched: _*), concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))).localCheckpoint()
+    Sinks.publishDelta(v2, dir, "doc_id", nShards = 16)
+    val out = Sinks.verifyShardsDelta(spark, dir, "doc_id", m1)
+      .select("shard", "ok", "mode").as[(Long, Boolean, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 16 && out.values.forall(_._1),
+      s"clean delta publish must verify clean: $out")
+    assert(out.filter(_._2._2 == "reread").keySet == touched.toSet,
+      s"only the changed shards may be re-read: $out")
+    // replace an UNCHANGED shard's part file with a valid parquet file
+    // holding the wrong rows (shard 9's): metadata intact, bytes wrong
+    val s5dir = new java.io.File(s"$dir/data/shard=5")
+    val s9dir = new java.io.File(s"$dir/data/shard=9")
+    val s5file = s5dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val s9file = s9dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(s9file.toPath, s5file.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(Sinks.verifyShards(spark, dir, "doc_id")
+      .filter(!col("ok")).select("shard").as[Long].collect().toSet == Set(5L),
+      "full verify must catch the swapped bytes")
+    // ...but the delta verify, by contract, trusts previously-verified
+    // carried-forward bytes — it must NOT have read them
+    assert(Sinks.verifyShardsDelta(spark, dir, "doc_id", m1)
+      .filter(!col("ok")).count() == 0,
+      "delta verify must not re-read trusted shards")
+    // stronger: garbage bytes under the same name — if the delta
+    // verify's reader so much as opened the file (schema inference
+    // included) the job would crash, so green here PROVES the scan
+    // is confined to the re-read shards
+    java.nio.file.Files.write(s5file.toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(Sinks.verifyShardsDelta(spark, dir, "doc_id", m1)
+      .filter(!col("ok")).count() == 0,
+      "delta verify must never open a trusted shard's files")
+    // gross loss on a trusted shard IS caught (metadata check)
+    s5dir.listFiles().foreach(_.delete()); s5dir.delete()
+    // ...as is a shard dir no manifest describes
+    val s99dir = new java.io.File(s"$dir/data/shard=99")
+    s99dir.mkdirs()
+    java.nio.file.Files.copy(s9file.toPath,
+      new java.io.File(s99dir, s9file.getName).toPath)
+    val flagged = Sinks.verifyShardsDelta(spark, dir, "doc_id", m1)
+      .filter(!col("ok")).select("shard").as[Long].collect().toSet
+    assert(flagged == Set(5L, 99L),
+      s"expected missing shard 5 and orphan shard 99 flagged, got $flagged")
+  }
+
   test("diffManifests classifies same/changed/added/removed shards") {
     val base = Files.createTempDirectory("graft_diff_").toString
     val docs = graft.Tables(spark, sf).documents
