@@ -207,15 +207,57 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Monotone suffix for observation names: Spark requires observe()
+    * names to be unique within a query, and the dedup combinators can
+    * compose (q64 runs jaccardSelfJoin and sharedSpans downstream
+    * frames in one session). Deterministic (no wall clock). */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Hot-POSTING-LIST guard — the inverted-index analog of
+    * [[hotBucketGuard]]. `byKey` is a (key, posting-list) frame about
+    * to be expanded into per-key (a, b) pairs; a key shared by df docs
+    * expands to df²/2 rows, so one boilerplate fingerprint held by 10⁶
+    * docs at corpus scale yields ~5·10¹¹ pair rows on a single grouping
+    * key — a job-killing skew no AQE split can fix (it is one key).
+    * Lists longer than `maxPostings` are DROPPED before expansion: a
+    * token shared by that many documents is template/boilerplate text,
+    * not evidence of pairwise duplication (the winnowing/MOSS rule —
+    * "ignore fingerprints that occur in too many documents", Schleimer
+    * et al. SIGMOD'03 §4; the reference point for sharedSpans' scheme).
+    *
+    * NOT a silent cap: the drop count rides the query as a named
+    * observed metric (`graft_hot_postings_*`: dropped_keys /
+    * dropped_postings / max_df) and [[HotPostingsWarner]] prints a
+    * WARN to the driver log whenever a run actually dropped keys.
+    * Callers needing exact semantics on a boilerplate-heavy corpus
+    * raise `maxPostings` (or pre-strip templates) explicitly. */
+  private[graft] def dropHotPostings(byKey: DataFrame, listCol: String,
+                                     maxPostings: Int): DataFrame = {
+    require(maxPostings >= 2,
+      s"maxPostings must allow at least one pair (got $maxPostings)")
+    HotPostingsWarner.ensure(byKey.sparkSession)
+    byKey
+      .withColumn("_df", size(col(listCol)))
+      .observe(s"graft_hot_postings_${obsSeq.incrementAndGet()}",
+        sum(when(col("_df") > maxPostings, 1L).otherwise(0L)).as("dropped_keys"),
+        sum(when(col("_df") > maxPostings, col("_df").cast("long"))
+          .otherwise(0L)).as("dropped_postings"),
+        max(col("_df")).cast("long").as("max_df"))
+      .filter(col("_df") <= maxPostings)
+      .drop("_df")
+  }
+
   /** Expand each row's array column into its ordered (a < b) element
     * pairs. Elements are sorted (so pairs come out ordered) and the
     * expansion is TWO chained Generates — per-row memory stays O(df)
     * where df is the list length: a hot posting list (boilerplate
     * shingle/fingerprint shared by 20k docs) degrades into many rows
     * across tasks instead of materializing all df²/2 combination
-    * structs inside one 2 GB row. Shared by jaccardSelfJoin,
-    * sharedSpans and IncrementalDedup.processSpanBatch, which all
-    * encode pairs-from-postings. Output columns: (_a, _b) of the
+    * structs inside one 2 GB row. Row COUNT is still Σ df² — callers
+    * bound it with [[dropHotPostings]] before expanding. Shared by
+    * jaccardSelfJoin, sharedSpans and
+    * IncrementalDedup.processSpanBatch, which all encode
+    * pairs-from-postings. Output columns: (_a, _b) of the
     * array's element type. */
   private[graft] def pairCombos(grouped: DataFrame, idsCol: String): DataFrame =
     grouped
@@ -241,11 +283,20 @@ object Dedup {
     *
     * Scale shape: cost is Σ_shingle df(shingle)² instead of N² — rare
     * shingles (the overwhelming majority of word 3-grams) contribute
-    * ~nothing. A pathologically hot shingle (boilerplate) concentrates
-    * its postings on one key; at corpus scale apply q11's LSH blocking
-    * first and reserve this for exact refinement or bounded blocks. */
+    * ~nothing. A pathologically hot shingle (boilerplate) would
+    * concentrate its postings on one key and expand df²/2 pair rows
+    * there, so posting lists over `maxPostings` are dropped before
+    * expansion ([[dropHotPostings]] — loud, observed-metric-counted).
+    * Dropping a hot shingle removes it from |A∩B| while |A| and |B|
+    * stay full, so affected pairs' jaccard is slightly UNDERestimated
+    * — the conservative direction for a dedup threshold, and exact
+    * whenever no shingle exceeds the bound (OperatorsSpec pins
+    * equality against the all-pairs form below the bound). At corpus
+    * scale apply q11's LSH blocking first and reserve this for exact
+    * refinement or bounded blocks. */
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
-                      n: Int = 3, minJ: Double = 0.5): DataFrame = {
+                      n: Int = 3, minJ: Double = 0.5,
+                      maxPostings: Int = 10000): DataFrame = {
     // The inverted-index equivalence above only holds for minJ > 0:
     // pairs sharing zero shingles never materialize here but DO exist
     // (jaccard 0) in the all-pairs form.
@@ -264,7 +315,7 @@ object Dedup {
       explode(col("sh")).as("shingle"))
     val byShingle = postings.groupBy(col("shingle"))
       .agg(collect_list(struct(col("id"), col("sz"))).as("_ps"))
-    pairCombos(byShingle, "_ps")
+    pairCombos(dropHotPostings(byShingle, "_ps", maxPostings), "_ps")
       .groupBy(col("_a.id").as("id_a"), col("_b.id").as("id_b"),
         col("_a.sz").as("sz_a"), col("_b.sz").as("sz_b"))
       .agg(count(lit(1)).as("_inter"))
@@ -315,7 +366,8 @@ object Dedup {
     * [[jaccardSelfJoin]]: only documents sharing ≥1 fingerprint ever
     * meet, cost Σ df(fp)². */
   def sharedSpans(df: DataFrame, textCol: String, idCol: String,
-                  k: Int = 8, w: Int = 4, minShared: Long = 3L): DataFrame = {
+                  k: Int = 8, w: Int = 4, minShared: Long = 3L,
+                  maxPostings: Int = 10000): DataFrame = {
     // No self-join: group the posting list per fingerprint and expand
     // its (a < b) combinations — the corpus is hashed and winnowed
     // ONCE by construction (a self-join would run the fingerprint
@@ -323,11 +375,17 @@ object Dedup {
     // canonicalization), and the only shuffles are the fp groupBy and
     // the pair-count aggregate. Per-fp cost is df(fp)² ROWS like any
     // postings join (pairCombos keeps per-row memory O(df)); winnowed
-    // 8-gram fingerprints keep df tiny (max 3 across sf0.01), and a
-    // boilerplate-heavy corpus should raise k or pre-strip templates.
+    // 8-gram fingerprints keep df tiny (max 3 across sf0.01), and
+    // posting lists over `maxPostings` — a fingerprint present in that
+    // many documents is boilerplate, not a copied span — are dropped
+    // loudly before expansion ([[dropHotPostings]], the MOSS
+    // too-common-fingerprint rule). Dropping a boilerplate fp lowers
+    // n_shared for pairs sharing it — the conservative direction for a
+    // copied-span detector — and the result is exact whenever no fp
+    // exceeds the bound.
     val fps = spanFingerprints(df, textCol, idCol, k, w)
     val byFp = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))
-    pairCombos(byFp, "_ids")
+    pairCombos(dropHotPostings(byFp, "_ids", maxPostings), "_ids")
       .groupBy(col("_a").as("id_a"), col("_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -504,5 +562,41 @@ object Dedup {
       .select(col("cluster"), col("id").as("survivor_id"))
     member.join(surv, Seq("cluster"))
       .select(col("id").as(idCol), col("cell"), col("survivor_id"))
+  }
+}
+
+/** Driver-side loudspeaker for [[Dedup.dropHotPostings]]: a
+  * QueryExecutionListener (registered once per session) that prints a
+  * WARN whenever a completed query's `graft_hot_postings_*` observed
+  * metric shows dropped keys. The metric itself also stays readable
+  * programmatically via `df.queryExecution.observedMetrics` (the spec
+  * asserts on it) — the listener exists so an operator watching the
+  * driver log of a 100 TB run cannot miss that a cap engaged. */
+private[graft] object HotPostingsWarner {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.execution.QueryExecution
+  import org.apache.spark.sql.util.QueryExecutionListener
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def ensure(spark: SparkSession): Unit = if (registered.add(spark)) {
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_hot_postings_") && !row.isNullAt(0) &&
+              row.getAs[Long]("dropped_keys") > 0L) {
+            System.err.println(s"[graft][WARN] $name: dropped " +
+              s"${row.getAs[Long]("dropped_keys")} hot posting list(s) " +
+              s"(${row.getAs[Long]("dropped_postings")} postings, max df " +
+              s"${row.getAs[Long]("max_df")}) over the maxPostings bound; " +
+              "boilerplate keys were excluded from pair expansion — raise " +
+              "maxPostings (or pre-strip templates) for exact semantics")
+          }
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    })
   }
 }

@@ -302,11 +302,18 @@ object IncrementalDedup {
     * with fingerprint collisions, not corpus size. Emits
     * (new_id, corpus_id, n_shared) for pairs sharing ≥ `minShared`
     * fingerprints, plus batch-internal pairs via the same posting-list
-    * combination expansion as [[graft.operators.Dedup.sharedSpans]]. */
+    * combination expansion as [[graft.operators.Dedup.sharedSpans]] —
+    * including its hot-fingerprint guard: batch-internal posting lists
+    * over `maxPostings` and store fingerprints held by more than
+    * `maxPostings` corpus docs are dropped loudly (observed metric +
+    * driver WARN) before any expansion/join, so one boilerplate fp
+    * accumulated across a long stream cannot fan a later batch out to
+    * df² pair rows. */
   def processSpanBatch(spark: SparkSession, batch: DataFrame,
                        storeDir: String, pairsDir: String,
                        textCol: String, idCol: String,
-                       k: Int, w: Int, minShared: Long): Unit = {
+                       k: Int, w: Int, minShared: Long,
+                       maxPostings: Int = 10000): Unit = {
     val fps = Dedup.spanFingerprints(batch, textCol, idCol, k, w).persist()
     try {
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
@@ -317,17 +324,32 @@ object IncrementalDedup {
       // later batch's shared-fingerprint tally against those docs
       // (2 shared fps reading as 4 ≥ minShared). Distinct fps per pair
       // is the quantity the threshold is defined over.
+      // The store-side guard reuses the same grouped-postings shape:
+      // group the store's matching postings per fp, drop hot lists,
+      // re-explode. Only fps PRESENT IN THE BATCH are grouped (the
+      // semi join keeps the aggregation proportional to fingerprint
+      // collisions, not corpus size — the same cost contract as the
+      // probe join itself).
       val cross =
-        if (fs.exists(storePath))
+        if (fs.exists(storePath)) {
+          val batchFps = fps.select(col("fp")).distinct()
+          val matching = spark.read.parquet(storeDir)
+            .select(col("fp"), col("id").as("corpus_id"))
+            .join(broadcast(batchFps), Seq("fp"), "left_semi")
+          val guarded = Dedup.dropHotPostings(
+              matching.groupBy(col("fp"))
+                .agg(collect_list(col("corpus_id")).as("_cids")),
+              "_cids", maxPostings)
+            .select(col("fp"), explode(col("_cids")).as("corpus_id"))
           Some(fps.select(col("fp"), col("id").as("new_id"))
-            .join(spark.read.parquet(storeDir)
-              .select(col("fp"), col("id").as("corpus_id")), Seq("fp"))
+            .join(guarded, Seq("fp"))
             .groupBy(col("new_id"), col("corpus_id"))
             .agg(countDistinct(col("fp")).as("n_shared"))
             .filter(col("n_shared") >= minShared))
-        else None
+        } else None
       val intraAll = fps.groupBy(col("fp")).agg(collect_list(col("id")).as("_ids"))
-      val intra = Dedup.pairCombos(intraAll, "_ids")
+      val intra = Dedup.pairCombos(
+        Dedup.dropHotPostings(intraAll, "_ids", maxPostings), "_ids")
         .groupBy(col("_a").as("new_id"), col("_b").as("corpus_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)

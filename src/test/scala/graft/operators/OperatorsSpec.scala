@@ -431,6 +431,63 @@ class DedupSpec extends SparkTestBase {
     assert(fast == brute)
   }
 
+  test("shared spans: planted boilerplate fingerprint is dropped loudly, output stays bounded") {
+    // 30 docs all carrying the same 20-word template span (df = 30 for
+    // every pure-template fingerprint) + one genuinely copied pair on a
+    // DIFFERENT span. Under the maxPostings bound the template pairs
+    // (30·29/2 of them) must vanish, the true pair must survive, and
+    // the drop must surface as an observed metric — the "no silent
+    // caps" contract.
+    val boiler = (1 to 20).map(i => s"tmpl$i").mkString(" ")
+    val copied = (1 to 20).map(i => s"span$i").mkString(" ")
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c u${i}d $boiler u${i}e")) ++
+      Seq((100L, s"alpha beta gamma delta $copied epsilon"),
+          (101L, s"one two three four five $copied six seven")))
+      .toDF("doc_id", "text")
+    val unguarded = Dedup.sharedSpans(docs, "text", "doc_id",
+      k = 8, w = 4, minShared = 3L)
+    assert(unguarded.count() >= 400L,
+      "fixture must actually explode without the guard")
+    val guarded = Dedup.sharedSpans(docs, "text", "doc_id",
+      k = 8, w = 4, minShared = 3L, maxPostings = 10)
+    // observedMetrics live on the QueryExecution that actually RAN —
+    // collect the same frame we inspect (.as/.select would re-plan)
+    val pairs = guarded.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((100L, 101L)))
+    val obs = guarded.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith("graft_hot_postings_") => row
+    }
+    assert(obs.nonEmpty, "dropped-postings metric must ride the query")
+    assert(obs.get.getAs[Long]("dropped_keys") > 0L)
+    assert(obs.get.getAs[Long]("max_df") == 30L)
+  }
+
+  test("jaccard self-join: hot shingle drops conservatively under maxPostings") {
+    // every doc shares ONE boilerplate trigram (df = 20); docs 100/101
+    // are true near-dups sharing 4 of their 5 shingles. Capped, the hot
+    // shingle leaves |A∩B| (conservative underestimate) so hot-only
+    // pairs disappear while the true pair keeps jaccard 4/6.
+    val docs = ((1 to 20).map(i =>
+        (i.toLong, s"common1 common2 common3 x${i}1 x${i}2 x${i}3 x${i}4")) ++
+      Seq((100L, "same1 same2 same3 same4 same5 same6 endA"),
+          (101L, "same1 same2 same3 same4 same5 same6 endB")))
+      .toDF("doc_id", "text")
+    val unguarded = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+      n = 3, minJ = 0.05)
+    assert(unguarded.count() >= 190L)
+    val guarded = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+      n = 3, minJ = 0.05, maxPostings = 10)
+    val out = guarded.collect().map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(out == Set((100L, 101L, 4.0 / 6.0)))
+    val obs = guarded.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith("graft_hot_postings_") => row
+    }
+    assert(obs.nonEmpty && obs.get.getAs[Long]("dropped_keys") == 1L)
+  }
+
   test("embedding near-dup finds an identical vector pair") {
     val v = Array.tabulate(8)(i => i.toFloat / 8f)
     val w = Array.tabulate(8)(i => (7 - i).toFloat / 8f)
