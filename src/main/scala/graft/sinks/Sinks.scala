@@ -183,9 +183,13 @@ object Sinks {
     }
     // Only a genuinely absent table reads as empty; a transient read
     // failure (permissions, corrupt footer) must propagate rather than
-    // silently discard the accumulated dim table.
+    // silently discard the accumulated dim table. The read resolves
+    // the evolution journal so a batch carrying a RENAMED column merges
+    // by the evolved name instead of forking old/new into two columns
+    // (the rename itself is metadata-only; this generation rewrite is
+    // the first time old rows materialize under the new name).
     val existing =
-      if (fs.exists(dst)) spark.read.parquet(path)
+      if (fs.exists(dst)) graft.storage.Evolution.read(spark, path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], batch.schema)
     val all = existing.unionByName(batch, allowMissingColumns = true)
@@ -407,7 +411,12 @@ object Sinks {
         fs.listStatus(dst).exists(_.getPath.getName.startsWith("pkb="))
       val existing =
         if (hasData)
-          spark.read.parquet(path).filter(col("pkb").isin(touched: _*))
+          // journal-resolved like the flat path: only TOUCHED buckets
+          // rewrite, so after a rename the untouched buckets keep the
+          // old column name on disk and reads keep resolving them
+          // through the journal until their next rewrite
+          graft.storage.Evolution.read(spark, path)
+            .filter(col("pkb").isin(touched: _*))
         else {
           import org.apache.spark.sql.Row
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bucketed.schema)
@@ -620,7 +629,7 @@ object Sinks {
     * newer than a live generation. The floorMod nano suffix
     * disambiguates same-millisecond calls under the single-writer
     * contract without ever printing a sign. */
-  private def genStamp(): String =
+  private[graft] def genStamp(): String =
     f"${System.currentTimeMillis()}%013d${java.lang.Math.floorMod(System.nanoTime(), 1000000L)}%06d"
 
   /** Name of the staged-generation commit marker — `private[graft]` so

@@ -75,6 +75,18 @@ trait TableFormat {
   /** Retained version identifiers of a table, oldest first
     * (Iceberg: the `table.snapshots` metadata table). */
   def listVersions(spark: SparkSession, table: String): Seq[String]
+
+  /** Declared column-rename evolution, metadata-only (Iceberg:
+    * `ALTER TABLE t RENAME COLUMN from TO to` — no data rewrite).
+    * After the call, every read door (`read`, `readAt`, `upsert`'s
+    * merge) resolves old generations' files under the new name;
+    * add-column evolution needs no declaration (upsert merges by name
+    * with missing-column tolerance, reads schema-merge). The evolution
+    * contract the reference leans on Iceberg 0.11 for (its dynamic dim
+    * DDL exists precisely because dim schemas drift, reference
+    * dim/DimDataToHBase.scala:79-93). */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Unit
 }
 
 /** Plain-parquet implementation: `table` is a directory path. Delegates
@@ -87,7 +99,10 @@ object ParquetDirFormat extends TableFormat {
   import graft.maintenance.Compaction
 
   override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(table)
+    // journal-resolved + schema-merged: append dirs legitimately mix
+    // pre- and post-add-column files, and renamed tables resolve old
+    // files' columns under the evolved name (Evolution scaladoc)
+    Evolution.read(spark, table)
 
   override def append(df: DataFrame, table: String,
                       partitionCols: Seq[String]): Unit =
@@ -127,8 +142,15 @@ object ParquetDirFormat extends TableFormat {
     * come free. */
   override def readAt(spark: SparkSession, table: String,
                       version: String): DataFrame =
-    Sinks.readDimAt(spark, table, version)
+    // a retired generation reads against the EVOLVED schema: renames
+    // resolve through the journal, added columns conform as typed
+    // nulls — the Iceberg name-mapping behavior, not a frozen schema
+    Evolution.readAt(spark, table, version)
 
   override def listVersions(spark: SparkSession, table: String): Seq[String] =
     Sinks.listDimVersions(spark, table)
+
+  override def renameColumn(spark: SparkSession, table: String,
+                            from: String, to: String): Unit =
+    Evolution.renameColumn(spark, table, from, to)
 }

@@ -82,6 +82,13 @@ class MemoryTableFormat extends TableFormat {
         s"version $version of $table is not retained"))
   override def listVersions(spark: SparkSession, table: String): Seq[String] =
     versions.getOrElse(table, Vector.empty).map(_._1)
+  override def renameColumn(spark: SparkSession, table: String,
+                            from: String, to: String): Unit = {
+    tables.updateWith(table)(_.map(_.withColumnRenamed(from, to)))
+    versions.updateWith(table)(_.map(_.map { case (s, df) =>
+      (s, df.withColumnRenamed(from, to)) }))
+    ()
+  }
 }
 
 /** Conformance of the parquet TableFormat implementation — the same
@@ -159,6 +166,66 @@ class TableFormatSpec extends SparkTestBase {
     intercept[java.util.NoSuchElementException] {
       fmt.readAt(spark, t, "0000000000000000000")
     }
+  }
+
+  test("schema evolution: metadata-only rename + add-column; upsert and both read doors resolve") {
+    val t = tmp()
+    // generation 1: pre-evolution schema
+    fmt.upsert(spark, Seq((1L, "a", 10.5, 1L), (2L, "b", 20.5, 1L))
+      .toDF("id", "name", "bal", "ver"), t, "id", "ver")
+    // declare the rename — NO data rewrite happens here; the live read
+    // must already resolve old files under the new name
+    fmt.renameColumn(spark, t, "bal", "balance")
+    val resolved = fmt.read(spark, t)
+    assert(resolved.columns.contains("balance") && !resolved.columns.contains("bal"))
+    assert(resolved.select("id", "balance").as[(Long, Double)].collect().toMap
+      == Map(1L -> 10.5, 2L -> 20.5))
+    // upsert AFTER evolution: batch carries the new name and a brand-new
+    // column (add-column evolution, undeclared by design)
+    fmt.upsert(spark, Seq((2L, "b", 0.0, "SEG", 2L))
+      .toDF("id", "name", "balance", "seg", "ver"), t, "id", "ver")
+    val live = fmt.read(spark, t)
+    val liveRows = live.select("id", "balance", "seg")
+      .as[(Long, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(liveRows == Map(1L -> ((10.5, None)), 2L -> ((0.0, Some("SEG")))))
+    // time travel: the retired PRE-EVOLUTION generation reads against
+    // the EVOLVED schema — rename resolved, added column a typed null
+    val vs = fmt.listVersions(spark, t)
+    assert(vs.size == 1)
+    val old = fmt.readAt(spark, t, vs.head)
+    assert(old.schema.fieldNames.toSeq == live.schema.fieldNames.toSeq)
+    assert(old.select("id", "balance", "seg")
+      .as[(Long, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+      == Map(1L -> ((10.5, None)), 2L -> ((20.5, None))))
+    // chained rename replays in order on both doors
+    fmt.renameColumn(spark, t, "balance", "bal2")
+    assert(fmt.read(spark, t).columns.contains("bal2"))
+    assert(fmt.readAt(spark, t, vs.head).columns.contains("bal2"))
+    // validation: unknown source column and collision both fail loudly
+    intercept[IllegalArgumentException] {
+      fmt.renameColumn(spark, t, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      fmt.renameColumn(spark, t, "name", "bal2")
+    }
+  }
+
+  test("schema evolution on an APPEND dir: mixed-schema files merge and rename coalesces") {
+    val t = tmp()
+    fmt.append(Seq((1L, 10.0)).toDF("id", "bal"), t)
+    fmt.renameColumn(spark, t, "bal", "balance")
+    // post-rename appends write the new name — the dir now mixes files
+    // with 'bal' and files with 'balance' (+ an added column), and the
+    // read must present ONE evolved schema over both
+    fmt.append(Seq((2L, 20.0, "x")).toDF("id", "balance", "extra"), t)
+    val out = fmt.read(spark, t)
+    assert(out.columns.sorted.toSeq == Seq("balance", "extra", "id"))
+    assert(out.select("id", "balance", "extra")
+      .as[(Long, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+      == Map(1L -> ((10.0, None)), 2L -> ((20.0, Some("x")))))
   }
 
   test("seam proof: batch + streaming apps run against a NON-parquet format") {
