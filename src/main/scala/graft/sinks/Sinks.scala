@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -536,10 +536,34 @@ object Sinks {
     * kill mid-promote is rolled forward (marker present) or back
     * (absent) by the next call's [[recoverPublish]] sweep — at no
     * recoverable point is a mixed old/new pair the end state.
+    *
+    * ZONE MAPS (`zoneCols`): the manifest additionally records each
+    * shard's min/max for the named columns (`zmin_<c>`/`zmax_<c>` —
+    * the manifest column stats Iceberg keeps), and
+    * [[readShardsBetween]] prunes shards whose range cannot intersect
+    * a selective predicate WITHOUT opening any data file. With the
+    * default hash sharding every shard spans the whole value range of
+    * most columns, so zone maps only pay when the shard assignment
+    * clusters the zone column — pass `shardCol` to supply an EXPLICIT
+    * deterministic assignment (any pure function of the row the
+    * caller materializes as a column: a date bucket, `id div k`, a
+    * range bucket from offline quantiles). Values must land in
+    * `[0, nShards)` — validated against the staged manifest before the
+    * commit marker, so a bad assignment aborts with the old
+    * generation intact. Keep `zoneCols` consistent across publishes
+    * of one path (the delta path unions old and new manifest rows by
+    * name and will fail loudly on drift).
     * Returns the manifest frame. */
   def writeShards(df: DataFrame, path: String, idCol: String,
-                  nShards: Int, retainPrevious: Boolean = false): DataFrame = {
+                  nShards: Int, retainPrevious: Boolean = false,
+                  zoneCols: Seq[String] = Nil,
+                  shardCol: Option[String] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    shardCol.foreach(c => require(df.columns.contains(c),
+      s"shardCol '$c' is not a column of the input (${df.columns.mkString(", ")})"))
+    require(zoneCols.forall(df.columns.contains),
+      s"zoneCols must be input columns; missing: ${
+        zoneCols.filterNot(df.columns.contains).mkString(", ")}")
     // case-insensitive on purpose: Spark resolves columns
     // case-insensitively by default, so an input 'Shard' would be
     // silently REPLACED by the derived id even though a
@@ -555,15 +579,25 @@ object Sinks {
     val lease = acquirePublishLease(fs, base)
     try {
       writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
-        retainPrevious)
+        retainPrevious, zoneCols, shardCol)
     } finally releasePublishLease(fs, base, lease)
   }
+
+  /** Shard id column: hash of the row id by default (stable across
+    * runs/partitionings/engines), or the caller's explicit assignment
+    * column cast to long (clustered layouts for zone-map pruning). */
+  private def shardAssignment(idCol: String, nShards: Int,
+                              shardCol: Option[String]): Column =
+    shardCol.map(c => col(c).cast("long"))
+      .getOrElse(pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
 
   private def writeShardsLeased(df: DataFrame, path: String, idCol: String,
                                 nShards: Int, spark: SparkSession,
                                 base: org.apache.hadoop.fs.Path,
                                 fs: org.apache.hadoop.fs.FileSystem,
-                                retainPrevious: Boolean = false): DataFrame = {
+                                retainPrevious: Boolean = false,
+                                zoneCols: Seq[String] = Nil,
+                                shardCol: Option[String] = None): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
     // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
@@ -578,7 +612,7 @@ object Sinks {
     // fully verifiable (the pre-round-8 form overwrote $path/data in
     // place — a mid-write kill had already destroyed the old corpus).
     val sharded = df.withColumn("shard",
-      pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      shardAssignment(idCol, nShards, shardCol))
     // an in-process staging failure (failed task, bad input) deletes
     // its own debris; a process KILL can't, so recoverPublish sweeps
     // marker-less staging dirs at the next call either way
@@ -606,9 +640,26 @@ object Sinks {
         "shard", org.apache.spark.sql.types.LongType))
     val written = spark.read.schema(writtenSchema)
       .parquet(stagedData.toString)
-    val manifest = shardSummary(written, idCol, dataCols)
+    val manifest = shardSummary(written, idCol, dataCols, zoneCols)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+    // explicit-assignment validation BEFORE the commit marker: a shard
+    // id outside [0, nShards) would publish a directory no loader plans
+    // for — abort here and the crash envelope discards the staging,
+    // old generation intact. One tiny read of the just-written manifest.
+    if (shardCol.nonEmpty) {
+      val bad = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+        .filter(col("shard").isNull || col("shard") < 0 ||
+          col("shard") >= nShards)
+        .select("shard").collect().map(_.get(0))
+      if (bad.nonEmpty) {
+        fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"writeShards: explicit shardCol '${shardCol.get}' produced " +
+            s"ids outside [0, $nShards): ${bad.mkString(", ")}")
+      }
+    }
     // COMMIT POINT: the marker flips crash recovery from roll-back
     // (incomplete staging → discard, old generation stands) to
     // roll-forward (staged generation is complete → a later call
@@ -906,13 +957,22 @@ object Sinks {
     * counting semantics ever change, publisher and verifier must move
     * together or every healthy publish starts failing verification. */
   private def shardSummary(written: DataFrame, idCol: String,
-                           dataCols: Seq[String]): DataFrame =
+                           dataCols: Seq[String],
+                           zoneCols: Seq[String] = Nil): DataFrame = {
+    // zone maps: per-shard min/max of declared columns (Iceberg's
+    // manifest column stats) — nulls are ignored by min/max, matching
+    // the pruning reader's filter semantics (a predicate row-filters
+    // nulls out either way, so skipping them in the stats is exact)
+    val zoneAggs = zoneCols.flatMap(c => Seq(
+      min(col(c)).as(s"zmin_$c"), max(col(c)).as(s"zmax_$c")))
     written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        min(col(idCol)).as("min_id"),
-        max(col(idCol)).as("max_id"),
-        sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
+        (Seq(min(col(idCol)).as("min_id"),
+          max(col(idCol)).as("max_id"),
+          sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
+          ++ zoneAggs): _*)
+  }
 
   /** Integrity check for a [[writeShards]] layout: recompute each
     * shard's (n_rows, id range, content hash) from the published data
@@ -976,6 +1036,48 @@ object Sinks {
       .withColumn("ok", coalesce(col("ok"), lit(false)))
       .select("shard", "ok", "n_rows", "manifest_rows",
         "content_hash", "manifest_hash")
+  }
+
+  /** ZONE-MAP pruned scan of a [[writeShards]] layout: read only the
+    * shards whose recorded `[zmin_<zoneCol>, zmax_<zoneCol>]` range
+    * intersects `[lo, hi]`, then apply the precise row filter. The
+    * planning read is the MANIFEST (one row per shard — metadata
+    * scale); at 100 TB a selective date predicate over a
+    * date-clustered publish opens the matching fraction of shard
+    * files instead of every footer in the corpus (this is file-level
+    * data skipping, one level above the parquet row-group stats the
+    * range-sorted writer already exploits — [[writeSorted]]).
+    *
+    * Result rows are EXACTLY `read(data).filter(zoneCol between
+    * lo and hi)`: shards whose stats are null (all-null zone column)
+    * cannot contain a matching row and are skipped; rows with a null
+    * zone value inside surviving shards are dropped by the row filter
+    * like any scan. Requires the publish to have recorded `zoneCol`
+    * in its `zoneCols` — fails loudly otherwise (a typo'd column
+    * pruning everything would be the silent-wrongness outcome). */
+  def readShardsBetween(spark: SparkSession, path: String,
+                        zoneCol: String, lo: Any, hi: Any): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/manifest")
+    require(manifest.columns.contains(s"zmin_$zoneCol"),
+      s"no zone map for '$zoneCol' in $path/manifest — publish with " +
+        s"zoneCols = Seq(...\"$zoneCol\"...) to enable pruning (have: ${
+          manifest.columns.filter(_.startsWith("zmin_"))
+            .map(_.stripPrefix("zmin_")).mkString(", ")})")
+    // bounded collect: one row per shard, the same envelope as the
+    // publisher's own manifest reads
+    val keep = manifest
+      .filter(col(s"zmax_$zoneCol") >= lit(lo) &&
+        col(s"zmin_$zoneCol") <= lit(hi))
+      .select(col("shard")).collect().map(_.getLong(0)).sorted
+    val dataDir = s"$path/data"
+    val pruned =
+      if (keep.isEmpty)
+        // schema from the layout (footer-only), zero rows
+        spark.read.parquet(dataDir).filter(lit(false))
+      else
+        spark.read.option("basePath", dataDir)
+          .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
+    pruned.filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
   }
 
   /** Delta-aware integrity check — the [[verifyShards]] a loader runs
@@ -1127,7 +1229,9 @@ object Sinks {
     * between versions degrades gracefully to a full rewrite (every
     * shard classifies as changed). Returns the new live manifest. */
   def publishDelta(df: DataFrame, path: String, idCol: String,
-                   nShards: Int, retainPrevious: Boolean = false): DataFrame = {
+                   nShards: Int, retainPrevious: Boolean = false,
+                   zoneCols: Seq[String] = Nil,
+                   shardCol: Option[String] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.exists(_.equalsIgnoreCase("shard")),
       "publishDelta derives its own `shard` column; rename the input's")
@@ -1146,10 +1250,10 @@ object Sinks {
           !fs.exists(livePath))
         // nothing to delta against — a first publish is a full publish
         return writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
-          retainPrevious)
+          retainPrevious, zoneCols, shardCol)
       val dataCols = df.columns.toSeq
       val sharded = df.withColumn("shard",
-        pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+        shardAssignment(idCol, nShards, shardCol))
       // detection: nShards summary rows vs the live manifest
       val v2sum = shardSummary(sharded, idCol, dataCols)
         .withColumnRenamed("n_rows", "new_rows")
@@ -1193,7 +1297,8 @@ object Sinks {
             live.filter(lit(false)) // empty, same schema
           else shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
-              .filter(col("shard").isin(toWrite: _*)), idCol, dataCols)
+              .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
+            zoneCols)
         val keptManifest =
           if (unchanged.isEmpty) live.filter(lit(false))
           else live.filter(col("shard").isin(unchanged.toSeq: _*))

@@ -278,6 +278,71 @@ class SinksSpec extends SparkTestBase {
     assert(again == manifest)
   }
 
+  test("zone maps: manifest stats prune shard files on a selective predicate") {
+    val dir = Files.createTempDirectory("graft_zone_").toString + "/pub"
+    // a time-clustered corpus: explicit shard assignment buckets ts
+    // into 10 contiguous ranges (the caller's domain knowledge — a
+    // date bucket at lake scale), zone maps recorded on ts
+    val rows = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("ts", col("doc_id") * 10L)
+      .withColumn("bucket", (col("doc_id") / 100L).cast("long"))
+    val manifest = Sinks.writeShards(rows, dir, "doc_id", nShards = 10,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    assert(manifest.columns.contains("zmin_ts") &&
+      manifest.columns.contains("zmax_ts"))
+    // selective predicate: ts in [1500, 2500] lives in buckets 1-2 only
+    val pruned = Sinks.readShardsBetween(spark, dir, "ts", 1500L, 2500L)
+    val full = spark.read.parquet(s"$dir/data")
+      .filter(col("ts") >= 1500L && col("ts") <= 2500L)
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq ==
+      full.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the measured artifact: files OPENED drop from 10 to 2
+    val prunedFiles = pruned.inputFiles.length
+    val fullFiles = spark.read.parquet(s"$dir/data").inputFiles.length
+    info(s"zone-map pruning read $prunedFiles/$fullFiles shard files")
+    assert(fullFiles == 10 && prunedFiles == 2,
+      s"expected 2/10 files, read $prunedFiles/$fullFiles")
+    // the shard column still rides the pruned frame (loader contract)
+    assert(pruned.columns.contains("shard"))
+    // empty intersection reads ZERO files and returns the right schema
+    val none = Sinks.readShardsBetween(spark, dir, "ts", 100000L, 200000L)
+    assert(none.count() == 0)
+    // pruning on an un-mapped column fails loudly, never silently empty
+    val e = intercept[IllegalArgumentException] {
+      Sinks.readShardsBetween(spark, dir, "doc_id", 0L, 10L)
+    }
+    assert(e.getMessage.contains("no zone map"), e.getMessage)
+    // out-of-range explicit assignment aborts before the commit marker
+    intercept[IllegalArgumentException] {
+      Sinks.writeShards(rows, dir + "2", "doc_id", nShards = 5,
+        zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    }
+    // ... and the aborted publish left no committed generation behind
+    assert(!new java.io.File(dir + "2/data").exists())
+  }
+
+  test("zone maps survive a delta republish (changed + linked shards both carry stats)") {
+    val dir = Files.createTempDirectory("graft_zoned_").toString + "/pub"
+    val v1 = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("ts", col("doc_id") * 10L)
+      .withColumn("bucket", (col("doc_id") / 100L).cast("long"))
+    Sinks.writeShards(v1, dir, "doc_id", nShards = 10,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    // v2 changes bucket 3 only (ts shifted); others link unchanged
+    val v2 = v1.withColumn("ts",
+      when(col("bucket") === 3L, col("ts") + 1L).otherwise(col("ts")))
+      .localCheckpoint()
+    Sinks.publishDelta(v2, dir, "doc_id", nShards = 10,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val m = spark.read.parquet(s"$dir/manifest")
+      .select("shard", "zmin_ts", "zmax_ts").as[(Long, Long, Long)]
+      .collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(m(3L) == ((3001L, 3991L)), s"rewritten shard stats: ${m(3L)}")
+    assert(m(2L) == ((2000L, 2990L)), s"linked shard stats: ${m(2L)}")
+    val pruned = Sinks.readShardsBetween(spark, dir, "ts", 3001L, 3001L)
+    assert(pruned.inputFiles.length == 1 && pruned.count() == 1)
+  }
+
   test("verifyShards detects intact, corrupted, and missing shards") {
     val dir = Files.createTempDirectory("graft_vshard_").toString + "/pub"
     val docs = graft.Tables(spark, sf).documents
