@@ -1524,7 +1524,13 @@ object Queries {
     // exact jaccard >= 0.5 (the DuckDB oracle's form), at
     // Σ df(shingle)² cost instead of O(500²) array intersections
     val edges = Dedup.jaccardSelfJoin(block, "text", "doc_id", n = 3, minJ = 0.5)
-    Dedup.clusterDuplicates(edges, s)
+    // limit overridable so the GraphX Pregel branch can be driven
+    // through the EXACT q61 pipeline against the same recursive-CTE
+    // oracle (DedupSpec sets 0 and pins bit-equality of both paths;
+    // the driver's CORRECTNESS run keeps the default)
+    Dedup.clusterDuplicates(edges, s,
+      smallEdgeLimit =
+        s.conf.get("spark.graft.cluster.smallEdgeLimit", "100000").toLong)
   }
   val q61Sql: String =
     """WITH RECURSIVE w AS (

@@ -431,6 +431,24 @@ class DedupSpec extends SparkTestBase {
     assert(fast == brute)
   }
 
+  test("q61 pipeline: GraphX path produces the oracle-pinned result bit for bit") {
+    // the driver's CORRECTNESS run only ever exercises the union-find
+    // branch (q61's edge set is far below the default limit); this
+    // drives the EXACT q61 pipeline — same fixture, same edges — down
+    // the Pregel branch and pins it against the default path, which
+    // the DuckDB recursive-CTE oracle certifies every round
+    val default = graft.SparkEntry.queries("q61_cluster_cc")(spark, sf)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(default.nonEmpty)
+    spark.conf.set("spark.graft.cluster.smallEdgeLimit", "0")
+    try {
+      val viaGraphX = graft.SparkEntry.queries("q61_cluster_cc")(spark, sf)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(viaGraphX == default,
+        "GraphX q61 diverged from the oracle-pinned union-find result")
+    } finally spark.conf.unset("spark.graft.cluster.smallEdgeLimit")
+  }
+
   test("shared spans: planted boilerplate fingerprint is dropped loudly, output stays bounded") {
     // 30 docs all carrying the same 20-word template span (df = 30 for
     // every pure-template fingerprint) + one genuinely copied pair on a
