@@ -1080,6 +1080,48 @@ object Sinks {
     pruned.filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
   }
 
+  /** Retained PUBLISHED generations of a [[writeShards]] layout,
+    * oldest first — populated by publishes with `retainPrevious`
+    * (each promote retires the displaced generation into
+    * `$path/_versions/<stamp>` by rename; under delta publishes the
+    * carried files are hard links, so a retained generation costs its
+    * delta in disk, like Iceberg snapshots). Same stamp semantics as
+    * the dim-table store: a version is named by the publish that
+    * DISPLACED it, so `readShardsAt(stamp)` answers "what did the
+    * corpus say just before the <stamp> publish". */
+  def listShardVersions(spark: SparkSession, path: String): Seq[String] = {
+    val vd = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), PublishedVersionsDir)
+    val fs = vd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vd)) Seq.empty
+    else fs.listStatus(vd).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sortBy { s =>
+        val fixed = s.length == 19 && s.forall(_.isDigit)
+        (fixed, s.toLongOption.getOrElse(Long.MinValue), s)
+      }
+  }
+
+  /** Time travel on a PUBLISHED corpus: the shard data of the retained
+    * generation displaced at `stamp` (its manifest sits beside it at
+    * `$path/_versions/<stamp>/manifest` for verification/diffing).
+    * Fails loudly when the generation was expired or never retained —
+    * the same no-silent-fallback contract as [[readDimAt]]. */
+  def readShardsAt(spark: SparkSession, path: String,
+                   stamp: String): DataFrame = {
+    val tgt = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path),
+      s"$PublishedVersionsDir/$stamp")
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tgt)) {
+      val have = listShardVersions(spark, path)
+      throw new java.util.NoSuchElementException(
+        s"published generation $stamp of $path is not retained " +
+          s"(expired, or never published with retainPrevious); retained: ${
+            if (have.isEmpty) "none" else have.mkString(", ")}")
+    }
+    spark.read.parquet(s"$tgt/data")
+  }
+
   /** Delta-aware integrity check — the [[verifyShards]] a loader runs
     * after a [[publishDelta]]: re-reading the whole corpus to verify a
     * publish that rewrote 2% of it gives back the entire saving the

@@ -186,7 +186,8 @@ object IncrementalDedup {
     *
     * Returns the new live manifest. */
   def flushChunks(spark: SparkSession, chunksDir: String, pairsDir: String,
-                  pubDir: String, nShards: Int): DataFrame = {
+                  pubDir: String, nShards: Int,
+                  retainPrevious: Boolean = false): DataFrame = {
     val pairsPath = new org.apache.hadoop.fs.Path(pairsDir)
     val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // distinct(): foreachBatch is at-least-once, replays re-append
@@ -199,7 +200,8 @@ object IncrementalDedup {
           .distinct()
         chunks.join(losers, Seq("chunk_id"), "left_anti")
       } else chunks
-    graft.sinks.Sinks.publishDelta(survivors, pubDir, "chunk_id", nShards)
+    graft.sinks.Sinks.publishDelta(survivors, pubDir, "chunk_id", nShards,
+      retainPrevious = retainPrevious)
   }
 
   /** [[runChunks]] composed with the publisher: chunk each batch,
@@ -220,7 +222,8 @@ object IncrementalDedup {
                           estThreshold: Double = 1.0,
                           publishEvery: Int = 1, nShards: Int = 16,
                           compactEvery: Int = 0,
-                          compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
+                          compactTargetBytes: Long = 128L * 1024 * 1024,
+                          retainPrevious: Boolean = false): StreamingQuery = {
     val (storeDir, pairsDir) = (s"$workDir/store", s"$workDir/pairs")
     val (chunksDir, pubDir) = (s"$workDir/chunks", s"$workDir/pub")
     docs.writeStream
@@ -240,7 +243,8 @@ object IncrementalDedup {
         maybeCompact(spark, batchId, compactEvery,
           Seq(storeDir, pairsDir, chunksDir), compactTargetBytes)
         if (publishEvery > 0 && batchId % publishEvery == publishEvery - 1) {
-          flushChunks(spark, chunksDir, pairsDir, pubDir, nShards)
+          flushChunks(spark, chunksDir, pairsDir, pubDir, nShards,
+            retainPrevious)
           ()
         }
       }
