@@ -61,8 +61,8 @@ object Dedup {
     * is too small to estimate) should census exactly; [[minHashLsh]]/
     * [[simHashDup]] fall back to exact automatically when the scaled
     * threshold would drop below 10 sampled rows. */
-  private def hotBucketGuard(banded: DataFrame, sampled: DataFrame,
-                             maxBucket: Int, fraction: Double): DataFrame = {
+  private[graft] def hotBucketGuard(banded: DataFrame, sampled: DataFrame,
+                                    maxBucket: Int, fraction: Double): DataFrame = {
     val scaled = math.max(1L, (maxBucket * fraction).toLong)
     val hot = sampled.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("_bc")).filter(col("_bc") > scaled)
@@ -468,16 +468,29 @@ object Dedup {
     * exact cosine filter); only recall is approximate. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
-                       bands: Int = 3): DataFrame = {
+                       bands: Int = 3, maxBucket: Int = 10000,
+                       censusFraction: Double = 0.05): DataFrame = {
     // Blocking carries IDS ONLY (band keys from ONE native RpBands
     // traversal, band b's hyperplanes seeded 42+b); the vectors join
     // back below for just the candidate pairs, so the banded exchange
     // moves (band, band_key, id) rows, not bands× copies of the
-    // embedding.
-    val banded = df.select(col(idCol).as("id"),
-        posexplode(Vectors.rpBands(col(vecCol), planes, bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    // embedding. Guard-then-shuffle like minHashLsh: a degenerate
+    // vector population (zero/constant embeddings — every plane sign
+    // agrees) collapses into one bucket whose self-join is O(L²);
+    // buckets over maxBucket are anti-joined away map-side before any
+    // exchange. Precision is unaffected (exact-cosine verify);
+    // recall concedes only pairs whose EVERY shared band is
+    // boilerplate-hot — the same concession minHashLsh documents.
+    def bandFrameOf(d: DataFrame): DataFrame =
+      d.select(col(idCol).as("id"),
+          posexplode(Vectors.rpBands(col(vecCol), planes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    val f = effectiveCensusFraction(maxBucket, censusFraction)
+    val census =
+      if (f >= 1.0) bandFrameOf(df)
+      else bandFrameOf(df.sample(withReplacement = false, f, seed = 7L))
+    val banded = hotBucketGuard(bandFrameOf(df), census, maxBucket, f)
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_key"))

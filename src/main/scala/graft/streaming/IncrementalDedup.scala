@@ -60,7 +60,8 @@ object IncrementalDedup {
 
   def processBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
                    pairsDir: String, textCol: String, idCol: String,
-                   numHashes: Int, bands: Int, estThreshold: Double): Unit = {
+                   numHashes: Int, bands: Int, estThreshold: Double,
+                   maxBucket: Int = 10000): Unit = {
     val banded = Dedup.bandFrame(batch, textCol, idCol, numHashes, bands)
       .persist()
     try {
@@ -72,14 +73,29 @@ object IncrementalDedup {
       // skip the corpus comparison and let dups through. The existence
       // probe resolves the PATH's filesystem so scheme-qualified stores
       // (s3a://…) work.
+      // Hot-bucket guard on the STORE side (same concession as
+      // minHashLsh's): a boilerplate band_key accumulated over a long
+      // stream would fan every later batch out by its store bucket
+      // size. Census = the store's postings restricted to buckets the
+      // batch actually touches (semi join first — the aggregation
+      // stays proportional to fingerprint collisions, not corpus
+      // size), census fraction exactly 1.0 on that slice.
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val store =
         if (fs.exists(storePath)) Some(spark.read.parquet(storeDir))
         else None
+      // batch-side guard: exact census over the persisted banded frame
+      // (one cheap aggregation; a replayed or oversized micro-batch
+      // with boilerplate text is the intra-join's own O(L²) hazard)
+      val guardedNew = Dedup.hotBucketGuard(newSide, banded, maxBucket, 1.0)
       val crossPairs = store.map { st =>
-        newSide.join(
-            st.select(col("band"), col("band_key"),
+        val touched = banded.select(col("band"), col("band_key")).distinct()
+        val matching = st.join(broadcast(touched), Seq("band", "band_key"),
+          "left_semi")
+        val guarded = Dedup.hotBucketGuard(matching, matching, maxBucket, 1.0)
+        guardedNew.join(
+            guarded.select(col("band"), col("band_key"),
               col("id").as("corpus_id"), col("sig").as("corpus_sig")),
             Seq("band", "band_key"))
           .select(col("new_id"), col("corpus_id"),
@@ -90,8 +106,8 @@ object IncrementalDedup {
       }
 
       // batch-internal pairs
-      val intra = newSide
-        .join(newSide.select(col("band"), col("band_key"),
+      val intra = guardedNew
+        .join(guardedNew.select(col("band"), col("band_key"),
           col("new_id").as("corpus_id"), col("new_sig").as("corpus_sig")),
           Seq("band", "band_key"))
         .filter(col("new_id") < col("corpus_id"))
