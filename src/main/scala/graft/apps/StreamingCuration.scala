@@ -89,4 +89,50 @@ object StreamingCuration {
   /** The session dim table (latest state per user session). */
   def sessions(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(s"$workDir/sessions")
+
+  /** Runnable file-backed demo (the StreamDemo pattern): drop event
+    * JSON into `$work/in`, run both consumers, print the generation
+    * chain, a time-traveled generation, and the session table.
+    * Usage: runMain graft.apps.StreamingCuration [workDir] */
+  def main(args: Array[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val work = args.headOption.getOrElse(
+      Files.createTempDirectory("graft_scur_demo_").toString)
+    val inDir = s"$work/in"; Files.createDirectories(Paths.get(inDir))
+    val shared = "shared boilerplate licence text that repeats verbatim here!"
+    def pad(s: String) = (s + " filler words to round out the chunk body")
+      .padTo(64, 'x').take(64)
+    Files.writeString(Paths.get(s"$inDir/batch1.json"),
+      s"""{"user_id":10,"ts":1000,"doc_id":1,"text":"${pad("alpha document opening")}$shared"}
+         |{"user_id":20,"ts":2000,"doc_id":2,"text":"${pad("unrelated clean document")}${pad("clean two")}"}""".stripMargin)
+    val spark = graft.GraftSession.local(4)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val h = run(spark, events, work, gapSec = 100L,
+      chunkSize = 64, chunkStep = 64, numHashes = 32, bands = 8,
+      publishEvery = 1, nShards = 8)
+    h.processAllAvailable()
+    // second batch arrives mid-stream: doc 3 repeats the shared span
+    Files.writeString(Paths.get(s"$inDir/batch2.json"),
+      s"""{"user_id":10,"ts":1050,"doc_id":3,"text":"${pad("gamma different opening")}$shared"}""")
+    h.processAllAvailable(); h.stop()
+    println("=== published corpus (live generation) ===")
+    corpus(spark, work).select("chunk_id", "doc_id").orderBy("chunk_id")
+      .show(20, truncate = false)
+    val chain = corpusVersions(spark, work)
+    println(s"=== generation chain (oldest first): $chain ===")
+    chain.headOption.foreach { stamp =>
+      println(s"=== corpusAt($stamp) — before the latest publish ===")
+      corpusAt(spark, work, stamp).select("chunk_id").orderBy("chunk_id")
+        .show(20, truncate = false)
+    }
+    println("=== sessions (latest state per user session) ===")
+    sessions(spark, work).select("user_id", "session_id", "n_events",
+      "start_sec", "end_sec").orderBy("user_id").show(10, truncate = false)
+    spark.stop()
+  }
 }
