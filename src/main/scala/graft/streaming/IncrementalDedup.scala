@@ -130,12 +130,13 @@ object IncrementalDedup {
           numHashes: Int = 64, bands: Int = 16,
           estThreshold: Double = 0.5,
           compactEvery: Int = 0,
-          compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
+          compactTargetBytes: Long = 128L * 1024 * 1024,
+          maxBucket: Int = 10000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(spark, batch.toDF(), storeDir, pairsDir,
-          textCol, idCol, numHashes, bands, estThreshold)
+          textCol, idCol, numHashes, bands, estThreshold, maxBucket)
         maybeCompact(spark, batchId, compactEvery,
           Seq(storeDir, pairsDir), compactTargetBytes)
       }
@@ -385,12 +386,13 @@ object IncrementalDedup {
                textCol: String = "text", idCol: String = "doc_id",
                k: Int = 8, w: Int = 4, minShared: Long = 3L,
                compactEvery: Int = 0,
-               compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery =
+               compactTargetBytes: Long = 128L * 1024 * 1024,
+               maxPostings: Int = 10000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processSpanBatch(spark, batch.toDF(), storeDir, pairsDir,
-          textCol, idCol, k, w, minShared)
+          textCol, idCol, k, w, minShared, maxPostings)
         maybeCompact(spark, batchId, compactEvery,
           Seq(storeDir, pairsDir), compactTargetBytes)
       }

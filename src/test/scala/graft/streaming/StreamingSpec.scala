@@ -305,6 +305,61 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$w/store").select("id").distinct().count() == 4)
   }
 
+  test("incremental span store guard: a boilerplate fp accumulated in the " +
+    "store cannot fan a later batch out") {
+    val boiler = (1 to 20).map(i => s"tmpl$i").mkString(" ")
+    val copied = (1 to 20).map(i => s"span$i").mkString(" ")
+    val w = tmp()
+    // corpus batch: 25 template docs + one real doc carrying `copied`
+    val corpus = ((1 to 25).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c u${i}d $boiler u${i}e")) :+
+      ((100L, s"alpha beta gamma delta $copied epsilon")))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processSpanBatch(spark, corpus, s"$w/store",
+      s"$w/pairs", "text", "doc_id", k = 8, w = 4, minShared = 3L,
+      maxPostings = 10)
+    // intra guard: the 25·24/2 template pairs never materialize
+    assert(spark.read.parquet(s"$w/pairs").count() == 0)
+    // probe batch: doc 101 repeats the template AND the copied span —
+    // only the true copy may pair (the template fps hold 25 store
+    // postings > 10 and are dropped from the cross probe)
+    val probe = Seq(
+      (101L, s"one two three four five $copied six $boiler seven"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processSpanBatch(spark, probe, s"$w/store",
+      s"$w/pairs", "text", "doc_id", k = 8, w = 4, minShared = 3L,
+      maxPostings = 10)
+    val pairs = spark.read.parquet(s"$w/pairs")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((101L, 100L)), s"got $pairs")
+  }
+
+  test("incremental minhash store guard: hot store buckets are excluded, " +
+    "true dups still pair") {
+    val boiler = (1 to 30).map(i => s"same$i").mkString(" ")
+    val unique = (1 to 30).map(i => s"uniq$i").mkString(" ")
+    val w = tmp()
+    // corpus: 30 IDENTICAL boilerplate docs (they share every band
+    // bucket) + one distinct doc
+    val corpus = ((1 to 30).map(i => (i.toLong, boiler)) :+ ((100L, unique)))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(spark, corpus, s"$w/store", s"$w/pairs",
+      "text", "doc_id", numHashes = 32, bands = 8, estThreshold = 0.9,
+      maxBucket = 10)
+    assert(spark.read.parquet(s"$w/pairs").count() == 0,
+      "intra guard must drop the 30-doc boilerplate buckets")
+    // probe: one more boilerplate copy (its buckets hold 30 store rows
+    // > 10 → dropped) and one copy of the distinct doc (bucket size 1
+    // → pairs)
+    val probe = Seq((200L, boiler), (201L, unique)).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(spark, probe, s"$w/store", s"$w/pairs",
+      "text", "doc_id", numHashes = 32, bands = 8, estThreshold = 0.9,
+      maxBucket = 10)
+    val pairs = spark.read.parquet(s"$w/pairs")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((201L, 100L)), s"got $pairs")
+  }
+
   test("span dedup n_shared is immune to at-least-once store replay") {
     // foreachBatch may replay a batch, appending its (fp, id) postings
     // to the append-only store TWICE; a later batch's shared-fp tally
