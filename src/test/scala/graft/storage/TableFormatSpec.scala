@@ -212,6 +212,22 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution: a corrupt journal fails loudly, never silently unevolved") {
+    val t = tmp()
+    fmt.append(Seq((1L, 10.0)).toDF("id", "bal"), t)
+    fmt.renameColumn(spark, t, "bal", "balance")
+    // scribble over the journal: a read that silently ignored it would
+    // present the UN-evolved schema — the wrong-answer failure mode
+    val jp = new java.io.File(t + "_evolution")
+    java.nio.file.Files.writeString(jp.toPath, "rename\tonly-two-fields\n")
+    // drop the LocalFileSystem checksum sidecar so the PARSER's error
+    // path is what engages (a checksum mismatch is loud too, but it's
+    // not the contract under test)
+    new java.io.File(jp.getParent, "." + jp.getName + ".crc").delete()
+    val e = intercept[java.io.IOException] { fmt.read(spark, t).schema }
+    assert(e.getMessage.contains("corrupt evolution journal"), e.getMessage)
+  }
+
   test("schema evolution on an APPEND dir: mixed-schema files merge and rename coalesces") {
     val t = tmp()
     fmt.append(Seq((1L, 10.0)).toDF("id", "bal"), t)
