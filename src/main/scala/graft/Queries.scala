@@ -2054,6 +2054,36 @@ object Queries {
       |       'live' AS gen
       |FROM customer""".stripMargin
 
+  /** q76 — zone-map data skipping under a VALUE oracle: publish orders
+    * as a date-CLUSTERED shard layout (explicit assignment = order
+    * year, zone maps recorded on o_orderdate), then answer a selective
+    * date-range scan through [[graft.sinks.Sinks.readShardsBetween]] —
+    * the manifest-planned reader that opens only shards whose recorded
+    * range can intersect (1 of 7 here; SinksSpec measures the
+    * files-opened drop directly). The oracle is the plain row filter,
+    * so the driver's hash compare proves pruning loses NOTHING a full
+    * scan would return — file-level skipping with bit-exact results,
+    * the q74/q75 pattern applied to the manifest stats layer.
+    * Timestamp bounds are built with session-TZ casts (not JVM-default
+    * java.sql literals) for engine parity. */
+  val q76: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q76_").toString
+    val pub = s"$root/pub"
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("bucket", (year(col("o_orderdate")) - 1995).cast("long"))
+    graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
+      zoneCols = Seq("o_orderdate"), shardCol = Some("bucket"))
+    graft.sinks.Sinks.readShardsBetween(s, pub, "o_orderdate",
+        lit("1996-03-01 00:00:00").cast("timestamp"),
+        lit("1996-06-30 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+  }
+  val q76Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+      |                      AND TIMESTAMP '1996-06-30 00:00:00'""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2132,6 +2162,7 @@ object Queries {
     "q73_chunk_dedup" -> q73,
     "q74_time_travel" -> q74,
     "q75_schema_evolution" -> q75,
+    "q76_zone_pruning" -> q76,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2207,5 +2238,6 @@ object Queries {
     "q73_chunk_dedup" -> q73Sql,
     "q74_time_travel" -> q74Sql,
     "q75_schema_evolution" -> q75Sql,
+    "q76_zone_pruning" -> q76Sql,
   )
 }
