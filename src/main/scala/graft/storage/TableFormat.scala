@@ -87,6 +87,20 @@ trait TableFormat {
     * dim/DimDataToHBase.scala:79-93). */
   def renameColumn(spark: SparkSession, table: String,
                    from: String, to: String): Unit
+
+  /** Declared column-drop evolution, metadata-only (Iceberg:
+    * `ALTER TABLE t DROP COLUMN c` — data files keep the bytes until
+    * their next rewrite; every read door projects the column away
+    * immediately). */
+  def dropColumn(spark: SparkSession, table: String, column: String): Unit
+
+  /** Declared type-widening evolution, metadata-only (Iceberg 0.11
+    * promotion set: `ALTER TABLE t ALTER COLUMN c TYPE bigint` for
+    * int->long, float->double, decimal precision growth). Narrow files
+    * cast up on read; the next generation rewrite materializes the
+    * wide type. Non-widening changes are rejected loudly. */
+  def widenColumn(spark: SparkSession, table: String, column: String,
+                  to: org.apache.spark.sql.types.DataType): Unit
 }
 
 /** Plain-parquet implementation: `table` is a directory path. Delegates
@@ -153,4 +167,12 @@ object ParquetDirFormat extends TableFormat {
   override def renameColumn(spark: SparkSession, table: String,
                             from: String, to: String): Unit =
     Evolution.renameColumn(spark, table, from, to)
+
+  override def dropColumn(spark: SparkSession, table: String,
+                          column: String): Unit =
+    Evolution.dropColumn(spark, table, column)
+
+  override def widenColumn(spark: SparkSession, table: String, column: String,
+                           to: org.apache.spark.sql.types.DataType): Unit =
+    Evolution.widenColumn(spark, table, column, to)
 }

@@ -89,6 +89,21 @@ class MemoryTableFormat extends TableFormat {
       (s, df.withColumnRenamed(from, to)) }))
     ()
   }
+  override def dropColumn(spark: SparkSession, table: String,
+                          column: String): Unit = {
+    tables.updateWith(table)(_.map(_.drop(column)))
+    versions.updateWith(table)(_.map(_.map { case (s, df) =>
+      (s, df.drop(column)) }))
+    ()
+  }
+  override def widenColumn(spark: SparkSession, table: String, column: String,
+                           to: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.functions.col
+    tables.updateWith(table)(_.map(_.withColumn(column, col(column).cast(to))))
+    versions.updateWith(table)(_.map(_.map { case (s, df) =>
+      (s, df.withColumn(column, col(column).cast(to))) }))
+    ()
+  }
 }
 
 /** Conformance of the parquet TableFormat implementation — the same
@@ -216,9 +231,15 @@ class TableFormatSpec extends SparkTestBase {
     val t = tmp()
     fmt.append(Seq((1L, 10.0)).toDF("id", "bal"), t)
     fmt.renameColumn(spark, t, "bal", "balance")
-    // scribble over the journal: a read that silently ignored it would
-    // present the UN-evolved schema — the wrong-answer failure mode
-    val jp = new java.io.File(t + "_evolution")
+    // scribble over the journal (the LIVE stamped generation): a read
+    // that silently ignored it would present the UN-evolved schema —
+    // the wrong-answer failure mode
+    val parent = new java.io.File(t).getParentFile
+    val name = new java.io.File(t).getName
+    val jp = parent.listFiles()
+      .filter(f => f.getName.startsWith(name + "_evolution_") &&
+        !f.getName.startsWith(name + "_evolution_tmp_"))
+      .maxBy(_.getName)
     java.nio.file.Files.writeString(jp.toPath, "rename\tonly-two-fields\n")
     // drop the LocalFileSystem checksum sidecar so the PARSER's error
     // path is what engages (a checksum mismatch is loud too, but it's
@@ -226,6 +247,118 @@ class TableFormatSpec extends SparkTestBase {
     new java.io.File(jp.getParent, "." + jp.getName + ".crc").delete()
     val e = intercept[java.io.IOException] { fmt.read(spark, t).schema }
     assert(e.getMessage.contains("corrupt evolution journal"), e.getMessage)
+  }
+
+  test("schema evolution: stamped journal promote is monotonic — crash debris never vanishes it") {
+    val t = tmp()
+    fmt.append(Seq((1L, 10.0)).toDF("id", "bal"), t)
+    fmt.renameColumn(spark, t, "bal", "balance")
+    val parent = new java.io.File(t).getParentFile
+    val name = new java.io.File(t).getName
+    def journals = parent.listFiles()
+      .filter(f => f.getName.startsWith(name + "_evolution_") &&
+        !f.getName.startsWith(name + "_evolution_tmp_")).map(_.getName).sorted
+    assert(journals.length == 1, journals.mkString(","))
+    // a LEGACY unstamped journal plus a stamped one: stamped wins; the
+    // next declaration retires the legacy file
+    java.nio.file.Files.writeString(
+      new java.io.File(parent, name + "_evolution").toPath, "rename\tstale\tx\n")
+    assert(fmt.read(spark, t).columns.contains("balance"))
+    // simulate a crashed promote: an orphan tmp beside the live journal
+    // must neither shadow it nor survive the next promote's sweep
+    java.nio.file.Files.writeString(
+      new java.io.File(parent, name + "_evolution_tmp_9999999999999999999").toPath,
+      "rename\tgarbage\ty\n")
+    assert(fmt.read(spark, t).columns.contains("balance"))
+    fmt.renameColumn(spark, t, "balance", "bal2")
+    assert(journals.length == 1, journals.mkString(","))
+    assert(!new java.io.File(parent, name + "_evolution").exists())
+    assert(!parent.listFiles().exists(_.getName.startsWith(name + "_evolution_tmp_")))
+    assert(fmt.read(spark, t).columns.contains("bal2"))
+    // declarations against a NONEXISTENT table are refused (a journaled
+    // typo would silently re-shape whatever is later created there)
+    intercept[IllegalArgumentException] {
+      fmt.renameColumn(spark, tmp() + "/nope", "a", "b")
+    }
+  }
+
+  test("schema evolution: legacy unstamped journal still resolves when no stamped one exists") {
+    val t = tmp()
+    fmt.append(Seq((1L, 10.0)).toDF("id", "bal"), t)
+    val parent = new java.io.File(t).getParentFile
+    val name = new java.io.File(t).getName
+    java.nio.file.Files.writeString(
+      new java.io.File(parent, name + "_evolution").toPath, "rename\tbal\tbalance\n")
+    assert(fmt.read(spark, t).columns.toSeq == Seq("id", "balance"))
+  }
+
+  test("schema evolution: declared DROP is metadata-only and both read doors project it away") {
+    val t = tmp()
+    fmt.upsert(spark, Seq((1L, "a", 10.5, 1L), (2L, "b", 20.5, 1L))
+      .toDF("id", "name", "bal", "ver"), t, "id", "ver")
+    fmt.upsert(spark, Seq((3L, "c", 30.5, 2L))
+      .toDF("id", "name", "bal", "ver"), t, "id", "ver")
+    fmt.dropColumn(spark, t, "bal")
+    assert(fmt.read(spark, t).columns.sorted.toSeq == Seq("id", "name", "ver"))
+    // time travel conforms the retired generation to the evolved shape
+    val vs = fmt.listVersions(spark, t)
+    assert(fmt.readAt(spark, t, vs.head).columns.sorted.toSeq == Seq("id", "name", "ver"))
+    // validation: dropping an unknown column fails loudly
+    intercept[IllegalArgumentException] { fmt.dropColumn(spark, t, "nope") }
+    // upsert AFTER the drop: the merged generation no longer carries it
+    fmt.upsert(spark, Seq((4L, "d", 3L)).toDF("id", "name", "ver"), t, "id", "ver")
+    val live = fmt.read(spark, t)
+    assert(live.columns.sorted.toSeq == Seq("id", "name", "ver"))
+    assert(live.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("schema evolution: declared WIDEN casts narrow generations up on every read door") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, IntegerType}
+    val t = tmp()
+    fmt.upsert(spark, Seq((1, 10, 1.5f, 1L), (2, 20, 2.5f, 1L))
+      .toDF("id", "qty", "score", "ver"), t, "id", "ver")
+    fmt.widenColumn(spark, t, "qty", LongType)
+    fmt.widenColumn(spark, t, "score", DoubleType)
+    val live = fmt.read(spark, t)
+    assert(live.schema("qty").dataType == LongType)
+    assert(live.schema("score").dataType == DoubleType)
+    assert(live.select("id", "qty").as[(Int, Long)].collect().toMap
+      == Map(1 -> 10L, 2 -> 20L))
+    // non-widening declarations are refused loudly
+    intercept[IllegalArgumentException] {
+      fmt.widenColumn(spark, t, "qty", IntegerType) // narrow: long -> int
+    }
+    intercept[IllegalArgumentException] {
+      fmt.widenColumn(spark, t, "score", LongType) // lossy: double -> long
+    }
+    // upsert AFTER the widen: batch carries wide values that only fit
+    // the widened type; merged generation materializes wide
+    fmt.upsert(spark, Seq((3, 5000000000L, 3.5d, 2L))
+      .toDF("id", "qty", "score", "ver"), t, "id", "ver")
+    val after = fmt.read(spark, t)
+    assert(after.schema("qty").dataType == LongType)
+    assert(after.select("id", "qty").as[(Int, Long)].collect().toMap
+      == Map(1 -> 10L, 2 -> 20L, 3 -> 5000000000L))
+    // time travel: the narrow retired generation reads back WIDE
+    val vs = fmt.listVersions(spark, t)
+    val old = fmt.readAt(spark, t, vs.head)
+    assert(old.schema("qty").dataType == LongType)
+    assert(old.schema("score").dataType == DoubleType)
+  }
+
+  test("schema evolution: WIDEN on an APPEND dir with mixed narrow/wide files reads via the footer-sweep fallback") {
+    import org.apache.spark.sql.types.LongType
+    val t = tmp()
+    fmt.append(Seq((1, 10)).toDF("id", "qty"), t)
+    fmt.widenColumn(spark, t, "qty", LongType)
+    // post-widen appends write the wide type — the dir now mixes int
+    // and long physical files, which plain parquet schema-merge refuses
+    fmt.append(Seq((2L, 5000000000L)).toDF("id", "qty")
+      .selectExpr("cast(id as int) id", "qty"), t)
+    val out = fmt.read(spark, t)
+    assert(out.schema("qty").dataType == LongType)
+    assert(out.select("id", "qty").as[(Int, Long)].collect().toMap
+      == Map(1 -> 10L, 2 -> 5000000000L))
   }
 
   test("schema evolution on an APPEND dir: mixed-schema files merge and rename coalesces") {
