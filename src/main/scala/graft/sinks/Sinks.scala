@@ -640,7 +640,8 @@ object Sinks {
         "shard", org.apache.spark.sql.types.LongType))
     val written = spark.read.schema(writtenSchema)
       .parquet(stagedData.toString)
-    val manifest = shardSummary(written, idCol, dataCols, zoneCols)
+    val manifest = stampSpec(
+      shardSummary(written, idCol, dataCols, zoneCols), shardCol, nShards)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
     // explicit-assignment validation BEFORE the commit marker: a shard
@@ -973,6 +974,55 @@ object Sinks {
           sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
           ++ zoneAggs): _*)
   }
+
+  /** Stamp a manifest with the generation's DECLARED partition spec
+    * (Iceberg's partition-spec metadata, recorded per snapshot):
+    * `spec_col` = the explicit assignment column (null = hash of the
+    * id), `spec_n` = the shard count. A loader reads the spec from the
+    * manifest alone — which generations used which binning is part of
+    * the published contract, not tribal knowledge. */
+  private def stampSpec(m: DataFrame, shardCol: Option[String],
+                        nShards: Int): DataFrame =
+    m.withColumn("spec_col", lit(shardCol.orNull).cast("string"))
+      .withColumn("spec_n", lit(nShards))
+
+  /** The partition spec a [[writeShards]] layout's manifest declares:
+    * `(explicit assignment column or None for hash, nShards)`. Reads
+    * the live manifest by default; pass `stamp` for a retained
+    * generation's. None when the manifest predates spec recording. */
+  def shardSpec(spark: SparkSession, path: String,
+                stamp: Option[String] = None): Option[(Option[String], Int)] = {
+    val mp = stamp.fold(s"$path/manifest")(
+      s => s"$path/$PublishedVersionsDir/$s/manifest")
+    val m = spark.read.parquet(mp)
+    if (!m.columns.contains("spec_col")) None
+    else m.select("spec_col", "spec_n").limit(1).collect().headOption
+      .map(r => (Option(r.getString(0)), r.getInt(1)))
+  }
+
+  /** PARTITION-SPEC EVOLUTION on a published corpus (the Iceberg
+    * hidden-partitioning story: change a table's binning without a
+    * mandatory full rewrite): re-declare `shardCol`/`nShards` and
+    * publish the SAME corpus under the new assignment as a new
+    * generation. The delta classifier compares per-shard content
+    * hashes OLD-assignment vs NEW, so any shard whose member set is
+    * unchanged under the new spec is carried forward by hard link —
+    * re-binning rewrites only what MOVED (growing a date-bucketed
+    * layout re-bins the new buckets; a hash→date re-cluster rewrites
+    * everything, which is inherent, not overhead). The displaced
+    * generation is retained (`retainPrevious` default true here):
+    * [[readShardsAt]] keeps answering the old binning, each
+    * generation's manifest records its own spec ([[shardSpec]]) and
+    * carries its own zone maps.
+    *
+    * Same determinism contract as [[publishDelta]]: `df` is evaluated
+    * twice — persist or re-read a materialized source. */
+  def rebinShards(df: DataFrame, path: String, idCol: String,
+                  nShards: Int, zoneCols: Seq[String] = Nil,
+                  shardCol: Option[String] = None,
+                  retainPrevious: Boolean = true): DataFrame =
+    publishDelta(df, path, idCol, nShards, retainPrevious, zoneCols,
+      shardCol)
 
   /** Integrity check for a [[writeShards]] layout: recompute each
     * shard's (n_rows, id range, content hash) from the published data
@@ -1334,16 +1384,23 @@ object Sinks {
         val writtenSchema = org.apache.spark.sql.types.StructType(
           df.schema.fields :+ org.apache.spark.sql.types.StructField(
             "shard", org.apache.spark.sql.types.LongType))
+        // every manifest row of the NEW generation carries the NEW
+        // spec — including carried-forward shards: their content hash
+        // proved the member set identical under the new assignment, so
+        // the new spec describes them too. Dropping first also
+        // conforms live manifests that predate spec recording.
         val rewrittenManifest =
           if (toWrite.isEmpty)
-            live.filter(lit(false)) // empty, same schema
-          else shardSummary(
+            stampSpec(live.drop("spec_col", "spec_n").filter(lit(false)),
+              shardCol, nShards)
+          else stampSpec(shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
               .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
-            zoneCols)
-        val keptManifest =
-          if (unchanged.isEmpty) live.filter(lit(false))
-          else live.filter(col("shard").isin(unchanged.toSeq: _*))
+            zoneCols), shardCol, nShards)
+        val keptManifest = stampSpec(
+          (if (unchanged.isEmpty) live.filter(lit(false))
+           else live.filter(col("shard").isin(unchanged.toSeq: _*)))
+            .drop("spec_col", "spec_n"), shardCol, nShards)
         keptManifest.unionByName(rewrittenManifest)
           .coalesce(1)
           .write.mode("overwrite")

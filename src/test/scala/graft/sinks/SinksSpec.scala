@@ -476,6 +476,68 @@ class SinksSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("partition-spec evolution: rebinShards re-declares the binning, rewrites " +
+    "only moved shards, retains the old generation with its own spec + zone maps") {
+    val dir = Files.createTempDirectory("graft_rebin_").toString + "/pub"
+    def corpus(n: Int) = spark.range(n).toDF("doc_id")
+      .withColumn("text", concat(lit("doc body "), col("doc_id")))
+      .withColumn("bucket", col("doc_id") / 100 cast "long")
+      .localCheckpoint()
+    // generation 1: 400 docs, date-bucket-style spec (doc_id div 100),
+    // 4 shards, zone maps on doc_id
+    Sinks.writeShards(corpus(400), dir, "doc_id", nShards = 4,
+      zoneCols = Seq("doc_id"), shardCol = Some("bucket"))
+    assert(Sinks.shardSpec(spark, dir) == Some((Some("bucket"), 4)))
+    def shardFiles(n: Int): Map[Long, Set[String]] =
+      (0 until n).map { s =>
+        val d = new java.io.File(s"$dir/data/shard=$s")
+        s.toLong -> Option(d.list()).map(_.filter(_.endsWith(".parquet")).toSet)
+          .getOrElse(Set.empty[String])
+      }.toMap
+    val files1 = shardFiles(4)
+    // partition-spec evolution: corpus grew to 600 docs; re-declare
+    // the layout as 6 shards under the same bucketing function. The
+    // old buckets' member sets are unchanged -> hard-linked; only the
+    // two NEW buckets are written.
+    Sinks.rebinShards(corpus(600), dir, "doc_id", nShards = 6,
+      zoneCols = Seq("doc_id"), shardCol = Some("bucket"))
+    val files2 = shardFiles(6)
+    assert((0L to 3L).forall(s => files2(s) == files1(s)),
+      s"unchanged buckets must keep their files: $files1 vs $files2")
+    assert(files2(4L).nonEmpty && files2(5L).nonEmpty)
+    // the new generation's manifest records the NEW spec on every row
+    // (carried shards included) and carries zone maps for all 6 shards
+    assert(Sinks.shardSpec(spark, dir) == Some((Some("bucket"), 6)))
+    val m = spark.read.parquet(s"$dir/manifest")
+    assert(m.filter(col("spec_n") =!= 6 || col("spec_col") =!= "bucket")
+      .count() == 0)
+    assert(m.filter(col("zmin_doc_id").isNull).count() == 0 && m.count() == 6)
+    // zone pruning plans from the new manifest: a range inside bucket 4
+    // opens exactly one shard dir and answers exactly
+    val hit = Sinks.readShardsBetween(spark, dir, "doc_id", 450L, 470L)
+    assert(hit.select("doc_id").as[Long].collect().sorted.toSeq
+      == (450L to 470L))
+    // the displaced generation is retained: readShardsAt answers the
+    // OLD binning (400 rows over 4 shards) and its manifest still
+    // records the OLD spec — both generations answer simultaneously
+    val vs = Sinks.listShardVersions(spark, dir)
+    assert(vs.size == 1, s"expected one retained generation, got $vs")
+    val old = Sinks.readShardsAt(spark, dir, vs.head)
+    assert(old.count() == 400 &&
+      old.select("shard").distinct().count() == 4)
+    assert(Sinks.shardSpec(spark, dir, Some(vs.head)) == Some((Some("bucket"), 4)))
+    assert(spark.read.parquet(s"$dir/data").count() == 600)
+    // a RE-CLUSTER (hash -> bucket would move everything) still keeps
+    // the generation chain: re-bin the same 600 docs to 3 wider buckets
+    Sinks.rebinShards(corpus(600).withColumn("bucket",
+        col("doc_id") / 200 cast "long").localCheckpoint(),
+      dir, "doc_id", nShards = 3, zoneCols = Seq("doc_id"),
+      shardCol = Some("bucket"))
+    assert(Sinks.shardSpec(spark, dir) == Some((Some("bucket"), 3)))
+    assert(spark.read.parquet(s"$dir/data").count() == 600)
+    assert(Sinks.listShardVersions(spark, dir).size == 2)
+  }
+
   test("verifyShardsDelta trusts carried-forward shards and re-reads only the delta") {
     val dir = Files.createTempDirectory("graft_vdelta_").toString + "/pub"
     val docs = graft.Tables(spark, sf).documents
