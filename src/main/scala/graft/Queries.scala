@@ -1398,8 +1398,10 @@ object Queries {
     * `q57_write_sec` metric. Bucketing only pays when the write
     * amortizes over repeated joins; the two numbers now show each side
     * of that trade instead of blending them. */
-  private val q57WrittenDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // weak keys: sessions must not be pinned by a bench cache; entries
+  // die with their session instead of accumulating forever
+  private val q57WrittenDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Materialize both bucketed q57 tables from `dir` (overwrite) and
     * remember the source so [[q57]] builds in the same session reuse
@@ -1418,7 +1420,13 @@ object Queries {
 
   val q57: Q = (s, dir) => {
     def cents(c: Column): Column = round(c * 100).cast("long")
-    if (q57WrittenDir.get(s) != dir) q57WriteBucketed(s, dir)
+    // cache check verifies the tables still EXIST: the graft_q57_*
+    // warehouse names are JVM-global and another session/test can drop
+    // or overwrite them after this session recorded "written"
+    val cached = q57WrittenDir.get(s) == dir &&
+      s.catalog.tableExists("graft_q57_lineitem") &&
+      s.catalog.tableExists("graft_q57_orders")
+    if (!cached) q57WriteBucketed(s, dir)
     s.table("graft_q57_lineitem")
       .join(s.table("graft_q57_orders"),
         col("l_orderkey") === col("o_orderkey"))
@@ -2065,8 +2073,20 @@ object Queries {
     * scan would return — file-level skipping with bit-exact results,
     * the q74/q75 pattern applied to the manifest stats layer.
     * Timestamp bounds are built with session-TZ casts (not JVM-default
-    * java.sql literals) for engine parity. */
-  val q76: Q = (s, dir) => {
+    * java.sql literals) for engine parity.
+    *
+    * The PUBLISH is measured separately (the q57 pattern, round-10
+    * verdict): `graft.Bench` times [[q76Publish]] as its own
+    * `q76_write_sec`, and q76 builds in the same session reuse the
+    * published layout — so the catalog's q76 number is the PRUNED READ
+    * alone, comparable round over round to scan-only queries. */
+  private val q76Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  /** Publish the date-clustered shard layout for `dir` into a fresh
+    * temp root (zone maps on o_orderdate) and remember it for [[q76]]
+    * builds in this session. Returns the publish root. */
+  def q76Publish(s: SparkSession, dir: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_q76_").toString
     val pub = s"$root/pub"
     val o = Tables(s, dir).orders
@@ -2074,6 +2094,17 @@ object Queries {
       .withColumn("bucket", (year(col("o_orderdate")) - 1995).cast("long"))
     graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
       zoneCols = Seq("o_orderdate"), shardCol = Some("bucket"))
+    q76Published.put(s, (dir, pub))
+    pub
+  }
+
+  val q76: Q = (s, dir) => {
+    val cached = q76Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q76Publish(s, dir)
     graft.sinks.Sinks.readShardsBetween(s, pub, "o_orderdate",
         lit("1996-03-01 00:00:00").cast("timestamp"),
         lit("1996-06-30 00:00:00").cast("timestamp"))
@@ -2083,6 +2114,53 @@ object Queries {
     """SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
       |                      AND TIMESTAMP '1996-06-30 00:00:00'""".stripMargin
+
+  /** q77 — drop + widen evolution under a VALUE oracle (round-10
+    * verdict task 4; the rest of Iceberg 0.11's schema-evolution set
+    * after q75's rename/add): build a dim whose `nk` column is a
+    * deliberate 32-bit int, declare a METADATA-ONLY type widening
+    * `nk: int -> bigint` and a METADATA-ONLY `DROP c_mktsegment`
+    * ([[graft.storage.Evolution]] journal — zero data rewritten), then
+    * upsert a batch whose `nk` values only FIT the widened type
+    * (10^10 + custkey, overflows int). The result unions the LIVE read
+    * (narrow gen-1 files cast up, dropped column projected away) with
+    * `readAt` of the retired PRE-EVOLUTION generation conformed to the
+    * evolved schema — the hash oracle proves both doors present one
+    * widened, dropped-column schema with bit-exact values. */
+  val q77: Q = (s, dir) => {
+    val fmt = graft.storage.ParquetDirFormat
+    val root = java.nio.file.Files.createTempDirectory("graft_q77_").toString
+    val t = s"$root/dim"
+    val cust = Tables(s, dir).customer
+    val v1 = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey").cast("int").as("nk"))
+      .withColumn("ver", lit(1L))
+    fmt.upsert(s, v1, t, "c_custkey", "ver")
+    fmt.widenColumn(s, t, "nk", org.apache.spark.sql.types.LongType)
+    fmt.dropColumn(s, t, "c_mktsegment")
+    val batch = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (lit(10000000000L) + col("c_custkey")).cast("long").as("nk"))
+      .withColumn("ver", lit(2L))
+    fmt.upsert(s, batch, t, "c_custkey", "ver")
+    val versions = fmt.listVersions(s, t)
+    require(versions.size == 1,
+      s"q77: expected exactly one retired generation, got $versions")
+    val old = fmt.readAt(s, t, versions.head).withColumn("gen", lit("v1"))
+    val live = fmt.read(s, t).withColumn("gen", lit("live"))
+    old.unionByName(live)
+  }
+  val q77Sql: String =
+    """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nk,
+      |       CAST(1 AS BIGINT) AS ver, 'v1' AS gen
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_name,
+      |       CAST(CASE WHEN c_custkey % 10 = 0 THEN 10000000000 + c_custkey
+      |            ELSE c_nationkey END AS BIGINT) AS nk,
+      |       CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver,
+      |       'live' AS gen
+      |FROM customer""".stripMargin
 
   // ----------------------------------------------------------- registry
 
@@ -2163,6 +2241,7 @@ object Queries {
     "q74_time_travel" -> q74,
     "q75_schema_evolution" -> q75,
     "q76_zone_pruning" -> q76,
+    "q77_evolution_widen" -> q77,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2239,5 +2318,6 @@ object Queries {
     "q74_time_travel" -> q74Sql,
     "q75_schema_evolution" -> q75Sql,
     "q76_zone_pruning" -> q76Sql,
+    "q77_evolution_widen" -> q77Sql,
   )
 }

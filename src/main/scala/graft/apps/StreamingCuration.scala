@@ -64,11 +64,20 @@ object StreamingCuration {
         // update-mode emissions re-state the OPEN session each batch;
         // the keyed upsert keeps exactly the latest state per
         // (user, session) — the same latest-wins merge the dim door
-        // uses, versioned by the session's last-event time
+        // uses. Versioned by (end_sec, n_events), which is STRICTLY
+        // increasing per state emission: two events in the same
+        // epoch-second arriving in different micro-batches re-emit
+        // with equal end_sec, and on end_sec alone latest-wins would
+        // tie-break arbitrarily and could keep the stale lower-count
+        // row (round-10 advisory). n_events only grows, so the struct
+        // orders every re-emission of one session totally.
         Sinks.upsertParquet(spark,
-          b.toDF().withColumn("sk",
-            concat(col("user_id"), lit("#"), col("session_id"))),
-          s"$workDir/sessions", key = "sk", versionCol = "end_sec")
+          b.toDF()
+            .withColumn("sk",
+              concat(col("user_id"), lit("#"), col("session_id")))
+            .withColumn("_ver", struct(col("end_sec"), col("n_events"))),
+          s"$workDir/sessions", key = "sk", versionCol = "_ver",
+          keepVersionCol = false)
       }
       .start()
     Handles(dedupQ, sessQ)
