@@ -169,6 +169,14 @@ object Bench {
       Queries.q57WriteBucketed(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }.min
+    // q76's shard publish, same treatment (round-10 verdict): the
+    // write + manifest + lease cost is its own metric; catalog passes
+    // below reuse the published layout and measure the PRUNED READ.
+    val q76Write = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      Queries.q76Publish(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Best of three runs per query: the first run of a plan pays
     // janino + JIT compilation (can 3× a query at this scale), and
     // ambient machine load adds random multi-second spikes to single
@@ -214,28 +222,41 @@ object Bench {
       entries.map { case (name, _) => "\"" + name + "\":" + f3(p(name)) }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Contract: the driver tail-captures stdout and parses the LAST
-    // JSON line. The per-pass samples (with their io stamps) go on
-    // their own line FIRST and into a sidecar file; the final line is
-    // the compact min-dict at ms precision (~1.7 kB for 74 queries)
-    // with the grand total and io probes at its END, so even a
-    // truncated tail still shows total + environment.
+    // Contract (round-10 verdict task 2): ten straight rounds of
+    // "parsed": null proved the stdout tail is not a machine-readable
+    // channel — the full min-dict now lands in its OWN sidecar file
+    // (bench_compact.json) so adjudication never depends on log
+    // parsing, and the final stdout line carries only total + write
+    // splits + io stamps (comfortably inside the ~2 kB tail window no
+    // matter how many queries the catalog grows).
     val passesLine =
       s"""{"metric":"passes","passes":$passes,""" +
       s""""pass_io_mbps":[${passIo.map(v => f3(v)).mkString(",")}],""" +
       s""""pass_io_attempts":[${passIoAttempts.mkString(",")}],""" +
-      s""""q57_write_sec":${f3(q57Write)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_passes.json"),
-      (passesLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
-    }
-    println(passesLine)
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
-      s""""q57_write_sec":${f3(q57Write)},"value":${f3(total)},""" +
+      s""""q57_write_sec":${f3(q57Write)},""" +
+      s""""q76_write_sec":${f3(q76Write)},"sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+      s""""q57_write_sec":${f3(q57Write)},"q76_write_sec":${f3(q76Write)},""" +
+      s""""value":${f3(total)},""" +
       s""""io_mbps":${f3(ioStart)},"io_attempts":$ioStartAttempts,""" +
-      s""""io_mbps_end":${f3(ioEnd)},"sf":"$sfDir"}""")
+      s""""io_mbps_end":${f3(ioEnd)},"sf":"$sfDir"}"""
+    def sidecar(name: String, line: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(name), (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] sidecar $name write failed: ${e.getMessage}")
+      }
+    sidecar("BENCH_passes.json", passesLine)
+    sidecar("bench_compact.json", compactLine)
+    println(passesLine)
+    println(compactLine)
+    println(s"""{"metric":"total","unit":"sec","n_queries":${entries.size},""" +
+      s""""q57_write_sec":${f3(q57Write)},"q76_write_sec":${f3(q76Write)},""" +
+      s""""value":${f3(total)},""" +
+      s""""io_mbps":${f3(ioStart)},"io_attempts":$ioStartAttempts,""" +
+      s""""io_mbps_end":${f3(ioEnd)},""" +
+      s""""queries_in":"bench_compact.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,10 +132,15 @@ object Quality {
     val ivfQs = emb.filter(col("vec_id") < 20)
     val bruteTruth = topkPairs(
       Similarity.bruteForceTopK(emb, ivfQs, "embedding", "vec_id", 5))
-    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    // round-11 floor raise (verdict task 5): 5 Lloyd iterations + 4/8
+    // probed cells — the builder's own measurement curve (SCALING.md
+    // debt #5: 0.385 -> 0.61 from the first 3 iterations) plus one
+    // probe keeps measured recall comfortably over a 0.70 floor, so a
+    // regression can no longer hide under the old 0.50
+    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 5)
     val q23 = Entry("q23_ann_ivf", "recall_at_5_vs_exact",
-      ">=", 0.50, recall(topkPairs(Similarity.ivfTopK(emb, ivfQs,
-        "embedding", "vec_id", 5, nCentroids = 8, nProbe = 3,
+      ">=", 0.70, recall(topkPairs(Similarity.ivfTopK(emb, ivfQs,
+        "embedding", "vec_id", 5, nCentroids = 8, nProbe = 4,
         centroids = Some(km))), bruteTruth))
 
     // q24: truth-pair mates land in one cluster (shipped q24 params)
