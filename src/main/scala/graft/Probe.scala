@@ -33,6 +33,14 @@ object Probe {
       println(f"[probe] $label%-42s $best%8.3f s")
     }
 
+    // `runMain graft.Probe query <name>...` — time any catalog query
+    // on SPARK_GRAFT_SF_DIR (single-query loop for fixture triage)
+    if (args.headOption.contains("query")) {
+      args.drop(1).foreach(n => time(n) { Queries.all(n)(spark, sfDir) })
+      spark.stop()
+      return
+    }
+
     val customer = Tables(spark, sfDir).customer
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
 

@@ -122,22 +122,49 @@ case class ShingleArr(child: Expression, n: Int)
   override def prettyName: String = "shingle_arr"
 }
 
-/** 64-bit SimHash over whitespace tokens (token hash bits vote ±1). */
+/** 64-bit SimHash over whitespace tokens with SUBLINEAR term-frequency
+  * feature weights: each distinct token votes ±(1 + log2(tf)) instead
+  * of ±tf. Linear (per-occurrence) weighting is the scale hazard, not
+  * an implementation detail: any frequency-dominant token (HTML tags,
+  * markdown pipes, template boilerplate — or the scale fixture's
+  * replica salt, ~50% of every salted doc's occurrences) contributes
+  * ~|occurrences| of the vote mass and drags every such document's
+  * signature toward that one token's hash — collapsing the banded
+  * buckets into Σ|bucket|² pair explosions (round-11 10× bench: q12
+  * ran 479 s, ~750× its linear share, on exactly this mechanism) AND
+  * pulling unrelated repetition-dominated docs within hamming range
+  * of each other. Pure set voting (binary weights, the Manku WWW'07
+  * formulation) kills the collapse but also the frequency signal the
+  * 16-bit-band blocking relies on to compress near-dup pairs into
+  * small hamming distances (measured: jaccard≥0.7 recall 0.92 → 0.64
+  * at the shipped band/hamming settings); log-damped tf keeps that
+  * signal while bounding any single token to a log-factor of the vote
+  * mass — the sublinear tf-weighting standard from text retrieval. */
 case class SimHashSig(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val words = Hashing.tokenize(v.asInstanceOf[UTF8String].toString)
-    val votes = new Array[Int](64)
+    // pass 1: tf per distinct token hash
+    val tf = new java.util.HashMap[java.lang.Long, Int]()
     var t = 0
     while (t < words.length) {
-      val h = Hashing.shingleHash(words, t, 1) // 64-bit hash of one token
+      val h = java.lang.Long.valueOf(Hashing.shingleHash(words, t, 1))
+      tf.merge(h, 1, Integer.sum _)
+      t += 1
+    }
+    // pass 2: one vote of weight 1 + floor(log2(tf)) per distinct token
+    val votes = new Array[Int](64)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = e.getKey.longValue()
+      val w = 1 + (31 - Integer.numberOfLeadingZeros(e.getValue))
       var i = 0
       while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        if (((h >>> i) & 1L) == 1L) votes(i) += w else votes(i) -= w
         i += 1
       }
-      t += 1
     }
     var sig = 0L
     var i = 0
