@@ -73,8 +73,8 @@ object ScaleCompare {
       })
 
     // --- q40: exact p50/p95 per priority ----------------------------
-    report("q40_percentiles",
-      Queries.all("q40_percentiles")(spark, sfDir), {
+    report("q40_percentile",
+      Queries.all("q40_percentile")(spark, sfDir), {
         val wo = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         val wp = Window.partitionBy(col("o_orderpriority"))
@@ -136,6 +136,59 @@ object ScaleCompare {
           .filter(col("cum_toks") <= 20000L)
           .select(col("doc_id"), col("lang"), col("toks"), col("cum_toks"))
       })
+
+    // --- synthetic rank crossover -----------------------------------
+    // The fixture's bounded-key groups top out at ~10k rows/task —
+    // trivial for one task's sort, so the window form keeps its fixed
+    // ~0.5 s advantage through 10×. The wall it hits is per-TASK
+    // volume: |domain| tasks sort |input|/|domain| rows each no matter
+    // how many cores exist. This measures both forms on a synthetic
+    // (grp ∈ [0,5), unique ord) frame at SPARK_GRAFT_SYNTH_ROWS
+    // (default 40M — ~70× the fixture's windowed volume) where that
+    // wall is reachable on local[32].
+    {
+      val synthRows = sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS",
+        "40000000").toLong
+      def synth = spark.range(synthRows)
+        .select(pmod(col("id"), lit(5L)).as("grp"), col("id").as("ord"))
+      val eng = time(reps)(
+        Ranks.globalRowNumbers(synth, Seq("grp"), Seq(col("ord"))))
+      val win = time(reps) {
+        val w = Window.partitionBy(col("grp")).orderBy(col("ord"))
+        synth.withColumn("_g", row_number().over(w))
+      }
+      println(f"""{"cmp":"synthetic_rank","rows":$synthRows,""" +
+        f""""engine_sec":$eng%.3f,"window_sec":$win%.3f}""")
+    }
+
+    // --- SemDeDup: fixed-k vs corpus-scaled k -----------------------
+    // q66's oracle shape pins k=4 data-defined centroids, which makes
+    // the within-cell pair stage O(n²/k) — quadratic at fixed k as the
+    // corpus grows. The production contract is that k scales with n
+    // (cells stay ~constant-size; kmeansCentroids trains them offline).
+    // This measures both at the fixture scale so the restoration of
+    // linearity is a number, not a claim.
+    {
+      val emb = t.embeddings
+      val fixed = {
+        val rows = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+        (rows.map(_.getLong(0)), rows.map(
+          _.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray))
+      }
+      val nEmb = emb.count()
+      // cells of ~500 vectors — the sf0.1 cell size the oracle shape
+      // was calibrated at, now held constant as the corpus grows
+      val kScaled = math.max(4, (nEmb / 500L).toInt)
+      val trained = graft.operators.Similarity.kmeansCentroids(
+        emb, "embedding", k = kScaled, iters = 3)
+      val tFixed = time(reps)(graft.operators.Dedup.semanticDedup(
+        emb, "embedding", "vec_id", spark, fixed, threshold = 0.35))
+      val tScaled = time(reps)(graft.operators.Dedup.semanticDedup(
+        emb, "embedding", "vec_id", spark, trained, threshold = 0.35))
+      println(f"""{"cmp":"semdedup_k","fixed_k4_sec":$tFixed%.3f,""" +
+        f""""scaled_k${kScaled}_sec":$tScaled%.3f,"n":$nEmb}""")
+    }
 
     // --- q76: zone-pruned read vs full scan+filter ------------------
     val pub = Queries.q76Publish(spark, sfDir)

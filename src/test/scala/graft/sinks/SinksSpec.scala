@@ -538,6 +538,61 @@ class SinksSpec extends SparkTestBase {
     assert(Sinks.listShardVersions(spark, dir).size == 2)
   }
 
+  test("concurrent reader across a publish swap: carried shards keep serving, " +
+    "rewritten shards fail loudly, time travel is the sanctioned door — never a mixed read") {
+    val dir = Files.createTempDirectory("graft_concread_").toString + "/pub"
+    // gen 1: 4 explicit buckets so the reader can target shards precisely
+    def corpus(tag: String) = spark.range(400).toDF("doc_id")
+      .withColumn("text", concat(lit(tag), col("doc_id")))
+      .withColumn("bucket", col("doc_id") / 100 cast "long")
+      .localCheckpoint()
+    Sinks.writeShards(corpus("v1 body "), dir, "doc_id", nShards = 4,
+      zoneCols = Seq("doc_id"), shardCol = Some("bucket"))
+    // two readers plan BEFORE the swap: one over a shard the next
+    // publish will carry forward (bucket 0 — zone range 0..99), one
+    // over the whole layout (touches the rewritten bucket 3)
+    val carriedReader = Sinks.readShardsBetween(spark, dir, "doc_id", 10L, 20L)
+    val wholeReader = spark.read.parquet(s"$dir/data")
+    assert(carriedReader.count() == 11) // file index now pinned pre-swap
+    assert(wholeReader.count() == 400)
+    // the swap: delta publish rewrites ONLY bucket 3 (text mutated),
+    // retaining the displaced generation
+    val v2 = corpus("v1 body ").withColumn("text",
+      when(col("bucket") === 3, concat(lit("v2 body "), col("doc_id")))
+        .otherwise(col("text"))).localCheckpoint()
+    Sinks.publishDelta(v2, dir, "doc_id", nShards = 4,
+      retainPrevious = true, zoneCols = Seq("doc_id"),
+      shardCol = Some("bucket"))
+    // carried shards were hard-linked under their original file names:
+    // the pre-swap reader's pinned paths still resolve to the SAME
+    // inodes — it completes with exactly its generation's rows
+    assert(carriedReader.select("doc_id").as[Long].collect().sorted.toSeq
+      == (10L to 20L))
+    // the whole-layout reader's pinned index points at bucket 3 files
+    // the promote renamed away — it must fail LOUDLY (missing file),
+    // never silently serve a mix of generations
+    val e = intercept[Throwable] {
+      wholeReader.select("text").as[String].collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        (c.getMessage != null && (c.getMessage.contains("does not exist") ||
+          c.getMessage.contains("FileNotFound")))), s"unexpected failure: $e")
+    // a FRESH plan over the live path sees the complete new generation
+    val live = spark.read.parquet(s"$dir/data")
+    assert(live.count() == 400)
+    assert(live.filter(col("text").startsWith("v2")).count() == 100)
+    // and the displaced generation is served consistently through the
+    // sanctioned door — the retained version, not a half-swapped dir
+    val vs = Sinks.listShardVersions(spark, dir)
+    assert(vs.size == 1)
+    val old = Sinks.readShardsAt(spark, dir, vs.head)
+    assert(old.count() == 400 &&
+      old.filter(col("text").startsWith("v2")).count() == 0)
+  }
+
   test("verifyShardsDelta trusts carried-forward shards and re-reads only the delta") {
     val dir = Files.createTempDirectory("graft_vdelta_").toString + "/pub"
     val docs = graft.Tables(spark, sf).documents
