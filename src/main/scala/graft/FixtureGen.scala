@@ -84,7 +84,16 @@ object FixtureGen {
           .otherwise(regexp_replace(col("text"), lit(" "),
             concat(lit(" r"), col("_r"), lit(" ")))))
         .withColumn("n_chars", length(col("text")))
-    salted.drop("_r")
+    // events: each replica shifted into its own disjoint month — a
+    // bigger corpus is MORE TIME of logs, not 100× the event density
+    // in one fixed month. Without the shift every interval join's
+    // output grows ∝ replicas² (each incident window catches every
+    // replica's events: q36 measured 64 s at 100× from exactly this)
+    // — a fixture artifact, not an engine property.
+    val shifted =
+      if (table != "events") salted
+      else salted.withColumn("ts", expr("timestampadd(DAY, 31 * _r, ts)"))
+    shifted.drop("_r")
   }
 
   def main(args: Array[String]): Unit = {
