@@ -2162,6 +2162,101 @@ object Queries {
       |       'live' AS gen
       |FROM customer""".stripMargin
 
+  /** q78 — Gopher-style composite document filter
+    * ([[operators.CurationFilters.gopherFilter]]): word-count bounds,
+    * mean-word-length bounds, stop-word presence, punctuation-soup
+    * bound — every rule an integer cross-multiplication so the filter
+    * replays bit-exactly in the oracle. One MarkerCounts scan per doc,
+    * zero shuffle. */
+  val q78: Q = (s, dir) =>
+    operators.CurationFilters.gopherFilter(Tables(s, dir).documents)
+  val q78Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST($wordsSql AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS swlen,
+       |    $stopSql AS stop_cnt, $punctSql AS punct_cnt
+       |  FROM documents
+       |)
+       |SELECT * FROM m
+       |WHERE n_words BETWEEN 30 AND 10000
+       |  AND swlen >= 3 * n_words AND swlen <= 10 * n_words
+       |  AND stop_cnt >= 2
+       |  AND punct_cnt * 10 <= n_words""".stripMargin
+
+  /** q79 — unigram-LM corpus scoring
+    * ([[operators.CurationFilters.unigramLmScore]]): the CCNet
+    * perplexity-filter shape with integer-exact scoring — train token
+    * counts over the corpus (map-side-combinable reduce), join the
+    * model back to the exploded tokens (AQE broadcasts the model when
+    * it fits), aggregate per doc: token count, OOV count (corpus count
+    * < 200 — catches the planted rare token), summed corpus-count mass
+    * (the order-independent integer analog of a log-prob sum). */
+  val q79: Q = (s, dir) =>
+    operators.CurationFilters.unigramLmScore(Tables(s, dir).documents)
+  val q79Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+      |), model AS (
+      |  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+      |), scored AS (
+      |  SELECT t.doc_id, t.w, m.c FROM tok t JOIN model m USING (w)
+      |)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c < 200 THEN 1 ELSE 0 END) AS BIGINT) AS oov_cnt,
+      |  CAST(SUM(c) AS BIGINT) AS lm_mass,
+      |  round(CAST(SUM(CASE WHEN c < 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_ratio
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** q80 — PII scrub + audit ([[operators.CurationFilters.piiScrubStats]]
+    * over [[functions.Text.scrubPii]]): deterministic PII is injected
+    * into the fixture docs (emails on doc_id%5, phone numbers on %7,
+    * IPv4s on %11 — both engines build the same augmented text), then
+    * scrubbed to typed placeholders and audited by replace-arithmetic
+    * counts. The value oracle replays the same Java/RE2-compatible
+    * patterns in DuckDB, pinning cross-engine regex semantics — the
+    * scrubbed TEXT itself is hash-compared, not just the counts. */
+  val q80: Q = (s, dir) => {
+    val aug = Tables(s, dir).documents.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" mail user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1 (555) 010-"),
+            lpad((col("doc_id") % 100).cast("string"), 4, "0"), lit(" ok")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 192.168."), (col("doc_id") % 256).cast("string"),
+            lit(".7 up")))
+          .otherwise(lit(""))).as("text"))
+    operators.CurationFilters.piiScrubStats(aug)
+  }
+  val q80Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' mail user' || doc_id || '@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || ' ok' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' ELSE '' END AS t
+      |  FROM documents
+      |), scrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |      '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |  FROM aug
+      |)
+      |SELECT doc_id, scrubbed,
+      |  CAST((length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) / 7 AS BIGINT) AS email_cnt,
+      |  CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) / 7 AS BIGINT) AS phone_cnt,
+      |  CAST((length(scrubbed) - length(replace(scrubbed, '<IP>', ''))) / 4 AS BIGINT) AS ip_cnt
+      |FROM scrub""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2242,6 +2337,9 @@ object Queries {
     "q75_schema_evolution" -> q75,
     "q76_zone_pruning" -> q76,
     "q77_evolution_widen" -> q77,
+    "q78_gopher_filter" -> q78,
+    "q79_unigram_lm" -> q79,
+    "q80_pii_scrub" -> q80,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2319,5 +2417,8 @@ object Queries {
     "q75_schema_evolution" -> q75Sql,
     "q76_zone_pruning" -> q76Sql,
     "q77_evolution_widen" -> q77Sql,
+    "q78_gopher_filter" -> q78Sql,
+    "q79_unigram_lm" -> q79Sql,
+    "q80_pii_scrub" -> q80Sql,
   )
 }
