@@ -2257,6 +2257,34 @@ object Queries {
       |  CAST((length(scrubbed) - length(replace(scrubbed, '<IP>', ''))) / 4 AS BIGINT) AS ip_cnt
       |FROM scrub""".stripMargin
 
+  /** q81 — Gopher duplicate-n-gram repetition
+    * ([[operators.CurationFilters.dupNgramFraction]]): per-doc fraction
+    * of 3-word shingle instances that are within-doc duplicates — the
+    * phrase-level repetition signal q25's top-word ratio can't see.
+    * Shingle explode → two-level map-side-combinable agg; integer
+    * counts, one rounded ratio. */
+  val q81: Q = (s, dir) =>
+    operators.CurationFilters.dupNgramFraction(Tables(s, dir).documents)
+  val q81Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+      |    END AS shingles
+      |  FROM w
+      |), e AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |), c AS (
+      |  SELECT doc_id, s, COUNT(*) AS c FROM e GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_shingles,
+      |  round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS dup_frac
+      |FROM c GROUP BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2340,6 +2368,7 @@ object Queries {
     "q78_gopher_filter" -> q78,
     "q79_unigram_lm" -> q79,
     "q80_pii_scrub" -> q80,
+    "q81_dup_ngrams" -> q81,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2420,5 +2449,6 @@ object Queries {
     "q78_gopher_filter" -> q78Sql,
     "q79_unigram_lm" -> q79Sql,
     "q80_pii_scrub" -> q80Sql,
+    "q81_dup_ngrams" -> q81Sql,
   )
 }

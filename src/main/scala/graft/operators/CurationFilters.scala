@@ -98,6 +98,32 @@ object CurationFilters {
           .as("oov_ratio"))
   }
 
+  /** Gopher's duplicate n-gram repetition signal (Rae et al. 2021,
+    * §A1.1 "fraction of characters in duplicate n-grams", word-count
+    * form): per document, the fraction of n-word shingle INSTANCES
+    * whose within-doc count exceeds one. Complements q25's top-word
+    * ratio — a doc can have a flat unigram profile and still be 90%
+    * repeated phrases; this is the signal that catches boilerplate
+    * loops and decoding repetition.
+    *
+    * Shape: shingle explode → two-level aggregation, both levels
+    * map-side combinable (the (doc, shingle) key is high-cardinality
+    * but each group is tiny — no skew candidate); integer counts plus
+    * one rounded ratio, bit-reproducible in the oracle. */
+  def dupNgramFraction(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(Text.shingles(col(textCol), n)).as("s"))
+    val dup = sum(when(col("c") > 1, col("c")).otherwise(0L))
+    sh.groupBy(col(idCol), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_shingles"),
+        dup.as("dup_shingles"),
+        round(dup.cast("double") / sum(col("c")).cast("double"), 6)
+          .as("dup_frac"))
+  }
+
   /** PII scrub + audit stats: replace emails / IPv4s / phone-ish digit
     * runs with typed placeholders ([[Text.scrubPii]] — patterns valid
     * in both Java regex and RE2, so the oracle replays them verbatim),

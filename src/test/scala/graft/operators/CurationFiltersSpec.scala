@@ -81,6 +81,36 @@ class CurationFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("dupNgramFraction: hand-built repetition lands exactly; corpus totals reconcile") {
+    val edge = Seq(
+      // "a b c a b c a b" -> 6 shingles: abc bca cab abc bca cab -> all 6 dup
+      (1L, "a b c a b c a b"),
+      // all distinct words -> 0 duplicate shingles
+      (2L, "one two three four five six"),
+      // short doc (<= 3 words) -> whole doc is the single shingle, not dup
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = CurationFilters.dupNgramFraction(edge)
+      .select("doc_id", "n_shingles", "dup_shingles", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 6L, 1.0)))
+    assert(out(1) == ((2L, 4L, 0L, 0.0)))
+    assert(out(2) == ((3L, 1L, 0L, 0.0)))
+    // corpus: every doc appears once; per-doc shingle count = max(1, words-2)
+    val rows = CurationFilters.dupNgramFraction(docs)
+      .select("doc_id", "n_shingles", "dup_shingles")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == docs.count())
+    val wordCounts = docs
+      .select($"doc_id", size(graft.functions.Text.tokens($"text")).as("nw"))
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { case (id, ns, dup) =>
+      assert(ns == math.max(1, wordCounts(id) - 2), s"doc $id")
+      assert(dup >= 0 && dup <= ns)
+      assert(dup != 1, s"doc $id: a duplicated shingle contributes >= 2 instances")
+    }
+  }
+
   test("piiScrubStats: placeholders replace the planted spans, text otherwise intact") {
     val planted = Seq(
       (1L, "reach me at jane.doe+spam@mail-host.org today"),
