@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, SimHashSig, TopKByScoreAgg}
+import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, MisraGriesAgg, SimHashSig, TopKByScoreAgg}
 import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
@@ -34,6 +34,10 @@ import graft.operators.{Chunking, Sampling}
   *   - `top_k_by_score(score, id, k)` → aggregate; the k best
   *     (id, score) structs by (score desc, id asc) in rank order —
   *     the ANN tail's bounded heap, O(k) through the shuffle
+  *   - `heavy_hitters_sketch(item, k)` → aggregate; Misra–Gries
+  *     frequent-items summary as struct<n, items> — a guaranteed
+  *     superset of every item with count > n/(k+1), O(k) through the
+  *     shuffle (the candidate pass of `HeavyHitters.exactAboveShare`)
   *
   * The dataloader-prep trio delegates to the SAME Column builders the
   * DataFrame operators use (`Chunking.chunkArray`,
@@ -180,6 +184,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s, i, kk) => TopKByScoreAgg(s, i, litInt(kk, "k"))
         case _ => throw new IllegalArgumentException(
           "top_k_by_score expects (score, id, k)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters_sketch"),
+      info("heavy_hitters_sketch",
+        "heavy_hitters_sketch(item, k) - aggregate: Misra-Gries summary " +
+          "struct<n, items: array<struct<item, lb>>>; items is a superset " +
+          "of every item with count > n/(k+1)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(it, kk) => MisraGriesAgg(it, litInt(kk, "k"))
+        case _ => throw new IllegalArgumentException(
+          "heavy_hitters_sketch expects (item, k)")
       }))
   }
 }

@@ -2285,6 +2285,76 @@ object Queries {
       |  round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS dup_frac
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** q82 — corpus-frequency boilerplate removal
+    * ([[operators.Boilerplate.scrubFrequentSegments]]): the
+    * CCNet/RefinedWeb line-dedup step over deterministic 8-word
+    * segments. Deterministic banner segments are injected (doc_id%3 /
+    * %4 — both engines build the same augmented text, the q80 PII
+    * pattern), then every segment occurring in ≥20 distinct docs is
+    * scrubbed and the document reassembled in order — the cleaned
+    * TEXT itself is hash-compared. */
+  val q82: Q = (s, dir) => {
+    val aug = Tables(s, dir).documents.select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0,
+          lit("graft corpus banner beta shared header tag two "))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("graft corpus banner alpha shared footer tag one "))
+          .otherwise(lit("")),
+        col("text")).as("text"))
+    operators.Boilerplate.scrubFrequentSegments(aug)
+  }
+  val q82Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'graft corpus banner beta shared header tag two ' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'graft corpus banner alpha shared footer tag one ' ELSE '' END ||
+      |    text AS t
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS ws FROM aug
+      |), sg AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws)+1, 8)]) AS seg,
+      |    unnest(range(1, len(ws)+1, 8)) AS pos
+      |  FROM w
+      |), bp AS (
+      |  SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM sg GROUP BY seg)
+      |  WHERE df >= 20
+      |), rebuilt AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+      |         COUNT(*) AS n_kept
+      |  FROM sg WHERE seg NOT IN (SELECT seg FROM bp) GROUP BY doc_id
+      |)
+      |SELECT w.doc_id,
+      |  coalesce(r.clean_text, '') AS clean_text,
+      |  CAST((len(w.ws) - 1) // 8 + 1 AS BIGINT) AS n_seg,
+      |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id""".stripMargin
+
+  /** q83 — exact corpus heavy hitters via sketch-then-recount
+    * ([[operators.HeavyHitters.exactAboveShare]] over the native
+    * [[expressions.MisraGriesAgg]]): tokens with share strictly above
+    * 3.4% of the corpus token mass. The Misra–Gries candidate pass
+    * carries ≤512 counters per map task through the shuffle (no
+    * vocabulary shuffle); the exact recount touches only candidates,
+    * so the result is EXACTLY the plain GROUP BY / HAVING answer the
+    * oracle computes. */
+  val q83: Q = (s, dir) => {
+    val tok = Tables(s, dir).documents
+      .select(explode(functions.Text.tokens(col("text"))).as("w"))
+    operators.HeavyHitters.exactAboveShare(tok, "w", 34, 1000, sketchK = 512)
+  }
+  val q83Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+      |), c AS (
+      |  SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+      |)
+      |SELECT w, cnt FROM c WHERE cnt * 1000 > 34 * (SELECT COUNT(*) FROM tok)""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2369,6 +2439,8 @@ object Queries {
     "q79_unigram_lm" -> q79,
     "q80_pii_scrub" -> q80,
     "q81_dup_ngrams" -> q81,
+    "q82_boilerplate" -> q82,
+    "q83_heavy_hitters" -> q83,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2450,5 +2522,7 @@ object Queries {
     "q79_unigram_lm" -> q79Sql,
     "q80_pii_scrub" -> q80Sql,
     "q81_dup_ngrams" -> q81Sql,
+    "q82_boilerplate" -> q82Sql,
+    "q83_heavy_hitters" -> q83Sql,
   )
 }

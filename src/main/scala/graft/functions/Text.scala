@@ -39,6 +39,21 @@ object Text {
         i => concat_ws(" ", slice(w, i, lit(n)))))
   }
 
+  /** Non-overlapping fixed-size word segments: words grouped into
+    * consecutive `segWords`-word windows joined by a space (the last
+    * segment shorter). Deterministic segmentation both engines can
+    * replay: segment i covers words [i·segWords+1, (i+1)·segWords].
+    * A text of W words yields ⌈W/segWords⌉ segments (W=0 still yields
+    * one empty segment — `split` of an empty string is `[""]`, same
+    * as ANSI `regexp_split_to_array`). */
+  def segments(c: Column, segWords: Int): Column = {
+    require(segWords > 0, s"segments needs segWords > 0, got $segWords")
+    val w = tokens(c)
+    transform(
+      sequence(lit(0L), floor((size(w) - lit(1)) / lit(segWords))),
+      i => concat_ws(" ", slice(w, (i * segWords + 1).cast("int"), lit(segWords))))
+  }
+
   /** Occurrences of a literal marker substring (length arithmetic —
     * ANSI-expressible, deterministic; plain `replace`, not a regex —
     * the marker-count family evaluates ~27 of these per doc). */

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
+  * line-dedup step (Wenzek et al. 2020 §3.1 removes lines duplicated
+  * across shards; Penedo et al. 2023 likewise — public papers): text
+  * spans recurring across many documents (headers, footers, cookie
+  * banners, navigation) are deleted from every document, keeping each
+  * document's unique content in original order.
+  *
+  * The fixture corpus carries no newlines, so the unit of dedup is a
+  * deterministic fixed-size word segment ([[Text.segments]]) rather
+  * than a physical line — the machinery (segment → corpus document
+  * frequency → scrub → reassemble) is identical, and the segmentation
+  * is replayable in ANSI SQL so the whole operator value-oracles.
+  *
+  * Scale shape, at 100 TB:
+  *  - segmentation + explode is a codegen'd per-row projection, no
+  *    shuffle, linear in corpus bytes;
+  *  - document frequency is distinct-(segment, doc) then a
+  *    map-side-combinable count — ONE shuffle keyed by segment text
+  *    (substitute a 128-bit fingerprint for the key if segment strings
+  *    dominate shuffle bytes; kept exact here);
+  *  - the boilerplate set (df ≥ minDocs) is passed to a LEFT ANTI join
+  *    with no static broadcast hint: it is usually tiny (the
+  *    boilerplate vocabulary), but its size is corpus-dependent and
+  *    adversarially up to segments/minDocs — AQE broadcasts it when
+  *    the runtime size allows and shuffle-joins otherwise, the same
+  *    no-forced-driver-transit stance as the q79 LM model join;
+  *  - reassembly is one groupBy(doc) whose groups are bounded by
+  *    document size.
+  */
+object Boilerplate {
+
+  /** Remove every segment occurring in ≥ `minDocs` distinct documents;
+    * returns (idCol, clean_text, n_seg, n_kept) with one row per input
+    * document (a fully-boilerplate document keeps its row with empty
+    * `clean_text`). */
+  def scrubFrequentSegments(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", segWords: Int = 8,
+                            minDocs: Long = 20): DataFrame = {
+    require(minDocs > 1, s"minDocs=1 would scrub every document; got $minDocs")
+    val segArr = Text.segments(col(textCol), segWords)
+    val segs = docs.select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
+    val boiler = segs.select(col("seg"), col(idCol)).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("seg"))
+    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol),
+        (floor((size(Text.tokens(col(textCol))) - lit(1)) / lit(segWords)) + 1L)
+          .cast("long").as("n_seg"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+}
