@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.expressions.{ArrayDot, BloomOps, MarkerCounts, MinHashSig, MisraGriesAgg, SimHashSig, TopKByScoreAgg}
+import graft.expressions.{ArrayDot, BloomOps, DupShingleStats, MarkerCounts, MinHashSig, MisraGriesAgg, SimHashSig, TopKByScoreAgg}
 import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
@@ -184,6 +184,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s, i, kk) => TopKByScoreAgg(s, i, litInt(kk, "k"))
         case _ => throw new IllegalArgumentException(
           "top_k_by_score expects (score, id, k)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dup_shingle_stats"),
+      info("dup_shingle_stats",
+        "dup_shingle_stats(text, n) - struct<n_shingles, dup_shingles>: " +
+          "within-document duplicate n-word-shingle counts, zero shuffle"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, nn) => DupShingleStats(t, litInt(nn, "n"))
+        case _ => throw new IllegalArgumentException(
+          "dup_shingle_stats expects (text, n)")
       }))
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters_sketch"),

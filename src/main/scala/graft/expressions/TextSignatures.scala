@@ -41,6 +41,17 @@ private[graft] object Hashing {
     val t = s.trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
+
+  /** spark-trim (spaces only) + regex split with limit -1 — the exact
+    * semantics of `split(trim(c), "\\s+")` (a leading tab survives
+    * trim and yields a leading empty token; trailing empties kept). */
+  def sparkTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
 }
 
 /** array<long> MinHash signature: min over shingles of
@@ -85,17 +96,8 @@ case class ShingleArr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  /** spark-trim (spaces only) + regex split with limit -1. */
-  private def sparkTokens(s: String): Array[String] = {
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s.substring(b, e).split("\\s+", -1)
-  }
-
   override def nullSafeEval(v: Any): Any = {
-    val words = sparkTokens(v.asInstanceOf[UTF8String].toString)
+    val words = Hashing.sparkTokens(v.asInstanceOf[UTF8String].toString)
     val out: Array[UTF8String] =
       if (words.length <= n) Array(UTF8String.fromString(words.mkString(" ")))
       else {
@@ -175,6 +177,63 @@ case class SimHashSig(child: Expression)
   override def prettyName: String = "simhash_sig"
 }
 
+/** struct<n_shingles: bigint, dup_shingles: bigint> — within-document
+  * duplicate n-word-shingle statistics (the Gopher repetition signal,
+  * q81) computed ENTIRELY per row: the duplicate fraction only ever
+  * compares a document's shingles with each other, so it never needed
+  * the (doc, shingle) corpus shuffle the two-level-aggregation form
+  * pays — this form runs at scan speed with zero shuffle at any
+  * corpus size (measured: q81 3.4 s → scan floor at sf0.1).
+  *
+  * Value-identical to grouping the exploded [[ShingleArr]] shingles
+  * per doc: same tokenization ([[Hashing.sparkTokens]]), same join
+  * (tokens contain no spaces, so the space-join is injective and
+  * string equality is window equality — no hash-collision risk), and
+  * duplicates are counted over SORTED shingle strings (any total
+  * order groups equal values adjacently). Docs of ≤ n words collapse
+  * to one whole-doc shingle, matching `Text.shingles`. */
+case class DupShingleStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, s"dup_shingle_stats needs n > 0, got $n")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", LongType, nullable = false),
+    StructField("dup_shingles", LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = Hashing.sparkTokens(v.asInstanceOf[UTF8String].toString)
+    if (words.length <= n) org.apache.spark.sql.catalyst.InternalRow(1L, 0L)
+    else {
+      val m = words.length - n + 1
+      val sh = new Array[AnyRef](m)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        sh(i) = sb.toString
+        i += 1
+      }
+      java.util.Arrays.sort(sh)
+      var dup = 0L
+      var s = 0
+      while (s < m) {
+        var e = s + 1
+        while (e < m && sh(e) == sh(s)) e += 1
+        if (e - s > 1) dup += (e - s)
+        s = e
+      }
+      org.apache.spark.sql.catalyst.InternalRow(m.toLong, dup)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): DupShingleStats = copy(child = c)
+  override def prettyName: String = "dup_shingle_stats"
+}
+
 object TextSignatures {
   /** Column API for the native signatures. */
   def minHashSig(c: Column, k: Int, shingleN: Int = 3): Column =
@@ -183,4 +242,6 @@ object TextSignatures {
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
   def shingles(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleArr(ColumnBridge.expression(c), n))
+  def dupShingleStats(c: Column, n: Int): Column =
+    ColumnBridge.column(DupShingleStats(ColumnBridge.expression(c), n))
 }

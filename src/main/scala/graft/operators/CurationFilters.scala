@@ -106,23 +106,25 @@ object CurationFilters {
     * repeated phrases; this is the signal that catches boilerplate
     * loops and decoding repetition.
     *
-    * Shape: shingle explode → two-level aggregation, both levels
-    * map-side combinable (the (doc, shingle) key is high-cardinality
-    * but each group is tiny — no skew candidate); integer counts plus
-    * one rounded ratio, bit-reproducible in the oracle. */
+    * Shape: the statistic only compares a document's shingles with
+    * EACH OTHER, so it is computed per row by the native
+    * [[graft.expressions.DupShingleStats]] — one codegen'd projection,
+    * zero shuffle, scan-speed at any corpus size (the original
+    * two-level (doc, shingle) aggregation paid a corpus-sized shuffle
+    * for a per-row answer: 3.4 s → scan floor at sf0.1, and
+    * CurationFiltersSpec pins the two forms value-identical). Integer
+    * counts plus one rounded ratio, bit-reproducible in the oracle. */
   def dupNgramFraction(docs: DataFrame, textCol: String = "text",
-                       idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(Text.shingles(col(textCol), n)).as("s"))
-    val dup = sum(when(col("c") > 1, col("c")).otherwise(0L))
-    sh.groupBy(col(idCol), col("s")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("c")).as("n_shingles"),
-        dup.as("dup_shingles"),
-        round(dup.cast("double") / sum(col("c")).cast("double"), 6)
-          .as("dup_frac"))
-  }
+                       idCol: String = "doc_id", n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.expressions.TextSignatures.dupShingleStats(col(textCol), n).as("_st"))
+      .select(
+        col(idCol),
+        col("_st.n_shingles").as("n_shingles"),
+        col("_st.dup_shingles").as("dup_shingles"),
+        round(col("_st.dup_shingles").cast("double") /
+          col("_st.n_shingles").cast("double"), 6).as("dup_frac"))
 
   /** PII scrub + audit stats: replace emails / IPv4s / phone-ish digit
     * runs with typed placeholders ([[Text.scrubPii]] — patterns valid

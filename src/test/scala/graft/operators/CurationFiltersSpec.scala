@@ -111,6 +111,29 @@ class CurationFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("dupNgramFraction: native per-row form equals the two-level aggregation form") {
+    // the shuffle-free DupShingleStats path must be value-identical to
+    // grouping the exploded shingles — on the fixture corpus AND on
+    // whitespace-adversarial rows
+    val adversarial = Seq(
+      (9001L, "\ta  b   a  b a b"), // leading tab, run-length spaces
+      (9002L, " x x x "), (9003L, ""), (9004L, "lone")
+    ).toDF("doc_id", "text")
+    Seq(docs, adversarial).foreach { d =>
+      val native = CurationFilters.dupNgramFraction(d)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val sh = d.select($"doc_id",
+        explode(graft.functions.Text.shingles($"text", 3)).as("s"))
+      val dup = sum(when($"c" > 1, $"c").otherwise(0L))
+      val agg = sh.groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_shingles"), dup.as("dup_shingles"),
+          round(dup.cast("double") / sum($"c").cast("double"), 6).as("dup_frac"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(native == agg)
+    }
+  }
+
   test("piiScrubStats: placeholders replace the planted spans, text otherwise intact") {
     val planted = Seq(
       (1L, "reach me at jane.doe+spam@mail-host.org today"),
