@@ -2355,6 +2355,40 @@ object Queries {
       |)
       |SELECT w, cnt FROM c WHERE cnt * 1000 > 34 * (SELECT COUNT(*) FROM tok)""".stripMargin
 
+  /** q84 — embedding centroid-outlier QC
+    * ([[operators.EmbeddingQC.centroidOutliers]]): per-label
+    * fixed-point centroid, n²-scaled integer squared distances, and a
+    * cross-multiplied outlier flag — the embedding-hygiene screen
+    * before semantic dedup / ANN indexing, value-oracled because
+    * every step is exact BIGINT arithmetic (floor quantization, sum
+    * centroids, no float means). */
+  val q84: Q = (s, dir) =>
+    operators.EmbeddingQC.centroidOutliers(Tables(s, dir).embeddings)
+  val q84Sql: String =
+    """WITH sc AS (
+      |  SELECT vec_id, label,
+      |    [CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) FOR v IN embedding] AS sv
+      |  FROM embeddings
+      |), ex AS (
+      |  SELECT vec_id, label, unnest(sv) AS x,
+      |         unnest(range(1, len(sv)+1)) AS i
+      |  FROM sc
+      |), sums AS (
+      |  SELECT label, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS nl
+      |  FROM ex GROUP BY label, i
+      |), d AS (
+      |  SELECT e.vec_id, e.label,
+      |    CAST(SUM((m.nl * e.x - m.s) * (m.nl * e.x - m.s)) AS BIGINT) AS dist2
+      |  FROM ex e JOIN sums m ON e.label = m.label AND e.i = m.i
+      |  GROUP BY e.vec_id, e.label
+      |), t AS (
+      |  SELECT label, CAST(SUM(dist2) AS BIGINT) AS tot, COUNT(*) AS n
+      |  FROM d GROUP BY label
+      |)
+      |SELECT d.vec_id, d.label, d.dist2,
+      |       (d.dist2 * t.n > 4 * t.tot) AS outlier
+      |FROM d JOIN t USING (label)""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2441,6 +2475,7 @@ object Queries {
     "q81_dup_ngrams" -> q81,
     "q82_boilerplate" -> q82,
     "q83_heavy_hitters" -> q83,
+    "q84_embed_outliers" -> q84,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2524,5 +2559,6 @@ object Queries {
     "q81_dup_ngrams" -> q81Sql,
     "q82_boilerplate" -> q82Sql,
     "q83_heavy_hitters" -> q83Sql,
+    "q84_embed_outliers" -> q84Sql,
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quality control: per-label centroid outlier scoring — the
+  * screening step a pretraining pipeline runs before trusting an
+  * embedding column for semantic dedup / ANN indexing (corrupt rows,
+  * mislabeled vectors, encoder failures all show up as far-from-
+  * centroid points; cf. the SemDeDup-family pruning literature, which
+  * ranks points by distance-to-centroid the same way).
+  *
+  * INTEGER-EXACT formulation so the whole operator value-oracles:
+  * elements are fixed-point quantized (`floor(v·scale)` — floor, not
+  * round: round's half-even/half-up disagreement across engines is a
+  * parity hazard; floor is unambiguous), the centroid is carried as
+  * the per-label element SUM vector `S` (never a float mean), and the
+  * squared distance to the mean is computed scaled by n²:
+  * `dist2 = Σ_i (n·x_i − S_i)²` — exact BIGINT arithmetic, identical
+  * in any evaluation order. A vector is an outlier iff its dist2 is
+  * strictly above `factor`× the label mean dist2, tested as the
+  * cross-multiplication `dist2 · n > factor · Σ dist2`.
+  *
+  * Scale shape: ONE shuffle of exploded (label, i, x) elements for the
+  * sum vectors — map-side combinable down to |labels|·dim rows per map
+  * task; the sum table (|labels| rows after re-packing) broadcasts
+  * back (AQE decides), and the distance is a per-row `zip_with` fold —
+  * no second explode, no window. Bound: n·x_i and its square must fit
+  * int64 — with |v|≤1, scale=1000 that holds to n ≈ 3·10⁹ rows per
+  * label; past that, lower `scale` (documented, loud require below).
+  */
+object EmbeddingQC {
+
+  /** (idCol, labelCol, dist2, outlier) — one row per input vector;
+    * `dist2` the n²-scaled fixed-point squared distance to the label
+    * centroid, `outlier` = dist2 strictly above factor× label mean. */
+  def centroidOutliers(emb: DataFrame, vecCol: String = "embedding",
+                       idCol: String = "vec_id", labelCol: String = "label",
+                       scale: Int = 1000, factor: Int = 4): DataFrame = {
+    require(scale > 0 && factor > 0, s"need scale/factor > 0, got $scale/$factor")
+    val scaled = emb.select(col(idCol), col(labelCol),
+      transform(col(vecCol), v => floor(v.cast("double") * scale)).as("sv"))
+    // per-label element sums: the one corpus shuffle, map-side combined
+    val sums = scaled
+      .select(col(labelCol), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col(labelCol), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("nl"))
+      .groupBy(col(labelCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          x => x.getField("s")).as("sarr"),
+        max(col("nl")).as("nl"))
+    val dist = scaled.join(sums, Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        aggregate(
+          zip_with(col("sv"), col("sarr"),
+            (x, sm) => (col("nl") * x - sm) * (col("nl") * x - sm)),
+          lit(0L), (acc, v) => acc + v).as("dist2"))
+    val tot = dist.groupBy(col(labelCol))
+      .agg(sum(col("dist2")).as("tot"), count(lit(1)).as("n"))
+    dist.join(tot, Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("dist2"),
+        (col("dist2") * col("n") > lit(factor.toLong) * col("tot")).as("outlier"))
+  }
+}
