@@ -1718,10 +1718,19 @@ object Queries {
     * closure, and the survivor argmax bit-exactly. Threshold 0.35 is
     * semantic redundancy on this corpus (max pairwise cosine 0.51 —
     * q16's 0.3 convention), yielding multi-doc transitive clusters at
-    * sf0.01. */
+    * sf0.01.
+    *
+    * The cell count SCALES WITH THE CORPUS — `max(4, n/128)` cells
+    * for a ~128-vector mean cell — because within-cell scoring is
+    * O(Σ cell²): a fixed cell count turns the operator quadratic in
+    * corpus size (measured: 4 cells at the 10× fixture cost 15.4 s of
+    * pair scoring). Both engines derive the same k by integer
+    * division, so the oracle stays exact at any SF (and at sf0.01,
+    * 500/128 → k=4, the historical configuration — hashes unchanged). */
   val q66: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
-    val centRows = emb.filter(col("vec_id") < 4)
+    val k = math.max(4L, emb.count() / 128L)
+    val centRows = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
     val cids = centRows.map(_.getLong(0))
     val cvecs = centRows.map(
@@ -1732,7 +1741,8 @@ object Queries {
   val q66Sql: String =
     """WITH RECURSIVE cents AS (
       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centv
-      |  FROM embeddings WHERE vec_id < 4
+      |  FROM embeddings
+      |  WHERE vec_id < greatest(4, (SELECT COUNT(*) // 128 FROM embeddings))
       |), v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |), dist AS (

@@ -25,14 +25,16 @@ import graft.functions.Text
   *    map-side-combinable count — ONE shuffle keyed by segment text
   *    (substitute a 128-bit fingerprint for the key if segment strings
   *    dominate shuffle bytes; kept exact here);
-  *  - the boilerplate set (df ≥ minDocs) is passed to a LEFT ANTI join
-  *    with no static broadcast hint: it is usually tiny (the
+  *  - the boilerplate set (df ≥ minDocs) flags instances through a
+  *    LEFT join with no static broadcast hint: it is usually tiny (the
   *    boilerplate vocabulary), but its size is corpus-dependent and
   *    adversarially up to segments/minDocs — AQE broadcasts it when
   *    the runtime size allows and shuffle-joins otherwise, the same
   *    no-forced-driver-transit stance as the q79 LM model join;
-  *  - reassembly is one groupBy(doc) whose groups are bounded by
-  *    document size.
+  *  - reassembly is ONE groupBy(doc) with groups bounded by document
+  *    size, emitting n_seg / n_kept / clean_text together — every
+  *    document has ≥1 segment, so group coverage is row parity and no
+  *    third corpus scan or outer join is needed.
   */
 object Boilerplate {
 
@@ -49,22 +51,22 @@ object Boilerplate {
     val boiler = segs.select(col("seg"), col(idCol)).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("seg"))
-    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+      .select(col("seg"), lit(true).as("_bp"))
+    // LEFT join (not anti) so ONE reassembly aggregation yields
+    // n_seg, n_kept, and the scrubbed text together: every document
+    // has ≥1 segment, so group coverage IS row parity — no separate
+    // base scan or outer join. Two corpus scans total (count pass +
+    // scrub pass), the floor for a two-pass algorithm.
+    segs.join(boiler, Seq("seg"), "left")
       .groupBy(col(idCol))
       .agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
-            x => x.getField("seg"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    docs
-      .select(col(idCol),
-        (floor((size(Text.tokens(col(textCol))) - lit(1)) / lit(segWords)) + 1L)
-          .cast("long").as("n_seg"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_seg"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("pos"), col("seg"), col("_bp")))),
+            x => x.getField("_bp").isNull),
+          x => x.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_seg"),
+        count(when(col("_bp").isNull, 1)).as("n_kept"))
+      .select(col(idCol), col("clean_text"), col("n_seg"), col("n_kept"))
   }
 }

@@ -95,6 +95,29 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(got == Map("hot" -> 50L)) // 50/100 > 1/3; warm 20/100 is not
   }
 
+  test("sketch aggregate runs under Structured Streaming (complete-mode candidates)") {
+    // the streaming shape of the candidate pass: the MG summary is a
+    // mergeable aggregation buffer, so complete-mode streaming
+    // aggregation maintains candidates incrementally across batches
+    implicit val sc = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val agg = in.toDF().toDF("w")
+      .agg(HeavyHitters.sketch($"w", 4).as("s"))
+      .select($"s.n".as("n"), $"s.items.item".as("cand"))
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    in.addData(Seq.fill(30)("hot") ++ Seq("a", "b", "c"): _*)
+    q.processAllAvailable()
+    val r1 = spark.table("hh_stream").as[(Long, Seq[String])].head()
+    assert(r1._1 == 33L && r1._2.contains("hot"))
+    in.addData(Seq.fill(25)("warm") ++ Seq("d", "e"): _*)
+    q.processAllAvailable(); q.stop()
+    val r2 = spark.table("hh_stream").as[(Long, Seq[String])].head()
+    assert(r2._1 == 60L, s"running total across batches, got ${r2._1}")
+    assert(r2._2.contains("hot") && r2._2.contains("warm"),
+      s"both heavy items survive the incremental merge: ${r2._2}")
+  }
+
   test("exactAboveShare: refuses a capacity below the guarantee; empty input yields empty") {
     val items = Seq("a").toDF("it")
     intercept[IllegalArgumentException] {
