@@ -266,11 +266,12 @@ object UserPointsBatch {
   }
 }
 
-/** End-to-end training-corpus curation over a documents table: quality
-  * filter → language gate → exact-fingerprint dedup → MinHash-LSH
-  * near-dup clustering (connected components) → optional SEMANTIC
-  * dedup (SemDeDup: embedding cells → within-cell cosine prune) →
-  * optional benchmark decontamination → survivors. Returns
+/** End-to-end training-corpus curation over a documents table:
+  * optional BOILERPLATE scrub (CCNet line-dedup over word segments) →
+  * quality filter → language gate → exact-fingerprint dedup →
+  * MinHash-LSH near-dup clustering (connected components) → optional
+  * SEMANTIC dedup (SemDeDup: embedding cells → within-cell cosine
+  * prune) → optional benchmark decontamination → survivors. Returns
   * (survivors, per-stage counts). Every stage is a DataFrame plan;
   * the only iterative pieces are the GraphX cluster collapse and the
   * (tiny, bench-side) bloom build.
@@ -304,6 +305,16 @@ object CorpusCuration {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95)
 
+  /** Optional FIRST stage: corpus-frequency boilerplate removal
+    * ([[graft.operators.Boilerplate.scrubFrequentSegments]] — the
+    * CCNet line-dedup step). It runs BEFORE the quality gate on
+    * purpose: shared banners/navigation inflate stopword and length
+    * signals, so scoring the scrubbed text is what CCNet does. The
+    * stage rewrites `text` and preserves row count (a fully-
+    * boilerplate doc becomes empty text and falls to the quality
+    * gate), so [[Report]] needs no extra field. */
+  final case class BoilerplateStage(segWords: Int = 8, minDocs: Long = 20)
+
   final case class Report(input: Long, afterQuality: Long, afterExact: Long,
                           afterNearDup: Long, afterSemantic: Long,
                           afterDecontam: Long)
@@ -313,12 +324,21 @@ object CorpusCuration {
           nearDupThreshold: Double = 0.5,
           benchDocs: Option[DataFrame] = None,
           decontamMinHits: Long = 1L,
-          semantic: Option[SemanticStage] = None): (DataFrame, Report) = {
-    val input = docs.count()
+          semantic: Option[SemanticStage] = None,
+          boilerplate: Option[BoilerplateStage] = None): (DataFrame, Report) = {
+    val base = boilerplate match {
+      case Some(b) =>
+        val scrubbed = graft.operators.Boilerplate
+          .scrubFrequentSegments(docs, "text", "doc_id", b.segWords, b.minDocs)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        docs.drop("text").join(scrubbed, Seq("doc_id"))
+      case None => docs
+    }
+    val input = base.count()
     // ONE MarkerCounts scan feeds both the quality score and the
     // language gate (the q31 projection shape) — the per-marker HOF
     // forms would re-scan each text ~20× for the same counts
-    val gated = docs
+    val gated = base
       .withColumn("_mc", TextStats.counts(col("text")))
       .withColumn("q_score", TextStats.qualityScore(col("text"), col("_mc")))
       .withColumn("pred_lang", TextStats.langId(col("_mc")))

@@ -207,6 +207,29 @@ class AppsSpec extends SparkTestBase {
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("corpus curation: boilerplate stage scrubs shared banners before the quality gate") {
+    val banner = // 12 words — segment-aligned at segWords=4
+      "subscribe to the site newsletter today for the free daily updates now"
+    // distinct 24-word bodies, each prefixed by the same 12-word banner
+    def body(i: Int) = (s"the cat n$i and the dog d$i of the house h$i ran " +
+      s"to the park p$i in the morning m$i with the ball b$i")
+    val docs = (0 until 25).map(i => (i.toLong, s"$banner ${body(i)}"))
+      .toDF("doc_id", "text")
+    val (plain, _) = CorpusCuration.run(spark, docs)
+    val (scrubbed, rep) = CorpusCuration.run(spark, docs,
+      boilerplate = Some(CorpusCuration.BoilerplateStage(segWords = 4, minDocs = 20)))
+    assert(rep.input == 25) // the stage rewrites text, never drops rows
+    // every survivor's text lost the banner but kept its body words
+    val texts = scrubbed.select("text").as[String].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(!t.contains("newsletter"), s"banner survived: $t")
+      assert(t.contains("the cat"), s"body lost: $t")
+    }
+    // without the stage the banner rides through untouched
+    assert(plain.select("text").as[String].collect().forall(_.contains("newsletter")))
+  }
+
   test("corpus curation: semantic stage prunes within-cell redundancy " +
     "between near-dup and decontam") {
     val good = "the cat and the dog of the house ran to the park in the morning " * 8
