@@ -2399,6 +2399,51 @@ object Queries {
       |       (d.dist2 * t.n > 4 * t.tot) AS outlier
       |FROM d JOIN t USING (label)""".stripMargin
 
+  /** q85 — filter-induced distribution drift
+    * ([[operators.Drift.bucketShift]]): the post-curation QC audit —
+    * compare the document-length histogram (50-char buckets) of the
+    * FULL corpus against its Gopher-filtered subset (q78's exact
+    * rules) and flag buckets whose share moved by more than 1%
+    * (cross-multiplied, no float division). The filter cuts short
+    * docs, so low buckets drift — the audit proves it and bounds it. */
+  val q85: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val kept = docs.join(
+      operators.CurationFilters.gopherFilter(docs).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    operators.Drift.bucketShift(docs, kept,
+      floor(col("n_chars").cast("long") / 50L).cast("long"))
+  }
+  val q85Sql: String =
+    """WITH ca AS (
+      |  SELECT n_chars // 50 AS bucket, COUNT(*) AS cnt_a
+      |  FROM documents GROUP BY 1
+      |), m AS (
+      |  SELECT doc_id, CAST($WORDS AS BIGINT) AS n_words,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS swlen,
+      |    $STOP AS stop_cnt, $PUNCT AS punct_cnt, n_chars
+      |  FROM documents
+      |), kept AS (
+      |  SELECT * FROM m
+      |  WHERE n_words BETWEEN 30 AND 10000
+      |    AND swlen >= 3 * n_words AND swlen <= 10 * n_words
+      |    AND stop_cnt >= 2
+      |    AND punct_cnt * 10 <= n_words
+      |), cb AS (
+      |  SELECT n_chars // 50 AS bucket, COUNT(*) AS cnt_b FROM kept GROUP BY 1
+      |), na AS (SELECT COUNT(*) AS n FROM documents),
+      |nb AS (SELECT COUNT(*) AS n FROM kept)
+      |SELECT CAST(coalesce(ca.bucket, cb.bucket) AS BIGINT) AS bucket,
+      |  CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+      |  CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b,
+      |  (abs(coalesce(cnt_a, 0) * nb.n - coalesce(cnt_b, 0) * na.n) * 100
+      |     > na.n * nb.n) AS drifted
+      |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket, na, nb"""
+      .stripMargin
+      .replace("$WORDS", wordsSql)
+      .replace("$STOP", stopSql)
+      .replace("$PUNCT", punctSql)
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2486,6 +2531,7 @@ object Queries {
     "q82_boilerplate" -> q82,
     "q83_heavy_hitters" -> q83,
     "q84_embed_outliers" -> q84,
+    "q85_filter_drift" -> q85,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2570,5 +2616,6 @@ object Queries {
     "q82_boilerplate" -> q82Sql,
     "q83_heavy_hitters" -> q83Sql,
     "q84_embed_outliers" -> q84Sql,
+    "q85_filter_drift" -> q85Sql,
   )
 }
