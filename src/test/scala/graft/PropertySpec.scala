@@ -152,6 +152,36 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("MGSummary keeps every heavy item under arbitrary partition/merge groupings") {
+    import graft.expressions.MGSummary
+    // the two-pass exact heavy hitters (q83) rides entirely on this:
+    // for EVERY way rows can split into partial buffers, the merged
+    // summary must retain every item with count > n/(k+1), and every
+    // counter must be a lower bound within n/(k+1)
+    val rnd = new scala.util.Random(41)
+    (0 until 50).foreach { trial =>
+      val k = 1 + rnd.nextInt(10)
+      val n = rnd.nextInt(300)
+      // skewed domain: geometric-ish so some items are genuinely heavy
+      val rows = (0 until n).map(_ => s"w${(math.log(1 + rnd.nextInt(255)) / math.log(2)).toInt}")
+      val parts = rows.grouped(math.max(1, 1 + rnd.nextInt(7))).toSeq
+      val merged = parts
+        .map { p => val s = new MGSummary(k); p.foreach(s.add); s }
+        .foldLeft(new MGSummary(k)) { (acc, s) => acc.mergeFrom(s); acc }
+      assert(merged.total == n, s"trial $trial")
+      assert(merged.counts.size <= k, s"trial $trial overflow")
+      val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val entries = merged.sortedEntries.toMap
+      val bound = merged.total / (k + 1)
+      truth.filter(_._2 > bound).keys.foreach(w =>
+        assert(entries.contains(w), s"trial $trial k=$k lost heavy $w"))
+      entries.foreach { case (w, lb) =>
+        assert(lb <= truth(w) && lb >= truth(w) - bound,
+          s"trial $trial k=$k $w lb=$lb true=${truth(w)}")
+      }
+    }
+  }
+
   test("chunking reconstructs any text exactly at any size/step") {
     import graft.operators.Chunking
     val text = Gen.oneOf(
