@@ -199,4 +199,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("DOUBLE"))
   }
+
+  test("dup_shingle_stats SQL function matches the exploded-shingle aggregation") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),     // all 6 shingles duplicated
+      (2L, "one two three four"),  // all distinct
+      (3L, "tiny doc"),            // <= n words: one whole-doc shingle
+      (4L, " \tx  y   x y x y ")  // whitespace-adversarial
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_dup")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, s.n_shingles, s.dup_shingles
+        |FROM (SELECT doc_id, dup_shingle_stats(text, 3) AS s FROM ext_dup)
+        |""".stripMargin).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val oracle = docs
+      .select($"doc_id", explode(Text.shingles($"text", 3)).as("s"))
+      .groupBy($"doc_id", $"s").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").as("n"),
+        sum(when($"count" > 1, $"count").otherwise(0L)).as("d"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sqlRows == oracle)
+    assert(sqlRows.head == ((1L, 6L, 6L)))
+  }
 }
