@@ -334,7 +334,10 @@ object CorpusCuration {
         docs.drop("text").join(scrubbed, Seq("doc_id"))
       case None => docs
     }
-    val input = base.count()
+    // scrub preserves row count (BoilerplateStage contract), so the
+    // input count comes from the raw docs — counting `base` would
+    // execute the whole two-scan scrub once more just for this number
+    val input = docs.count()
     // ONE MarkerCounts scan feeds both the quality score and the
     // language gate (the q31 projection shape) — the per-marker HOF
     // forms would re-scan each text ~20× for the same counts

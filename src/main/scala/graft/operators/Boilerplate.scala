@@ -46,7 +46,11 @@ object Boilerplate {
                             idCol: String = "doc_id", segWords: Int = 8,
                             minDocs: Long = 20): DataFrame = {
     require(minDocs > 1, s"minDocs=1 would scrub every document; got $minDocs")
-    val segArr = Text.segments(col(textCol), segWords)
+    // NULL text segments as empty text — a null-text doc still yields
+    // its one (empty) segment, so the one-row-per-document contract
+    // holds for it too (without this, posexplode of a null array
+    // would silently delete the doc from the output)
+    val segArr = Text.segments(coalesce(col(textCol), lit("")), segWords)
     val segs = docs.select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
     val boiler = segs.select(col("seg"), col(idCol)).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))

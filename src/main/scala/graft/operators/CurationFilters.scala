@@ -117,8 +117,13 @@ object CurationFilters {
   def dupNgramFraction(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", n: Int = 3): DataFrame =
     docs
+      // null text counts as one empty whole-doc shingle — exactly what
+      // the explode+aggregate form produced (Text.shingles(null) is
+      // array(concat_ws(..., null)) = [""]), so the per-row expression
+      // keeps the same row set instead of emitting a row of nulls
       .select(col(idCol),
-        graft.expressions.TextSignatures.dupShingleStats(col(textCol), n).as("_st"))
+        graft.expressions.TextSignatures
+          .dupShingleStats(coalesce(col(textCol), lit("")), n).as("_st"))
       .select(
         col(idCol),
         col("_st.n_shingles").as("n_shingles"),

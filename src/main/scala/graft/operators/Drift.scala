@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 /** Distribution-drift audit between two corpus states — the QC step
   * that answers "what did my filter / new crawl / re-curation do to
@@ -9,27 +12,30 @@ import org.apache.spark.sql.functions._
   * data-validation layers run on every pipeline iteration; the PSI /
   * chi-square family reduced to its integer-exact core).
   *
-  * Everything is exact BIGINT arithmetic so the audit value-oracles:
-  * per-bucket counts on both sides, and a drift flag from the
-  * cross-multiplied share difference — `|c_a/n_a − c_b/n_b| >
-  * num/denom` tested as `|c_a·n_b − c_b·n_a| · denom > num · n_a·n_b`
-  * with no float division anywhere.
+  * The audit is exact at ANY size: per-bucket counts are BIGINT
+  * aggregates, and the drift flag compares shares by EXACT
+  * cross-multiplication — `|c_a/n_a − c_b/n_b| > num/denom` tested as
+  * `|c_a·n_b − c_b·n_a| · denom > num · n_a·n_b` over arbitrary-
+  * precision integers on the driver (matching the oracle engine's
+  * int128 promotion), so there is no overflow envelope to document
+  * and no float division anywhere.
   *
   * Scale shape: one map-side-combinable count per side keyed by the
-  * (small) bucket domain, a full outer join over |buckets| rows, and
-  * two scalar totals — output is O(buckets) no matter the corpus
-  * size, the shuffles carry bucket keys only.
+  * (small) bucket domain, one full outer join over |buckets| rows —
+  * then the O(buckets) report is COLLECTED (bounded by `maxBuckets`,
+  * loud failure past it — same stance as the centroid/manifest
+  * collects) so each input executes exactly once: totals derive from
+  * the collected counts instead of separate `count()` jobs that would
+  * re-run the (possibly expensive) input plans.
   */
 object Drift {
 
   /** Per-bucket counts of `bucket` in A vs B plus a drift flag:
     * (bucket, cnt_a, cnt_b, drifted) — `drifted` iff the bucket's
-    * SHARE differs by strictly more than `num/denom` between sides.
-    * Overflow bound: `c·n` products need c·n < 2^63 / denom — holds
-    * to ~10^9 rows per side at denom 100; past that, pre-divide the
-    * counts (the shares, not the verdicts, lose precision). */
+    * SHARE differs by strictly more than `num/denom` between sides. */
   def bucketShift(a: DataFrame, b: DataFrame, bucket: Column,
-                  num: Long = 1, denom: Long = 100): DataFrame = {
+                  num: Long = 1, denom: Long = 100,
+                  maxBuckets: Int = 100000): DataFrame = {
     require(num > 0 && denom > num, s"need 0 < num < denom, got $num/$denom")
     val ca = a.select(bucket.as("bucket")).groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt_a"))
@@ -39,11 +45,22 @@ object Drift {
       .select(col("bucket"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    val na = a.count()
-    val nb = b.count()
+    val rows = joined.limit(maxBuckets + 1).collect()
+    require(rows.length <= maxBuckets,
+      s"bucketShift saw > $maxBuckets buckets — coarsen the bucket " +
+        "expression or raise maxBuckets; a drift report is a summary, " +
+        "not a corpus")
+    val na = BigInt(rows.iterator.map(_.getLong(1)).sum)
+    val nb = BigInt(rows.iterator.map(_.getLong(2)).sum)
     require(na > 0 && nb > 0, s"both sides need rows, got a=$na b=$nb")
-    joined.select(col("bucket"), col("cnt_a"), col("cnt_b"),
-      (abs(col("cnt_a") * nb - col("cnt_b") * na) * denom >
-        lit(num) * na * nb).as("drifted"))
+    val out = rows.map { r =>
+      val cntA = BigInt(r.getLong(1))
+      val cntB = BigInt(r.getLong(2))
+      Row(r.get(0), r.getLong(1), r.getLong(2),
+        (cntA * nb - cntB * na).abs * denom > BigInt(num) * na * nb)
+    }
+    val schema = StructType(joined.schema.fields :+
+      StructField("drifted", BooleanType, nullable = false))
+    a.sparkSession.createDataFrame(out.toSeq.asJava, schema)
   }
 }

@@ -25,9 +25,17 @@ import org.apache.spark.sql.functions._
   * sum vectors — map-side combinable down to |labels|·dim rows per map
   * task; the sum table (|labels| rows after re-packing) broadcasts
   * back (AQE decides), and the distance is a per-row `zip_with` fold —
-  * no second explode, no window. Bound: n·x_i and its square must fit
-  * int64 — with |v|≤1, scale=1000 that holds to n ≈ 3·10⁹ rows per
-  * label; past that, lower `scale` (documented, loud require below).
+  * no second explode, no window.
+  *
+  * Exactness bound: dist2 = Σ_i (n·x_i − S_i)² must fit int64, and
+  * |n·x_i − S_i| ≤ 2·n·scale (for |v| ≤ 1), so the per-label row
+  * count is bounded by n ≤ √(2⁶² / (4·scale²·dim)) — ≈ 1.3·10⁵ at
+  * scale=1000, dim=64, growing as 1/scale. This is the ORACLE-GRADE
+  * formulation: verification-exact where a float mean is not. Past
+  * the bound, lower `scale` (a coarser fixed-point grid, same
+  * semantics) — and the plan GUARDS the bound at runtime with an
+  * in-plan `raise_error` on any label exceeding it, so a silent
+  * int64 wrap cannot mislabel outliers.
   */
 object EmbeddingQC {
 
@@ -50,12 +58,21 @@ object EmbeddingQC {
         transform(array_sort(collect_list(struct(col("i"), col("s")))),
           x => x.getField("s")).as("sarr"),
         max(col("nl")).as("nl"))
+    // int64-exactness guard: 4·n²·scale²·dim ≤ 2⁶² (see scaladoc) —
+    // raise loudly instead of wrapping silently under non-ANSI eval
+    val maxSafeN = floor(sqrt(lit(4.611686018427388e18) /
+      (lit(4.0 * scale.toDouble * scale.toDouble) * size(col("sarr")).cast("double"))))
     val dist = scaled.join(sums, Seq(labelCol))
       .select(col(idCol), col(labelCol),
-        aggregate(
-          zip_with(col("sv"), col("sarr"),
-            (x, sm) => (col("nl") * x - sm) * (col("nl") * x - sm)),
-          lit(0L), (acc, v) => acc + v).as("dist2"))
+        when(col("nl") > maxSafeN, raise_error(concat(
+          lit(s"EmbeddingQC: label group exceeds the int64-exact bound at scale=$scale ("),
+          col("nl"), lit(" rows > "), maxSafeN,
+          lit(") — lower scale for a coarser exact grid"))))
+          .otherwise(
+            aggregate(
+              zip_with(col("sv"), col("sarr"),
+                (x, sm) => (col("nl") * x - sm) * (col("nl") * x - sm)),
+              lit(0L), (acc, v) => acc + v)).as("dist2"))
     val tot = dist.groupBy(col(labelCol))
       .agg(sum(col("dist2")).as("tot"), count(lit(1)).as("n"))
     dist.join(tot, Seq(labelCol))

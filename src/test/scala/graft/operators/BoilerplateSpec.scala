@@ -50,6 +50,16 @@ class BoilerplateSpec extends SparkTestBase {
     }
   }
 
+  test("null-text documents keep their row (segmented as empty text)") {
+    val docs = ((0 until 25).map(i => (i.toLong, s"$banner ${body(i)}")) :+
+      (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Boilerplate.scrubFrequentSegments(docs, minDocs = 20)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 26, "row parity must include null-text docs")
+    val (_, clean, nSeg, nKept) = out.find(_._1 == 99L).get
+    assert(clean == "" && nSeg == 1 && nKept == 1) // its "" segment is unique here
+  }
+
   test("repeated segment WITHIN one doc does not count as cross-doc boilerplate") {
     // the banner appears 3x in one doc but only in 1 distinct doc
     val docs = Seq((1L, s"$banner $banner $banner")).toDF("doc_id", "text")

@@ -117,7 +117,8 @@ class CurationFiltersSpec extends SparkTestBase {
     // whitespace-adversarial rows
     val adversarial = Seq(
       (9001L, "\ta  b   a  b a b"), // leading tab, run-length spaces
-      (9002L, " x x x "), (9003L, ""), (9004L, "lone")
+      (9002L, " x x x "), (9003L, ""), (9004L, "lone"),
+      (9005L, null.asInstanceOf[String]) // both forms: one empty shingle
     ).toDF("doc_id", "text")
     Seq(docs, adversarial).foreach { d =>
       val native = CurationFilters.dupNgramFraction(d)

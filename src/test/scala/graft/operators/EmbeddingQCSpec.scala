@@ -30,6 +30,18 @@ class EmbeddingQCSpec extends SparkTestBase {
     assert(out.forall(r => r._3 == 0L && !r._4))
   }
 
+  test("a label past the int64-exact bound raises instead of silently wrapping") {
+    // at scale=10^9 the safe per-label bound is 0 for any dim >= 2,
+    // so the guard must fire on the very first label group
+    val emb = (0 until 5).map(i => (i.toLong, Array(0.5f, -0.25f), "C"))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      EmbeddingQC.centroidOutliers(emb, scale = 1000000000).collect()
+    }
+    assert(e.getMessage.contains("int64-exact bound"),
+      s"expected the loud guard, got: ${e.getMessage}")
+  }
+
   test("dist2 matches a driver-side exact recomputation on the fixture") {
     val emb = Tables(spark, sf).embeddings
     val got = EmbeddingQC.centroidOutliers(emb)
