@@ -1720,16 +1720,22 @@ object Queries {
     * q16's 0.3 convention), yielding multi-doc transitive clusters at
     * sf0.01.
     *
-    * The cell count SCALES WITH THE CORPUS — `max(4, n/128)` cells
-    * for a ~128-vector mean cell — because within-cell scoring is
-    * O(Σ cell²): a fixed cell count turns the operator quadratic in
-    * corpus size (measured: 4 cells at the 10× fixture cost 15.4 s of
-    * pair scoring). Both engines derive the same k by integer
-    * division, so the oracle stays exact at any SF (and at sf0.01,
-    * 500/128 → k=4, the historical configuration — hashes unchanged). */
+    * The cell count SCALES WITH THE CORPUS as k ≈ √n — the BALANCED
+    * law for in-query assignment: within-cell scoring is O(n²/k·dim)
+    * (a fixed k is quadratic — measured 15.4 s at the 10× fixture
+    * with 4 cells) while assignment is O(n·k·dim) (a k ∝ n made THAT
+    * the quadratic term — measured 80.5 s at the 100× fixture with
+    * n/128 cells); k = √n equalizes them at O(n^1.5·dim). Piecewise
+    * so the sf0.01 verify scale keeps the historical 4 cells and its
+    * oracle hashes: k = 4 for n ≤ 512, else ⌊√n⌋ — both engines
+    * derive the same k (IEEE sqrt + floor). At deploy scale the
+    * assignment moves to ingest time entirely (one column on the
+    * embedding table, the operator scaladoc's contract) and k becomes
+    * the SemDeDup ~100k-cell configuration. */
   val q66: Q = (s, dir) => {
     val emb = Tables(s, dir).embeddings
-    val k = math.max(4L, emb.count() / 128L)
+    val n = emb.count()
+    val k = if (n <= 512) 4L else math.floor(math.sqrt(n.toDouble)).toLong
     val centRows = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
     val cids = centRows.map(_.getLong(0))
@@ -1742,7 +1748,9 @@ object Queries {
     """WITH RECURSIVE cents AS (
       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centv
       |  FROM embeddings
-      |  WHERE vec_id < greatest(4, (SELECT COUNT(*) // 128 FROM embeddings))
+      |  WHERE vec_id < (SELECT CASE WHEN COUNT(*) <= 512 THEN 4
+      |                  ELSE CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) END
+      |                  FROM embeddings)
       |), v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |), dist AS (
