@@ -536,11 +536,31 @@ object Dedup {
                     spark: org.apache.spark.sql.SparkSession,
                     centroids: (Array[Long], Array[Array[Double]]),
                     threshold: Double = 0.95): DataFrame = {
+    val (cids, cvecs) = centroids
+    val assigned = df.select(col(idCol).as("_sd_id"), col(vecCol))
+      .withColumn("_sd_cell", element_at(
+        graft.expressions.CentroidOps.nearestCentroids(col(vecCol), cids, cvecs), 1))
+    semanticDedupAssigned(assigned, vecCol, "_sd_id", "_sd_cell",
+      spark, centroids, threshold)
+      .withColumnRenamed("_sd_id", idCol)
+  }
+
+  /** [[semanticDedup]] over a frame that ALREADY carries its cell
+    * assignment (`cellCol`) — the deploy shape: at corpus scale the
+    * nearest-centroid assignment is O(n·k·dim) and belongs at INGEST
+    * (one column on the embedding table, computed once per generation),
+    * not in every dedup run. Same output as [[semanticDedup]] given
+    * the same assignment (spec-pinned); `centroids` are still needed
+    * for the survivor-selection centroid-cosine. */
+  def semanticDedupAssigned(df: DataFrame, vecCol: String, idCol: String,
+                            cellCol: String,
+                            spark: org.apache.spark.sql.SparkSession,
+                            centroids: (Array[Long], Array[Array[Double]]),
+                            threshold: Double = 0.95): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cids, cvecs) = centroids
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cell", element_at(
-        graft.expressions.CentroidOps.nearestCentroids(col("v"), cids, cvecs), 1))
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(cellCol).as("cell"))
       .withColumn("nrm", Vectors.norm(col("v")))
     // within-cell candidates: ids only through the cell exchange
     val slim = assigned.select(col("cell"), col("id"))

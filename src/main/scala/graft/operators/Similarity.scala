@@ -94,6 +94,18 @@ object Similarity {
     * the corpus) and recomputes means with a posexplode + two-level
     * aggregate (C×dim rows — tiny). `iters` small (3-5) suffices for a
     * coarse quantizer. Returns (ids 0..k-1, centroid vectors). */
+  /** Ingest-time cell assignment: append the nearest-centroid id as a
+    * column — computed ONCE per generation so downstream consumers
+    * ([[Dedup.semanticDedupAssigned]], IVF probing) never pay the
+    * O(n·k·dim) assignment inside a query. One native projection, no
+    * shuffle; write the result alongside the embedding table. */
+  def assignCells(df: DataFrame, vecCol: String,
+                  centroids: (Array[Long], Array[Array[Double]]),
+                  cellCol: String = "cell"): DataFrame =
+    df.withColumn(cellCol, element_at(
+      graft.expressions.CentroidOps.nearestCentroids(
+        col(vecCol), centroids._1, centroids._2), 1))
+
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
                       iters: Int = 3): (Array[Long], Array[Array[Double]]) = {
     // full-hash secondary sort: the 1e6-bucket key alone ties for

@@ -184,6 +184,22 @@ class RecallSpec extends SparkTestBase {
     }
   }
 
+  test("pre-assigned semantic dedup equals the in-query-assignment path") {
+    // the deploy shape: assignCells at ingest, semanticDedupAssigned in
+    // the query — must yield exactly the in-query path's verdicts
+    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val inQuery = Dedup.semanticDedup(emb, "embedding", "vec_id", spark,
+      km, threshold = 0.35)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val assigned = Similarity.assignCells(
+      emb.select("vec_id", "embedding"), "embedding", km)
+    val pre = Dedup.semanticDedupAssigned(assigned, "embedding", "vec_id",
+      "cell", spark, km, threshold = 0.35)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(pre == inQuery)
+    assert(pre.nonEmpty)
+  }
+
   test("q67: quantized two-stage ANN recall@5 vs exact brute force") {
     val qs = emb.filter(col("vec_id") < 20)
     val truth = topkPairs(Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5))
