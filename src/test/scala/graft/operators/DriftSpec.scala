@@ -32,6 +32,31 @@ class DriftSpec extends SparkTestBase {
     assert(out.head._4 && out.last._4)
   }
 
+  test("streaming: per-batch drift reports against a static reference via foreachBatch") {
+    // the monitoring shape: a static reference histogram audited
+    // against every micro-batch — drift flags arrive per batch id
+    implicit val sc = spark.sqlContext
+    val ref = Seq(1, 1, 2, 2).toDF("v") // reference: 50/50
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val reports = scala.collection.mutable.ArrayBuffer[(Long, Int, Boolean)]()
+    val q = in.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Drift.bucketShift(ref, batch, col("v"), num = 1, denom = 10)
+          .collect().foreach(r =>
+            reports.synchronized {
+              reports += ((id, r.getInt(0), r.getBoolean(3)))
+            })
+      }
+      .start()
+    in.addData(1, 1, 1, 1, 2) // 80/20 vs 50/50 -> both buckets drift
+    q.processAllAvailable()
+    in.addData(1, 1, 2, 2)    // exactly the reference mix -> no drift
+    q.processAllAvailable(); q.stop()
+    val byBatch = reports.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(byBatch(0L) == Map(1 -> true, 2 -> true), s"batch 0: ${byBatch(0L)}")
+    assert(byBatch(1L) == Map(1 -> false, 2 -> false), s"batch 1: ${byBatch(1L)}")
+  }
+
   test("bucketShift: identical frames never drift; empty side refused") {
     val a = Seq(1, 2, 2, 3).toDF("v")
     val out = Drift.bucketShift(a, a, $"v").as[(Int, Long, Long, Boolean)].collect()
