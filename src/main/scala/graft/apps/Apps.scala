@@ -484,6 +484,23 @@ object CorpusCuration {
       Published(manifest, report, publishSec, published)
     } finally pinned.unpersist()
   }
+
+  /** Cross-generation QC audit: histogram drift of a CANDIDATE corpus
+    * against the LIVE published generation at `publishPath`
+    * ([[graft.operators.Drift.bucketShift]] — integer-exact shares,
+    * O(buckets) report). This is the gate a periodic re-curation runs
+    * BEFORE publishing: a threshold change or upstream shift that
+    * skewed the distribution shows up as drifted buckets while the
+    * previous generation is still live, instead of after the training
+    * run that consumed the new one. Pure read + audit — touches
+    * nothing, so it composes with the publish lease and delta door. */
+  def generationDrift(spark: SparkSession, publishPath: String,
+                      candidate: DataFrame,
+                      bucket: org.apache.spark.sql.Column,
+                      num: Long = 1, denom: Long = 100): DataFrame = {
+    val live = spark.read.parquet(s"$publishPath/data")
+    graft.operators.Drift.bucketShift(live, candidate, bucket, num, denom)
+  }
 }
 
 /** Compaction + snapshot expiry over every lakehouse dir (reference

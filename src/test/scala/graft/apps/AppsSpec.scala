@@ -294,6 +294,31 @@ class AppsSpec extends SparkTestBase {
       .filter(!col("ok")).count() == 0)
   }
 
+  test("generation drift audit gates a re-curation against the live publish") {
+    val docs = graft.Tables(spark, sf).documents
+    val pub = work() + "/published"
+    CorpusCuration.runAndPublish(spark, docs, pub, nShards = 4,
+      minQuality = 0.0)
+    val lenBucket = floor(length(col("text")) / 100)
+    // candidate == the live corpus -> zero drifted buckets
+    val live = spark.read.parquet(s"$pub/data")
+    val same = CorpusCuration.generationDrift(spark, pub, live, lenBucket)
+    assert(same.filter(col("drifted")).count() == 0)
+    // candidate that cut every short doc -> the low buckets drift
+    val skewed = live.filter(length(col("text")) >= 250)
+    assert(skewed.count() > 0 && skewed.count() < live.count())
+    val audit = CorpusCuration.generationDrift(spark, pub, skewed, lenBucket)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(audit.exists(_._4), s"expected drift, got ${audit.toSeq}")
+    // every flagged bucket really moved: recompute one flag by hand
+    val na = audit.map(_._2).sum
+    val nb = audit.map(_._3).sum
+    audit.foreach { case (_, ca, cb, drifted) =>
+      val lhs = (BigInt(ca) * nb - BigInt(cb) * na).abs * 100
+      assert(drifted == (lhs > BigInt(na) * nb), "flag arithmetic mismatch")
+    }
+  }
+
   test("delta re-curation over an unchanged corpus links every shard forward") {
     val docs = graft.Tables(spark, sf).documents
     val pub = work() + "/published"
