@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: merge co-projected marker_counts calls into one
     // scan of the string (see CombineMarkerCounts)
     ext.injectOptimizerRule(_ => graft.expressions.CombineMarkerCounts)
+    // optimizer rule: automatic manifest-stat file skipping on shard
+    // layouts — filters over a published `data` dir prune via zone maps
+    // without the reader opting in (see ZoneMapSkipping)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneMapSkipping)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(text[, k[, shingleN]]) - MinHash signature"),

@@ -2452,6 +2452,122 @@ object Queries {
       .replace("$STOP", stopSql)
       .replace("$PUNCT", punctSql)
 
+  /** q86 — AUTOMATIC zone-map skipping under a VALUE oracle
+    * ([[graft.plans.ZoneMapSkipping]]): the same published layout as
+    * q76, but read through the FRONT DOOR — a plain
+    * `spark.read.parquet(s"$pub/data")` with an ordinary `.filter`,
+    * no pruning API in sight. The injected optimizer rule recognizes
+    * the layout, evaluates the date-range conjuncts against the
+    * manifest's zone stats, and adds `shard IN (<survivors>)` — which
+    * partition pruning turns into file skipping (ZoneMapSkippingSpec
+    * asserts the files-opened drop on this exact shape). The second
+    * conjunct (`o_orderpriority`) is NOT zone-mapped: it prunes
+    * nothing and row-filters normally, proving mixed predicates stay
+    * exact. The oracle is the plain row filter, so the hash compare
+    * proves the automatic path loses nothing a full scan would
+    * return — q76's guarantee without q76's API. */
+  val q86: Q = (s, dir) => {
+    val cached = q76Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q76Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <= lit("1997-06-30 00:00:00").cast("timestamp") &&
+        col("o_orderpriority") === lit("1-URGENT"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+  }
+  val q86Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+      |                      AND TIMESTAMP '1997-06-30 00:00:00'
+      |  AND o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** q87 — the manifest as a METADATA TABLE under a VALUE oracle
+    * ([[graft.sinks.Sinks.shardStats]] — the Iceberg `table.files`/
+    * `table.partitions` shape): per-shard row counts, id ranges and
+    * zone ranges of the q76 layout, answered from the manifest alone —
+    * zero data files opened (the frame IS the one-row-per-shard
+    * manifest). The oracle recomputes the same stats from the raw
+    * table, so the hash compare proves the published manifest
+    * truthfully describes the published bytes — the planner's pruning
+    * stats and the verifier's accounting are the same checked numbers.
+    * At 100 TB this door answers "rows per date bucket, ranges held"
+    * at manifest cost instead of corpus-scan cost. */
+  val q87: Q = (s, dir) => {
+    val cached = q76Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q76Publish(s, dir)
+    graft.sinks.Sinks.shardStats(s, pub)
+      .select(col("shard"), col("n_rows"), col("min_id"), col("max_id"),
+        col("zmin_o_orderdate"), col("zmax_o_orderdate"))
+  }
+  val q87Sql: String =
+    """SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS shard,
+      |       COUNT(*) AS n_rows,
+      |       MIN(o_orderkey) AS min_id, MAX(o_orderkey) AS max_id,
+      |       MIN(o_orderdate) AS zmin_o_orderdate,
+      |       MAX(o_orderdate) AS zmax_o_orderdate
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q88 — incremental consumption of a delta publish under a VALUE
+    * oracle ([[graft.sinks.Sinks.readShardsChangedSince]]): publish
+    * the date-clustered orders layout, then delta-publish a RESTATED
+    * generation (1997's priorities rewritten — one bucket's content
+    * changes, six are carried forward by hard link), and read back
+    * ONLY what changed since the retired generation. The result is
+    * exactly the restated bucket's rows — the oracle recomputes them
+    * from the raw table, so the hash compare proves the two-manifest
+    * change plan (content-hash diff) returns precisely the rows a
+    * catching-up consumer must reprocess: no missed changes, no
+    * re-delivered unchanged shards. The 100 TB story in one query —
+    * a 1/7 delta costs the consumer 1/7 of a scan. */
+  private val q88Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String, String)]())
+
+  /** Build q88's two-generation scenario once per (session, sf): the
+    * bench's repeat passes then measure the CONSUMER cost — change
+    * planning from two manifests + the changed-shard read — which is
+    * the number that matters round-over-round (the q76Publish
+    * treatment; the publishes themselves are writeShards/publishDelta,
+    * already covered by SinksSpec and `q76_write_sec`). */
+  private def q88Publish(s: SparkSession, dir: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q88_").toString
+    val pub = s"$root/pub"
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("bucket", (year(col("o_orderdate")) - 1995).cast("long"))
+    graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
+      shardCol = Some("bucket"))
+    val restated = o.withColumn("o_orderpriority",
+      when(col("bucket") === 2L, lit("X-RESTATED"))
+        .otherwise(col("o_orderpriority")))
+    graft.sinks.Sinks.publishDelta(restated, pub, "o_orderkey", nShards = 7,
+      retainPrevious = true, shardCol = Some("bucket"))
+    val stamp = graft.sinks.Sinks.listShardVersions(s, pub).last
+    q88Published.put(s, (dir, pub, stamp))
+    (pub, stamp)
+  }
+
+  val q88: Q = (s, dir) => {
+    val cached = q88Published.get(s)
+    val (pub, stamp) =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        (cached._2, cached._3)
+      else q88Publish(s, dir)
+    graft.sinks.Sinks.readShardsChangedSince(s, pub, stamp)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+  }
+  val q88Sql: String =
+    """SELECT o_orderkey, o_orderdate, 'X-RESTATED' AS o_orderpriority
+      |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2540,6 +2656,9 @@ object Queries {
     "q83_heavy_hitters" -> q83,
     "q84_embed_outliers" -> q84,
     "q85_filter_drift" -> q85,
+    "q86_auto_skipping" -> q86,
+    "q87_manifest_stats" -> q87,
+    "q88_changed_shards" -> q88,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2625,5 +2744,8 @@ object Queries {
     "q83_heavy_hitters" -> q83Sql,
     "q84_embed_outliers" -> q84Sql,
     "q85_filter_drift" -> q85Sql,
+    "q86_auto_skipping" -> q86Sql,
+    "q87_manifest_stats" -> q87Sql,
+    "q88_changed_shards" -> q88Sql,
   )
 }

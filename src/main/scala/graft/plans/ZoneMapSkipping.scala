@@ -1,0 +1,250 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: AUTOMATIC zone-map data skipping over published
+  * shard layouts ([[graft.sinks.Sinks.writeShards]]).
+  *
+  * `readShardsBetween` prunes shards from the manifest's column stats,
+  * but only for callers who opt in through that API. This rule gives
+  * every reader the same file skipping for free: a plain
+  * `spark.read.parquet(s"$pub/data").filter(...)` — or the SQL
+  * equivalent — is recognized as a scan of a shard layout (single root
+  * named `data`, hive-partitioned on `shard`, sibling `manifest` dir),
+  * the filter's conjuncts on zone-mapped columns are evaluated against
+  * the manifest's per-shard `zmin_*`/`zmax_*` ranges DRIVER-SIDE, and a
+  * `shard IN (<survivors>)` conjunct is added. `shard` is a partition
+  * column, so Spark's own partition pruning turns the conjunct into
+  * file skipping at planning time — zero per-row cost, and the original
+  * predicate stays in place so the rewrite is conservative by
+  * construction (a shard the stats can't rule out is still row-filtered
+  * normally). This is the Delta/Iceberg data-skipping shape
+  * (stats-based file pruning in the planner) re-expressed as a
+  * `Rule[LogicalPlan]` on the classic parquet path.
+  *
+  * Scale posture: the manifest is one row per shard (bounded — the same
+  * envelope every publisher/verifier read uses), cached per layout
+  * generation and evaluated with an interpreted Catalyst predicate, so
+  * planning cost is microseconds per query and the manifest parquet is
+  * read once per generation per JVM, not once per query. At 100 TB the
+  * win is the whole point of zone maps: a selective date-range query
+  * opens only the shards whose recorded range can intersect, however
+  * the user spells the read.
+  *
+  * Pruning semantics (exactly [[graft.sinks.Sinks.readShardsBetween]]'s,
+  * generalized to more predicate shapes):
+  *   - `a >= v` keeps shards with `zmax_a >= v`; `a > v` ⇒ `zmax_a > v`
+  *   - `a <= v` keeps shards with `zmin_a <= v`; `a < v` ⇒ `zmin_a < v`
+  *   - `a = v` / null-safe-eq with non-null v ⇒ range-contains
+  *   - `a IN (v…)` ⇒ OR of range-contains
+  *   - min/max stats ignore nulls (Iceberg manifest semantics), which
+  *     is exact here because every handled shape row-filters null `a`
+  *     out anyway; `a <=> null` / IS NULL shapes are deliberately NOT
+  *     handled for that reason.
+  * Conjuncts in any other shape (OR trees, casts on the column side,
+  * non-foldable comparands, non-zone columns) are simply ignored —
+  * they prune nothing but never unsound.
+  *
+  * Guards: fires once per query (skipped when the condition already
+  * references `shard`, including the conjunct it adds — safe under
+  * fixpoint batches), only on single-root parquet relations that
+  * partition-discover `shard`, and only when the sibling manifest
+  * carries `zmin_*` stats. Kill switch:
+  * `spark.graft.zoneMapSkipping.enabled=false`.
+  */
+object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val EnabledKey = "spark.graft.zoneMapSkipping.enabled"
+
+  /** One cached manifest generation: a version token (mtime/length/name
+    * digest of the manifest dir's files), the manifest's attributes and
+    * collected rows, and the positions of the `shard` column and each
+    * zone column's stats. Rows are one-per-shard — bounded by contract. */
+  private final case class CachedManifest(token: Long,
+                                          attrs: Seq[Attribute],
+                                          rows: Array[InternalRow],
+                                          shardOrdinal: Int,
+                                          zoneCols: Set[String])
+
+  private val manifests = new ConcurrentHashMap[String, CachedManifest]()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) return plan
+    plan.transform {
+      case f @ Filter(cond, l: LogicalRelation) =>
+        l.relation match {
+          case fsr: HadoopFsRelation if eligible(fsr, l, cond) =>
+            rewrite(f, cond, l, fsr).getOrElse(f)
+          case _ => f
+        }
+    }
+  }
+
+  /** Cheap structural checks before any filesystem touch: parquet,
+    * one root named `data`, `shard` partition-discovered, and the
+    * condition not already shard-aware (idempotency + user override). */
+  private def eligible(fsr: HadoopFsRelation, l: LogicalRelation,
+                       cond: Expression): Boolean =
+    fsr.fileFormat.isInstanceOf[ParquetFileFormat] &&
+      fsr.location.rootPaths.lengthCompare(1) == 0 &&
+      fsr.location.rootPaths.head.getName == "data" &&
+      fsr.partitionSchema.fieldNames.contains("shard") &&
+      !cond.references.exists(_.name == "shard")
+
+  private def rewrite(f: Filter, cond: Expression, l: LogicalRelation,
+                      fsr: HadoopFsRelation): Option[Filter] = {
+    val dataDir = fsr.location.rootPaths.head
+    val spark = SparkSession.active
+    for {
+      mf <- loadManifest(spark, dataDir)
+      shardAttr <- l.output.find(_.name == "shard")
+      preds = splitConjunctivePredicates(cond)
+        .flatMap(toManifestPredicate(_, mf))
+      if preds.nonEmpty
+    } yield {
+      val pred = Predicate.create(preds.reduce(And), mf.attrs)
+      pred.initialize(0)
+      val keep = mf.rows.filter(pred.eval).map(_.getLong(mf.shardOrdinal))
+      val keepConjunct =
+        if (keep.isEmpty) Literal.FalseLiteral
+        else if (keep.length <= 100)
+          In(shardAttr, keep.toSeq.sorted.map(shardLiteral(_, shardAttr)))
+        else
+          // large survivor sets (a 100 TB layout has thousands of
+          // shards): set-lookup form, O(1) per partition at planning —
+          // In→InSet conversion (OptimizeIn) may not re-run after the
+          // user-rule batch, so emit it directly
+          InSet(shardAttr, keep.map(shardValue(_, shardAttr)).toSet)
+      logInfo(s"zone-map skipping at $dataDir: " +
+        s"${keep.length}/${mf.rows.length} shards survive " +
+        s"${preds.length} stat predicate(s)")
+      Filter(And(cond, keepConjunct), l)
+    }
+  }
+
+  /** Partition discovery types `shard=N` as int; the manifest records
+    * long. Emit the literal in the relation's discovered type. */
+  private def shardLiteral(v: Long, attr: Attribute): Literal =
+    attr.dataType match {
+      case IntegerType => Literal(v.toInt)
+      case LongType    => Literal(v)
+      case other       => Literal.create(v.toString, other) // not reached
+    }
+
+  /** The same value in InSet's internal representation. */
+  private def shardValue(v: Long, attr: Attribute): Any =
+    attr.dataType match {
+      case IntegerType => v.toInt
+      case _           => v
+    }
+
+  /** Translate one data-side conjunct into a manifest-side predicate
+    * over `zmin_c`/`zmax_c`, or None when the shape can't prune. */
+  private def toManifestPredicate(conjunct: Expression,
+                                  mf: CachedManifest): Option[Expression] = {
+    def stat(prefix: String, c: String): Option[Attribute] =
+      mf.attrs.find(_.name == s"${prefix}_$c")
+    def lit(v: Expression): Literal = Literal.create(v.eval(), v.dataType)
+    // a zone-mapped bare column vs a foldable comparand, either side
+    object ZoneCol {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference
+            if mf.zoneCols.contains(a.name) &&
+              stat("zmin", a.name).isDefined && stat("zmax", a.name).isDefined =>
+          Some(a)
+        case _ => None
+      }
+    }
+    object Const {
+      def unapply(e: Expression): Option[Expression] =
+        if (e.foldable && e.deterministic) Some(e) else None
+    }
+    def contains(a: AttributeReference, v: Literal): Option[Expression] =
+      if (v.value == null) None
+      else for (lo <- stat("zmin", a.name); hi <- stat("zmax", a.name))
+        yield And(LessThanOrEqual(lo, v), GreaterThanOrEqual(hi, v))
+
+    conjunct match {
+      case GreaterThanOrEqual(ZoneCol(a), Const(v)) =>
+        stat("zmax", a.name).map(GreaterThanOrEqual(_, lit(v)))
+      case GreaterThan(ZoneCol(a), Const(v)) =>
+        stat("zmax", a.name).map(GreaterThan(_, lit(v)))
+      case LessThanOrEqual(ZoneCol(a), Const(v)) =>
+        stat("zmin", a.name).map(LessThanOrEqual(_, lit(v)))
+      case LessThan(ZoneCol(a), Const(v)) =>
+        stat("zmin", a.name).map(LessThan(_, lit(v)))
+      // flipped comparands: v OP a
+      case GreaterThanOrEqual(Const(v), ZoneCol(a)) =>
+        stat("zmin", a.name).map(LessThanOrEqual(_, lit(v)))
+      case GreaterThan(Const(v), ZoneCol(a)) =>
+        stat("zmin", a.name).map(LessThan(_, lit(v)))
+      case LessThanOrEqual(Const(v), ZoneCol(a)) =>
+        stat("zmax", a.name).map(GreaterThanOrEqual(_, lit(v)))
+      case LessThan(Const(v), ZoneCol(a)) =>
+        stat("zmax", a.name).map(GreaterThan(_, lit(v)))
+      case EqualTo(ZoneCol(a), Const(v)) => contains(a, lit(v))
+      case EqualTo(Const(v), ZoneCol(a)) => contains(a, lit(v))
+      case EqualNullSafe(ZoneCol(a), Const(v)) => contains(a, lit(v))
+      case EqualNullSafe(Const(v), ZoneCol(a)) => contains(a, lit(v))
+      case In(ZoneCol(a), vs) if vs.nonEmpty && vs.forall(v =>
+          v.foldable && v.deterministic) =>
+        val arms = vs.flatMap(v => contains(a, lit(v)))
+        if (arms.length == vs.length) Some(arms.reduce(Or)) else None
+      case _ => None
+    }
+  }
+
+  /** Load (or reuse) the manifest beside `dataDir`. Returns None when
+    * there is no readable manifest with zone stats — the rule then
+    * leaves the plan alone. The version token digests the manifest
+    * dir's file statuses, so a generation swap (promote renames a NEW
+    * manifest dir into place) invalidates the cache. */
+  private def loadManifest(spark: SparkSession,
+                           dataDir: Path): Option[CachedManifest] = {
+    val manifestPath = new Path(dataDir.getParent, "manifest")
+    try {
+      val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(manifestPath)) return None
+      val token = fs.listStatus(manifestPath).map(s =>
+        s.getModificationTime ^ s.getLen ^ s.getPath.getName.hashCode.toLong)
+        .foldLeft(0L)(_ ^ _)
+      val key = manifestPath.toString
+      val cached = manifests.get(key)
+      if (cached != null && cached.token == token) return zoneOk(cached)
+      val df = spark.read.parquet(key)
+      val attrs = df.queryExecution.analyzed.output
+      val shardOrdinal = attrs.indexWhere(_.name == "shard")
+      if (shardOrdinal < 0 || attrs(shardOrdinal).dataType != LongType)
+        return None
+      val zoneCols = attrs.collect {
+        case a if a.name.startsWith("zmin_") => a.name.stripPrefix("zmin_")
+      }.toSet
+      // one row per shard by contract — the same bounded collect the
+      // publisher's own manifest reads perform
+      val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+      val entry = CachedManifest(token, attrs, rows, shardOrdinal, zoneCols)
+      if (manifests.size > 256) manifests.clear()
+      manifests.put(key, entry)
+      zoneOk(entry)
+    } catch {
+      // an unreadable/foreign "manifest" sibling must never fail the
+      // user's query — skipping is an optimization only
+      case _: Exception => None
+    }
+  }
+
+  private def zoneOk(m: CachedManifest): Option[CachedManifest] =
+    if (m.zoneCols.nonEmpty) Some(m) else None
+}

@@ -1172,6 +1172,68 @@ object Sinks {
     spark.read.parquet(s"$tgt/data")
   }
 
+  /** METADATA TABLE over a published layout — the Iceberg
+    * `table.files` / `table.partitions` shape: per-shard row counts,
+    * id range, declared zone-map ranges and the generation's partition
+    * spec, answered from the manifest ALONE (one row per shard, zero
+    * data files opened). At 100 TB this is the difference between a
+    * catalog query ("how many rows per date bucket, what ranges do we
+    * hold") costing a manifest read vs a full corpus scan — the same
+    * stats the pruning reader plans from, exposed as a queryable
+    * frame. `stamp` selects a retained generation's manifest (same
+    * stamp semantics as [[readShardsAt]]). The `content_hash` column
+    * is part of the frame on purpose: it is the verification currency
+    * ([[verifyShards]]), and diffing two generations' stats frames is
+    * the cheap answer to "what changed". */
+  def shardStats(spark: SparkSession, path: String,
+                 stamp: Option[String] = None): DataFrame = {
+    val mp = stamp.fold(s"$path/manifest")(
+      s => s"$path/$PublishedVersionsDir/$s/manifest")
+    val fs = new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mp)))
+      throw new java.util.NoSuchElementException(
+        s"no manifest at $mp — not a published shard layout" +
+          stamp.fold("")(s => s" (or generation $s not retained; " +
+            s"retained: ${listShardVersions(spark, path).mkString(", ")})"))
+    spark.read.parquet(mp)
+  }
+
+  /** INCREMENTAL READ door — the consumer side of [[publishDelta]]:
+    * the rows of every live shard whose content differs from the
+    * retained generation displaced at `stamp` (changed shards, plus
+    * shards that did not exist then). A downstream consumer that
+    * processed generation `stamp` in full catches up by processing
+    * ONLY this frame — at 100 TB, a 2% delta publish costs the
+    * consumer 2% of a corpus scan instead of a re-read (the Iceberg/
+    * Delta incremental-scan shape, planned from two manifests).
+    *
+    * Change detection is the delta publisher's own currency:
+    * (n_rows, content_hash) per shard, null-safe compared across the
+    * two manifests — so "changed" here is exactly "not carried
+    * forward by hard link". Shards present at `stamp` but dropped
+    * since have no rows to return; consumers needing deletions diff
+    * [[shardStats]] frames (the old manifest sits retained beside its
+    * data for exactly that). Reads changed shard dirs by explicit
+    * path + basePath, so planning opens nothing else. */
+  def readShardsChangedSince(spark: SparkSession, path: String,
+                             stamp: String): DataFrame = {
+    val live = shardStats(spark, path)
+      .select("shard", "n_rows", "content_hash")
+    val old = shardStats(spark, path, Some(stamp))
+      .select(col("shard"), col("n_rows").as("o_n_rows"),
+        col("content_hash").as("o_content_hash"))
+    // bounded collect: one row per shard, the manifest envelope
+    val changed = live.join(old, Seq("shard"), "left")
+      .filter(!(col("content_hash") <=> col("o_content_hash")) ||
+        !(col("n_rows") <=> col("o_n_rows")))
+      .select("shard").collect().map(_.getLong(0)).sorted
+    val dataDir = s"$path/data"
+    if (changed.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.option("basePath", dataDir)
+      .parquet(changed.map(s => s"$dataDir/shard=$s"): _*)
+  }
+
   /** Delta-aware integrity check — the [[verifyShards]] a loader runs
     * after a [[publishDelta]]: re-reading the whole corpus to verify a
     * publish that rewrote 2% of it gives back the entire saving the

@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The manifest-planned consumer doors: [[Sinks.shardStats]] (metadata
+  * table) and [[Sinks.readShardsChangedSince]] (incremental read of a
+  * delta publish). */
+class IncrementalReadSpec extends SparkTestBase {
+
+  private def frame(tag: String, buckets: Int = 4): DataFrame =
+    spark.range(200).toDF("id")
+      .withColumn("bucket", col("id") % buckets)
+      .withColumn("payload", concat(lit(tag), col("id")))
+
+  test("shardStats answers counts and ranges from the manifest alone") {
+    val dir = Files.createTempDirectory("graft_stats_").toString
+    Sinks.writeShards(frame("a"), s"$dir/pub", "id", nShards = 4,
+      zoneCols = Seq("id"), shardCol = Some("bucket"))
+    val stats = Sinks.shardStats(spark, s"$dir/pub")
+      .select("shard", "n_rows", "min_id", "max_id", "zmin_id", "zmax_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(stats.length == 4)
+    stats.foreach { case (shard, n, minId, maxId, zmin, zmax) =>
+      assert(n == 50, s"shard $shard rows")
+      assert(minId == shard && zmin == shard, s"shard $shard min")
+      assert(maxId == 196 + shard && zmax == 196 + shard, s"shard $shard max")
+    }
+    intercept[java.util.NoSuchElementException] {
+      Sinks.shardStats(spark, s"$dir/nowhere")
+    }
+  }
+
+  test("changed-since returns exactly the restated shard's rows") {
+    val dir = Files.createTempDirectory("graft_chg_").toString
+    val pub = s"$dir/pub"
+    Sinks.writeShards(frame("a"), pub, "id", nShards = 4,
+      shardCol = Some("bucket"))
+    // restate bucket 2 only; buckets 0/1/3 byte-identical → hard links
+    val v2 = frame("a").withColumn("payload",
+      when(col("bucket") === 2, concat(lit("B"), col("id")))
+        .otherwise(col("payload")))
+    Sinks.publishDelta(v2, pub, "id", nShards = 4,
+      retainPrevious = true, shardCol = Some("bucket"))
+    val stamp = Sinks.listShardVersions(spark, pub).last
+    val changed = Sinks.readShardsChangedSince(spark, pub, stamp)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = (2L until 200L by 4).map(i => (i, s"B$i"))
+    assert(changed.toSeq == expected,
+      s"changed read must be bucket 2 restated: got ${changed.length} rows")
+    // old manifest still describes the retired generation
+    val oldStats = Sinks.shardStats(spark, pub, Some(stamp))
+    assert(oldStats.count() == 4)
+  }
+
+  test("no changes since the retained generation → empty frame") {
+    val dir = Files.createTempDirectory("graft_chg0_").toString
+    val pub = s"$dir/pub"
+    Sinks.writeShards(frame("a"), pub, "id", nShards = 4,
+      shardCol = Some("bucket"))
+    Sinks.publishDelta(frame("a"), pub, "id", nShards = 4,
+      retainPrevious = true, shardCol = Some("bucket"))
+    val stamp = Sinks.listShardVersions(spark, pub).last
+    assert(Sinks.readShardsChangedSince(spark, pub, stamp).isEmpty,
+      "identical republish must deliver nothing to consumers")
+  }
+
+  test("a shard that did not exist at the stamp is delivered as changed") {
+    val dir = Files.createTempDirectory("graft_chgnew_").toString
+    val pub = s"$dir/pub"
+    // generation 1: buckets 0..2 only
+    val g1 = frame("a").filter(col("bucket") < 3)
+    Sinks.writeShards(g1, pub, "id", nShards = 4, shardCol = Some("bucket"))
+    Sinks.publishDelta(frame("a"), pub, "id", nShards = 4,
+      retainPrevious = true, shardCol = Some("bucket"))
+    val stamp = Sinks.listShardVersions(spark, pub).last
+    val got = Sinks.readShardsChangedSince(spark, pub, stamp)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (3L until 200L by 4).toSeq,
+      "the new bucket-3 shard must be delivered")
+  }
+}
