@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // layouts — filters over a published `data` dir prune via zone maps
     // without the reader opting in (see ZoneMapSkipping)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapSkipping)
+    // optimizer rule: COUNT(*)/MIN/MAX over a shard layout answered
+    // from the manifest alone — zero data files opened (see
+    // ManifestAggregates)
+    ext.injectOptimizerRule(_ => graft.plans.ManifestAggregates)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(text[, k[, shingleN]]) - MinHash signature"),

@@ -2568,6 +2568,35 @@ object Queries {
     """SELECT o_orderkey, o_orderdate, 'X-RESTATED' AS o_orderpriority
       |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin
 
+  /** q89 — METADATA-ONLY aggregates under a VALUE oracle
+    * ([[graft.plans.ManifestAggregates]]): `COUNT(*)` and
+    * `MIN`/`MAX(o_orderdate)` over the q76 layout's plain data dir,
+    * rewritten by the injected rule into `sum(n_rows)` /
+    * `min(zmin)` / `max(zmax)` over the ONE-ROW-PER-SHARD manifest —
+    * the executed plan opens zero data files
+    * (ManifestAggregatesSpec asserts the scan's location is the
+    * manifest). The oracle recomputes all three from the raw table,
+    * so the hash compare proves the metadata answer IS the data
+    * answer. At 100 TB: corpus cardinality and range questions at
+    * manifest cost — the Iceberg metadata-only-query shape as a
+    * `Rule[LogicalPlan]`. */
+  val q89: Q = (s, dir) => {
+    val cached = q76Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q76Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+  }
+  val q89Sql: String =
+    """SELECT COUNT(*) AS n_orders, MIN(o_orderdate) AS first_date,
+      |       MAX(o_orderdate) AS last_date
+      |FROM orders""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2659,6 +2688,7 @@ object Queries {
     "q86_auto_skipping" -> q86,
     "q87_manifest_stats" -> q87,
     "q88_changed_shards" -> q88,
+    "q89_metadata_agg" -> q89,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2747,5 +2777,6 @@ object Queries {
     "q86_auto_skipping" -> q86Sql,
     "q87_manifest_stats" -> q87Sql,
     "q88_changed_shards" -> q88Sql,
+    "q89_metadata_agg" -> q89Sql,
   )
 }

@@ -1,0 +1,82 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.LongType
+
+/** Shared layout detection + manifest cache for the planner rules
+  * ([[ZoneMapSkipping]], [[ManifestAggregates]]): is this relation a
+  * scan of a [[graft.sinks.Sinks.writeShards]] layout's `data` dir,
+  * and what does its manifest say?
+  *
+  * The manifest is one row per shard (bounded by the publish
+  * contract), cached per generation: the version token digests the
+  * manifest dir's file statuses, so a generation swap (promote
+  * renames a NEW manifest dir into place) invalidates the entry and
+  * the next plan reads the fresh stats. */
+private[plans] object ShardLayouts {
+
+  /** One cached manifest generation. */
+  final case class CachedManifest(token: Long,
+                                  path: String,
+                                  attrs: Seq[Attribute],
+                                  rows: Array[InternalRow],
+                                  shardOrdinal: Int,
+                                  zoneCols: Set[String])
+
+  private val manifests = new ConcurrentHashMap[String, CachedManifest]()
+
+  /** Cheap structural check: single-root parquet scan of a dir named
+    * `data` that partition-discovered `shard`. */
+  def isLayoutScan(fsr: HadoopFsRelation): Boolean =
+    fsr.fileFormat.isInstanceOf[ParquetFileFormat] &&
+      fsr.location.rootPaths.lengthCompare(1) == 0 &&
+      fsr.location.rootPaths.head.getName == "data" &&
+      fsr.partitionSchema.fieldNames.contains("shard")
+
+  /** Load (or reuse) the manifest beside `dataDir`. None when there is
+    * no readable manifest with zone stats — callers then leave the
+    * plan alone; skipping/metadata answering are optimizations only,
+    * so an unreadable or foreign "manifest" sibling must never fail
+    * the user's query. */
+  def manifestFor(spark: SparkSession, dataDir: Path): Option[CachedManifest] = {
+    val manifestPath = new Path(dataDir.getParent, "manifest")
+    try {
+      val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(manifestPath)) return None
+      val token = fs.listStatus(manifestPath).map(s =>
+        s.getModificationTime ^ s.getLen ^ s.getPath.getName.hashCode.toLong)
+        .foldLeft(0L)(_ ^ _)
+      val key = manifestPath.toString
+      val cached = manifests.get(key)
+      if (cached != null && cached.token == token) return zoneOk(cached)
+      val df = spark.read.parquet(key)
+      val attrs = df.queryExecution.analyzed.output
+      val shardOrdinal = attrs.indexWhere(_.name == "shard")
+      if (shardOrdinal < 0 || attrs(shardOrdinal).dataType != LongType)
+        return None
+      val zoneCols = attrs.collect {
+        case a if a.name.startsWith("zmin_") => a.name.stripPrefix("zmin_")
+      }.toSet
+      // one row per shard by contract — the same bounded collect the
+      // publisher's own manifest reads perform
+      val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+      val entry = CachedManifest(token, key, attrs, rows, shardOrdinal, zoneCols)
+      if (manifests.size > 256) manifests.clear()
+      manifests.put(key, entry)
+      zoneOk(entry)
+    } catch {
+      case _: Exception => None
+    }
+  }
+
+  private def zoneOk(m: CachedManifest): Option[CachedManifest] =
+    if (m.zoneCols.nonEmpty) Some(m) else None
+}

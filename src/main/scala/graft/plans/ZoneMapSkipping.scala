@@ -1,16 +1,10 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -68,17 +62,7 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.zoneMapSkipping.enabled"
 
-  /** One cached manifest generation: a version token (mtime/length/name
-    * digest of the manifest dir's files), the manifest's attributes and
-    * collected rows, and the positions of the `shard` column and each
-    * zone column's stats. Rows are one-per-shard — bounded by contract. */
-  private final case class CachedManifest(token: Long,
-                                          attrs: Seq[Attribute],
-                                          rows: Array[InternalRow],
-                                          shardOrdinal: Int,
-                                          zoneCols: Set[String])
-
-  private val manifests = new ConcurrentHashMap[String, CachedManifest]()
+  private type CachedManifest = ShardLayouts.CachedManifest
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -92,15 +76,12 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Cheap structural checks before any filesystem touch: parquet,
-    * one root named `data`, `shard` partition-discovered, and the
-    * condition not already shard-aware (idempotency + user override). */
+  /** Cheap structural checks before any filesystem touch: a layout
+    * scan whose condition is not already shard-aware (idempotency +
+    * user override). */
   private def eligible(fsr: HadoopFsRelation, l: LogicalRelation,
                        cond: Expression): Boolean =
-    fsr.fileFormat.isInstanceOf[ParquetFileFormat] &&
-      fsr.location.rootPaths.lengthCompare(1) == 0 &&
-      fsr.location.rootPaths.head.getName == "data" &&
-      fsr.partitionSchema.fieldNames.contains("shard") &&
+    ShardLayouts.isLayoutScan(fsr) &&
       !cond.references.exists(_.name == "shard")
 
   private def rewrite(f: Filter, cond: Expression, l: LogicalRelation,
@@ -108,7 +89,7 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     val dataDir = fsr.location.rootPaths.head
     val spark = SparkSession.active
     for {
-      mf <- loadManifest(spark, dataDir)
+      mf <- ShardLayouts.manifestFor(spark, dataDir)
       shardAttr <- l.output.find(_.name == "shard")
       preds = splitConjunctivePredicates(cond)
         .flatMap(toManifestPredicate(_, mf))
@@ -206,45 +187,4 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Load (or reuse) the manifest beside `dataDir`. Returns None when
-    * there is no readable manifest with zone stats — the rule then
-    * leaves the plan alone. The version token digests the manifest
-    * dir's file statuses, so a generation swap (promote renames a NEW
-    * manifest dir into place) invalidates the cache. */
-  private def loadManifest(spark: SparkSession,
-                           dataDir: Path): Option[CachedManifest] = {
-    val manifestPath = new Path(dataDir.getParent, "manifest")
-    try {
-      val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(manifestPath)) return None
-      val token = fs.listStatus(manifestPath).map(s =>
-        s.getModificationTime ^ s.getLen ^ s.getPath.getName.hashCode.toLong)
-        .foldLeft(0L)(_ ^ _)
-      val key = manifestPath.toString
-      val cached = manifests.get(key)
-      if (cached != null && cached.token == token) return zoneOk(cached)
-      val df = spark.read.parquet(key)
-      val attrs = df.queryExecution.analyzed.output
-      val shardOrdinal = attrs.indexWhere(_.name == "shard")
-      if (shardOrdinal < 0 || attrs(shardOrdinal).dataType != LongType)
-        return None
-      val zoneCols = attrs.collect {
-        case a if a.name.startsWith("zmin_") => a.name.stripPrefix("zmin_")
-      }.toSet
-      // one row per shard by contract — the same bounded collect the
-      // publisher's own manifest reads perform
-      val rows = df.queryExecution.toRdd.map(_.copy()).collect()
-      val entry = CachedManifest(token, attrs, rows, shardOrdinal, zoneCols)
-      if (manifests.size > 256) manifests.clear()
-      manifests.put(key, entry)
-      zoneOk(entry)
-    } catch {
-      // an unreadable/foreign "manifest" sibling must never fail the
-      // user's query — skipping is an optimization only
-      case _: Exception => None
-    }
-  }
-
-  private def zoneOk(m: CachedManifest): Option[CachedManifest] =
-    if (m.zoneCols.nonEmpty) Some(m) else None
 }

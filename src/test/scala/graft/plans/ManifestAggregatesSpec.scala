@@ -1,0 +1,98 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sinks.Sinks
+
+/** Metadata-only aggregates: COUNT/MIN/MAX over a published layout
+  * answered from the manifest, bit-identical to the data scan. */
+class ManifestAggregatesSpec extends SparkTestBase {
+
+  private lazy val pub: String = {
+    val dir = Files.createTempDirectory("graft_magg_").toString
+    val df = spark.range(300).toDF("id")
+      .withColumn("bucket", col("id") % 3)
+      .withColumn("ts", (col("bucket") * 1000 + col("id")).cast("long"))
+      // v is NOT zone-mapped: aggregates over it must keep the data scan
+      .withColumn("v", col("id") * 2)
+    Sinks.writeShards(df, s"$dir/pub", "id", nShards = 3,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    s"$dir/pub"
+  }
+
+  private def read(): DataFrame = spark.read.parquet(s"$pub/data")
+
+  /** (rows, scan locations in the executed plan). */
+  private def run(df: DataFrame): (Seq[org.apache.spark.sql.Row], Seq[String]) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rows = df.collect().toSeq
+      val locs = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.getName).mkString(",")
+      }
+      (rows, locs)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("count/min/max answered from the manifest, zero data files") {
+    val (rows, locs) = run(read().agg(count(lit(1)).as("n"),
+      min(col("ts")).as("lo"), max(col("ts")).as("hi")))
+    assert(rows.head.getLong(0) == 300L)
+    assert(rows.head.getLong(1) == 0L && rows.head.getLong(2) == 2299L)
+    assert(locs == Seq("manifest"),
+      s"expected a manifest-only scan, got scans of: $locs")
+  }
+
+  test("kill switch keeps the data scan, same answer") {
+    spark.conf.set("spark.graft.manifestAggregates.enabled", "false")
+    try {
+      val (rows, locs) = run(read().agg(count(lit(1)).as("n"),
+        min(col("ts")).as("lo")))
+      assert(rows.head.getLong(0) == 300L && rows.head.getLong(1) == 0L)
+      assert(locs == Seq("data"), s"disabled rule must scan data: $locs")
+    } finally spark.conf.set("spark.graft.manifestAggregates.enabled", "true")
+  }
+
+  test("a non-zone-mapped column keeps the data scan (all-or-nothing)") {
+    val (rows, locs) = run(read().agg(count(lit(1)).as("n"),
+      min(col("v")).as("vlo")))
+    assert(rows.head.getLong(0) == 300L && rows.head.getLong(1) == 0L)
+    assert(locs == Seq("data"),
+      s"min over a column without stats must not rewrite: $locs")
+  }
+
+  test("a filter below the aggregate keeps the row-level path") {
+    val (rows, locs) = run(read().filter(col("ts") >= 1000)
+      .agg(count(lit(1)).as("n")))
+    assert(rows.head.getLong(0) == 200L)
+    assert(locs.forall(_ != "manifest"),
+      s"filtered aggregation must stay on data: $locs")
+  }
+
+  test("avg/distinct shapes are untouched and still correct") {
+    val (rows, locs) = run(read().agg(
+      count_distinct(col("bucket")).as("buckets"), avg(col("ts")).as("m")))
+    assert(rows.head.getLong(0) == 3L)
+    assert(locs.forall(_ != "manifest"))
+  }
+
+  test("all-null zone column: metadata min/max is null like the scan's") {
+    val dir = Files.createTempDirectory("graft_magg_null_").toString
+    val df = spark.range(40).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts", lit(null).cast("long"))
+    Sinks.writeShards(df, s"$dir/pub", "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val (rows, locs) = run(spark.read.parquet(s"$dir/pub/data")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("lo")))
+    assert(rows.head.getLong(0) == 40L && rows.head.isNullAt(1))
+    assert(locs == Seq("manifest"), s"expected manifest-only: $locs")
+  }
+}
