@@ -138,6 +138,28 @@ class ZoneMapSkippingSpec extends SparkTestBase {
       "generation 2 must be replanned from the fresh manifest")
   }
 
+  test("time travel prunes too: a retained generation carries its manifest") {
+    val dir = Files.createTempDirectory("graft_zms_tt_").toString
+    val pub = s"$dir/pub"
+    def gen(shift: Int) = spark.range(100).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts",
+        (col("bucket") * 100 + floor(col("id") / 2) % 50 + shift).cast("long"))
+    Sinks.writeShards(gen(0), pub, "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    Sinks.publishDelta(gen(7), pub, "id", nShards = 2,
+      retainPrevious = true, zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val stamp = Sinks.listShardVersions(spark, pub).last
+    // readShardsAt scans $pub/_versions/<stamp>/data — whose SIBLING
+    // manifest is the retired generation's, so the rule prunes with
+    // the stats that described THAT data, not the live generation's
+    val (rows, files, _) = scanned(
+      Sinks.readShardsAt(spark, pub, stamp).filter(col("ts") >= 100))
+    assert(rows == (1L until 100L by 2).toSeq,
+      "time-travel read must answer from the retired generation")
+    assert(files == 1, s"retired generation should prune to 1 file: $files")
+  }
+
   test("a plain parquet dir named data is not touched") {
     val dir = Files.createTempDirectory("graft_zms_plain_").toString
     spark.range(50).toDF("id").withColumn("ts", col("id"))
