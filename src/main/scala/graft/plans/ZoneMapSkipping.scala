@@ -183,6 +183,34 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
           v.foldable && v.deterministic) =>
         val arms = vs.flatMap(v => contains(a, lit(v)))
         if (arms.length == vs.length) Some(arms.reduce(Or)) else None
+      // LIKE 'p%': matches live in [p, succ(p)) under binary order,
+      // where succ increments the prefix's last byte. The successor
+      // may not be valid UTF-8 — harmless: this predicate is only
+      // ever evaluated driver-side against the manifest, and
+      // UTF8String comparison is byte-wise regardless.
+      case StartsWith(ZoneCol(a), Const(v)) =>
+        val p = lit(v)
+        p.value match {
+          case u: org.apache.spark.unsafe.types.UTF8String
+              if u.numBytes() > 0 =>
+            for (lo <- stat("zmin", a.name); hi <- stat("zmax", a.name)) yield {
+              val ge = GreaterThanOrEqual(hi, p)
+              val bytes = u.getBytes
+              if ((bytes(bytes.length - 1) & 0xFF) == 0xFF) ge
+              else {
+                val succ = bytes.clone()
+                succ(succ.length - 1) = (succ(succ.length - 1) + 1).toByte
+                And(ge, LessThan(lo, Literal(
+                  org.apache.spark.unsafe.types.UTF8String.fromBytes(succ),
+                  a.dataType)))
+              }
+            }
+          case _ => None // null or empty prefix: no pruning value
+        }
+      // IS NOT NULL prunes all-null shards (their zmin is null — the
+      // stats ignore nulls, so any non-null value makes zmin non-null)
+      case IsNotNull(ZoneCol(a)) =>
+        stat("zmin", a.name).map(IsNotNull(_))
       case _ => None
     }
   }

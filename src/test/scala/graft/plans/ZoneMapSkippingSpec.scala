@@ -87,6 +87,26 @@ class ZoneMapSkippingSpec extends SparkTestBase {
     assert(inFiles < totalFiles, s"IN should prune: $inFiles")
   }
 
+  test("LIKE-prefix predicates prune via the byte-successor bound") {
+    val (_, totalFiles, _) = scanned(read())
+    val (rows, files, _) = scanned(read().filter(col("cat").startsWith("c2")))
+    assert(rows == (0 until 400).map(_.toLong).filter(_ % 4 == 2))
+    assert(files < totalFiles, s"prefix should prune: $files/$totalFiles")
+  }
+
+  test("IS NOT NULL prunes all-null shards") {
+    val dir = Files.createTempDirectory("graft_zms_nn_").toString
+    val df = spark.range(100).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts", when(col("bucket") === 0, col("id")))
+    Sinks.writeShards(df, s"$dir/pub", "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val (rows, files, _) = scanned(
+      spark.read.parquet(s"$dir/pub/data").filter(col("ts").isNotNull))
+    assert(rows == (0L until 100L by 2).toSeq)
+    assert(files == 1, s"the all-null shard should be skipped: $files")
+  }
+
   test("empty survivor set returns an empty frame, not an error") {
     val (rows, _, _) = scanned(read().filter(col("ts") > 100000))
     assert(rows.isEmpty)
