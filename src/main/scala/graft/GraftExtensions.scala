@@ -38,6 +38,11 @@ import graft.operators.{Chunking, Sampling}
   *     frequent-items summary as struct<n, items> — a guaranteed
   *     superset of every item with count > n/(k+1), O(k) through the
   *     shuffle (the candidate pass of `HeavyHitters.exactAboveShare`)
+  *   - table functions `shard_stats(path[, stamp])`,
+  *     `shards_at(path, stamp)`, `shards_changed_since(path, stamp)` —
+  *     the published-layout storage doors for SQL users (metadata
+  *     table / time travel / incremental read), splicing in the same
+  *     plans the Scala doors build
   *
   * The dataloader-prep trio delegates to the SAME Column builders the
   * DataFrame operators use (`Chunking.chunkArray`,
@@ -203,6 +208,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "dup_shingle_stats expects (text, n)")
       }))
+    // ---- table-valued functions: the storage doors for SQL users ----
+    // Each TVF resolves its literal args at analysis time and splices
+    // in the SAME plan the Scala door builds (one implementation per
+    // mechanism); the planner-rule family then applies normally — a
+    // date filter over shards_at(...) zone-prunes like any other scan.
+    def tvf(name: String, usage: String,
+            build: Seq[Expression] => org.apache.spark.sql.DataFrame,
+            shapes: String): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        info(name, usage),
+        (args: Seq[Expression]) =>
+          try build(args).queryExecution.analyzed
+          catch { case _: MatchError => throw new IllegalArgumentException(
+            s"$name expects $shapes") }))
+    tvf("shard_stats",
+      "shard_stats(path[, stamp]) - a published layout's manifest as a " +
+        "metadata table (per-shard rows, id range, zone ranges, spec)",
+      { case Seq(p) =>
+          graft.sinks.Sinks.shardStats(
+            org.apache.spark.sql.SparkSession.active, litString(p, "path"))
+        case Seq(p, st) =>
+          graft.sinks.Sinks.shardStats(
+            org.apache.spark.sql.SparkSession.active, litString(p, "path"),
+            Some(litString(st, "stamp"))) },
+      "(path[, stamp]) as string literals")
+    tvf("shards_at",
+      "shards_at(path, stamp) - time travel: the retained generation " +
+        "displaced at stamp",
+      { case Seq(p, st) =>
+          graft.sinks.Sinks.readShardsAt(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(st, "stamp")) },
+      "(path, stamp) as string literals")
+    tvf("shards_changed_since",
+      "shards_changed_since(path, stamp) - rows of shards whose content " +
+        "changed since the retained generation (incremental consumption)",
+      { case Seq(p, st) =>
+          graft.sinks.Sinks.readShardsChangedSince(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(st, "stamp")) },
+      "(path, stamp) as string literals")
+
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters_sketch"),
       info("heavy_hitters_sketch",

@@ -550,9 +550,11 @@ object Sinks {
     * range bucket from offline quantiles). Values must land in
     * `[0, nShards)` — validated against the staged manifest before the
     * commit marker, so a bad assignment aborts with the old
-    * generation intact. Keep `zoneCols` consistent across publishes
-    * of one path (the delta path unions old and new manifest rows by
-    * name and will fail loudly on drift).
+    * generation intact. Zone declarations are a LAYOUT property:
+    * [[publishDelta]] inherits the live generation's zone set when
+    * called without `zoneCols` and rejects a mismatched redeclaration
+    * loudly (changing zones means reading every shard — a full
+    * publish here, not a delta).
     * Returns the manifest frame. */
   def writeShards(df: DataFrame, path: String, idCol: String,
                   nShards: Int, retainPrevious: Boolean = false,
@@ -1414,6 +1416,31 @@ object Sinks {
         .withColumnRenamed("content_hash", "new_hash")
         .select("shard", "new_rows", "new_hash")
       val live = spark.read.parquet(s"$path/manifest")
+      // Zone declarations are a property of the LAYOUT, not of one
+      // publish: carried-forward shards keep their recorded stats, so
+      // a delta publish can only perpetuate the live generation's zone
+      // set — inherit it when none is declared (the rebin path rides
+      // this: zone maps carry across a re-binning for free), and
+      // reject a mismatched redeclaration loudly (computing NEW stats
+      // for carried shards would mean reading them — that is a full
+      // writeShards republish, not a delta).
+      val liveZones = live.columns.filter(_.startsWith("zmin_"))
+        .map(_.stripPrefix("zmin_")).toSeq
+      val effectiveZones =
+        if (zoneCols.isEmpty) liveZones
+        else {
+          require(zoneCols.toSet == liveZones.toSet,
+            s"publishDelta: declared zoneCols (${zoneCols.mkString(", ")}) " +
+              s"differ from the live layout's (${
+                if (liveZones.isEmpty) "none" else liveZones.mkString(", ")
+              }); carried-forward shards keep their recorded stats, so " +
+              "zones can only change through a full writeShards republish")
+          zoneCols
+        }
+      require(effectiveZones.forall(dataCols.contains),
+        s"publishDelta: live zone columns ${effectiveZones.mkString(", ")} " +
+          s"are not all input columns (${dataCols.mkString(", ")}) — " +
+          "republish in full (writeShards) to re-declare zones")
       val cls = live.select(col("shard"), col("n_rows"), col("content_hash"))
         .join(v2sum, Seq("shard"), "full_outer").collect()
       val unchanged = cls.filter(r => !r.isNullAt(1) && !r.isNullAt(3) &&
@@ -1458,7 +1485,7 @@ object Sinks {
           else stampSpec(shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
               .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
-            zoneCols), shardCol, nShards)
+            effectiveZones), shardCol, nShards)
         val keptManifest = stampSpec(
           (if (unchanged.isEmpty) live.filter(lit(false))
            else live.filter(col("shard").isin(unchanged.toSeq: _*)))

@@ -222,4 +222,44 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlRows == oracle)
     assert(sqlRows.head == ((1L, 6L, 6L)))
   }
+
+  test("storage-door table functions: stats, time travel, changed-since") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_").toString
+    val pub = s"$dir/pub"
+    def gen(tag: String) = spark.range(80).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("payload",
+        when(col("bucket") === 1, concat(lit(tag), col("id")))
+          .otherwise(concat(lit("a"), col("id"))))
+    graft.sinks.Sinks.writeShards(gen("a"), pub, "id", nShards = 2,
+      zoneCols = Seq("id"), shardCol = Some("bucket"))
+    graft.sinks.Sinks.publishDelta(gen("b"), pub, "id", nShards = 2,
+      retainPrevious = true, shardCol = Some("bucket"))
+    val stamp = graft.sinks.Sinks.listShardVersions(spark, pub).last
+
+    val stats = spark.sql(
+      s"SELECT shard, n_rows FROM shard_stats('$pub') ORDER BY shard")
+      .as[(Long, Long)].collect().toSeq
+    assert(stats == Seq((0L, 40L), (1L, 40L)))
+    // stamped form reads the retired generation's manifest
+    assert(spark.sql(
+      s"SELECT count(*) FROM shard_stats('$pub', '$stamp')")
+      .as[Long].head() == 2L)
+
+    val old = spark.sql(
+      s"SELECT payload FROM shards_at('$pub', '$stamp') WHERE id = 1")
+      .as[String].head()
+    assert(old == "a1", "time travel must answer the retired generation")
+
+    val changed = spark.sql(
+      s"SELECT id FROM shards_changed_since('$pub', '$stamp')")
+      .as[Long].collect().sorted.toSeq
+    assert(changed == (1L until 80L by 2).toSeq,
+      "only the restated bucket flows to a catching-up consumer")
+
+    // non-literal / wrong-arity args fail loudly at analysis
+    intercept[Exception] {
+      spark.sql("SELECT * FROM shards_at('/nowhere')").collect()
+    }
+  }
 }

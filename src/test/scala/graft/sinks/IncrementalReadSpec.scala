@@ -71,6 +71,31 @@ class IncrementalReadSpec extends SparkTestBase {
       "identical republish must deliver nothing to consumers")
   }
 
+  test("delta publish inherits the live zone declarations") {
+    val dir = Files.createTempDirectory("graft_chgz_").toString
+    val pub = s"$dir/pub"
+    Sinks.writeShards(frame("a"), pub, "id", nShards = 4,
+      zoneCols = Seq("id"), shardCol = Some("bucket"))
+    val v2 = frame("a").withColumn("payload",
+      when(col("bucket") === 1, concat(lit("B"), col("id")))
+        .otherwise(col("payload")))
+    // no zoneCols declared: the layout's zone set carries — rewritten
+    // shard 1 gets fresh zmin_id/zmax_id, carried shards keep theirs
+    Sinks.publishDelta(v2, pub, "id", nShards = 4, shardCol = Some("bucket"))
+    val stats = Sinks.shardStats(spark, pub)
+      .select("shard", "zmin_id", "zmax_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    stats.foreach { case (s, lo, hi) =>
+      assert(lo == s && hi == 196 + s, s"shard $s zone range ($lo,$hi)") }
+    // a DIFFERENT zone declaration is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Sinks.publishDelta(v2, pub, "id", nShards = 4,
+        zoneCols = Seq("payload"), shardCol = Some("bucket"))
+    }
+    assert(e.getMessage.contains("full writeShards republish"), e.getMessage)
+  }
+
   test("a shard that did not exist at the stamp is delivered as changed") {
     val dir = Files.createTempDirectory("graft_chgnew_").toString
     val pub = s"$dir/pub"
