@@ -550,7 +550,16 @@ object Sinks {
     * range bucket from offline quantiles). Values must land in
     * `[0, nShards)` — validated against the staged manifest before the
     * commit marker, so a bad assignment aborts with the old
-    * generation intact. Zone declarations are a LAYOUT property:
+    * generation intact.
+    *
+    * WITHIN-SHARD SORT ORDER (`sortCols`, Iceberg's write sort-order
+    * metadata): each shard file's rows land sorted on the named
+    * columns, recorded as `spec_sort` in the manifest — parquet
+    * row-group stats are then tight on those columns, so a selective
+    * predicate skips at BOTH granularities (zone maps drop shards,
+    * row-group stats drop pages inside survivors).
+    *
+    * Zone declarations are a LAYOUT property:
     * [[publishDelta]] inherits the live generation's zone set when
     * called without `zoneCols` and rejects a mismatched redeclaration
     * loudly (changing zones means reading every shard — a full
@@ -559,13 +568,17 @@ object Sinks {
   def writeShards(df: DataFrame, path: String, idCol: String,
                   nShards: Int, retainPrevious: Boolean = false,
                   zoneCols: Seq[String] = Nil,
-                  shardCol: Option[String] = None): DataFrame = {
+                  shardCol: Option[String] = None,
+                  sortCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     shardCol.foreach(c => require(df.columns.contains(c),
       s"shardCol '$c' is not a column of the input (${df.columns.mkString(", ")})"))
     require(zoneCols.forall(df.columns.contains),
       s"zoneCols must be input columns; missing: ${
         zoneCols.filterNot(df.columns.contains).mkString(", ")}")
+    require(sortCols.forall(df.columns.contains),
+      s"sortCols must be input columns; missing: ${
+        sortCols.filterNot(df.columns.contains).mkString(", ")}")
     // case-insensitive on purpose: Spark resolves columns
     // case-insensitively by default, so an input 'Shard' would be
     // silently REPLACED by the derived id even though a
@@ -581,7 +594,7 @@ object Sinks {
     val lease = acquirePublishLease(fs, base)
     try {
       writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
-        retainPrevious, zoneCols, shardCol)
+        retainPrevious, zoneCols, shardCol, sortCols)
     } finally releasePublishLease(fs, base, lease)
   }
 
@@ -599,7 +612,8 @@ object Sinks {
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 retainPrevious: Boolean = false,
                                 zoneCols: Seq[String] = Nil,
-                                shardCol: Option[String] = None): DataFrame = {
+                                shardCol: Option[String] = None,
+                                sortCols: Seq[String] = Nil): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
     // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
@@ -619,8 +633,19 @@ object Sinks {
     // its own debris; a process KILL can't, so recoverPublish sweeps
     // marker-less staging dirs at the next call either way
     try {
-      sharded.repartition(nShards, col("shard"))
-        .write.mode("overwrite").partitionBy("shard")
+      val part = sharded.repartition(nShards, col("shard"))
+      // WITHIN-SHARD SORT ORDER (Iceberg's write sort order): rows of
+      // each shard file land sorted on sortCols, so parquet row-group
+      // stats are tight on them — a selective predicate then skips at
+      // BOTH granularities: zone maps drop whole shards, row-group
+      // stats drop pages inside the survivors. The leading `shard`
+      // sort key keeps each output file (writer splits by partition
+      // value) internally ordered on sortCols alone.
+      val staged =
+        if (sortCols.isEmpty) part
+        else part.sortWithinPartitions(
+          (col("shard") +: sortCols.map(col)): _*)
+      staged.write.mode("overwrite").partitionBy("shard")
         .parquet(stagedData.toString)
     } catch {
       case e: Throwable => fs.delete(staging, true); throw e
@@ -643,7 +668,8 @@ object Sinks {
     val written = spark.read.schema(writtenSchema)
       .parquet(stagedData.toString)
     val manifest = stampSpec(
-      shardSummary(written, idCol, dataCols, zoneCols), shardCol, nShards)
+      shardSummary(written, idCol, dataCols, zoneCols), shardCol, nShards,
+      sortCols)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
     // explicit-assignment validation BEFORE the commit marker: a shard
@@ -984,9 +1010,13 @@ object Sinks {
     * manifest alone — which generations used which binning is part of
     * the published contract, not tribal knowledge. */
   private def stampSpec(m: DataFrame, shardCol: Option[String],
-                        nShards: Int): DataFrame =
+                        nShards: Int, sortCols: Seq[String] = Nil): DataFrame =
     m.withColumn("spec_col", lit(shardCol.orNull).cast("string"))
       .withColumn("spec_n", lit(nShards))
+      // the generation's declared within-shard sort order (Iceberg's
+      // write sort-order metadata): null = unsorted
+      .withColumn("spec_sort", lit(
+        if (sortCols.isEmpty) null else sortCols.mkString(",")).cast("string"))
 
   /** The partition spec a [[writeShards]] layout's manifest declares:
     * `(explicit assignment column or None for hash, nShards)`. Reads
@@ -1022,9 +1052,10 @@ object Sinks {
   def rebinShards(df: DataFrame, path: String, idCol: String,
                   nShards: Int, zoneCols: Seq[String] = Nil,
                   shardCol: Option[String] = None,
-                  retainPrevious: Boolean = true): DataFrame =
+                  retainPrevious: Boolean = true,
+                  sortCols: Seq[String] = Nil): DataFrame =
     publishDelta(df, path, idCol, nShards, retainPrevious, zoneCols,
-      shardCol)
+      shardCol, sortCols)
 
   /** Integrity check for a [[writeShards]] layout: recompute each
     * shard's (n_rows, id range, content hash) from the published data
@@ -1387,7 +1418,8 @@ object Sinks {
   def publishDelta(df: DataFrame, path: String, idCol: String,
                    nShards: Int, retainPrevious: Boolean = false,
                    zoneCols: Seq[String] = Nil,
-                   shardCol: Option[String] = None): DataFrame = {
+                   shardCol: Option[String] = None,
+                   sortCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.exists(_.equalsIgnoreCase("shard")),
       "publishDelta derives its own `shard` column; rename the input's")
@@ -1406,7 +1438,7 @@ object Sinks {
           !fs.exists(livePath))
         // nothing to delta against — a first publish is a full publish
         return writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
-          retainPrevious, zoneCols, shardCol)
+          retainPrevious, zoneCols, shardCol, sortCols)
       val dataCols = df.columns.toSeq
       val sharded = df.withColumn("shard",
         shardAssignment(idCol, nShards, shardCol))
@@ -1441,6 +1473,28 @@ object Sinks {
         s"publishDelta: live zone columns ${effectiveZones.mkString(", ")} " +
           s"are not all input columns (${dataCols.mkString(", ")}) — " +
           "republish in full (writeShards) to re-declare zones")
+      // the declared within-shard sort order is a layout property too:
+      // inherit it (rewritten shards stay row-group-clustered like the
+      // carried ones), reject a mismatched redeclaration
+      val liveSort: Seq[String] =
+        if (!live.columns.contains("spec_sort")) Nil
+        else live.select("spec_sort").limit(1).collect().headOption
+          .flatMap(r => Option(r.getString(0))).map(_.split(',').toSeq)
+          .getOrElse(Nil)
+      val effectiveSort =
+        if (sortCols.isEmpty) liveSort
+        else {
+          require(sortCols == liveSort,
+            s"publishDelta: declared sortCols (${sortCols.mkString(", ")}) " +
+              s"differ from the live layout's (${
+                if (liveSort.isEmpty) "none" else liveSort.mkString(", ")
+              }); carried-forward shards keep their physical order, so " +
+              "the sort can only change through a full writeShards republish")
+          sortCols
+        }
+      require(effectiveSort.forall(dataCols.contains),
+        s"publishDelta: live sort columns ${effectiveSort.mkString(", ")} " +
+          s"are not all input columns — republish in full to re-declare")
       val cls = live.select(col("shard"), col("n_rows"), col("content_hash"))
         .join(v2sum, Seq("shard"), "full_outer").collect()
       val unchanged = cls.filter(r => !r.isNullAt(1) && !r.isNullAt(3) &&
@@ -1453,12 +1507,15 @@ object Sinks {
       val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
       val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
       try {
-        if (toWrite.nonEmpty)
-          sharded.filter(col("shard").isin(toWrite: _*))
+        if (toWrite.nonEmpty) {
+          val part = sharded.filter(col("shard").isin(toWrite: _*))
             .repartition(math.min(nShards, toWrite.size), col("shard"))
+          (if (effectiveSort.isEmpty) part
+           else part.sortWithinPartitions(
+             (col("shard") +: effectiveSort.map(col)): _*))
             .write.mode("overwrite").partitionBy("shard")
             .parquet(stagedData.toString)
-        else fs.mkdirs(stagedData)
+        } else fs.mkdirs(stagedData)
         // unchanged shards: link the live generation's files in place
         unchanged.toSeq.sorted.foreach { s =>
           val srcDir = new org.apache.hadoop.fs.Path(livePath, s"shard=$s")
@@ -1480,16 +1537,17 @@ object Sinks {
         // conforms live manifests that predate spec recording.
         val rewrittenManifest =
           if (toWrite.isEmpty)
-            stampSpec(live.drop("spec_col", "spec_n").filter(lit(false)),
-              shardCol, nShards)
+            stampSpec(live.drop("spec_col", "spec_n", "spec_sort")
+              .filter(lit(false)), shardCol, nShards, effectiveSort)
           else stampSpec(shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
               .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
-            effectiveZones), shardCol, nShards)
+            effectiveZones), shardCol, nShards, effectiveSort)
         val keptManifest = stampSpec(
           (if (unchanged.isEmpty) live.filter(lit(false))
            else live.filter(col("shard").isin(unchanged.toSeq: _*)))
-            .drop("spec_col", "spec_n"), shardCol, nShards)
+            .drop("spec_col", "spec_n", "spec_sort"), shardCol, nShards,
+          effectiveSort)
         keptManifest.unionByName(rewrittenManifest)
           .coalesce(1)
           .write.mode("overwrite")

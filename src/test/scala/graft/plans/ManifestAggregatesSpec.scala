@@ -50,6 +50,21 @@ class ManifestAggregatesSpec extends SparkTestBase {
       s"expected a manifest-only scan, got scans of: $locs")
   }
 
+  test("Dataset.count() itself is answered metadata-only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = read()
+      assert(d.count() == 300L)
+      val locs = d.groupBy().count().queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.getName).mkString(",")
+      }
+      assert(locs == Seq("manifest"),
+        s"count() should plan manifest-only: $locs")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("kill switch keeps the data scan, same answer") {
     spark.conf.set("spark.graft.manifestAggregates.enabled", "false")
     try {

@@ -96,6 +96,71 @@ class IncrementalReadSpec extends SparkTestBase {
     assert(e.getMessage.contains("full writeShards republish"), e.getMessage)
   }
 
+  test("sortCols: row-group pruning composes with shard skipping") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // tiny row groups so a shard FILE holds many of them — the
+    // granularity the sort is supposed to make prunable
+    hc.set("parquet.block.size", "16384")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = Files.createTempDirectory("graft_sorted_shards_").toString
+      // ts is a PERMUTATION of id (7919 coprime to 20000): any
+      // id-ordered physical layout scatters ts across the whole
+      // domain, so the control's row groups straddle everything and
+      // only the declared sort can restore ts-clustering (an orderBy
+      // upstream would not do: writeShards' own repartition destroys
+      // it and EliminateSorts removes it)
+      val df = spark.range(20000).toDF("id")
+        .withColumn("bucket", col("id") % 2)
+        .withColumn("ts", (col("id") * 7919) % 20000)
+        .withColumn("pad", concat(lit("x" * 40), col("id")))
+      Sinks.writeShards(df, s"$dir/sorted", "id", nShards = 2,
+        zoneCols = Seq("ts"), shardCol = Some("bucket"),
+        sortCols = Seq("ts"))
+      Sinks.writeShards(df, s"$dir/plain", "id", nShards = 2,
+        zoneCols = Seq("ts"), shardCol = Some("bucket"))
+      def decoded(path: String): (Long, Long) = {
+        val q = spark.read.parquet(s"$path/data")
+          .filter(col("ts") >= 10000 && col("ts") <= 10200)
+        // execute THIS plan (count() would build its own) — the scan
+        // metric then reports rows decoded post row-group pruning
+        val n = q.collect().length.toLong
+        val scan = q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s }.head
+        (n, scan.metrics("numOutputRows").value)
+      }
+      val (nS, decS) = decoded(s"$dir/sorted")
+      val (nP, decP) = decoded(s"$dir/plain")
+      assert(nS == 201 && nP == 201, s"both layouts answer the query: $nS/$nP")
+      // both prune the odd-ts... both buckets hold the range (even ids
+      // bucket 0, odd bucket 1) — the win here is WITHIN the files:
+      // sorted row groups straddle the range tightly, unsorted decode all
+      assert(decS < decP / 4,
+        s"sorted shards should decode far fewer rows: $decS vs $decP")
+      // the sort is recorded and a plain delta inherits it
+      assert(Sinks.shardStats(spark, s"$dir/sorted")
+        .select("spec_sort").head().getString(0) == "ts")
+      Sinks.publishDelta(df.withColumn("pad",
+          when(col("bucket") === 1, concat(lit("y" * 40), col("id")))
+            .otherwise(col("pad"))),
+        s"$dir/sorted", "id", nShards = 2, shardCol = Some("bucket"))
+      assert(Sinks.shardStats(spark, s"$dir/sorted")
+        .select("spec_sort").distinct().head().getString(0) == "ts")
+      val e = intercept[IllegalArgumentException] {
+        Sinks.publishDelta(df, s"$dir/sorted", "id", nShards = 2,
+          shardCol = Some("bucket"), sortCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("full writeShards republish"), e.getMessage)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("a shard that did not exist at the stamp is delivered as changed") {
     val dir = Files.createTempDirectory("graft_chgnew_").toString
     val pub = s"$dir/pub"
