@@ -144,6 +144,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf: the injected rules/functions (ZoneMapSkipping,
+      // ManifestAggregates, SQL surface) must be live in every main
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -2597,6 +2597,51 @@ object Queries {
       |       MAX(o_orderdate) AS last_date
       |FROM orders""".stripMargin
 
+  /** q90 — SORTED layout: both skipping granularities under a VALUE
+    * oracle ([[graft.sinks.Sinks.writeShards]] `sortCols` +
+    * [[graft.plans.ZoneMapSkipping]]): orders published year-bucketed
+    * (zone maps on o_orderdate) AND date-sorted within each shard
+    * (`spec_sort`), then a NARROW two-week read through the plain
+    * parquet door. The injected rule drops 6/7 shards from the
+    * manifest; inside the survivor, parquet row-group stats are tight
+    * on the sorted date so the scan decodes only the straddling row
+    * groups — the Iceberg write-sort-order story end to end, and the
+    * oracle's hash compare proves both skipping layers lose nothing.
+    * Publish cached per (session, sf) like q76: the bench measures
+    * the READ. */
+  private val q90Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  def q90Publish(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q90_").toString
+    val pub = s"$root/pub"
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("bucket", (year(col("o_orderdate")) - 1995).cast("long"))
+    graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
+      zoneCols = Seq("o_orderdate"), shardCol = Some("bucket"),
+      sortCols = Seq("o_orderdate"))
+    q90Published.put(s, (dir, pub))
+    pub
+  }
+
+  val q90: Q = (s, dir) => {
+    val cached = q90Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q90Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .filter(col("o_orderdate") >= lit("1997-03-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <= lit("1997-03-15 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+  }
+  val q90Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
+      |                      AND TIMESTAMP '1997-03-15 00:00:00'""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2689,6 +2734,7 @@ object Queries {
     "q87_manifest_stats" -> q87,
     "q88_changed_shards" -> q88,
     "q89_metadata_agg" -> q89,
+    "q90_sorted_scan" -> q90,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2778,5 +2824,6 @@ object Queries {
     "q87_manifest_stats" -> q87Sql,
     "q88_changed_shards" -> q88Sql,
     "q89_metadata_agg" -> q89Sql,
+    "q90_sorted_scan" -> q90Sql,
   )
 }

@@ -13,6 +13,7 @@ object Verify {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         .getOrCreate()
       GraftSession.tune(spark) // nanosAsLong for the events scan, etc.
       spark.sparkContext.setLogLevel("WARN")
@@ -30,6 +31,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the injected rules/functions (ZoneMapSkipping,
+      // ManifestAggregates, SQL surface) must be live in every main
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
