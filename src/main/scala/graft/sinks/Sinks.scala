@@ -1205,6 +1205,34 @@ object Sinks {
     spark.read.parquet(s"$tgt/data")
   }
 
+  /** Expire retained PUBLISHED generations of a [[writeShards]]
+    * layout older than `olderThanMs` — the corpus-layout counterpart
+    * of [[expireDimVersions]] (Iceberg's `expire_snapshots` for the
+    * shard store; without it a delta-publishing pipeline retains
+    * forever). Safe against the hard-link delta mechanics by
+    * construction: the live generation holds its OWN links to carried
+    * files, so deleting a retired generation's directory only drops
+    * reference counts — live reads never lose an inode. After expiry,
+    * [[readShardsAt]]/[[shardStats]](stamp) on the removed stamp fail
+    * loudly per their no-silent-fallback contract. Returns the number
+    * of generations removed. */
+  def expireShardVersions(spark: SparkSession, path: String,
+                          olderThanMs: Long): Int = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = new org.apache.hadoop.fs.Path(base, PublishedVersionsDir)
+    if (!fs.exists(vd)) return 0
+    val expired = fs.listStatus(vd).filter(_.isDirectory).filter { st =>
+      val s = st.getPath.getName
+      val ms =
+        if (s.length == 19 && s.forall(_.isDigit)) s.take(13).toLong
+        else Long.MinValue
+      ms < olderThanMs
+    }
+    expired.foreach(st => fs.delete(st.getPath, true))
+    expired.length
+  }
+
   /** METADATA TABLE over a published layout — the Iceberg
     * `table.files` / `table.partitions` shape: per-shard row counts,
     * id range, declared zone-map ranges and the generation's partition

@@ -161,6 +161,30 @@ class IncrementalReadSpec extends SparkTestBase {
     }
   }
 
+  test("expireShardVersions: retired generations age out, live reads hold") {
+    val dir = Files.createTempDirectory("graft_expire_").toString
+    val pub = s"$dir/pub"
+    Sinks.writeShards(frame("a"), pub, "id", nShards = 4,
+      shardCol = Some("bucket"))
+    Sinks.publishDelta(frame("b"), pub, "id", nShards = 4,
+      retainPrevious = true, shardCol = Some("bucket"))
+    Sinks.publishDelta(frame("c"), pub, "id", nShards = 4,
+      retainPrevious = true, shardCol = Some("bucket"))
+    val stamps = Sinks.listShardVersions(spark, pub)
+    assert(stamps.size == 2)
+    // epoch cutoff removes nothing; "now" removes both
+    assert(Sinks.expireShardVersions(spark, pub, 0L) == 0)
+    assert(Sinks.expireShardVersions(spark, pub,
+      System.currentTimeMillis() + 1000) == 2)
+    assert(Sinks.listShardVersions(spark, pub).isEmpty)
+    // the live generation still serves — hard-linked files survive the
+    // retired dirs' deletion by their own link counts
+    assert(spark.read.parquet(s"$pub/data").count() == 200L)
+    intercept[java.util.NoSuchElementException] {
+      Sinks.readShardsAt(spark, pub, stamps.last).collect()
+    }
+  }
+
   test("a shard that did not exist at the stamp is delivered as changed") {
     val dir = Files.createTempDirectory("graft_chgnew_").toString
     val pub = s"$dir/pub"
