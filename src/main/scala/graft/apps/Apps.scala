@@ -437,14 +437,25 @@ object CorpusCuration {
     * hard-link forward — the periodic re-curation workflow (crawl
     * grew, thresholds moved) where most of the corpus is unchanged
     * and a full rewrite is the dominant cost at scale. The pinned
-    * survivors cache makes the double evaluation delta needs exact. */
+    * survivors cache makes the double evaluation delta needs exact.
+    *
+    * Layout declarations pass through to the publisher: the default
+    * (hash sharding, no zones) optimizes for balanced shards and
+    * stable deltas, but a dataloader-facing corpus can declare e.g.
+    * `shardCol` = a length bucket + `zoneCols`/`sortCols` on the
+    * token count, so a trainer pulling one sequence-length band reads
+    * 1/nShards of the corpus through the automatic pruning rules
+    * instead of scanning everything (q86/q90 measure that read). */
   def runAndPublish(spark: SparkSession, docs: DataFrame, publishPath: String,
                     nShards: Int, minQuality: Double = 0.3,
                     lang: String = "en", nearDupThreshold: Double = 0.5,
                     benchDocs: Option[DataFrame] = None,
                     decontamMinHits: Long = 1L,
                     semantic: Option[SemanticStage] = None,
-                    delta: Boolean = false): Published = {
+                    delta: Boolean = false,
+                    zoneCols: Seq[String] = Nil,
+                    shardCol: Option[String] = None,
+                    sortCols: Seq[String] = Nil): Published = {
     import graft.sinks.Sinks
     val (survivors, report) = run(spark, docs, minQuality, lang,
       nearDupThreshold, benchDocs, decontamMinHits, semantic)
@@ -463,8 +474,10 @@ object CorpusCuration {
           "before writing anything")
       val tPub = System.nanoTime()
       val manifest =
-        if (delta) Sinks.publishDelta(pinned, publishPath, "doc_id", nShards)
-        else Sinks.writeShards(pinned, publishPath, "doc_id", nShards)
+        if (delta) Sinks.publishDelta(pinned, publishPath, "doc_id", nShards,
+          zoneCols = zoneCols, shardCol = shardCol, sortCols = sortCols)
+        else Sinks.writeShards(pinned, publishPath, "doc_id", nShards,
+          zoneCols = zoneCols, shardCol = shardCol, sortCols = sortCols)
       val publishSec = (System.nanoTime() - tPub) / 1e9
       val published = manifest
         .agg(coalesce(sum(col("n_rows")), lit(0L))).head.getLong(0)

@@ -294,6 +294,41 @@ class AppsSpec extends SparkTestBase {
       .filter(!col("ok")).count() == 0)
   }
 
+  test("dataloader-facing publish: length-banded layout prunes band reads") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the trainer configuration the runAndPublish scaladoc names:
+      // shard = length band, zones + within-shard sort on n_chars
+      val docs = graft.Tables(spark, sf).documents
+        .withColumn("len_band",
+          least(floor(col("n_chars") / 150L), lit(3L)).cast("long"))
+      val pub = work() + "/published"
+      CorpusCuration.runAndPublish(spark, docs, pub, nShards = 4,
+        minQuality = 0.0, zoneCols = Seq("n_chars"),
+        shardCol = Some("len_band"), sortCols = Seq("n_chars"))
+      val stats = Sinks.shardStats(spark, pub)
+      assert(stats.columns.contains("zmin_n_chars"))
+      assert(stats.select("spec_sort").head().getString(0) == "n_chars")
+      // a trainer pulling one sequence-length band reads through the
+      // plain door; the injected rule prunes to the band's shard(s)
+      val q = spark.read.parquet(s"$pub/data")
+        .filter(col("n_chars") >= 150 && col("n_chars") <= 299)
+      val got = q.select("doc_id").collect().map(_.getLong(0)).sorted
+      val want = spark.read.parquet(s"$pub/data")
+        .select("doc_id", "n_chars").collect()
+        .filter(r => r.getLong(1) >= 150 && r.getLong(1) <= 299)
+        .map(_.getLong(0)).sorted
+      assert(got.sameElements(want), "band read must lose nothing")
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }.head
+      val total = Sinks.shardStats(spark, pub).count()
+      assert(scan.metrics("numFiles").value < total,
+        s"band read should open fewer than $total files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("generation drift audit gates a re-curation against the live publish") {
     val docs = graft.Tables(spark, sf).documents
     val pub = work() + "/published"
