@@ -60,15 +60,27 @@ object ManifestAggregates extends Rule[LogicalPlan] {
     }
   }
 
+  /** Reader options that restrict WHICH FILES a scan lists — under
+    * any of these the relation no longer covers the whole layout, so
+    * manifest answers (which always describe every shard) would be
+    * wrong. Bail. */
+  private val FileRestrictingOptions =
+    Set("pathglobfilter", "modifiedafter", "modifiedbefore")
+
   /** The layout data scan under the aggregate, looking through a
     * column-pruning Project of plain attributes. A Filter anywhere
     * disqualifies: the manifest answers whole-layout questions only
     * (zone-pruned + filtered aggregation keeps the row-level path —
-    * ZoneMapSkipping already serves it). */
+    * ZoneMapSkipping already serves it). So does any file-restricting
+    * reader option: a glob/modified-time-restricted scan reads a
+    * SUBSET of the layout and must aggregate what it reads. */
   private def dataScanOf(plan: LogicalPlan): Option[HadoopFsRelation] =
     plan match {
       case l: LogicalRelation => l.relation match {
-        case fsr: HadoopFsRelation if ShardLayouts.isLayoutScan(fsr) => Some(fsr)
+        case fsr: HadoopFsRelation if ShardLayouts.isLayoutScan(fsr) &&
+            !fsr.options.keysIterator.exists(k =>
+              FileRestrictingOptions.contains(k.toLowerCase(
+                java.util.Locale.ROOT))) => Some(fsr)
         case _ => None
       }
       case Project(projList, child) if projList.forall(
@@ -76,49 +88,71 @@ object ManifestAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** A rewritable aggregate's manifest recipe: which stat column to
+    * aggregate, and how. */
+  private sealed trait Recipe
+  private case object CountRows extends Recipe
+  private final case class MinStat(zoneCol: String) extends Recipe
+  private final case class MaxStat(zoneCol: String) extends Recipe
+
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
                       fsr: HadoopFsRelation): Option[LogicalPlan] = {
     val spark = SparkSession.active
     ShardLayouts.manifestFor(spark, fsr.location.rootPaths.head).flatMap { mf =>
-      // a FRESH resolved manifest scan (new exprIds per rewrite, no
-      // attribute collisions with the rest of the query plan)
+      // PHASE 1 — free all-or-nothing shape check against the CACHED
+      // zone set, before paying the manifest scan's driver-side
+      // listing: a permanently-unrewritable plan (avg, distinct, a
+      // non-zone column) must bail without I/O, or every fixpoint
+      // iteration repeats the read.
+      val recipes: Seq[Option[(Alias, Recipe)]] = aggExprs.map {
+        case a @ Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
+            ae.filter.isEmpty && ae.mode == Complete =>
+          (ae.aggregateFunction match {
+            case Count(Seq(c)) if c.foldable && c.deterministic &&
+                c.eval() != null => Some(CountRows)
+            case Min(c: AttributeReference)
+                if mf.zoneCols.contains(c.name) => Some(MinStat(c.name))
+            case Max(c: AttributeReference)
+                if mf.zoneCols.contains(c.name) => Some(MaxStat(c.name))
+            case _ => None
+          }).map(r => (a, r))
+        case _ => None
+      }
+      if (!recipes.forall(_.isDefined)) return None
+
+      // PHASE 2 — a FRESH resolved manifest scan (new exprIds per
+      // rewrite, no attribute collisions with the rest of the plan)
       val manifestPlan =
         try spark.read.parquet(mf.path).queryExecution.analyzed
         catch { case _: Exception => return None }
       def mAttr(name: String): Option[Attribute] =
         manifestPlan.output.find(_.name == name)
 
-      val rewritten = aggExprs.map {
-        case a @ Alias(ae: AggregateExpression, name) if !ae.isDistinct &&
-            ae.filter.isEmpty && ae.mode == Complete =>
-          val inner: Option[Expression] = ae.aggregateFunction match {
-            case Count(Seq(c)) if c.foldable && c.deterministic &&
-                c.eval() != null =>
-              mAttr("n_rows").map(n => Coalesce(Seq(
-                AggregateExpression(Sum(n), Complete, isDistinct = false),
-                Literal(0L))))
-            case Min(c: AttributeReference) if mf.zoneCols.contains(c.name) =>
-              mAttr(s"zmin_${c.name}").map(z =>
-                AggregateExpression(Min(z), Complete, isDistinct = false))
-            case Max(c: AttributeReference) if mf.zoneCols.contains(c.name) =>
-              mAttr(s"zmax_${c.name}").map(z =>
-                AggregateExpression(Max(z), Complete, isDistinct = false))
-            case _ => None
-          }
-          inner match {
-            // keep the ORIGINAL exprId/name/type so consumers above the
-            // aggregate resolve unchanged
-            case Some(e) if e.dataType == a.dataType =>
-              Some(Alias(e, name)(exprId = a.exprId))
-            case _ => None
-          }
-        case _ => None
+      val rewritten = recipes.map(_.get).map { case (a, recipe) =>
+        val inner: Option[Expression] = recipe match {
+          case CountRows =>
+            mAttr("n_rows").map(n => Coalesce(Seq(
+              AggregateExpression(Sum(n), Complete, isDistinct = false),
+              Literal(0L))))
+          case MinStat(c) => mAttr(s"zmin_$c").map(z =>
+            AggregateExpression(Min(z), Complete, isDistinct = false))
+          case MaxStat(c) => mAttr(s"zmax_$c").map(z =>
+            AggregateExpression(Max(z), Complete, isDistinct = false))
+        }
+        inner match {
+          // keep the ORIGINAL exprId/name/type so consumers above the
+          // aggregate resolve unchanged
+          case Some(e) if e.dataType == a.dataType =>
+            Some(Alias(e, a.name)(exprId = a.exprId))
+          case _ => None
+        }
       }
-      // all-or-nothing: one unsupported aggregate keeps the data scan
+      // stat columns must also exist with the right types in the
+      // freshly-read manifest (a foreign manifest bails here)
       if (rewritten.forall(_.isDefined)) {
-        val nRows = mf.rows.length
         logInfo(s"manifest-only aggregate at ${mf.path}: " +
-          s"${aggExprs.length} aggregate(s) answered from $nRows shard rows")
+          s"${aggExprs.length} aggregate(s) answered from " +
+          s"${mf.rows.length} shard rows")
         Some(Aggregate(Nil, rewritten.map(_.get), manifestPlan))
       } else None
     }

@@ -85,12 +85,17 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
       !cond.references.exists(_.name == "shard")
 
   private def rewrite(f: Filter, cond: Expression, l: LogicalRelation,
-                      fsr: HadoopFsRelation): Option[Filter] = {
+                      fsr: HadoopFsRelation): Option[Filter] = try {
     val dataDir = fsr.location.rootPaths.head
     val spark = SparkSession.active
     for {
       mf <- ShardLayouts.manifestFor(spark, dataDir)
-      shardAttr <- l.output.find(_.name == "shard")
+      // int/long only (the types writeShards' layouts discover): with
+      // partition-type inference off, `shard` discovers as STRING and
+      // the IN/InSet values built below would never match — prune
+      // nothing rather than prune everything
+      shardAttr <- l.output.find(a => a.name == "shard" &&
+        (a.dataType == IntegerType || a.dataType == LongType))
       preds = splitConjunctivePredicates(cond)
         .flatMap(toManifestPredicate(_, mf))
       if preds.nonEmpty
@@ -113,6 +118,13 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
         s"${preds.length} stat predicate(s)")
       Filter(And(cond, keepConjunct), l)
     }
+  } catch {
+    // skipping is an optimization only: a foreign manifest whose stat
+    // types don't line up (or any other surprise in the driver-side
+    // eval) must leave the user's query untouched, never fail it
+    case e: Exception =>
+      logWarning(s"zone-map skipping disabled for this scan: $e")
+      None
   }
 
   /** Partition discovery types `shard=N` as int; the manifest records
@@ -135,15 +147,19 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     * over `zmin_c`/`zmax_c`, or None when the shape can't prune. */
   private def toManifestPredicate(conjunct: Expression,
                                   mf: CachedManifest): Option[Expression] = {
-    def stat(prefix: String, c: String): Option[Attribute] =
-      mf.attrs.find(_.name == s"${prefix}_$c")
+    // the stat attr must carry the DATA column's exact type: a read
+    // schema overriding a zone column's type (or a foreign manifest)
+    // must disable pruning, not compare across types
+    def statOf(prefix: String, a: AttributeReference): Option[Attribute] =
+      mf.attrs.find(s => s.name == s"${prefix}_${a.name}" &&
+        s.dataType == a.dataType)
     def lit(v: Expression): Literal = Literal.create(v.eval(), v.dataType)
     // a zone-mapped bare column vs a foldable comparand, either side
     object ZoneCol {
       def unapply(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference
             if mf.zoneCols.contains(a.name) &&
-              stat("zmin", a.name).isDefined && stat("zmax", a.name).isDefined =>
+              statOf("zmin", a).isDefined && statOf("zmax", a).isDefined =>
           Some(a)
         case _ => None
       }
@@ -154,27 +170,27 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     }
     def contains(a: AttributeReference, v: Literal): Option[Expression] =
       if (v.value == null) None
-      else for (lo <- stat("zmin", a.name); hi <- stat("zmax", a.name))
+      else for (lo <- statOf("zmin", a); hi <- statOf("zmax", a))
         yield And(LessThanOrEqual(lo, v), GreaterThanOrEqual(hi, v))
 
     conjunct match {
       case GreaterThanOrEqual(ZoneCol(a), Const(v)) =>
-        stat("zmax", a.name).map(GreaterThanOrEqual(_, lit(v)))
+        statOf("zmax", a).map(GreaterThanOrEqual(_, lit(v)))
       case GreaterThan(ZoneCol(a), Const(v)) =>
-        stat("zmax", a.name).map(GreaterThan(_, lit(v)))
+        statOf("zmax", a).map(GreaterThan(_, lit(v)))
       case LessThanOrEqual(ZoneCol(a), Const(v)) =>
-        stat("zmin", a.name).map(LessThanOrEqual(_, lit(v)))
+        statOf("zmin", a).map(LessThanOrEqual(_, lit(v)))
       case LessThan(ZoneCol(a), Const(v)) =>
-        stat("zmin", a.name).map(LessThan(_, lit(v)))
+        statOf("zmin", a).map(LessThan(_, lit(v)))
       // flipped comparands: v OP a
       case GreaterThanOrEqual(Const(v), ZoneCol(a)) =>
-        stat("zmin", a.name).map(LessThanOrEqual(_, lit(v)))
+        statOf("zmin", a).map(LessThanOrEqual(_, lit(v)))
       case GreaterThan(Const(v), ZoneCol(a)) =>
-        stat("zmin", a.name).map(LessThan(_, lit(v)))
+        statOf("zmin", a).map(LessThan(_, lit(v)))
       case LessThanOrEqual(Const(v), ZoneCol(a)) =>
-        stat("zmax", a.name).map(GreaterThanOrEqual(_, lit(v)))
+        statOf("zmax", a).map(GreaterThanOrEqual(_, lit(v)))
       case LessThan(Const(v), ZoneCol(a)) =>
-        stat("zmax", a.name).map(GreaterThan(_, lit(v)))
+        statOf("zmax", a).map(GreaterThan(_, lit(v)))
       case EqualTo(ZoneCol(a), Const(v)) => contains(a, lit(v))
       case EqualTo(Const(v), ZoneCol(a)) => contains(a, lit(v))
       case EqualNullSafe(ZoneCol(a), Const(v)) => contains(a, lit(v))
@@ -193,7 +209,7 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
         p.value match {
           case u: org.apache.spark.unsafe.types.UTF8String
               if u.numBytes() > 0 =>
-            for (lo <- stat("zmin", a.name); hi <- stat("zmax", a.name)) yield {
+            for (lo <- statOf("zmin", a); hi <- statOf("zmax", a)) yield {
               val ge = GreaterThanOrEqual(hi, p)
               val bytes = u.getBytes
               if ((bytes(bytes.length - 1) & 0xFF) == 0xFF) ge
@@ -210,7 +226,7 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
       // IS NOT NULL prunes all-null shards (their zmin is null — the
       // stats ignore nulls, so any non-null value makes zmin non-null)
       case IsNotNull(ZoneCol(a)) =>
-        stat("zmin", a.name).map(IsNotNull(_))
+        statOf("zmin", a).map(IsNotNull(_))
       case _ => None
     }
   }

@@ -308,7 +308,16 @@ object Sinks {
                         olderThanMs: Long): Int = {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vd = versionsDir(dst)
+    expireVersionsUnder(fs, versionsDir(dst), olderThanMs)
+  }
+
+  /** ONE implementation of stamp-cutoff expiry for both retention
+    * stores (dim `<table>_versions`, published-layout `_versions`):
+    * the [[genStamp]] parse and the deletion semantics must never
+    * drift between them. */
+  private def expireVersionsUnder(fs: org.apache.hadoop.fs.FileSystem,
+                                  vd: org.apache.hadoop.fs.Path,
+                                  olderThanMs: Long): Int = {
     if (!fs.exists(vd)) return 0
     val expired = fs.listStatus(vd).filter(_.isDirectory).filter { st =>
       val s = st.getPath.getName
@@ -722,6 +731,13 @@ object Sinks {
     * from the `_old_`/`_staging_`/`_publish_lock` names recovery sweeps). */
   private[graft] val PublishedVersionsDir = "_versions"
 
+  /** The manifest location of the live generation, or of the retained
+    * generation displaced at `stamp` — ONE spelling for every
+    * manifest-reading door. */
+  private def manifestPathOf(path: String, stamp: Option[String]): String =
+    stamp.fold(s"$path/manifest")(
+      s => s"$path/$PublishedVersionsDir/$s/manifest")
+
   /** Name of the single-writer lease file at the publish root. */
   private[graft] val PublishLock = "_publish_lock"
 
@@ -1024,8 +1040,7 @@ object Sinks {
     * generation's. None when the manifest predates spec recording. */
   def shardSpec(spark: SparkSession, path: String,
                 stamp: Option[String] = None): Option[(Option[String], Int)] = {
-    val mp = stamp.fold(s"$path/manifest")(
-      s => s"$path/$PublishedVersionsDir/$s/manifest")
+    val mp = manifestPathOf(path, stamp)
     val m = spark.read.parquet(mp)
     if (!m.columns.contains("spec_col")) None
     else m.select("spec_col", "spec_n").limit(1).collect().headOption
@@ -1220,17 +1235,8 @@ object Sinks {
                           olderThanMs: Long): Int = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vd = new org.apache.hadoop.fs.Path(base, PublishedVersionsDir)
-    if (!fs.exists(vd)) return 0
-    val expired = fs.listStatus(vd).filter(_.isDirectory).filter { st =>
-      val s = st.getPath.getName
-      val ms =
-        if (s.length == 19 && s.forall(_.isDigit)) s.take(13).toLong
-        else Long.MinValue
-      ms < olderThanMs
-    }
-    expired.foreach(st => fs.delete(st.getPath, true))
-    expired.length
+    expireVersionsUnder(fs,
+      new org.apache.hadoop.fs.Path(base, PublishedVersionsDir), olderThanMs)
   }
 
   /** METADATA TABLE over a published layout — the Iceberg
@@ -1248,8 +1254,7 @@ object Sinks {
     * the cheap answer to "what changed". */
   def shardStats(spark: SparkSession, path: String,
                  stamp: Option[String] = None): DataFrame = {
-    val mp = stamp.fold(s"$path/manifest")(
-      s => s"$path/$PublishedVersionsDir/$s/manifest")
+    val mp = manifestPathOf(path, stamp)
     val fs = new org.apache.hadoop.fs.Path(mp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(mp)))
@@ -1503,23 +1508,28 @@ object Sinks {
           "republish in full (writeShards) to re-declare zones")
       // the declared within-shard sort order is a layout property too:
       // inherit it (rewritten shards stay row-group-clustered like the
-      // carried ones), reject a mismatched redeclaration
-      val liveSort: Seq[String] =
-        if (!live.columns.contains("spec_sort")) Nil
+      // carried ones), reject a mismatched redeclaration. Unlike the
+      // zone set (read from column NAMES, so it survives an empty
+      // generation), the sort is read from row data — a ZERO-ROW live
+      // manifest declares nothing, so the caller's declaration stands
+      // (there are no carried shards for it to misdescribe).
+      val liveSort: Option[Seq[String]] =
+        if (!live.columns.contains("spec_sort")) Some(Nil) // legacy: unsorted
         else live.select("spec_sort").limit(1).collect().headOption
-          .flatMap(r => Option(r.getString(0))).map(_.split(',').toSeq)
-          .getOrElse(Nil)
-      val effectiveSort =
-        if (sortCols.isEmpty) liveSort
-        else {
-          require(sortCols == liveSort,
+          .map(r => Option(r.getString(0)).map(_.split(',').toSeq)
+            .getOrElse(Seq.empty[String]))
+      val effectiveSort = liveSort match {
+        case None => sortCols // empty live generation
+        case Some(ls) if sortCols.isEmpty => ls
+        case Some(ls) =>
+          require(sortCols == ls,
             s"publishDelta: declared sortCols (${sortCols.mkString(", ")}) " +
               s"differ from the live layout's (${
-                if (liveSort.isEmpty) "none" else liveSort.mkString(", ")
+                if (ls.isEmpty) "none" else ls.mkString(", ")
               }); carried-forward shards keep their physical order, so " +
               "the sort can only change through a full writeShards republish")
           sortCols
-        }
+      }
       require(effectiveSort.forall(dataCols.contains),
         s"publishDelta: live sort columns ${effectiveSort.mkString(", ")} " +
           s"are not all input columns — republish in full to re-declare")

@@ -91,6 +91,18 @@ class ManifestAggregatesSpec extends SparkTestBase {
       s"filtered aggregation must stay on data: $locs")
   }
 
+  test("a file-restricting reader option disables the metadata answer") {
+    val sch = spark.read.parquet(s"$pub/data").schema
+    // the glob matches nothing: the restricted scan's true count is 0,
+    // and a manifest answer (300) would be silently wrong
+    val (rows, locs) = run(spark.read.schema(sch)
+      .option("pathGlobFilter", "*.nope").parquet(s"$pub/data")
+      .agg(count(lit(1)).as("n")))
+    assert(rows.head.getLong(0) == 0L,
+      "restricted scan must aggregate what it reads")
+    assert(locs.forall(_ != "manifest"), s"rule must not fire: $locs")
+  }
+
   test("avg/distinct shapes are untouched and still correct") {
     val (rows, locs) = run(read().agg(
       count_distinct(col("bucket")).as("buckets"), avg(col("ts")).as("m")))

@@ -180,6 +180,20 @@ class ZoneMapSkippingSpec extends SparkTestBase {
     assert(files == 1, s"retired generation should prune to 1 file: $files")
   }
 
+  test("a read schema overriding a zone column's type disables pruning") {
+    import org.apache.spark.sql.types._
+    // declare ts as STRING while the stats are LONG: planning must
+    // neither compare across types nor fail the query — it skips
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("ts", StringType), StructField("cat", StringType)))
+    val q = spark.read.schema(sch).parquet(s"$pub/data")
+      .filter(col("ts") >= "150")
+    // planning succeeds and adds no shard conjunct
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("shard#") ||
+      !plan.toLowerCase.contains("shard in"), s"unexpected pruning: $plan")
+  }
+
   test("a plain parquet dir named data is not touched") {
     val dir = Files.createTempDirectory("graft_zms_plain_").toString
     spark.range(50).toDF("id").withColumn("ts", col("id"))

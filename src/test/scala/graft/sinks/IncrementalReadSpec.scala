@@ -161,6 +161,24 @@ class IncrementalReadSpec extends SparkTestBase {
     }
   }
 
+  test("an empty first generation does not lose the sort declaration") {
+    val dir = Files.createTempDirectory("graft_emptysort_").toString
+    val pub = s"$dir/pub"
+    val full = spark.range(100).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts", col("id"))
+    // publish an EMPTY corpus with a declared sort (zero manifest
+    // rows), then delta-publish data with the SAME declaration: the
+    // empty generation declares nothing, so this must be accepted —
+    // not rejected as a redeclaration
+    Sinks.writeShards(full.filter(lit(false)), pub, "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"), sortCols = Seq("ts"))
+    Sinks.publishDelta(full, pub, "id", nShards = 2,
+      shardCol = Some("bucket"), sortCols = Seq("ts"))
+    assert(Sinks.shardStats(spark, pub)
+      .select("spec_sort").distinct().head().getString(0) == "ts")
+  }
+
   test("expireShardVersions: retired generations age out, live reads hold") {
     val dir = Files.createTempDirectory("graft_expire_").toString
     val pub = s"$dir/pub"
