@@ -37,6 +37,11 @@ import org.apache.spark.sql.types.LongType
   *     all-null shard contributes a null zmin that Min skips, and an
   *     all-null LAYOUT answers null exactly as the data scan would.
   *     Max symmetric.
+  *   - `COUNT(c)` (non-distinct, c zone-mapped) = Σ (n_rows −
+  *     znull_c), ONLY when every manifest row carries a recorded
+  *     null count — a legacy generation carried forward by a delta
+  *     publish has znull = null (unknown) and the rule bails rather
+  *     than undercount.
   * The rule fires ONLY on the exact global-aggregate shape (no
   * grouping, no filters anywhere below, no DISTINCT, no agg filter
   * clause, every aggregate rewritable, aggregated columns
@@ -92,8 +97,20 @@ object ManifestAggregates extends Rule[LogicalPlan] {
     * aggregate, and how. */
   private sealed trait Recipe
   private case object CountRows extends Recipe
+  private final case class CountCol(zoneCol: String) extends Recipe
   private final case class MinStat(zoneCol: String) extends Recipe
   private final case class MaxStat(zoneCol: String) extends Recipe
+
+  /** COUNT(col) = Σ (n_rows - znull_col), but ONLY when every cached
+    * manifest row carries a recorded null count — a legacy generation
+    * carried forward by a delta publish has znull = NULL (unknown),
+    * and Sum would silently SKIP it, undercounting. */
+  private def znullComplete(mf: ShardLayouts.CachedManifest,
+                            c: String): Boolean = {
+    val i = mf.attrs.indexWhere(a => a.name == s"znull_$c" &&
+      a.dataType == LongType)
+    i >= 0 && mf.rows.forall(!_.isNullAt(i))
+  }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
                       fsr: HadoopFsRelation): Option[LogicalPlan] = {
@@ -110,6 +127,9 @@ object ManifestAggregates extends Rule[LogicalPlan] {
           (ae.aggregateFunction match {
             case Count(Seq(c)) if c.foldable && c.deterministic &&
                 c.eval() != null => Some(CountRows)
+            case Count(Seq(c: AttributeReference))
+                if mf.zoneCols.contains(c.name) &&
+                  znullComplete(mf, c.name) => Some(CountCol(c.name))
             case Min(c: AttributeReference)
                 if mf.zoneCols.contains(c.name) => Some(MinStat(c.name))
             case Max(c: AttributeReference)
@@ -134,6 +154,12 @@ object ManifestAggregates extends Rule[LogicalPlan] {
             mAttr("n_rows").map(n => Coalesce(Seq(
               AggregateExpression(Sum(n), Complete, isDistinct = false),
               Literal(0L))))
+          case CountCol(c) =>
+            for (n <- mAttr("n_rows"); z <- mAttr(s"znull_$c"))
+              yield Coalesce(Seq(
+                AggregateExpression(Sum(Subtract(n, z)), Complete,
+                  isDistinct = false),
+                Literal(0L)))
           case MinStat(c) => mAttr(s"zmin_$c").map(z =>
             AggregateExpression(Min(z), Complete, isDistinct = false))
           case MaxStat(c) => mAttr(s"zmax_$c").map(z =>

@@ -44,9 +44,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - `a = v` / null-safe-eq with non-null v ⇒ range-contains
   *   - `a IN (v…)` ⇒ OR of range-contains
   *   - min/max stats ignore nulls (Iceberg manifest semantics), which
-  *     is exact here because every handled shape row-filters null `a`
-  *     out anyway; `a <=> null` / IS NULL shapes are deliberately NOT
-  *     handled for that reason.
+  *     is exact here because every value-comparing shape row-filters
+  *     null `a` out anyway; `IS NULL` prunes via the recorded
+  *     `znull_*` counts (absent/null count = unknown ⇒ keep), and
+  *     `a <=> null` is deliberately NOT handled.
   * Conjuncts in any other shape (OR trees, casts on the column side,
   * non-foldable comparands, non-zone columns) are simply ignored —
   * they prune nothing but never unsound.
@@ -227,6 +228,13 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
       // stats ignore nulls, so any non-null value makes zmin non-null)
       case IsNotNull(ZoneCol(a)) =>
         statOf("zmin", a).map(IsNotNull(_))
+      // IS NULL prunes shards whose RECORDED null count is zero; an
+      // absent or null znull value (legacy generation carried by a
+      // delta publish) is unknown ⇒ keep the shard
+      case IsNull(ZoneCol(a)) =>
+        mf.attrs.find(s => s.name == s"znull_${a.name}" &&
+            s.dataType == LongType)
+          .map(z => Or(IsNull(z), GreaterThan(z, Literal(0L))))
       case _ => None
     }
   }

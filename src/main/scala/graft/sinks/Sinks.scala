@@ -1007,9 +1007,15 @@ object Sinks {
     // zone maps: per-shard min/max of declared columns (Iceberg's
     // manifest column stats) — nulls are ignored by min/max, matching
     // the pruning reader's filter semantics (a predicate row-filters
-    // nulls out either way, so skipping them in the stats is exact)
+    // nulls out either way, so skipping them in the stats is exact).
+    // znull_<c> = the shard's null count for the column (Iceberg's
+    // null_value_counts): powers IS NULL shard pruning and
+    // metadata-only COUNT(col). Consumers must treat an ABSENT or
+    // NULL znull value as unknown (legacy generations carried
+    // forward by delta publishes have no recount).
     val zoneAggs = zoneCols.flatMap(c => Seq(
-      min(col(c)).as(s"zmin_$c"), max(col(c)).as(s"zmax_$c")))
+      min(col(c)).as(s"zmin_$c"), max(col(c)).as(s"zmax_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"znull_$c")))
     written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1586,7 +1592,13 @@ object Sinks {
            else live.filter(col("shard").isin(unchanged.toSeq: _*)))
             .drop("spec_col", "spec_n", "spec_sort"), shardCol, nShards,
           effectiveSort)
-        keptManifest.unionByName(rewrittenManifest)
+        // allowMissingColumns: a live generation published before a
+        // stat column existed (e.g. pre-znull manifests) carries
+        // forward with NULL for the new stat — the documented
+        // "unknown" value consumers must treat conservatively. Zone
+        // SET mismatches never reach here (validated above, loudly).
+        keptManifest.unionByName(rewrittenManifest,
+            allowMissingColumns = true)
           .coalesce(1)
           .write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)

@@ -110,6 +110,37 @@ class ManifestAggregatesSpec extends SparkTestBase {
     assert(locs.forall(_ != "manifest"))
   }
 
+  test("COUNT(col) uses recorded null counts; unknown counts bail") {
+    val dir = Files.createTempDirectory("graft_magg_cnt_").toString
+    val pub = s"$dir/pub"
+    val df = spark.range(40).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts", when(col("bucket") === 0, col("id")))
+    Sinks.writeShards(df, pub, "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val (rows, locs) = run(spark.read.parquet(s"$pub/data")
+      .agg(count(col("ts")).as("n")))
+    assert(rows.head.getLong(0) == 20L, "nulls excluded from count(col)")
+    assert(locs == Seq("manifest"), s"expected metadata-only: $locs")
+    // simulate a legacy generation: strip the znull column from the
+    // stored manifest — the rule must bail to the data scan, never
+    // undercount from an unknown stat
+    val m = spark.read.parquet(s"$pub/manifest")
+    val legacy = m.drop("znull_ts")
+    val tmp = s"$dir/legacy_manifest"
+    legacy.coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(pub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pub/manifest"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$pub/manifest"))
+    val (rows2, locs2) = run(spark.read.parquet(s"$pub/data")
+      .agg(count(col("ts")).as("n")))
+    assert(rows2.head.getLong(0) == 20L)
+    assert(locs2 == Seq("data"),
+      s"unknown null counts must keep the data scan: $locs2")
+  }
+
   test("all-null zone column: metadata min/max is null like the scan's") {
     val dir = Files.createTempDirectory("graft_magg_null_").toString
     val df = spark.range(40).toDF("id")

@@ -180,6 +180,20 @@ class ZoneMapSkippingSpec extends SparkTestBase {
     assert(files == 1, s"retired generation should prune to 1 file: $files")
   }
 
+  test("IS NULL prunes shards whose recorded null count is zero") {
+    val dir = Files.createTempDirectory("graft_zms_isnull_").toString
+    val df = spark.range(100).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      // bucket 1 holds all the nulls; bucket 0 records znull = 0
+      .withColumn("ts", when(col("bucket") === 0, col("id")))
+    Sinks.writeShards(df, s"$dir/pub", "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val (rows, files, _) = scanned(
+      spark.read.parquet(s"$dir/pub/data").filter(col("ts").isNull))
+    assert(rows == (1L until 100L by 2).toSeq)
+    assert(files == 1, s"the null-free shard should be skipped: $files")
+  }
+
   test("a read schema overriding a zone column's type disables pruning") {
     import org.apache.spark.sql.types._
     // declare ts as STRING while the stats are LONG: planning must
