@@ -65,8 +65,9 @@ object Queries {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** q03 — J2: broadcast left-outer dim-chain enrichment (fact keeps its
-    * partitioning; dims broadcast — no per-record lookups).
+  /** q03 — J2: left-outer dim-chain enrichment (fact keeps its
+    * partitioning; no per-record lookups — AQE broadcasts dims under
+    * threshold, shuffles the SF-proportional ones at lake scale).
     * Reference analog: dws/ProcessUserlogInToDWS.scala:107-225. */
   val q03: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -207,13 +208,14 @@ object Queries {
     def cents(c: Column): Column = round(c * 100).cast("long")
     // Reduce orders BEFORE the fact join: the segment gate keeps ~1/5
     // of orders, so the lineitem join probes a 5× smaller side. The
-    // customer side is key-only (left_semi + broadcast — no payload
-    // carried). Join strategy for lineitem⋈orders is left to Catalyst/
-    // AQE: broadcast at bench SF, sort-merge at lake scale.
+    // customer side is key-only (left_semi — no payload carried). No
+    // broadcast hint: customer is SF-proportional, so a pinned hint
+    // would OOM executors at lake scale; AQE broadcasts it at bench SF
+    // anyway (under threshold) and shuffles it when it grows.
     val buildingOrders = t.orders
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("o_custkey"))),
+      .join(t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"), "left_semi")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     t.lineitem
@@ -238,7 +240,8 @@ object Queries {
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   /** q28 — TPC-H Q5 shape: 5-way snowflake join through nation/region
-    * with all dims broadcast; revenue per nation.
+    * with bounded dims broadcast (nation/region only; customer/supplier
+    * are SF-proportional and left to AQE); revenue per nation.
     *
     * Join order reduces earliest: the region gate shrinks nation to
     * the ASIA rows, that gates customer to ~1/5, that gates orders to
@@ -256,16 +259,18 @@ object Queries {
     val asiaCust = t.customer
       .join(broadcast(asiaNation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    // asiaCust and supplier are SF-proportional: no broadcast hints —
+    // AQE broadcasts them at bench SF (under threshold) and falls back
+    // to shuffle joins when they outgrow executor memory at lake scale.
+    // Only nation/region (bounded, ≤25 rows at any SF) stay hinted.
     val asiaOrders = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
-    // join strategy for lineitem⋈asiaOrders is left to Catalyst/AQE:
-    // broadcast at bench SF, sort-merge at lake scale
     t.lineitem
       .select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
       .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -598,7 +603,7 @@ object Queries {
       .select(col("l_orderkey"), col("l_extendedprice"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))

@@ -35,23 +35,30 @@ object Enrichment {
     case None => dim.dropDuplicates(keys)
   }
 
-  /** J2: left-enrich `fact` with one or more broadcast dims on equi-keys.
+  /** J2: left-enrich `fact` with one or more dims on equi-keys.
     * Each element: (dim, joinKeys). Every dim is deduplicated on its
     * join keys before the join (latest by `keepBy` when that column is
     * present, otherwise single arbitrary survivor), so the join never
-    * fans out fact rows even if the dim carries duplicate keys. */
+    * fans out fact rows even if the dim carries duplicate keys.
+    *
+    * No forced broadcast hint: dims under the AQE threshold plan as
+    * broadcast joins automatically (the point-lookup replacement the
+    * survey calls for), while an SF-proportional dim — a 100M-row user
+    * dim at lake scale — falls back to a shuffled join instead of
+    * pinning a multi-GB build side into every executor. The plan-shape
+    * spec (OperatorsSpec "broadcast") pins the small-dim broadcast. */
   def enrich(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])],
              keepBy: Option[String] = None): DataFrame =
     dims.foldLeft(fact) { case (acc, (dim, keys)) =>
       val unique = dedupKeyed(dim, keys,
         keepBy.filter(dim.columns.contains))
-      acc.join(broadcast(unique), keys, "left_outer")
+      acc.join(unique, keys, "left_outer")
     }
 
   /** J2 with explicit condition (keys named differently on both sides). */
   def enrichOn(fact: DataFrame, dim: DataFrame, cond: Column,
                dropCols: Seq[String] = Nil): DataFrame = {
-    val joined = fact.join(broadcast(dim), cond, "left_outer")
+    val joined = fact.join(dim, cond, "left_outer")
     dropCols.foldLeft(joined)(_.drop(_))
   }
 

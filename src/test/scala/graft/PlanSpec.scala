@@ -166,6 +166,66 @@ class PlanSpec extends SparkTestBase {
     assert(md5s <= 1, s"corpus must be hashed once, found $md5s md5 sites:\n$p")
   }
 
+  test("guardrail: no broadcast hint pins an SF-proportional table") {
+    // The round-11 finding: q27/q28/q30 force-broadcast customer/
+    // supplier projections. Those tables grow linearly with scale
+    // factor — at bench SF the hint is a no-op (AQE would broadcast
+    // anyway, under threshold), at 100 TB it pins a multi-GB build
+    // side into every executor and OOMs. Policy (SCALING.md,
+    // "broadcast hints"): hints only on cardinality-BOUNDED inputs —
+    // nation/region/config dims, or aggregates over bounded keys
+    // (q49's 25-row per-nation average). Enumerate every catalog
+    // plan's analyzed tree; any ResolvedHint whose subtree reaches a
+    // customer/supplier scan WITHOUT an intervening Aggregate fails.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val unbounded = Seq("customer", "supplier", "orders", "lineitem",
+      "documents", "embeddings", "events")
+    def scansUnbounded(leaf: LogicalPlan): Boolean = leaf match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.mkString(",").toLowerCase
+          unbounded.exists(paths.contains)
+        case _ => false
+      }
+      case other =>
+        // LocalRelation / Range / memory sources: bounded by construction
+        val s = other.toString.toLowerCase
+        unbounded.exists(s.contains)
+    }
+    def reachesUnboundedScan(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false    // bounds cardinality to |groups|
+      case _: GlobalLimit => false  // bounds cardinality to the limit
+      case leaf if leaf.children.isEmpty => scansUnbounded(leaf)
+      case other => other.children.exists(reachesUnboundedScan)
+    }
+    // waivers: hinted subtrees that ARE bounded, but by a constant
+    // predicate the walker can't prove (document each)
+    val waived: Map[String, String] = Map(
+      "q14_ann_topk" -> ("query set = embeddings filtered to a literal " +
+        "id range (vec_id < 10): ≤10 rows at any SF"),
+      "q15_ann_lsh" -> "same literal-bounded ANN query set as q14",
+      "q16_embed_neardup" -> "same literal-bounded ANN query set",
+      "q23_ann_ivf" -> "same literal-bounded ANN query set",
+      "q67_ann_quantized" -> "same literal-bounded ANN query set",
+      "q54_contamination" -> ("benchmark shingle set = docs filtered to " +
+        "a literal id range then distinct'd: grows with the (fixed) " +
+        "eval set, not the corpus"))
+    Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!waived.contains(name)) {
+        val plan = fn(spark, sf).queryExecution.analyzed
+        plan.foreach {
+          case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+            assert(!reachesUnboundedScan(h.child),
+              s"$name: broadcast hint over an SF-proportional subtree — " +
+                "delete the hint and let AQE choose (it broadcasts under " +
+                s"threshold, shuffles at scale):\n${h.child}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("q57: bucketed join needs no exchange on either join side") {
     // force the sort-merge path (at test SF the orders side would
     // broadcast, which bypasses bucketing entirely); at lake scale
