@@ -213,16 +213,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // in the SAME plan the Scala door builds (one implementation per
     // mechanism); the planner-rule family then applies normally — a
     // date filter over shards_at(...) zone-prunes like any other scan.
+    // build is a PartialFunction so only the ARGUMENT pattern match is
+    // guarded (applyOrElse): a genuine MatchError raised inside a
+    // door's body propagates unchanged instead of being misreported as
+    // an arity/usage error
     def tvf(name: String, usage: String,
-            build: Seq[Expression] => org.apache.spark.sql.DataFrame,
+            build: PartialFunction[Seq[Expression],
+              org.apache.spark.sql.DataFrame],
             shapes: String): Unit =
       ext.injectTableFunction((
         FunctionIdentifier(name),
         info(name, usage),
         (args: Seq[Expression]) =>
-          try build(args).queryExecution.analyzed
-          catch { case _: MatchError => throw new IllegalArgumentException(
-            s"$name expects $shapes") }))
+          build.applyOrElse(args, (_: Seq[Expression]) =>
+            throw new IllegalArgumentException(s"$name expects $shapes"))
+            .queryExecution.analyzed))
     tvf("shard_stats",
       "shard_stats(path[, stamp]) - a published layout's manifest as a " +
         "metadata table (per-shard rows, id range, zone ranges, spec)",

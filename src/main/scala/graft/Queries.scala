@@ -1715,9 +1715,9 @@ object Queries {
     * nearest-centroid cells → within-cell cosine pairs ≥ 0.35 →
     * transitive clusters → keep the cell-centroid-closest member.
     * Production runs pass `Similarity.kmeansCentroids` (seeded init →
-    * rows-only); here the centroids are FIXED data-defined literals
-    * (the vectors of vec_id < 4, collected once at plan build — model
-    * parameters, like q23's), so every step is deterministic and the
+    * rows-only); here the centroids are a FIXED data-defined frame
+    * (the vectors of vec_id < k, never collected — packed and
+    * broadcast executor-side), so every step is deterministic and the
     * DuckDB side can replay assignment (sequential squared-L2 fold,
     * argmin tie-broken by centroid id), the pair set, a recursive-CTE
     * closure, and the survivor argmax bit-exactly. Threshold 0.35 is
@@ -1741,13 +1741,14 @@ object Queries {
     val emb = Tables(s, dir).embeddings
     val n = emb.count()
     val k = if (n <= 512) 4L else math.floor(math.sqrt(n.toDouble)).toLong
-    val centRows = emb.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
-    val cids = centRows.map(_.getLong(0))
-    val cvecs = centRows.map(
-      _.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
-    Dedup.semanticDedup(emb, "embedding", "vec_id", s, (cids, cvecs),
-      threshold = 0.35)
+    // centroids stay a DATAFRAME end to end (round-12 fix): no k·dim
+    // collect() on the driver — the frame is packed/broadcast on the
+    // executors (Dedup.semanticDedupFrame), so at SemDeDup's ~100k-cell
+    // deploy configuration the driver heap is out of the loop entirely.
+    val centFrame = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.semanticDedupFrame(emb, "embedding", "vec_id", s,
+      centFrame, "vec_id", "embedding", threshold = 0.35)
   }
   val q66Sql: String =
     """WITH RECURSIVE cents AS (

@@ -55,8 +55,97 @@ case class NearestCentroids(child: Expression, centIds: Array[Long],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** [[NearestCentroids]] with the centroid set as a CHILD COLUMN of
+  * type array<struct<cid: long, cv: array<double>>> instead of
+  * driver-side literal arrays — the lake-scale form: the centroid
+  * frame is packed into one row (sort_array(collect_list(...)) on
+  * executors) and cross-joined broadcast onto the corpus, so no code
+  * path ever `collect()`s k·dim doubles to the driver. Same math and
+  * the same (L2 distance, id) ordering as the literal form —
+  * spec-pinned identical assignments. */
+case class NearestCentroidsCol(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def childIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def centIsFloat: Boolean = right.dataType match {
+    case ArrayType(StructType(fs), _) => fs(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val isF = childIsFloat
+    val cIsF = centIsFloat
+    val n = x.numElements()
+    val k = cents.numElements()
+    val dists = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 2)
+      ids(c) = row.getLong(0)
+      val cv = row.getArray(1)
+      val m = math.min(n, cv.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        val cvv = if (cIsF) cv.getFloat(i).toDouble else cv.getDouble(i)
+        val d = xv - cvv
+        acc += d * d
+        i += 1
+      }
+      dists(c) = acc
+      c += 1
+    }
+    val order = (0 until k).sortBy(i => (dists(i), ids(i)))
+    new GenericArrayData(order.map(ids(_)).toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroidsCol = copy(l, r)
+  override def prettyName: String = "nearest_centroids_col"
+}
+
 object CentroidOps {
+
+  /** Literal-regime guard: centroid sets are inlined into the plan and
+    * (in [[NearestCentroids]]' construction path) collected on the
+    * driver, so they must stay model-parameter sized. Beyond this the
+    * caller must switch to the frame path ([[nearestCentroidsCol]] via
+    * Similarity.assignCellsFrame / ingest-time assignment), which
+    * never materializes centroids on the driver. 2^22 doubles = 32 MB. */
+  val MaxLiteralCentroidDoubles: Long = 1L << 22
+
+  private def checkLiteralBudget(ids: Array[Long],
+                                 cents: Array[Array[Double]]): Unit = {
+    val total = cents.iterator.map(_.length.toLong).sum
+    require(total <= MaxLiteralCentroidDoubles,
+      s"centroid set of ${ids.length} x ~${if (cents.isEmpty) 0 else cents.head.length} " +
+        s"= $total doubles exceeds the literal/driver budget " +
+        s"($MaxLiteralCentroidDoubles); use the broadcast-frame path " +
+        "(Similarity.assignCellsFrame / Dedup.semanticDedupFrame) or " +
+        "ingest-time cell assignment instead")
+  }
+
   def nearestCentroids(v: Column, ids: Array[Long],
-                       cents: Array[Array[Double]]): Column =
+                       cents: Array[Array[Double]]): Column = {
+    checkLiteralBudget(ids, cents)
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(v), ids, cents))
+  }
+
+  /** Frame form: `cents` is a column of array<struct<cid, cv>> (one
+    * packed row cross-joined broadcast onto the corpus). */
+  def nearestCentroidsCol(v: Column, cents: Column): Column =
+    ColumnBridge.column(NearestCentroidsCol(
+      ColumnBridge.expression(v), ColumnBridge.expression(cents)))
 }

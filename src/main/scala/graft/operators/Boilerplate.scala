@@ -22,9 +22,9 @@ import graft.functions.Text
   *  - segmentation + explode is a codegen'd per-row projection, no
   *    shuffle, linear in corpus bytes;
   *  - document frequency is distinct-(segment, doc) then a
-  *    map-side-combinable count — ONE shuffle keyed by segment text
-  *    (substitute a 128-bit fingerprint for the key if segment strings
-  *    dominate shuffle bytes; kept exact here);
+  *    map-side-combinable count — ONE shuffle keyed by a 128-bit
+  *    segment fingerprint (16 bytes/instance instead of the raw
+  *    string; `exactStringKeys = true` restores the string key);
   *  - the boilerplate set (df ≥ minDocs) flags instances through a
   *    LEFT join with no static broadcast hint: it is usually tiny (the
   *    boilerplate vocabulary), but its size is corpus-dependent and
@@ -41,10 +41,23 @@ object Boilerplate {
   /** Remove every segment occurring in ≥ `minDocs` distinct documents;
     * returns (idCol, clean_text, n_seg, n_kept) with one row per input
     * document (a fully-boilerplate document keeps its row with empty
-    * `clean_text`). */
+    * `clean_text`).
+    *
+    * By default the document-frequency shuffle and the boilerplate
+    * join are keyed by a 128-bit segment FINGERPRINT (two
+    * independently-seeded xxhash64 words) instead of the raw segment
+    * string — the round-11 bench showed the string key dominating
+    * shuffle bytes (~50-char segments vs 16-byte keys; q82 was the
+    * slowest catalog query). Output is identical unless two distinct
+    * segments collide in all 128 bits (~n²/2¹²⁹ for n distinct
+    * segments — 10¹⁵ segments → ~10⁻⁹; the spec audits zero
+    * collisions on the fixture corpus and pins fingerprint == string
+    * output). Pass `exactStringKeys = true` to shuffle the raw
+    * strings when a hard exactness guarantee is worth the bytes. */
   def scrubFrequentSegments(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", segWords: Int = 8,
-                            minDocs: Long = 20): DataFrame = {
+                            minDocs: Long = 20,
+                            exactStringKeys: Boolean = false): DataFrame = {
     require(minDocs > 1, s"minDocs=1 would scrub every document; got $minDocs")
     // NULL text segments as empty text — a null-text doc still yields
     // its one (empty) segment, so the one-row-per-document contract
@@ -52,16 +65,21 @@ object Boilerplate {
     // would silently delete the doc from the output)
     val segArr = Text.segments(coalesce(col(textCol), lit("")), segWords)
     val segs = docs.select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
-    val boiler = segs.select(col("seg"), col(idCol)).distinct()
-      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    val keyCols: Seq[String] = if (exactStringKeys) Seq("seg") else Seq("_f1", "_f2")
+    val keyed =
+      if (exactStringKeys) segs
+      else segs.withColumn("_f1", xxhash64(col("seg")))
+        .withColumn("_f2", xxhash64(col("seg"), lit(1)))
+    val boiler = keyed.select((keyCols :+ idCol).map(col): _*).distinct()
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("seg"), lit(true).as("_bp"))
+      .select(keyCols.map(col) :+ lit(true).as("_bp"): _*)
     // LEFT join (not anti) so ONE reassembly aggregation yields
     // n_seg, n_kept, and the scrubbed text together: every document
     // has ≥1 segment, so group coverage IS row parity — no separate
     // base scan or outer join. Two corpus scans total (count pass +
     // scrub pass), the floor for a two-pass algorithm.
-    segs.join(boiler, Seq("seg"), "left")
+    keyed.join(boiler, keyCols, "left")
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", transform(

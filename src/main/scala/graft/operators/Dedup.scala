@@ -557,8 +557,42 @@ object Dedup {
                             spark: org.apache.spark.sql.SparkSession,
                             centroids: (Array[Long], Array[Array[Double]]),
                             threshold: Double = 0.95): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (cids, cvecs) = centroids
+    val centDf = spark.createDataFrame(
+        cids.zip(cvecs).map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cell", "centv")
+    semanticDedupCore(df, vecCol, idCol, cellCol, spark, centDf, threshold)
+  }
+
+  /** Fully frame-based semantic dedup — the 100 TB form: centroids are
+    * a DataFrame end to end (assignment via
+    * [[Similarity.assignCellsFrame]]'s broadcast pack, survivor
+    * selection via the same broadcast join), so NOTHING in the path
+    * `collect()`s k·dim centroid payload to the driver. Identical
+    * output to [[semanticDedup]] given the same centroid set
+    * (spec-pinned). `centroids` columns: (centIdCol: castable to
+    * long, centVecCol: numeric array). */
+  def semanticDedupFrame(df: DataFrame, vecCol: String, idCol: String,
+                         spark: org.apache.spark.sql.SparkSession,
+                         centroids: DataFrame, centIdCol: String,
+                         centVecCol: String,
+                         threshold: Double = 0.95): DataFrame = {
+    val assigned = Similarity.assignCellsFrame(
+      df.select(col(idCol).as("_sd_id"), col(vecCol)),
+      vecCol, centroids, centIdCol, centVecCol, cellCol = "_sd_cell")
+    val centDf = centroids.select(col(centIdCol).cast("long").as("cell"),
+      col(centVecCol).cast("array<double>").as("centv"))
+    semanticDedupCore(assigned, vecCol, "_sd_id", "_sd_cell",
+      spark, centDf, threshold)
+      .withColumnRenamed("_sd_id", idCol)
+  }
+
+  private def semanticDedupCore(df: DataFrame, vecCol: String, idCol: String,
+                                cellCol: String,
+                                spark: org.apache.spark.sql.SparkSession,
+                                centDf: DataFrame,
+                                threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         col(cellCol).as("cell"))
       .withColumn("nrm", Vectors.norm(col("v")))
@@ -576,10 +610,7 @@ object Dedup {
           col("n_a"), col("n_b")).as("cos"))
       .filter(col("cos") >= threshold)
     val clusters = clusterDuplicates(pairs.select("id_a", "id_b"), spark)
-    // centroid-cosine per doc via a broadcast of the tiny centroid frame
-    val centDf = spark.createDataFrame(
-        cids.zip(cvecs).map { case (i, v) => (i, v.toSeq) }.toSeq)
-      .toDF("cell", "centv")
+    // centroid-cosine per doc via a broadcast of the centroid frame
     val member = assigned
       .join(broadcast(centDf), Seq("cell"))
       .withColumn("cent_cos", Vectors.cosineWithNorms(

@@ -106,6 +106,33 @@ object Similarity {
       graft.expressions.CentroidOps.nearestCentroids(
         col(vecCol), centroids._1, centroids._2), 1))
 
+  /** [[assignCells]] with the centroid set as a DATAFRAME — the
+    * lake-scale form, and the fix for the one driver-memory scale
+    * point the literal path has: nothing is ever `collect()`ed. The
+    * centroid frame is packed into ONE row on the executors
+    * (`sort_array(collect_list(struct(cid, cv)))` — sorted so the
+    * pack is deterministic regardless of partition order), broadcast,
+    * and cross-joined onto the corpus (the q26 1-row-frame pattern),
+    * where the native [[graft.expressions.NearestCentroidsCol]]
+    * projection assigns each vector. Zero corpus shuffle; the k·dim
+    * payload rides Spark's broadcast machinery with its own loud
+    * size limits instead of silently growing the driver heap.
+    * Assignment order/tie-breaks are identical to [[assignCells]]
+    * (spec-pinned). */
+  def assignCellsFrame(df: DataFrame, vecCol: String, centroids: DataFrame,
+                       centIdCol: String, centVecCol: String,
+                       cellCol: String = "cell"): DataFrame = {
+    val packed = centroids
+      .select(struct(col(centIdCol).cast("long").as("cid"),
+        col(centVecCol).cast("array<double>").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("_ac_cents"))
+    df.crossJoin(broadcast(packed))
+      .withColumn(cellCol, element_at(
+        graft.expressions.CentroidOps.nearestCentroidsCol(
+          col(vecCol), col("_ac_cents")), 1))
+      .drop("_ac_cents")
+  }
+
   def kmeansCentroids(corpus: DataFrame, vecCol: String, k: Int,
                       iters: Int = 3): (Array[Long], Array[Array[Double]]) = {
     // full-hash secondary sort: the 1e6-bucket key alone ties for
@@ -118,6 +145,16 @@ object Similarity {
         xxhash64(col(vecCol)).as("_h"))
       .orderBy(col("_r"), col("_h")).limit(k)
       .collect().map(vecAt(_, 0))
+    // training collects k seeds + k·dim mean rows per iteration on the
+    // driver — hold it to the same literal/driver budget as plan-time
+    // centroid inlining; beyond it, train coarse quantizers with a
+    // distributed library and feed assignCellsFrame the result
+    require(seeded.iterator.map(_.length.toLong).sum <=
+        graft.expressions.CentroidOps.MaxLiteralCentroidDoubles,
+      s"k=$k x dim=${seeded.headOption.fold(0)(_.length)} exceeds the " +
+        "driver-side training budget " +
+        s"(${graft.expressions.CentroidOps.MaxLiteralCentroidDoubles} " +
+        "doubles); use externally-trained centroids with assignCellsFrame")
     var cents = seeded
     // corpus smaller than k: fewer centroids, never out-of-range ids
     val ids = Array.tabulate(math.min(k, seeded.length))(_.toLong)

@@ -70,7 +70,11 @@ object ManifestAggregates extends Rule[LogicalPlan] {
     * manifest answers (which always describe every shard) would be
     * wrong. Bail. */
   private val FileRestrictingOptions =
-    Set("pathglobfilter", "modifiedafter", "modifiedbefore")
+    Set("pathglobfilter", "modifiedafter", "modifiedbefore",
+      // corrupt/missing-tolerant scans can legitimately return FEWER
+      // rows than the manifest describes — the metadata answer would
+      // diverge from what the scan would have returned
+      "ignorecorruptfiles", "ignoremissingfiles")
 
   /** The layout data scan under the aggregate, looking through a
     * column-pruning Project of plain attributes. A Filter anywhere
@@ -85,7 +89,11 @@ object ManifestAggregates extends Rule[LogicalPlan] {
         case fsr: HadoopFsRelation if ShardLayouts.isLayoutScan(fsr) &&
             !fsr.options.keysIterator.exists(k =>
               FileRestrictingOptions.contains(k.toLowerCase(
-                java.util.Locale.ROOT))) => Some(fsr)
+                java.util.Locale.ROOT))) &&
+            // the session-wide conf flags restrict files the same way
+            // the reader options do
+            !SQLConf.get.ignoreCorruptFiles &&
+            !SQLConf.get.ignoreMissingFiles => Some(fsr)
         case _ => None
       }
       case Project(projList, child) if projList.forall(
@@ -141,7 +149,19 @@ object ManifestAggregates extends Rule[LogicalPlan] {
       if (!recipes.forall(_.isDefined)) return None
 
       // PHASE 2 — a FRESH resolved manifest scan (new exprIds per
-      // rewrite, no attribute collisions with the rest of the plan)
+      // rewrite, no attribute collisions with the rest of the plan).
+      // Generation re-check first: phase 1 validated znull
+      // completeness/zone membership against the CACHED rows, but the
+      // plan emitted here scans the manifest as it is NOW — a delta
+      // publish landing in between could introduce NULL-znull rows
+      // that Sum silently skips (undercounting COUNT(col)) or answer
+      // from a generation phase 1 never validated. Bail to the data
+      // scan on any drift.
+      try {
+        val mPath = new org.apache.hadoop.fs.Path(mf.path)
+        val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (ShardLayouts.generationToken(fs, mPath) != mf.token) return None
+      } catch { case _: Exception => return None }
       val manifestPlan =
         try spark.read.parquet(mf.path).queryExecution.analyzed
         catch { case _: Exception => return None }

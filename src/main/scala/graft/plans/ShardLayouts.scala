@@ -41,6 +41,28 @@ private[plans] object ShardLayouts {
       fsr.location.rootPaths.head.getName == "data" &&
       fsr.partitionSchema.fieldNames.contains("shard")
 
+  /** Manifest-generation token: an order-SENSITIVE mixing fold (FNV-1a
+    * steps) over the sorted (name, len, mtime) file tuples. A plain
+    * XOR of per-file words is order-insensitive and self-cancelling,
+    * so two republishes whose digests pairwise cancel (ms-granularity
+    * mtimes make that plausible) would serve a stale cached manifest
+    * and silently prune live shards. Callers that answer from a cached
+    * manifest re-compute this and bail on mismatch. */
+  def generationToken(fs: org.apache.hadoop.fs.FileSystem,
+                      manifestPath: Path): Long =
+    fs.listStatus(manifestPath)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+      .foldLeft(-3750763034362895579L) { case (h, (name, len, mtime)) =>
+        var acc = h
+        def mix(v: Long): Unit = {
+          acc ^= v
+          acc *= 1099511628211L
+        }
+        mix(name.hashCode.toLong); mix(len); mix(mtime)
+        acc
+      }
+
   /** Load (or reuse) the manifest beside `dataDir`. None when there is
     * no readable manifest with zone stats — callers then leave the
     * plan alone; skipping/metadata answering are optimizations only,
@@ -51,9 +73,7 @@ private[plans] object ShardLayouts {
     try {
       val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(manifestPath)) return None
-      val token = fs.listStatus(manifestPath).map(s =>
-        s.getModificationTime ^ s.getLen ^ s.getPath.getName.hashCode.toLong)
-        .foldLeft(0L)(_ ^ _)
+      val token = generationToken(fs, manifestPath)
       val key = manifestPath.toString
       val cached = manifests.get(key)
       if (cached != null && cached.token == token) return zoneOk(cached)

@@ -210,7 +210,12 @@ class PlanSpec extends SparkTestBase {
       "q67_ann_quantized" -> "same literal-bounded ANN query set",
       "q54_contamination" -> ("benchmark shingle set = docs filtered to " +
         "a literal id range then distinct'd: grows with the (fixed) " +
-        "eval set, not the corpus"))
+        "eval set, not the corpus"),
+      "q66_semantic_dedup" -> ("centroid frame = k ≈ √n model " +
+        "parameters, broadcast DELIBERATELY (SemDeDup ~100k cells × " +
+        "dim ≈ 600 MB at deploy scale — executor-resident by design; " +
+        "the round-12 fix moved it OFF the driver, not out of the " +
+        "broadcast)"))
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!waived.contains(name)) {
         val plan = fn(spark, sf).queryExecution.analyzed

@@ -83,4 +83,30 @@ class BoilerplateSpec extends SparkTestBase {
     // cut differently, so nothing matches the frequent set
     assert(out.find(_._1 == 99L).get._2 == s"start pad $banner nine ten")
   }
+
+  test("fingerprint keys reproduce the exact string-keyed output on the fixture corpus") {
+    // the q82 shuffle-bytes fix: 128-bit keys must be a pure internal
+    // substitution — byte-identical scrub output vs exactStringKeys
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = Boilerplate.scrubFrequentSegments(docs, minDocs = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = Boilerplate
+      .scrubFrequentSegments(docs, minDocs = 5, exactStringKeys = true)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fp == exact)
+    assert(fp.nonEmpty)
+  }
+
+  test("collision audit: fixture corpus has one distinct segment per 128-bit key") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val segs = docs.select(posexplode(
+        graft.functions.Text.segments(coalesce(col("text"), lit("")), 8))
+      .as(Seq("pos", "seg")))
+    val worst = segs.select(col("seg"),
+        xxhash64(col("seg")).as("f1"), xxhash64(col("seg"), lit(1)).as("f2"))
+      .groupBy("f1", "f2").agg(countDistinct(col("seg")).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(worst == 1L, s"128-bit fingerprint collision on fixture: $worst")
+  }
 }

@@ -200,6 +200,56 @@ class RecallSpec extends SparkTestBase {
     assert(pre.nonEmpty)
   }
 
+  test("frame-based semantic dedup equals the literal-centroid path, with no driver collect") {
+    // the 100 TB shape (round-12 fix): centroids stay a DataFrame end
+    // to end — assignment via the broadcast pack, survivor selection
+    // via the broadcast join — and must yield exactly the literal
+    // path's verdicts
+    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val literal = Dedup.semanticDedup(emb, "embedding", "vec_id", spark,
+      km, threshold = 0.35)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val centFrame = spark.createDataFrame(
+        km._1.zip(km._2).map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cid", "cv")
+    val framed = Dedup.semanticDedupFrame(emb, "embedding", "vec_id", spark,
+      centFrame, "cid", "cv", threshold = 0.35)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(framed == literal)
+    assert(framed.nonEmpty)
+  }
+
+  test("assignCellsFrame matches assignCells and broadcasts the pack") {
+    val km = Similarity.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val lit = Similarity.assignCells(
+      emb.select("vec_id", "embedding"), "embedding", km)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val centFrame = spark.createDataFrame(
+        km._1.zip(km._2).map { case (i, v) => (i, v.toSeq) }.toSeq)
+      .toDF("cid", "cv")
+    val framed = Similarity.assignCellsFrame(
+      emb.select("vec_id", "embedding"), "embedding", centFrame, "cid", "cv")
+    val plan = framed.queryExecution.executedPlan.toString
+    // the pack must ride a broadcast exchange (executor-side), and the
+    // corpus side must not shuffle for the assignment
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast pack:\n$plan")
+    val got = framed.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == lit)
+  }
+
+  test("literal centroid budget: oversize sets fail loudly toward the frame path") {
+    val dim = 1 << 16
+    val huge = Array.tabulate(65)(i => new Array[Double](dim)) // 65*65536 > 2^22
+    val ids = Array.tabulate(65)(_.toLong)
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.CentroidOps.nearestCentroids(
+        col("embedding"), ids, huge)
+    }
+    assert(e.getMessage.contains("assignCellsFrame"))
+  }
+
   test("q67: quantized two-stage ANN recall@5 vs exact brute force") {
     val qs = emb.filter(col("vec_id") < 20)
     val truth = topkPairs(Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5))
