@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.expressions.{ArrayDot, BloomOps, DupShingleStats, MarkerCounts, MinHashSig, MisraGriesAgg, SimHashSig, TopKByScoreAgg}
+import graft.expressions.{AdjacentPairStats, ArrayDot, BloomOps, DupShingleStats, MarkerCounts, MinHashSig, MisraGriesAgg, NearestCentroidsCol, RpBands, ShingleArr, SigMatchFrac, SimHashSig, TopKByScoreAgg}
 import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
@@ -208,6 +208,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "dup_shingle_stats expects (text, n)")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("text_shingles"),
+      info("text_shingles",
+        "text_shingles(text, n) - array of n-word shingle strings " +
+          "(the dedup/decontamination building block)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, nn) => ShingleArr(t, litInt(nn, "n"))
+        case _ => throw new IllegalArgumentException(
+          "text_shingles expects (text, n)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sig_match_frac"),
+      info("sig_match_frac",
+        "sig_match_frac(sigA, sigB, numHashes) - fraction of matching " +
+          "MinHash signature positions (estimates Jaccard)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, n) => SigMatchFrac(a, b, litInt(n, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "sig_match_frac expects (sigA, sigB, numHashes)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rp_bands"),
+      info("rp_bands",
+        "rp_bands(vec, numPlanes, bands[, seed]) - signed-random-" +
+          "projection LSH band keys for embedding blocking"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, p, b) => RpBands(v, litInt(p, "numPlanes"),
+          litInt(b, "bands"), 42L)
+        case Seq(v, p, b, s) => RpBands(v, litInt(p, "numPlanes"),
+          litInt(b, "bands"), litInt(s, "seed").toLong)
+        case _ => throw new IllegalArgumentException(
+          "rp_bands expects (vec, numPlanes, bands[, seed])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("adjacent_pair_stats"),
+      info("adjacent_pair_stats",
+        "adjacent_pair_stats(lines) - array<struct<flag, cnt, qc2>>: " +
+          "adjacent-line-number pair stats within one group's collected " +
+          "array<struct<linenumber int, qty bigint, flag string>> (the " +
+          "self-join-free q04 shape)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => AdjacentPairStats(a)
+        case _ => throw new IllegalArgumentException(
+          "adjacent_pair_stats expects (lines)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroids"),
+      info("nearest_centroids",
+        "nearest_centroids(vec, cents) - centroid ids ordered by " +
+          "(L2 distance, id); cents: array<struct<cid bigint, cv " +
+          "array<double>>> (pack a centroid table with " +
+          "sort_array(collect_list(struct(cid, cv))) and cross-join " +
+          "broadcast it — the SemDeDup/IVF assignment from pure SQL)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, cs) => NearestCentroidsCol(v, cs)
+        case _ => throw new IllegalArgumentException(
+          "nearest_centroids expects (vec, cents)")
+      }))
     // ---- table-valued functions: the storage doors for SQL users ----
     // Each TVF resolves its literal args at analysis time and splices
     // in the SAME plan the Scala door builds (one implementation per
@@ -247,6 +305,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.SparkSession.active,
             litString(p, "path"), litString(st, "stamp")) },
       "(path, stamp) as string literals")
+    tvf("drift_audit",
+      "drift_audit(pathA, pathB, bucketExpr[, num, denom]) - the " +
+        "distribution-drift QC report between two parquet corpora: " +
+        "per-bucket counts of the SQL expression bucketExpr on each " +
+        "side plus an exact share-drift flag at threshold num/denom " +
+        "(default 1/100)",
+      { case Seq(pa, pb, be) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          graft.operators.Drift.bucketShift(
+            s.read.parquet(litString(pa, "pathA")),
+            s.read.parquet(litString(pb, "pathB")),
+            org.apache.spark.sql.functions.expr(litString(be, "bucketExpr")))
+        case Seq(pa, pb, be, n, d) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          graft.operators.Drift.bucketShift(
+            s.read.parquet(litString(pa, "pathA")),
+            s.read.parquet(litString(pb, "pathB")),
+            org.apache.spark.sql.functions.expr(litString(be, "bucketExpr")),
+            litInt(n, "num").toLong, litInt(d, "denom").toLong) },
+      "(pathA, pathB, bucketExpr[, num, denom]) as literals")
     tvf("shards_changed_since",
       "shards_changed_since(path, stamp) - rows of shards whose content " +
         "changed since the retained generation (incremental consumption)",

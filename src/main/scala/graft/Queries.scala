@@ -2648,6 +2648,56 @@ object Queries {
       |WHERE o_orderdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
       |                      AND TIMESTAMP '1997-03-15 00:00:00'""".stripMargin
 
+  /** q91 — zone-map skipping on a STRING-typed date column under a
+    * VALUE oracle: a text corpus's most common real filter is a
+    * date-STRING partition key (`yyyy-MM-dd` dump/crawl stamps), not
+    * a typed timestamp — so the layout here zone-maps `o_dt` (the
+    * ISO-formatted order date, clustered by year into shards) and the
+    * front-door read filters with a string range AND a LIKE month
+    * prefix. [[graft.plans.ZoneMapSkipping]]'s stat matching is
+    * type-generic (UTF8String min/max compare byte-wise, which for
+    * ISO dates IS date order) and its StartsWith arm prunes via the
+    * byte-successor bound; the oracle replays the same filter over
+    * the base table, proving the string-stat path loses nothing.
+    * Publish cached per (session, sf) like q76/q90: the bench
+    * measures the READ. */
+  private val q91Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  def q91Publish(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q91_").toString
+    val pub = s"$root/pub"
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_dt"),
+        col("o_totalprice"))
+      .withColumn("bucket",
+        (substring(col("o_dt"), 1, 4).cast("long") - 1995L))
+    graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
+      zoneCols = Seq("o_dt"), shardCol = Some("bucket"))
+    q91Published.put(s, (dir, pub))
+    pub
+  }
+
+  val q91: Q = (s, dir) => {
+    val cached = q91Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q91Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .filter(col("o_dt") >= "1996-01-01" && col("o_dt") <= "1996-12-31" &&
+        col("o_dt").startsWith("1996-03"))
+      .select("o_orderkey", "o_dt", "o_totalprice")
+  }
+  val q91Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_dt, o_totalprice
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1996-01-01'
+      |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1996-12-31'
+      |  AND strftime(o_orderdate, '%Y-%m-%d') LIKE '1996-03%'""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2741,6 +2791,7 @@ object Queries {
     "q88_changed_shards" -> q88,
     "q89_metadata_agg" -> q89,
     "q90_sorted_scan" -> q90,
+    "q91_zone_string" -> q91,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2831,5 +2882,6 @@ object Queries {
     "q88_changed_shards" -> q88Sql,
     "q89_metadata_agg" -> q89Sql,
     "q90_sorted_scan" -> q90Sql,
+    "q91_zone_string" -> q91Sql,
   )
 }

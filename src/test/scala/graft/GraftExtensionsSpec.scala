@@ -262,4 +262,86 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT * FROM shards_at('/nowhere')").collect()
     }
   }
+
+  test("drift_audit table function matches the Column-API bucketShift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_tvf_").toString
+    Seq.fill(80)("en").zipWithIndex.map(_.swap)
+      .toDF("id", "lang").write.parquet(s"$dir/a")
+    (Seq.fill(40)("en") ++ Seq.fill(40)("de")).zipWithIndex.map(_.swap)
+      .toDF("id", "lang").write.parquet(s"$dir/b")
+    val sqlRows = spark.sql(
+      s"SELECT * FROM drift_audit('$dir/a', '$dir/b', 'lang')")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val colRows = graft.operators.Drift.bucketShift(
+        spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"),
+        col("lang"))
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(sqlRows == colRows)
+    assert(sqlRows == Seq(("de", 0L, 40L, true), ("en", 80L, 40L, true)))
+    // a loosened threshold un-flags the shift
+    val loose = spark.sql(
+      s"SELECT * FROM drift_audit('$dir/a', '$dir/b', 'lang', 60, 100)")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(loose.forall(!_._4))
+  }
+
+  test("text_shingles / sig_match_frac SQL functions match the Column API") {
+    Seq(("a b c d e f", "a b c d e x")).toDF("ta", "tb")
+      .createOrReplaceTempView("ext_sh")
+    val sqlSh = spark.sql("SELECT text_shingles(ta, 3) AS s FROM ext_sh")
+      .as[Seq[String]].head()
+    val colSh = spark.table("ext_sh")
+      .select(graft.expressions.TextSignatures.shingles($"ta", 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sqlSh == colSh && sqlSh.nonEmpty)
+    val sqlFrac = spark.sql(
+      "SELECT sig_match_frac(minhash_sig(ta, 32, 3), minhash_sig(tb, 32, 3), 32) AS f " +
+        "FROM ext_sh").as[Double].head()
+    val colFrac = spark.table("ext_sh")
+      .select(graft.expressions.SigMatchFrac.sigMatchFrac(
+        graft.expressions.TextSignatures.minHashSig($"ta", 32),
+        graft.expressions.TextSignatures.minHashSig($"tb", 32), 32).as("f"))
+      .as[Double].head()
+    assert(sqlFrac == colFrac && sqlFrac > 0.0 && sqlFrac < 1.0)
+  }
+
+  test("rp_bands SQL function matches the Column API") {
+    Seq(Tuple1(Array(0.5, -1.0, 2.0, 0.25))).toDF("v")
+      .createOrReplaceTempView("ext_rp")
+    val sqlB = spark.sql("SELECT rp_bands(v, 16, 4, 7) AS b FROM ext_rp")
+      .as[Seq[Long]].head()
+    val colB = spark.table("ext_rp")
+      .select(graft.expressions.RpBands.rpBands($"v", 16, 4, 7L).as("b"))
+      .as[Seq[Long]].head()
+    assert(sqlB == colB && sqlB.length == 4)
+  }
+
+  test("adjacent_pair_stats SQL function matches the Column API") {
+    Seq((1, 2L, "N"), (2, 3L, "N"), (4, 5L, "R"))
+      .toDF("ln", "qty", "flag").createOrReplaceTempView("ext_ap")
+    val packed = "sort_array(collect_list(struct(ln, qty, flag)))"
+    val sqlRows = spark.sql(
+      s"SELECT inline(adjacent_pair_stats($packed)) FROM ext_ap")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val colRows = spark.sql(s"SELECT $packed AS arr FROM ext_ap")
+      .select(explode(graft.expressions.AdjacentPairStats.adjacentPairStats($"arr")))
+      .select("col.*").as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sqlRows == colRows && sqlRows.nonEmpty)
+  }
+
+  test("nearest_centroids SQL function: packed-frame assignment from pure SQL") {
+    // two centroids; v is nearest c1 — ordering ties broken by id
+    val out = spark.sql(
+      """SELECT nearest_centroids(array(1.0D, 1.0D),
+        |  array(struct(0L AS cid, array(10.0D, 10.0D) AS cv),
+        |        struct(1L AS cid, array(1.0D, 2.0D) AS cv))) AS ids""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(out == Seq(1L, 0L))
+    // and it matches the literal-path expression on the same data
+    val lit = Seq(Tuple1(Array(1.0, 1.0))).toDF("v")
+      .select(graft.expressions.CentroidOps.nearestCentroids(
+        $"v", Array(0L, 1L), Array(Array(10.0, 10.0), Array(1.0, 2.0))).as("ids"))
+      .as[Seq[Long]].head()
+    assert(out == lit)
+  }
 }

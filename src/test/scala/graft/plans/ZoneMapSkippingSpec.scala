@@ -23,8 +23,10 @@ class ZoneMapSkippingSpec extends SparkTestBase {
       .withColumn("ts",
         (col("bucket") * 100 + floor(col("id") / 4) % 100).cast("long"))
       .withColumn("cat", concat(lit("c"), col("bucket")))
+      .withColumn("d", date_add(to_date(lit("2020-01-01")),
+        col("ts").cast("int")))
     Sinks.writeShards(df, s"$dir/pub", "id", nShards = 4,
-      zoneCols = Seq("ts", "cat"), shardCol = Some("bucket"))
+      zoneCols = Seq("ts", "cat", "d"), shardCol = Some("bucket"))
     s"$dir/pub"
   }
 
@@ -85,6 +87,20 @@ class ZoneMapSkippingSpec extends SparkTestBase {
     assert(inRows == (0 until 400).map(_.toLong)
       .filter(i => i % 4 == 0 || i % 4 == 3))
     assert(inFiles < totalFiles, s"IN should prune: $inFiles")
+  }
+
+  test("range predicates prune on a DATE-typed zone column") {
+    // shard b holds d in [2020-01-01 + b*100, +99] days — a one-week
+    // date range survives one shard
+    val (_, totalFiles, _) = scanned(read())
+    val (rows, files, pf) = scanned(read().filter(
+      col("d") >= to_date(lit("2020-05-30")) && // ts 150
+        col("d") <= to_date(lit("2020-06-29")))) // ts 180
+    val expected = (0 until 400).map(_.toLong)
+      .filter(i => { val t = (i % 4) * 100 + (i / 4) % 100; t >= 150 && t <= 180 })
+    assert(rows == expected, "date-pruned read must equal the plain filter")
+    assert(files < totalFiles, s"expected date pruning: $files/$totalFiles")
+    assert(pf.contains("shard"), s"no shard partition filter in: $pf")
   }
 
   test("LIKE-prefix predicates prune via the byte-successor bound") {
