@@ -20,8 +20,13 @@ class ManifestAggregatesSpec extends SparkTestBase {
       .withColumn("ts", (col("bucket") * 1000 + col("id")).cast("long"))
       // v is NOT zone-mapped: aggregates over it must keep the data scan
       .withColumn("v", col("id") * 2)
+      // dt: a STRING zone column (ISO date stamps — the common text-
+      // corpus shape); min/max must answer metadata-only for it too
+      .withColumn("dt", date_format(
+        date_add(to_date(lit("2021-01-01")), col("id").cast("int")),
+        "yyyy-MM-dd"))
     Sinks.writeShards(df, s"$dir/pub", "id", nShards = 3,
-      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+      zoneCols = Seq("ts", "dt"), shardCol = Some("bucket"))
     s"$dir/pub"
   }
 
@@ -46,6 +51,17 @@ class ManifestAggregatesSpec extends SparkTestBase {
       min(col("ts")).as("lo"), max(col("ts")).as("hi")))
     assert(rows.head.getLong(0) == 300L)
     assert(rows.head.getLong(1) == 0L && rows.head.getLong(2) == 2299L)
+    assert(locs == Seq("manifest"),
+      s"expected a manifest-only scan, got scans of: $locs")
+  }
+
+  test("min/max of a STRING zone column answered from the manifest") {
+    val (rows, locs) = run(read().agg(
+      min(col("dt")).as("lo"), max(col("dt")).as("hi"),
+      count(col("dt")).as("n")))
+    assert(rows.head.getString(0) == "2021-01-01")
+    assert(rows.head.getString(1) == "2021-10-27") // 2021-01-01 + 299d
+    assert(rows.head.getLong(2) == 300L)
     assert(locs == Seq("manifest"),
       s"expected a manifest-only scan, got scans of: $locs")
   }
@@ -101,6 +117,25 @@ class ManifestAggregatesSpec extends SparkTestBase {
     assert(rows.head.getLong(0) == 0L,
       "restricted scan must aggregate what it reads")
     assert(locs.forall(_ != "manifest"), s"rule must not fire: $locs")
+  }
+
+  test("corrupt/missing-tolerant scans keep the data scan") {
+    // a corrupt-tolerant scan can legitimately return FEWER rows than
+    // the manifest describes — the rule must bail on the reader option
+    // and on the session conf alike
+    val (rowsOpt, locsOpt) = run(spark.read
+      .option("ignoreCorruptFiles", "true").parquet(s"$pub/data")
+      .agg(count(lit(1)).as("n")))
+    assert(rowsOpt.head.getLong(0) == 300L)
+    assert(locsOpt.forall(_ != "manifest"),
+      s"rule must not fire under ignoreCorruptFiles option: $locsOpt")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      val (rowsConf, locsConf) = run(read().agg(count(lit(1)).as("n")))
+      assert(rowsConf.head.getLong(0) == 300L)
+      assert(locsConf.forall(_ != "manifest"),
+        s"rule must not fire under ignoreMissingFiles conf: $locsConf")
+    } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
   }
 
   test("avg/distinct shapes are untouched and still correct") {
