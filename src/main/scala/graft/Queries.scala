@@ -365,13 +365,18 @@ object Queries {
   }
 
   /** q16 — embedding-cosine near-dup pairs via banded LSH blocking
-    * (rows-only). planes=8 over the sf0.1 corpus: banding (OR of 3
-    * bands) carries the recall, so the per-band bucket count can stay
-    * high (256) to keep random-pair collisions — and thus candidate
-    * volume — down. */
-  val q16: Q = (s, dir) =>
-    Dedup.embeddingNearDup(Tables(s, dir).embeddings, "embedding", "vec_id",
-      threshold = 0.3, planes = 8)
+    * (rows-only). Parameters are SCALE-ADAPTIVE ([[Dedup.srpParams]],
+    * the round-12 100× finding): fixed planes make candidate volume
+    * bands·n²/2^planes — quadratic; deriving planes from
+    * log2(n/targetBucket) bounds buckets and makes it linear, with
+    * bands growing logarithmically to hold the recall floor. Every
+    * fixture/bench scale lands on the historical (8, 3). */
+  val q16: Q = (s, dir) => {
+    val emb = Tables(s, dir).embeddings
+    val (planes, bands) = Dedup.srpParams(emb.count())
+    Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      threshold = 0.3, planes = planes, bands = bands)
+  }
 
   /** q23 — IVF approximate top-k (rows-only: centroid sample is
     * hash-seeded). */

@@ -466,6 +466,34 @@ object Dedup {
     * raise `planes` as the corpus grows to keep buckets O(N/2^planes).
     * Precision is exact by construction (every candidate passes the
     * exact cosine filter); only recall is approximate. */
+  /** Scale-adaptive SRP blocking parameters — the q16 100× law: with
+    * FIXED planes, expected candidate volume is bands·n²/2^planes
+    * (bucket count is constant, bucket size grows with the corpus),
+    * i.e. quadratic. Bounding the EXPECTED BUCKET to `targetBucket`
+    * instead — planes = log2(n/targetBucket) — makes candidates
+    * bands·n·targetBucket/2: linear in n. More planes cut per-band
+    * collision probability for TRUE near-dups too (p^planes with
+    * p = 1 − θ/π ≈ 0.9 at cosine 0.95), so bands grows to hold the
+    * recall floor: bands = ⌈ln(1−recall)/ln(1−p^planes)⌉ — a log-factor
+    * cost, not a polynomial one. Floors (8, 3) keep every fixture/bench
+    * scale at its historical parameters (n ≤ 16384 ⇒ planes = 8, and
+    * bands(8) = 3 under the defaults), so existing recall measurements
+    * and rows-only outputs are unchanged there. Deterministic: both
+    * parameters derive from n via IEEE log/ceil. */
+  def srpParams(n: Long, targetBucket: Long = 64,
+                recallFloor: Double = 0.75,
+                pNear: Double = 0.9): (Int, Int) = {
+    require(n >= 0 && targetBucket > 0 && recallFloor > 0 && recallFloor < 1
+      && pNear > 0 && pNear < 1, s"bad srpParams($n, $targetBucket, " +
+      s"$recallFloor, $pNear)")
+    val planes = math.max(8, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    val pBand = math.pow(pNear, planes)
+    val bands = math.max(3, math.ceil(
+      math.log1p(-recallFloor) / math.log1p(-pBand)).toInt)
+    (planes, bands)
+  }
+
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        bands: Int = 3, maxBucket: Int = 10000,

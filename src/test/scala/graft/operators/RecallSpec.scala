@@ -200,6 +200,25 @@ class RecallSpec extends SparkTestBase {
     assert(pre.nonEmpty)
   }
 
+  test("srpParams: fixture scales keep (8,3); big corpora bound buckets and hold recall") {
+    // every verify/bench scale (n <= 16384) lands on the historical
+    // parameters, so recall measurements and rows-only outputs stand
+    Seq(600L, 6000L, 16384L).foreach { n =>
+      assert(Dedup.srpParams(n) == (8, 3), s"n=$n")
+    }
+    // beyond: planes bounds the expected bucket near targetBucket, and
+    // bands holds the analytic recall floor for cos>=0.95 near-dups
+    Seq(60000L, 600000L, 60000000L).foreach { n =>
+      val (planes, bands) = Dedup.srpParams(n)
+      val bucket = n.toDouble / math.pow(2.0, planes)
+      assert(bucket <= 64.0 + 1e-9, s"n=$n: expected bucket $bucket > 64")
+      val recall = 1.0 - math.pow(1.0 - math.pow(0.9, planes), bands)
+      assert(recall >= 0.75, s"n=$n: analytic recall $recall < 0.75")
+      // the candidate budget stays linear: bands grows only log-ishly
+      assert(bands <= 16, s"n=$n: bands $bands")
+    }
+  }
+
   test("frame-based semantic dedup equals the literal-centroid path, with no driver collect") {
     // the 100 TB shape (round-12 fix): centroids stay a DataFrame end
     // to end — assignment via the broadcast pack, survivor selection
