@@ -63,7 +63,8 @@ case class NearestCentroids(child: Expression, centIds: Array[Long],
   * path ever `collect()`s k·dim doubles to the driver. Same math and
   * the same (L2 distance, id) ordering as the literal form —
   * spec-pinned identical assignments. */
-case class NearestCentroidsCol(left: Expression, right: Expression)
+case class NearestCentroidsCol(left: Expression, right: Expression,
+                               assumeConstant: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -80,27 +81,58 @@ case class NearestCentroidsCol(left: Expression, right: Expression)
     case _ => false
   }
 
+  // Per-task decode cache, ONLY under `assumeConstant` (set by the
+  // operator doors that construct the 1-row broadcast pack themselves,
+  // so the operand provably never varies within a task): decode the
+  // ArrayData into primitive arrays once and reuse — struct/array
+  // accessor indirection per (row × centroid) measured ~2× the
+  // literal path's assignment cost at 100×. Without the guarantee
+  // (the SQL-registered form, where a caller could feed a per-row
+  // column) every row decodes fresh: slower, never stale. A
+  // reference-equality key would be unsound here — vectorized readers
+  // rewrite reused buffers in place, and fresh UnsafeArrayData
+  // wrappers over the same broadcast bytes would defeat it anyway.
+  @transient private var cachedIds: Array[Long] = _
+  @transient private var cachedCents: Array[Array[Double]] = _
+
+  private def decoded(cs: ArrayData): (Array[Long], Array[Array[Double]]) = {
+    if (cachedCents == null || !assumeConstant) {
+      val cIsF = centIsFloat
+      val k = cs.numElements()
+      val ids = new Array[Long](k)
+      val cents = new Array[Array[Double]](k)
+      var c = 0
+      while (c < k) {
+        val row = cs.getStruct(c, 2)
+        ids(c) = row.getLong(0)
+        val cv = row.getArray(1)
+        cents(c) =
+          if (cIsF) { val a = cv.toFloatArray(); val d = new Array[Double](a.length)
+            var i = 0; while (i < a.length) { d(i) = a(i).toDouble; i += 1 }; d }
+          else cv.toDoubleArray()
+        c += 1
+      }
+      cachedIds = ids; cachedCents = cents
+    }
+    (cachedIds, cachedCents)
+  }
+
   override def nullSafeEval(v: Any, cs: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val cents = cs.asInstanceOf[ArrayData]
+    val (ids, cents) = decoded(cs.asInstanceOf[ArrayData])
     val isF = childIsFloat
-    val cIsF = centIsFloat
     val n = x.numElements()
-    val k = cents.numElements()
+    val k = cents.length
     val dists = new Array[Double](k)
-    val ids = new Array[Long](k)
     var c = 0
     while (c < k) {
-      val row = cents.getStruct(c, 2)
-      ids(c) = row.getLong(0)
-      val cv = row.getArray(1)
-      val m = math.min(n, cv.numElements())
+      val cv = cents(c)
+      val m = math.min(n, cv.length)
       var acc = 0.0
       var i = 0
       while (i < m) {
         val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
-        val cvv = if (cIsF) cv.getFloat(i).toDouble else cv.getDouble(i)
-        val d = xv - cvv
+        val d = xv - cv(i)
         acc += d * d
         i += 1
       }
@@ -144,8 +176,13 @@ object CentroidOps {
   }
 
   /** Frame form: `cents` is a column of array<struct<cid, cv>> (one
-    * packed row cross-joined broadcast onto the corpus). */
-  def nearestCentroidsCol(v: Column, cents: Column): Column =
+    * packed row cross-joined broadcast onto the corpus). Pass
+    * `assumeConstant = true` ONLY when the cents operand is provably
+    * the same value for every row (the broadcast-pack doors) — it
+    * turns on the per-task decode cache. */
+  def nearestCentroidsCol(v: Column, cents: Column,
+                          assumeConstant: Boolean = false): Column =
     ColumnBridge.column(NearestCentroidsCol(
-      ColumnBridge.expression(v), ColumnBridge.expression(cents)))
+      ColumnBridge.expression(v), ColumnBridge.expression(cents),
+      assumeConstant))
 }

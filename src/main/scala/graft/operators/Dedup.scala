@@ -624,19 +624,20 @@ object Dedup {
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         col(cellCol).as("cell"))
       .withColumn("nrm", Vectors.norm(col("v")))
-    // within-cell candidates: ids only through the cell exchange
-    val slim = assigned.select(col("cell"), col("id"))
-    val cand = slim.join(slim.select(col("cell"), col("id").as("id_b")), Seq("cell"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-    val vecs = assigned.select(col("id"), col("v"), col("nrm"))
-    val pairs = cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Vectors.cosineWithNorms(Vectors.dot(col("v_a"), col("v_b")),
-          col("n_a"), col("n_b")).as("cos"))
-      .filter(col("cos") >= threshold)
+    // within-cell pairs scored BLOCK-LOCALLY (round-12 100× surgery):
+    // each cell is collected once behind ONE corpus-sized exchange and
+    // all id_a < id_b pairs ≥ threshold are emitted by the native
+    // CellPairs loop — the previous join form materialized O(Σ cell²)
+    // candidate rows and shuffled each with its vectors (~23 GB at the
+    // 100× fixture vs ~100 MB for the cell pack). Bit-identical pair
+    // set and cosines (see CellPairs' scaladoc); spec-pinned.
+    val pairs = assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("members"))
+      .select(explode(graft.expressions.CellPairs.cellPairs(
+        col("members"), threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos").as("cos"))
     val clusters = clusterDuplicates(pairs.select("id_a", "id_b"), spark)
     // centroid-cosine per doc via a broadcast of the centroid frame
     val member = assigned

@@ -129,7 +129,7 @@ object Similarity {
     df.crossJoin(broadcast(packed))
       .withColumn(cellCol, element_at(
         graft.expressions.CentroidOps.nearestCentroidsCol(
-          col(vecCol), col("_ac_cents")), 1))
+          col(vecCol), col("_ac_cents"), assumeConstant = true), 1))
       .drop("_ac_cents")
   }
 
