@@ -274,7 +274,18 @@ object IncrementalDedup {
     * persists (band, band_key, id, v, nrm) — the vector rides the
     * store because candidate verification needs the exact cosine, and
     * the probe join broadcasts the (small) batch side so store vectors
-    * stream through the scan rather than shuffling. */
+    * stream through the scan rather than shuffling.
+    *
+    * SIZING (the q16 scale law applies here too): with fixed planes
+    * the expected store bucket is corpus/2^planes, so per-batch probe
+    * cost grows linearly with the ACCUMULATED corpus. Choose planes
+    * for the corpus you expect at steady state —
+    * [[graft.operators.Dedup.srpParams]] gives the balanced
+    * (planes, bands) for a target bucket and recall floor. The knobs
+    * are deliberately NOT adaptive per batch: band keys depend on the
+    * hyperplanes, so changing planes mid-stream would require
+    * re-banding the whole store (a full rebuild) — fix them at stream
+    * start from the projected corpus size. */
   def processEmbeddingBatch(spark: SparkSession, batch: DataFrame,
                             storeDir: String, pairsDir: String,
                             vecCol: String, idCol: String,
