@@ -777,18 +777,26 @@ object Queries {
       |GROUP BY inc.incident_id""".stripMargin
 
   /** q37 — semi/anti joins (EXISTS / NOT EXISTS): per market segment,
-    * customers with and without orders. */
+    * customers with and without orders.
+    *
+    * Single-pass form (round-12 100× surgery — this was the worst
+    * remaining 10×→100× ratio): the separate left_semi and left_anti
+    * branches scanned and shuffled BOTH tables twice. One
+    * distinct-buyers frame outer-joined once, with the EXISTS /
+    * NOT-EXISTS split falling out of conditional counts in a single
+    * aggregate, computes both columns from one join — identical
+    * semantics (left_semi count = matched rows, left_anti count =
+    * unmatched rows of the same outer join), value-oracled. */
   val q37: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val orders = t.orders.select(col("o_custkey").as("c_custkey"))
-    val withO = t.customer.join(orders, Seq("c_custkey"), "left_semi")
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
-    val withoutO = t.customer.join(orders, Seq("c_custkey"), "left_anti")
-      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
-    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
-      .select(col("c_mktsegment"),
-        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
-        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+    val buyers = t.orders.select(col("o_custkey").as("c_custkey"))
+      .distinct()
+      .withColumn("_has", lit(true))
+    t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(buyers, Seq("c_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(when(col("_has"), 1)).as("with_orders"),
+        count(when(col("_has").isNull, 1)).as("without_orders"))
   }
   val q37Sql: String =
     """WITH w AS (
