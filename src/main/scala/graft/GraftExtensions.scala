@@ -333,6 +333,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.SparkSession.active,
             litString(p, "path"), litString(st, "stamp")) },
       "(path, stamp) as string literals")
+    tvf("shard_row_changes",
+      "shard_row_changes(path, stamp, idCol) - row-level CDC since the " +
+        "retained generation: inserted/deleted/updated rows tagged " +
+        "_change_type (insert, delete, update_preimage, update_postimage)",
+      { case Seq(p, st, ic) =>
+          graft.sinks.Sinks.readRowChanges(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(st, "stamp"),
+            litString(ic, "idCol")) },
+      "(path, stamp, idCol) as string literals")
 
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters_sketch"),

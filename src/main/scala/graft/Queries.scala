@@ -2711,6 +2711,83 @@ object Queries {
       |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1996-12-31'
       |  AND strftime(o_orderdate, '%Y-%m-%d') LIKE '1996-03%'""".stripMargin
 
+  /** q92 — ROW-LEVEL DELETE (takedown) under a VALUE oracle: publish
+    * the documents corpus as a bucket-clustered layout (explicit
+    * assignment = doc_id mod 8, so the takedown's blast radius is ONE
+    * shard of eight), run [[graft.sinks.Sinks.deleteWhere]] for the
+    * GDPR/opt-out shape — "remove these documents" as a predicate —
+    * and read back the live corpus. The oracle replays `NOT (pred)`
+    * over the base table, so the driver's hash compare proves the
+    * copy-on-write rewrite lost nothing and removed exactly the
+    * matches; the displaced generation is retained, so the takedown
+    * is auditable ([[graft.sinks.Sinks.readRowChanges]] enumerates
+    * what went). DeleteCdcSpec pins the mechanics this query can't
+    * see from the rows: only the matching shard is rewritten, the
+    * other seven carry forward by hard link. */
+  val q92: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q92_").toString
+    val t = s"$root/corpus"
+    val docs = Tables(s, dir).documents
+      .withColumn("bucket", pmod(col("doc_id"), lit(8L)))
+    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8,
+      zoneCols = Seq("n_chars"), shardCol = Some("bucket"))
+    graft.sinks.Sinks.deleteWhere(s, t, "doc_id",
+      col("bucket") === 3L && col("n_chars") % 2 === 0,
+      retainPrevious = true)
+    s.read.parquet(s"$t/data")
+      .select("doc_id", "text", "lang", "source", "n_chars", "bucket")
+  }
+  val q92Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars,
+      |       doc_id % 8 AS bucket
+      |FROM documents
+      |WHERE NOT (doc_id % 8 = 3 AND n_chars % 2 = 0)""".stripMargin
+
+  /** q93 — ROW-LEVEL CDC under a VALUE oracle: publish documents,
+    * delta-publish a v2 that deletes every 17th doc, revises every
+    * 10th survivor's text, and appends new docs, then ask
+    * [[graft.sinks.Sinks.readRowChanges]] for the changes since the
+    * retained v1. The oracle reconstructs the exact change feed from
+    * the base table (deletes + update pre/post images + inserts), so
+    * the hash compare proves the manifest-planned diff — which reads
+    * ONLY changed shards and drops carried rows by hash — emits the
+    * semantic delta and nothing else. This is the
+    * incremental-recompute contract: a downstream index catches up on
+    * these rows alone. */
+  val q93: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q93_").toString
+    val t = s"$root/corpus"
+    val docs = Tables(s, dir).documents
+    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8)
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    graft.sinks.Sinks.publishDelta(v2, t, "doc_id", nShards = 8,
+      retainPrevious = true)
+    val versions = graft.sinks.Sinks.listShardVersions(s, t)
+    require(versions.size == 1,
+      s"q93: expected exactly one retired generation, got $versions")
+    graft.sinks.Sinks.readRowChanges(s, t, versions.head, "doc_id")
+  }
+  val q93Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars,
+      |       'delete' AS _change_type
+      |FROM documents WHERE doc_id % 17 = 0
+      |UNION ALL
+      |SELECT doc_id, text, lang, source, n_chars, 'update_preimage'
+      |FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id, text || ' [rev2]', lang, source, n_chars,
+      |       'update_postimage'
+      |FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 1000000, text, lang, source, n_chars, 'insert'
+      |FROM documents WHERE doc_id % 23 = 0""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2805,6 +2882,8 @@ object Queries {
     "q89_metadata_agg" -> q89,
     "q90_sorted_scan" -> q90,
     "q91_zone_string" -> q91,
+    "q92_takedown" -> q92,
+    "q93_row_cdc" -> q93,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2896,5 +2975,7 @@ object Queries {
     "q89_metadata_agg" -> q89Sql,
     "q90_sorted_scan" -> q90Sql,
     "q91_zone_string" -> q91Sql,
+    "q92_takedown" -> q92Sql,
+    "q93_row_cdc" -> q93Sql,
   )
 }

@@ -1612,6 +1612,255 @@ object Sinks {
     } finally releasePublishLease(fs, base, lease)
   }
 
+  /** ROW-LEVEL DELETE on a published shard layout — the takedown door
+    * (Iceberg's `DELETE FROM t WHERE ...` under copy-on-write): remove
+    * every row matching `predicate` and publish the result as a new
+    * generation, REWRITING ONLY THE SHARDS THAT CONTAIN MATCHES. At
+    * 100 TB this is the GDPR/opt-out workflow: a takedown of one
+    * domain's documents touches the shards holding them — every other
+    * shard carries forward by hard link (zero data I/O), exactly the
+    * [[publishDelta]] mechanics but WITHOUT re-supplying the corpus
+    * (the input is the published bytes themselves, so there is no
+    * double-evaluation hazard on the data side).
+    *
+    * Semantics are SQL DELETE: a row is removed iff the predicate
+    * evaluates TRUE; FALSE and NULL rows are kept. The predicate must
+    * be deterministic (it runs twice — once to find affected shards,
+    * once to rewrite them — against the same published bytes).
+    *
+    * Mechanics, under the publish lease + stage/seal/promote envelope:
+    *  1. one detection scan finds the shards holding ≥1 match (with
+    *     the graft planner rules installed, a predicate on a zone
+    *     column prunes this scan to candidate shards from the
+    *     manifest alone);
+    *  2. only those shard dirs are re-read (explicit paths +
+    *     basePath) and rewritten minus matching rows, preserving the
+    *     layout's declared within-shard sort; zone/null stats are
+    *     recomputed from the written bytes;
+    *  3. untouched shards hard-link into the new generation and keep
+    *     their manifest rows verbatim; a shard whose every row
+    *     matched disappears from the manifest (membership stays a
+    *     pure function of the id — an absent shard means zero rows);
+    *  4. seal + promote, optionally retaining the displaced
+    *     generation so [[readShardsAt]] can still answer
+    *     pre-takedown audits (and [[readRowChanges]] can enumerate
+    *     exactly what was removed).
+    *
+    * No matches is a NO-OP: the live manifest is returned unchanged
+    * and no new generation is published (a takedown sweep over a
+    * clean corpus must not churn generations). Layout evolution
+    * (zones, sort, spec) is inherited from the live manifest — a
+    * delete never changes the layout contract. Returns the live
+    * manifest after the publish. */
+  def deleteWhere(spark: SparkSession, path: String, idCol: String,
+                  predicate: Column, retainPrevious: Boolean = false): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquirePublishLease(fs, base)
+    try {
+      recoverPublish(fs, base)
+      val manifestPath = new org.apache.hadoop.fs.Path(base, "manifest")
+      require(fs.exists(manifestPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
+        s"deleteWhere: $path is not a published shard layout")
+      val live = spark.read.parquet(s"$path/manifest")
+      require(live.columns.contains("spec_col") &&
+        live.columns.contains("spec_n"),
+        s"deleteWhere: the live manifest of $path predates partition-spec " +
+          "recording; republish (writeShards) once to stamp it")
+      val specRow = live.select(col("spec_col"), col("spec_n"),
+        (if (live.columns.contains("spec_sort")) col("spec_sort")
+         else lit(null).cast("string")).as("spec_sort")).limit(1).collect()
+      if (specRow.isEmpty) return live // empty corpus: nothing to delete
+      val shardColOpt = Option(specRow.head.getString(0))
+      val nShards = specRow.head.getInt(1)
+      val sortCols = Option(specRow.head.getString(2))
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      val zones = live.columns.filter(_.startsWith("zmin_"))
+        .map(_.stripPrefix("zmin_")).toSeq
+      val dataDir = s"$path/data"
+      // detection: which shards hold ≥1 matching row (bounded collect,
+      // ≤ nShards rows — the manifest envelope)
+      val detect = spark.read.parquet(dataDir).filter(predicate)
+      // the predicate runs twice (detection + rewrite): the same
+      // analyzed-plan determinism gate publishDelta applies to its
+      // input (a rand() takedown would detect one shard set and
+      // rewrite another)
+      detect.queryExecution.optimizedPlan.foreach(n =>
+        n.expressions.foreach(e => require(e.deterministic,
+          s"deleteWhere predicate must be deterministic (it is " +
+            s"evaluated twice); found $e")))
+      val hit = detect.select(col("shard").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      if (hit.isEmpty) return live // no-op: no generation churn
+      val liveShards = live.select(col("shard")).collect()
+        .map(_.getLong(0)).toSet
+      val kept = (liveShards -- hit).toSeq.sorted
+      val stamp = genStamp()
+      val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
+      val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
+      val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
+      val livePath = new org.apache.hadoop.fs.Path(base, "data")
+      try {
+        // schema of the published bytes, shard typed explicitly (the
+        // partition-dir column would otherwise infer as int)
+        val dataCols = spark.read.parquet(dataDir).columns
+          .filterNot(_ == "shard").toSeq
+        val writtenSchema = org.apache.spark.sql.types.StructType(
+          spark.read.parquet(dataDir).schema.fields
+            .filterNot(_.name == "shard") :+
+            org.apache.spark.sql.types.StructField(
+              "shard", org.apache.spark.sql.types.LongType))
+        // rewrite ONLY the affected shard dirs, minus matching rows
+        // (NULL predicate keeps the row — SQL DELETE semantics)
+        val src = spark.read.schema(writtenSchema)
+          .option("basePath", dataDir)
+          .parquet(hit.map(s => s"$dataDir/shard=$s"): _*)
+        val part = src.filter(!coalesce(predicate, lit(false)))
+          .repartition(math.min(nShards, hit.size), col("shard"))
+        (if (sortCols.isEmpty) part
+         else part.sortWithinPartitions(
+           (col("shard") +: sortCols.map(col)): _*))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(stagedData.toString)
+        kept.foreach { s =>
+          val srcDir = new org.apache.hadoop.fs.Path(livePath, s"shard=$s")
+          val dstDir = new org.apache.hadoop.fs.Path(stagedData, s"shard=$s")
+          fs.mkdirs(dstDir)
+          fs.listStatus(srcDir).filter(_.isFile).foreach(st =>
+            linkOrCopy(fs, st.getPath,
+              new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName)))
+        }
+        // written-bytes manifest rows for rewritten shards (zone/null
+        // stats recomputed), carried live rows for linked ones
+        val rewrittenManifest = stampSpec(shardSummary(
+          spark.read.schema(writtenSchema).parquet(stagedData.toString)
+            .filter(col("shard").isin(hit: _*)), idCol, dataCols, zones),
+          shardColOpt, nShards, sortCols)
+        val keptManifest = stampSpec(
+          (if (kept.isEmpty) live.filter(lit(false))
+           else live.filter(col("shard").isin(kept: _*)))
+            .drop("spec_col", "spec_n", "spec_sort"),
+          shardColOpt, nShards, sortCols)
+        keptManifest.unionByName(rewrittenManifest,
+            allowMissingColumns = true)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+      } catch {
+        case e: Throwable => fs.delete(staging, true); throw e
+      }
+      fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+        true).close()
+      promoteStaged(fs, base, staging, old, retainPrevious)
+      spark.read.parquet(s"$path/manifest")
+    } finally releasePublishLease(fs, base, lease)
+  }
+
+  /** ROW-LEVEL CDC between a retained generation and the live corpus —
+    * the Delta/Iceberg change-data-feed shape, planned from two
+    * manifests: every inserted, deleted, and updated row since the
+    * generation displaced at `stamp`, tagged `_change_type` ∈
+    * {insert, delete, update_preimage, update_postimage}. This is the
+    * incremental-recompute door [[readShardsChangedSince]] can't be:
+    * a downstream index (embeddings, ANN buckets, per-doc stats) that
+    * processed generation `stamp` catches up by applying EXACTLY these
+    * row changes — at 100 TB a 2% publish yields ~2% of rows, not a
+    * re-read, and not even the changed shards' full contents.
+    *
+    * Plan shape: the manifest diff names the changed shards (bounded
+    * collect, one row per shard); ONLY those shard dirs are read on
+    * each side (explicit paths + basePath — a shard is rewritten iff
+    * its content changed, and an updated row never moves shards since
+    * membership is a pure function of its id). A full-outer join on
+    * `idCol` with per-row content hashes (the manifest's own
+    * `xxhash64` currency) then classifies; rows carried unchanged
+    * inside a rewritten shard hash equal and drop out, so the output
+    * is the SEMANTIC diff, independent of how publishing grouped rows
+    * into shards. Spark's exchange reuse evaluates the join once
+    * across the four branches.
+    *
+    * CONTRACT: `idCol` must be unique per generation — enforced
+    * (countDistinct over the changed shards only) because a silent
+    * id collision would fan the join out and misreport changes;
+    * disable via `assertUniqueIds = false` only when uniqueness is
+    * guaranteed upstream. Hash-equal-but-different rows (an xxhash64
+    * collision) would be missed — the same 2⁻⁶⁴-per-pair currency the
+    * delta publisher's carry-forward decision already trades in. */
+  def readRowChanges(spark: SparkSession, path: String, stamp: String,
+                     idCol: String,
+                     assertUniqueIds: Boolean = true): DataFrame = {
+    val liveM = shardStats(spark, path)
+      .select(col("shard"), col("n_rows"), col("content_hash"))
+    val oldM = shardStats(spark, path, Some(stamp))
+      .select(col("shard"), col("n_rows").as("o_rows"),
+        col("content_hash").as("o_hash"))
+    // bounded collect: one row per shard on either side
+    val cls = liveM.join(oldM, Seq("shard"), "full_outer").collect()
+    def changedIn(liveSide: Boolean) = cls.filter { r =>
+      val carried = !r.isNullAt(1) && !r.isNullAt(3) &&
+        r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4)
+      !carried && !r.isNullAt(if (liveSide) 1 else 3)
+    }.map(_.getLong(0)).sorted.toSeq
+    val newShards = changedIn(liveSide = true)
+    val oldShards = changedIn(liveSide = false)
+    val dataDir = s"$path/data"
+    val oldDir = s"$path/$PublishedVersionsDir/$stamp/data"
+    if (newShards.isEmpty && oldShards.isEmpty)
+      return spark.read.parquet(dataDir).drop("shard")
+        .withColumn("_change_type", lit(null).cast("string"))
+        .filter(lit(false))
+    // schema from whichever side has files (footer-only); shard typed
+    // long explicitly like every layout re-read here
+    val schemaSrc =
+      if (newShards.nonEmpty) s"$dataDir/shard=${newShards.head}"
+      else s"$oldDir/shard=${oldShards.head}"
+    val dataFields = spark.read.parquet(schemaSrc).schema.fields
+      .filterNot(_.name == "shard")
+    val dataCols = dataFields.map(_.name).toSeq
+    require(dataCols.contains(idCol),
+      s"readRowChanges: idCol '$idCol' is not a layout column (${
+        dataCols.mkString(", ")})")
+    val writtenSchema = org.apache.spark.sql.types.StructType(
+      dataFields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType))
+    def side(dir: String, shards: Seq[Long]): DataFrame = {
+      val rows =
+        if (shards.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], writtenSchema)
+        else spark.read.schema(writtenSchema).option("basePath", dir)
+          .parquet(shards.map(s => s"$dir/shard=$s"): _*)
+      rows.select(col(idCol).as("_id"),
+        xxhash64(dataCols.map(col): _*).as("_h"),
+        struct(dataCols.map(col): _*).as("_row"))
+    }
+    val n = side(dataDir, newShards)
+    val o = side(oldDir, oldShards)
+    if (assertUniqueIds)
+      Seq(("live", n), (s"generation $stamp", o)).foreach { case (nm, d) =>
+        val r = d.agg(count(lit(1)), count_distinct(col("_id"))).collect().head
+        require(r.getLong(0) == r.getLong(1),
+          s"readRowChanges: idCol '$idCol' is not unique in the $nm " +
+            s"changed shards (${r.getLong(0)} rows, ${r.getLong(1)} " +
+            "distinct ids) — CDC classification needs a key")
+      }
+    val j = o.select(col("_id"), col("_h").as("_oh"), col("_row").as("_orow"))
+      .join(n.select(col("_id"), col("_h").as("_nh"),
+        col("_row").as("_nrow")), Seq("_id"), "full_outer")
+    val ins = j.filter(col("_oh").isNull)
+      .select(col("_nrow").as("_r"), lit("insert").as("_change_type"))
+    val del = j.filter(col("_nh").isNull)
+      .select(col("_orow").as("_r"), lit("delete").as("_change_type"))
+    val upd = j.filter(col("_oh").isNotNull && col("_nh").isNotNull &&
+      col("_oh") =!= col("_nh"))
+    val pre = upd.select(col("_orow").as("_r"),
+      lit("update_preimage").as("_change_type"))
+    val post = upd.select(col("_nrow").as("_r"),
+      lit("update_postimage").as("_change_type"))
+    ins.union(del).union(pre).union(post)
+      .select((dataCols.map(c => col(s"_r.$c")) :+ col("_change_type")): _*)
+  }
+
   /** Hard-link `src` to `dst` when the filesystem supports it (local
     * FS: zero data I/O, the link shares the inode and survives the old
     * generation's delete), else byte-copy. */

@@ -1,0 +1,190 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Row-level delete (takedown) and row-level CDC on the shard-layout
+  * store — the q92/q93 mechanics the value oracles can't see from the
+  * rows alone: blast radius (which shards were rewritten vs carried),
+  * generation hygiene (no-op deletes don't churn), audit paths, and
+  * the CDC contracts (semantic diff, key uniqueness). */
+class DeleteCdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus() = Seq(
+    (0L, "alpha", "en", 10L), (1L, "beta", "en", 20L),
+    (2L, "gamma", "de", 30L), (3L, "delta", "de", 40L),
+    (4L, "epsilon", "fr", 50L), (5L, "zeta", "fr", 60L),
+    (6L, "eta", "en", 70L), (7L, "theta", "de", 80L),
+  ).toDF("id", "text", "lang", "n")
+
+  private def freshLayout(nShards: Int = 4,
+                          zoneCols: Seq[String] = Seq("n")): String = {
+    val t = Files.createTempDirectory("graft_delspec_").toString + "/c"
+    Sinks.writeShards(
+      corpus().withColumn("bucket", pmod(col("id"), lit(4L))),
+      t, "id", nShards, zoneCols = zoneCols, shardCol = Some("bucket"))
+    t
+  }
+
+  test("deleteWhere removes exactly the matching rows (NULL pred keeps)") {
+    val t = Files.createTempDirectory("graft_delspec_").toString + "/c"
+    val df = corpus().withColumn("lang",
+      when(col("id") === 5L, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    Sinks.writeShards(df, t, "id", 4)
+    // pred is NULL for id=5 (lang null) — SQL DELETE keeps it
+    Sinks.deleteWhere(spark, t, "id", col("lang") === "fr")
+    val left = spark.read.parquet(s"$t/data").select("id")
+      .as[Long].collect().sorted
+    assert(left.toSeq == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
+  test("deleteWhere rewrites only shards holding matches; rest carry " +
+       "forward with identical manifest rows (hard-linked bytes)") {
+    val t = freshLayout()
+    val before = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val beforeInodes = {
+      val d = new java.io.File(s"$t/data/shard=1")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+        .toSet
+    }
+    // bucket 2 ⇒ ids 2 and 6 live in shard 2; nothing else matches
+    Sinks.deleteWhere(spark, t, "id", col("bucket") === 2L && col("n") < 50L)
+    val after = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after.keySet == before.keySet)
+    Seq(0L, 1L, 3L).foreach(s => assert(after(s) == before(s),
+      s"untouched shard $s must carry its manifest row forward"))
+    assert(after(2L)._1 == before(2L)._1 - 1 && after(2L) != before(2L))
+    // the untouched shard's bytes are the SAME files (hard links),
+    // not copies — the zero-data-IO carry the delta publisher uses
+    val afterInodes = {
+      val d = new java.io.File(s"$t/data/shard=1")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+        .toSet
+    }
+    assert(afterInodes == beforeInodes)
+    // and the layout still verifies clean end-to-end
+    val bad = Sinks.verifyShards(spark, t, "id").filter(!col("ok"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("deleteWhere with no matches is a NO-OP: same manifest, no " +
+       "generation churn") {
+    val t = freshLayout()
+    val before = spark.read.parquet(s"$t/manifest").collect().toSet
+    val out = Sinks.deleteWhere(spark, t, "id", col("n") > 1000L,
+      retainPrevious = true)
+    assert(out.collect().toSet == before)
+    assert(Sinks.listShardVersions(spark, t).isEmpty,
+      "a no-op delete must not retire a generation")
+  }
+
+  test("deleting every row of a shard drops it from the manifest; " +
+       "readers and verify stay consistent") {
+    val t = freshLayout()
+    Sinks.deleteWhere(spark, t, "id", col("bucket") === 3L)
+    val m = spark.read.parquet(s"$t/manifest").select("shard")
+      .as[Long].collect().toSet
+    assert(m == Set(0L, 1L, 2L))
+    assert(spark.read.parquet(s"$t/data").count() == 6)
+    val bad = Sinks.verifyShards(spark, t, "id").filter(!col("ok"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("takedown is auditable: retained generation still answers the " +
+       "pre-delete corpus, and readRowChanges enumerates the removals") {
+    val t = freshLayout()
+    Sinks.deleteWhere(spark, t, "id", col("lang") === "de",
+      retainPrevious = true)
+    val versions = Sinks.listShardVersions(spark, t)
+    assert(versions.size == 1)
+    val preDelete = Sinks.readShardsAt(spark, t, versions.head)
+      .select("id").as[Long].collect().sorted
+    assert(preDelete.toSeq == (0L to 7L))
+    val changes = Sinks.readRowChanges(spark, t, versions.head, "id")
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(changes.toSeq ==
+      Seq((2L, "delete"), (3L, "delete"), (7L, "delete")))
+  }
+
+  test("deleteWhere rejects a nondeterministic predicate") {
+    val t = freshLayout()
+    val e = intercept[IllegalArgumentException] {
+      Sinks.deleteWhere(spark, t, "id", rand() < 0.5)
+    }
+    assert(e.getMessage.contains("deterministic"))
+  }
+
+  test("readRowChanges classifies insert/delete/update and drops rows " +
+       "carried unchanged inside rewritten shards") {
+    val t = Files.createTempDirectory("graft_cdcspec_").toString + "/c"
+    val v1 = corpus()
+    // 2 shards: every shard changes, but most rows inside them don't —
+    // the diff must be SEMANTIC, not shard-granular
+    Sinks.writeShards(v1, t, "id", 2)
+    val v2 = v1.filter(col("id") =!= 3L) // delete 3
+      .withColumn("text",
+        when(col("id") === 4L, lit("epsilon-v2")).otherwise(col("text")))
+      .unionByName(Seq((100L, "new-doc", "en", 5L))
+        .toDF("id", "text", "lang", "n"))
+    Sinks.publishDelta(v2, t, "id", 2, retainPrevious = true)
+    val stamp = Sinks.listShardVersions(spark, t).head
+    val ch = Sinks.readRowChanges(spark, t, stamp, "id")
+    assert(ch.columns.toSeq ==
+      Seq("id", "text", "lang", "n", "_change_type"))
+    val got = ch.select("id", "text", "_change_type")
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      (3L, "delta", "delete"),
+      (4L, "epsilon-v2", "update_postimage"),
+      (4L, "epsilon", "update_preimage"),
+      (100L, "new-doc", "insert")))
+  }
+
+  test("readRowChanges with no changes returns an empty typed frame") {
+    val t = Files.createTempDirectory("graft_cdcspec_").toString + "/c"
+    val v1 = corpus()
+    Sinks.writeShards(v1, t, "id", 2, retainPrevious = true)
+    // identical republish: every shard carries forward
+    Sinks.publishDelta(v1, t, "id", 2, retainPrevious = true)
+    val stamp = Sinks.listShardVersions(spark, t).last
+    val ch = Sinks.readRowChanges(spark, t, stamp, "id")
+    assert(ch.columns.contains("_change_type"))
+    assert(ch.isEmpty)
+  }
+
+  test("readRowChanges enforces the unique-id CDC contract") {
+    val t = Files.createTempDirectory("graft_cdcspec_").toString + "/c"
+    Sinks.writeShards(corpus(), t, "id", 2)
+    val dup = corpus().unionByName(
+      Seq((0L, "alpha-dup", "en", 11L)).toDF("id", "text", "lang", "n"))
+    Sinks.publishDelta(dup, t, "id", 2, retainPrevious = true)
+    val stamp = Sinks.listShardVersions(spark, t).head
+    val e = intercept[IllegalArgumentException] {
+      Sinks.readRowChanges(spark, t, stamp, "id").collect()
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("shard_row_changes TVF answers the same feed from pure SQL") {
+    val t = Files.createTempDirectory("graft_cdcspec_").toString + "/c"
+    Sinks.writeShards(corpus(), t, "id", 2)
+    Sinks.publishDelta(corpus().filter(col("id") =!= 5L), t, "id", 2,
+      retainPrevious = true)
+    val stamp = Sinks.listShardVersions(spark, t).head
+    val rows = spark.sql(
+      s"SELECT id, _change_type FROM shard_row_changes('$t', '$stamp', 'id')")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((5L, "delete")))
+  }
+}
