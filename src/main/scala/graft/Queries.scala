@@ -2788,6 +2788,44 @@ object Queries {
       |SELECT doc_id + 1000000, text, lang, source, n_chars, 'insert'
       |FROM documents WHERE doc_id % 23 = 0""".stripMargin
 
+  /** q94 — ROW-LEVEL MERGE under a VALUE oracle: publish documents,
+    * then apply a PATCH frame through
+    * [[graft.sinks.Sinks.mergeRows]] — revised text for every 11th
+    * doc, deletion for every 33rd, brand-new docs from every 13th —
+    * and read back the live corpus. Unlike q93's delta publish, the
+    * merge never sees the corpus frame: target shards come from the
+    * manifest's own spec applied to the patch ids, so the cost is
+    * the patched shards, not a corpus scan. The oracle replays the
+    * MERGE semantics over the base table, proving upsert/delete/
+    * insert landed exactly and every unpatched row survived
+    * untouched. */
+  val q94: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q94_").toString
+    val t = s"$root/corpus"
+    val docs = Tables(s, dir).documents
+    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8)
+    val patch = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("text", concat(lit("merged: "), col("text")))
+      .withColumn("_del", col("doc_id") % 33 === 0)
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("_del", lit(false)))
+    graft.sinks.Sinks.mergeRows(s, t, patch, "doc_id",
+      deleteWhen = Some(col("_del")))
+    s.read.parquet(s"$t/data")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+  val q94Sql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 11 = 0 THEN 'merged: ' || text
+      |            ELSE text END AS text,
+      |       lang, source, n_chars
+      |FROM documents WHERE doc_id % 33 <> 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2884,6 +2922,7 @@ object Queries {
     "q91_zone_string" -> q91,
     "q92_takedown" -> q92,
     "q93_row_cdc" -> q93,
+    "q94_merge_rows" -> q94,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2977,5 +3016,6 @@ object Queries {
     "q91_zone_string" -> q91Sql,
     "q92_takedown" -> q92Sql,
     "q93_row_cdc" -> q93Sql,
+    "q94_merge_rows" -> q94Sql,
   )
 }

@@ -1693,66 +1693,211 @@ object Sinks {
       val hit = detect.select(col("shard").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
       if (hit.isEmpty) return live // no-op: no generation churn
+      val (dataCols, writtenSchema) = layoutSchema(spark, dataDir)
+      // rewrite ONLY the affected shard dirs, minus matching rows
+      // (NULL predicate keeps the row — SQL DELETE semantics)
+      val src = spark.read.schema(writtenSchema)
+        .option("basePath", dataDir)
+        .parquet(hit.map(s => s"$dataDir/shard=$s"): _*)
+      publishRewrite(spark, path, base, fs, live,
+        src.filter(!coalesce(predicate, lit(false))), hit, idCol,
+        dataCols, writtenSchema, zones, shardColOpt, nShards, sortCols,
+        retainPrevious)
+    } finally releasePublishLease(fs, base, lease)
+  }
+
+  /** Schema of a layout's published bytes: the data columns in file
+    * order, and the read schema with `shard` typed LONG explicitly
+    * (the partition-dir column would otherwise infer as int). */
+  private def layoutSchema(spark: SparkSession, dataDir: String)
+      : (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val fields = spark.read.parquet(dataDir).schema.fields
+      .filterNot(_.name == "shard")
+    (fields.map(_.name).toSeq, org.apache.spark.sql.types.StructType(
+      fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType)))
+  }
+
+  /** Shared stage/link/seal/promote tail of the row-level write doors
+    * ([[deleteWhere]], [[mergeRows]]): write `rows` — the new contents
+    * of exactly the `rewrite` shards, `shard` column present — into a
+    * staged generation, hard-link every other live shard, rebuild the
+    * manifest (written-bytes summaries with recomputed zone/null stats
+    * for rewritten shards, carried live rows for linked ones), validate
+    * explicit shard ids, seal, promote. Caller holds the lease. */
+  private def publishRewrite(spark: SparkSession, path: String,
+      base: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      live: DataFrame, rows: DataFrame, rewrite: Seq[Long],
+      idCol: String, dataCols: Seq[String],
+      writtenSchema: org.apache.spark.sql.types.StructType,
+      zones: Seq[String], shardColOpt: Option[String], nShards: Int,
+      sortCols: Seq[String], retainPrevious: Boolean): DataFrame = {
+    val liveShards = live.select(col("shard")).collect()
+      .map(_.getLong(0)).toSet
+    val kept = (liveShards -- rewrite).toSeq.sorted
+    val stamp = genStamp()
+    val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
+    val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
+    val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
+    val livePath = new org.apache.hadoop.fs.Path(base, "data")
+    try {
+      val part = rows
+        .repartition(math.min(nShards, rewrite.size), col("shard"))
+      (if (sortCols.isEmpty) part
+       else part.sortWithinPartitions(
+         (col("shard") +: sortCols.map(col)): _*))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(stagedData.toString)
+      kept.foreach { s =>
+        val srcDir = new org.apache.hadoop.fs.Path(livePath, s"shard=$s")
+        val dstDir = new org.apache.hadoop.fs.Path(stagedData, s"shard=$s")
+        fs.mkdirs(dstDir)
+        fs.listStatus(srcDir).filter(_.isFile).foreach(st =>
+          linkOrCopy(fs, st.getPath,
+            new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName)))
+      }
+      // written-bytes manifest rows for rewritten shards (zone/null
+      // stats recomputed), carried live rows for linked ones
+      val rewrittenManifest = stampSpec(shardSummary(
+        spark.read.schema(writtenSchema).parquet(stagedData.toString)
+          .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones),
+        shardColOpt, nShards, sortCols)
+      val keptManifest = stampSpec(
+        (if (kept.isEmpty) live.filter(lit(false))
+         else live.filter(col("shard").isin(kept: _*)))
+          .drop("spec_col", "spec_n", "spec_sort"),
+        shardColOpt, nShards, sortCols)
+      keptManifest.unionByName(rewrittenManifest,
+          allowMissingColumns = true)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+      // explicit-assignment validation BEFORE the commit marker (the
+      // writeShards gate): a merged-in shard id outside [0, nShards)
+      // would publish a directory no loader plans for
+      if (shardColOpt.nonEmpty) {
+        val bad = spark.read.parquet(
+            new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+          .filter(col("shard").isNull || col("shard") < 0 ||
+            col("shard") >= nShards)
+          .select("shard").collect().map(_.get(0))
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"row-level publish produced shard ids outside " +
+              s"[0, $nShards): ${bad.mkString(", ")}")
+      }
+    } catch {
+      case e: Throwable => fs.delete(staging, true); throw e
+    }
+    fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+      true).close()
+    promoteStaged(fs, base, staging, old, retainPrevious)
+    spark.read.parquet(s"$path/manifest")
+  }
+
+  /** ROW-LEVEL MERGE (upsert + delete) on a published shard layout —
+    * Iceberg's `MERGE INTO` under copy-on-write, WITHOUT re-supplying
+    * the corpus: the input is a PATCH frame (new/updated rows, plus
+    * rows marked for deletion via `deleteWhen`), and shard membership
+    * being a pure function of the id means the target shards are
+    * computable from the patch and the manifest's own spec — nothing
+    * else is read or written. This closes the incremental loop:
+    * [[readRowChanges]] produces a change feed, `mergeRows` applies
+    * one. At 100 TB, merging a day's 0.1% of revised documents costs
+    * the shards that hold them, not a corpus rewrite and not even a
+    * corpus SCAN (vs [[publishDelta]], which needs the full frame).
+    *
+    * Semantics per patch row, matched on `idCol`:
+    *  - `deleteWhen` TRUE → the live row with that id is removed
+    *    (absent id: no-op, like SQL MERGE's unmatched DELETE);
+    *  - otherwise → upsert: replaces the live row with that id, or
+    *    inserts (possibly creating a shard the manifest didn't have).
+    * Patch ids must be unique (enforced — one verdict per id), the
+    * patch must carry the layout's data columns (and its explicit
+    * assignment column, when the spec declares one — deletes too:
+    * the spec is how the door finds the row's shard), and must be
+    * deterministic (it is evaluated more than once). A shard left
+    * empty drops from the manifest; layout spec/zones/sort are
+    * inherited, never changed here. Returns the live manifest. */
+  def mergeRows(spark: SparkSession, path: String, patch: DataFrame,
+                idCol: String, deleteWhen: Option[Column] = None,
+                retainPrevious: Boolean = false): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquirePublishLease(fs, base)
+    try {
+      recoverPublish(fs, base)
+      require(fs.exists(new org.apache.hadoop.fs.Path(base, "manifest")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
+        s"mergeRows: $path is not a published shard layout")
+      val live = spark.read.parquet(s"$path/manifest")
+      require(live.columns.contains("spec_col") &&
+        live.columns.contains("spec_n"),
+        s"mergeRows: the live manifest of $path predates partition-spec " +
+          "recording; republish (writeShards) once to stamp it")
+      val specRow = live.select(col("spec_col"), col("spec_n"),
+        (if (live.columns.contains("spec_sort")) col("spec_sort")
+         else lit(null).cast("string")).as("spec_sort")).limit(1).collect()
+      require(specRow.nonEmpty,
+        s"mergeRows: $path has an empty manifest — publish (writeShards) " +
+          "the initial corpus first")
+      val shardColOpt = Option(specRow.head.getString(0))
+      val nShards = specRow.head.getInt(1)
+      val sortCols = Option(specRow.head.getString(2))
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      val zones = live.columns.filter(_.startsWith("zmin_"))
+        .map(_.stripPrefix("zmin_")).toSeq
+      val dataDir = s"$path/data"
+      val (dataCols, writtenSchema) = layoutSchema(spark, dataDir)
+      require(dataCols.forall(patch.columns.contains),
+        s"mergeRows: patch must carry the layout's data columns; " +
+          s"missing: ${dataCols.filterNot(patch.columns.contains)
+            .mkString(", ")}")
+      // the patch is evaluated more than once (shard detection,
+      // uniqueness gate, rewrite): same determinism contract as
+      // publishDelta's input
+      patch.queryExecution.optimizedPlan.foreach(n =>
+        n.expressions.foreach(e => require(e.deterministic,
+          s"mergeRows patch must be deterministic (it is evaluated " +
+            s"more than once); found $e — persist()/localCheckpoint() " +
+            "it first")))
+      val sharded = patch.withColumn("shard",
+        shardAssignment(idCol, nShards, shardColOpt))
+      // one verdict per id: a duplicate patch id would make "replace
+      // the live row" ambiguous (and a delete+upsert of the same id
+      // order-dependent)
+      val u = sharded.agg(count(lit(1)),
+        count_distinct(col(idCol))).collect().head
+      if (u.getLong(0) == 0L) return live // empty patch: no-op
+      require(u.getLong(0) == u.getLong(1),
+        s"mergeRows: patch ids ('$idCol') must be unique — got " +
+          s"${u.getLong(0)} rows, ${u.getLong(1)} distinct ids")
+      // target shards: computable from the patch alone (bounded
+      // collect, ≤ nShards rows)
+      val hit = sharded.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
       val liveShards = live.select(col("shard")).collect()
         .map(_.getLong(0)).toSet
-      val kept = (liveShards -- hit).toSeq.sorted
-      val stamp = genStamp()
-      val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
-      val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
-      val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
-      val livePath = new org.apache.hadoop.fs.Path(base, "data")
-      try {
-        // schema of the published bytes, shard typed explicitly (the
-        // partition-dir column would otherwise infer as int)
-        val dataCols = spark.read.parquet(dataDir).columns
-          .filterNot(_ == "shard").toSeq
-        val writtenSchema = org.apache.spark.sql.types.StructType(
-          spark.read.parquet(dataDir).schema.fields
-            .filterNot(_.name == "shard") :+
-            org.apache.spark.sql.types.StructField(
-              "shard", org.apache.spark.sql.types.LongType))
-        // rewrite ONLY the affected shard dirs, minus matching rows
-        // (NULL predicate keeps the row — SQL DELETE semantics)
-        val src = spark.read.schema(writtenSchema)
-          .option("basePath", dataDir)
-          .parquet(hit.map(s => s"$dataDir/shard=$s"): _*)
-        val part = src.filter(!coalesce(predicate, lit(false)))
-          .repartition(math.min(nShards, hit.size), col("shard"))
-        (if (sortCols.isEmpty) part
-         else part.sortWithinPartitions(
-           (col("shard") +: sortCols.map(col)): _*))
-          .write.mode("overwrite").partitionBy("shard")
-          .parquet(stagedData.toString)
-        kept.foreach { s =>
-          val srcDir = new org.apache.hadoop.fs.Path(livePath, s"shard=$s")
-          val dstDir = new org.apache.hadoop.fs.Path(stagedData, s"shard=$s")
-          fs.mkdirs(dstDir)
-          fs.listStatus(srcDir).filter(_.isFile).foreach(st =>
-            linkOrCopy(fs, st.getPath,
-              new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName)))
-        }
-        // written-bytes manifest rows for rewritten shards (zone/null
-        // stats recomputed), carried live rows for linked ones
-        val rewrittenManifest = stampSpec(shardSummary(
-          spark.read.schema(writtenSchema).parquet(stagedData.toString)
-            .filter(col("shard").isin(hit: _*)), idCol, dataCols, zones),
-          shardColOpt, nShards, sortCols)
-        val keptManifest = stampSpec(
-          (if (kept.isEmpty) live.filter(lit(false))
-           else live.filter(col("shard").isin(kept: _*)))
-            .drop("spec_col", "spec_n", "spec_sort"),
-          shardColOpt, nShards, sortCols)
-        keptManifest.unionByName(rewrittenManifest,
-            allowMissingColumns = true)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
-      } catch {
-        case e: Throwable => fs.delete(staging, true); throw e
-      }
-      fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
-        true).close()
-      promoteStaged(fs, base, staging, old, retainPrevious)
-      spark.read.parquet(s"$path/manifest")
+      val existingHit = hit.filter(liveShards.contains)
+      // rewrite = existing rows of the target shards minus patched
+      // ids, plus the patch's upsert rows (delete-marked rows simply
+      // contribute no replacement). The anti-join keys on the id; the
+      // patch side is merge-sized, so AQE broadcasts it.
+      val existing =
+        if (existingHit.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], writtenSchema)
+        else spark.read.schema(writtenSchema).option("basePath", dataDir)
+          .parquet(existingHit.map(s => s"$dataDir/shard=$s"): _*)
+      val keptRows = existing.join(
+        sharded.select(col(idCol)).withColumnRenamed(idCol, "_mid"),
+        existing(idCol) === col("_mid"), "left_anti")
+      val upserts = deleteWhen.fold(sharded)(d =>
+        sharded.filter(!coalesce(d, lit(false))))
+        .select((dataCols.map(col) :+ col("shard")): _*)
+      publishRewrite(spark, path, base, fs, live,
+        keptRows.unionByName(upserts), hit, idCol, dataCols,
+        writtenSchema, zones, shardColOpt, nShards, sortCols,
+        retainPrevious)
     } finally releasePublishLease(fs, base, lease)
   }
 

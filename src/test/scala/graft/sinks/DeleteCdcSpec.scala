@@ -176,6 +176,90 @@ class DeleteCdcSpec extends SparkTestBase {
     assert(e.getMessage.contains("not unique"))
   }
 
+  test("mergeRows applies upserts + deletes from a patch alone, " +
+       "rewriting only the patch's shards") {
+    val t = Files.createTempDirectory("graft_mergespec_").toString + "/c"
+    Sinks.writeShards(corpus(), t, "id", 4)
+    val before = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hash sharding: ids 0..7 land in data-dependent shards; build a
+    // patch touching ids 1 (update), 3 (delete), 100 (insert) and
+    // derive the EXPECTED untouched set from the same assignment
+    val shardOf = corpus().select(col("id"),
+      pmod(xxhash64(col("id")), lit(4L)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val newShard = spark.range(1).select(
+      pmod(xxhash64(lit(100L)), lit(4L))).as[Long].collect().head
+    val touched = Set(shardOf(1L), shardOf(3L), newShard)
+    val patch = Seq(
+      (1L, "beta-v2", "en", 21L, false),
+      (3L, "ignored", "de", 0L, true),
+      (100L, "brand-new", "fr", 99L, false),
+    ).toDF("id", "text", "lang", "n", "_del")
+    Sinks.mergeRows(spark, t, patch, "id",
+      deleteWhen = Some(col("_del")), retainPrevious = true)
+    val rows = spark.read.parquet(s"$t/data")
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 4L, 5L, 6L, 7L, 100L))
+    assert(rows(1L) == "beta-v2" && rows(100L) == "brand-new")
+    val after = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (before.keySet -- touched).foreach(s => assert(after(s) == before(s),
+      s"shard $s held no patched id and must carry forward"))
+    // integrity + CDC composition: the retained generation diffs to
+    // exactly the merge's semantic changes
+    assert(Sinks.verifyShards(spark, t, "id").filter(!col("ok")).isEmpty)
+    val stamp = Sinks.listShardVersions(spark, t).head
+    val feed = Sinks.readRowChanges(spark, t, stamp, "id")
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(feed.toSeq == Seq((1L, "update_postimage"), (1L, "update_preimage"),
+      (3L, "delete"), (100L, "insert")).sortBy(identity))
+  }
+
+  test("mergeRows: duplicate patch ids rejected; empty patch is a no-op; " +
+       "unmatched delete is a no-op") {
+    val t = Files.createTempDirectory("graft_mergespec_").toString + "/c"
+    Sinks.writeShards(corpus(), t, "id", 4)
+    val dup = Seq((1L, "a", "en", 1L), (1L, "b", "en", 2L))
+      .toDF("id", "text", "lang", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeRows(spark, t, dup, "id")
+    }
+    assert(e.getMessage.contains("unique"))
+    val beforeM = spark.read.parquet(s"$t/manifest").collect().toSet
+    Sinks.mergeRows(spark, t,
+      corpus().filter(lit(false)), "id", retainPrevious = true)
+    assert(spark.read.parquet(s"$t/manifest").collect().toSet == beforeM)
+    assert(Sinks.listShardVersions(spark, t).isEmpty)
+    // deleting an id that was never published: MERGE's unmatched
+    // DELETE — no effect on the rows
+    Sinks.mergeRows(spark, t,
+      Seq((999L, "x", "xx", 0L)).toDF("id", "text", "lang", "n"),
+      "id", deleteWhen = Some(lit(true)))
+    assert(spark.read.parquet(s"$t/data").count() == 8)
+  }
+
+  test("mergeRows on an explicit-assignment layout routes rows via the " +
+       "manifest's spec and rejects out-of-range shard values") {
+    val t = freshLayout() // bucket = id mod 4, explicit spec
+    val patch = Seq((2L, "gamma-v2", "de", 31L, 2L))
+      .toDF("id", "text", "lang", "n", "bucket")
+    Sinks.mergeRows(spark, t, patch, "id")
+    val got = spark.read.parquet(s"$t/data").filter(col("id") === 2L)
+      .select("text").as[String].collect()
+    assert(got.toSeq == Seq("gamma-v2"))
+    val bad = Seq((50L, "oob", "en", 1L, 9L))
+      .toDF("id", "text", "lang", "n", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeRows(spark, t, bad, "id")
+    }
+    assert(e.getMessage.contains("outside"))
+    // the failed publish must not have corrupted the layout
+    assert(Sinks.verifyShards(spark, t, "id").filter(!col("ok")).isEmpty)
+  }
+
   test("shard_row_changes TVF answers the same feed from pure SQL") {
     val t = Files.createTempDirectory("graft_cdcspec_").toString + "/c"
     Sinks.writeShards(corpus(), t, "id", 2)
