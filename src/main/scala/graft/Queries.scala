@@ -2826,6 +2826,55 @@ object Queries {
       |SELECT doc_id + 2000000, text, lang, source, n_chars
       |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** q95 — INCREMENTAL CURATION REFRESH under a VALUE oracle (the CDC
+    * consumption loop, end to end): publish documents as the base
+    * corpus, initialize a curated corpus (row-wise gate), delta-publish
+    * a revised base (every 19th doc deleted, every 7th's length
+    * re-stamped, every 29th cloned as a new doc), then catch the
+    * curated corpus up through [[graft.apps.CurationRefresh]] — which
+    * judges ONLY the changed rows and merges a patch. The oracle is
+    * the FULL recuration of v2 expressed in SQL, so the driver's hash
+    * compare proves the incremental path equals the recompute it
+    * replaces — the equality that makes CDC-driven curation
+    * trustworthy at 100 TB. */
+  val q95: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q95_").toString
+    val (basePath, curatedPath) = (s"$root/base", s"$root/curated")
+    val docs = Tables(s, dir).documents
+    val gate = col("n_chars") % 3 =!= 0 && col("lang").isNotNull
+    graft.sinks.Sinks.writeShards(docs, basePath, "doc_id", nShards = 8)
+    graft.sinks.Sinks.writeShards(docs.filter(gate), curatedPath,
+      "doc_id", nShards = 8)
+    val v2 = docs.filter(col("doc_id") % 19 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 7 === 0, col("n_chars") + 1L)
+          .otherwise(col("n_chars")))
+      .unionByName(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text"),
+          col("lang"), col("source"), (col("n_chars") + 2L).as("n_chars")))
+    graft.sinks.Sinks.publishDelta(v2, basePath, "doc_id", nShards = 8,
+      retainPrevious = true)
+    val versions = graft.sinks.Sinks.listShardVersions(s, basePath)
+    require(versions.size == 1,
+      s"q95: expected exactly one retired base generation, got $versions")
+    graft.apps.CurationRefresh.run(s, basePath, versions.head,
+      curatedPath, "doc_id", gate)
+    s.read.parquet(s"$curatedPath/data")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+  val q95Sql: String =
+    """WITH v2 AS (
+      |  SELECT doc_id, text, lang, source,
+      |         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 19 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text, lang, source, n_chars + 2
+      |  FROM documents WHERE doc_id % 29 = 0
+      |)
+      |SELECT doc_id, text, lang, source, n_chars FROM v2
+      |WHERE n_chars % 3 <> 0 AND lang IS NOT NULL""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2923,6 +2972,7 @@ object Queries {
     "q92_takedown" -> q92,
     "q93_row_cdc" -> q93,
     "q94_merge_rows" -> q94,
+    "q95_curation_refresh" -> q95,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3017,5 +3067,6 @@ object Queries {
     "q92_takedown" -> q92Sql,
     "q93_row_cdc" -> q93Sql,
     "q94_merge_rows" -> q94Sql,
+    "q95_curation_refresh" -> q95Sql,
   )
 }

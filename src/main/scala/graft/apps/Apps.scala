@@ -516,6 +516,66 @@ object CorpusCuration {
   }
 }
 
+/** Incremental CURATED-corpus refresh — the CDC consumption loop the
+  * row-level doors exist for: when the BASE corpus publishes a new
+  * generation, catch the curated corpus up by processing ONLY the
+  * changed rows. [[graft.sinks.Sinks.readRowChanges]] yields the
+  * semantic feed since the retained base generation; each inserted or
+  * revised document is re-judged by the row-wise verdict and becomes
+  * an upsert (passes) or a delete marker (fails — it may have been
+  * curated before); each base deletion becomes a delete marker
+  * (takedowns MUST propagate to derived corpora);
+  * [[graft.sinks.Sinks.mergeRows]] applies the patch, rewriting only
+  * the curated shards the patch touches. At 100 TB a 0.1% base
+  * publish costs ~0.1% of rows judged plus the patched shards — the
+  * full recuration it replaces costs the corpus.
+  *
+  * SCOPE — row-LOCAL curation stages only (quality/language gates,
+  * PII scrub, decontamination against a fixed bench bloom): for
+  * those, incremental refresh provably equals full recuration
+  * (CurationRefreshSpec pins the equality). Corpus-frequency stages
+  * (near-dup, boilerplate df, SemDeDup) are not row-local; their
+  * incremental form is the [[graft.streaming.IncrementalDedup]]
+  * machinery (new-vs-corpus candidate probing), composed separately.
+  *
+  * `verdict` must be a deterministic boolean over the base columns
+  * (enforced downstream by mergeRows' patch gate). A verdict that is
+  * NULL on a row counts as fail — curation keeps only positive
+  * judgments, the same null posture as the curation cascade's
+  * filters. */
+object CurationRefresh {
+  final case class Refreshed(manifest: DataFrame, upserts: Long,
+                             deletes: Long)
+
+  def run(spark: SparkSession, basePath: String, sinceStamp: String,
+          curatedPath: String, idCol: String,
+          verdict: org.apache.spark.sql.Column,
+          retainPrevious: Boolean = false): Refreshed = {
+    import graft.sinks.Sinks
+    val feed = Sinks.readRowChanges(spark, basePath, sinceStamp, idCol)
+    val dataCols = feed.columns.filterNot(_ == "_change_type").toSeq
+    // pre-images carry no verdict to apply (the POST state decides);
+    // one pass splits the feed into judged upserts and delete markers
+    val judged = feed.filter(col("_change_type") =!= "update_preimage")
+      .withColumn("_keep",
+        col("_change_type") =!= "delete" && coalesce(verdict, lit(false)))
+      .persist() // the feed is read twice (patch + counts) and its
+                 // lineage re-plans two manifests per evaluation
+    try {
+      val patch = judged
+        .select((dataCols.map(col) :+ (!col("_keep")).as("_drop")): _*)
+      val counts = judged.agg(
+        sum(when(col("_keep"), 1L).otherwise(0L)),
+        sum(when(!col("_keep"), 1L).otherwise(0L))).head
+      val manifest = Sinks.mergeRows(spark, curatedPath, patch, idCol,
+        deleteWhen = Some(col("_drop")), retainPrevious = retainPrevious)
+      Refreshed(manifest,
+        if (counts.isNullAt(0)) 0L else counts.getLong(0),
+        if (counts.isNullAt(1)) 0L else counts.getLong(1))
+    } finally judged.unpersist()
+  }
+}
+
 /** Compaction + snapshot expiry over every lakehouse dir (reference
   * CombinDataAndRemoveOldSnap). */
 object MaintenanceJob {
