@@ -333,6 +333,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.SparkSession.active,
             litString(p, "path"), litString(st, "stamp")) },
       "(path, stamp) as string literals")
+    tvf("shards_point",
+      "shards_point(path, column, value) - point-lookup read via the " +
+        "manifest's per-shard bloom stats: rows where the column's " +
+        "string form equals value, opening only candidate shards",
+      { case Seq(p, c, v) =>
+          graft.sinks.Sinks.readShardsPoint(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"),
+            litString(v, "value")) },
+      "(path, column, value) as string literals")
     tvf("shard_row_changes",
       "shard_row_changes(path, stamp, idCol) - row-level CDC since the " +
         "retained generation: inserted/deleted/updated rows tagged " +

@@ -2875,6 +2875,43 @@ object Queries {
       |SELECT doc_id, text, lang, source, n_chars FROM v2
       |WHERE n_chars % 3 <> 0 AND lang IS NOT NULL""".stripMargin
 
+  /** q96 — BLOOM-PRUNED POINT LOOKUP under a VALUE oracle (content
+    * addressing on a published corpus): publish documents
+    * hash-sharded WITH a normalized-text fingerprint column and
+    * per-shard bloom stats on it, then answer "fetch the doc(s) with
+    * this exact fingerprint" through
+    * [[graft.sinks.Sinks.readShardsPoint]] — which probes one bloom
+    * per SHARD at planning time and opens only candidates. On a
+    * hash-sharded corpus min/max zones can never prune a point
+    * predicate (every value range spans every shard); the bloom is
+    * the stat that can. The oracle replays the same fingerprint
+    * lookup over the base table, so the hash compare proves one-sided
+    * pruning lost nothing; BloomZoneSpec measures the shards actually
+    * opened (1 candidate of 8 here). */
+  val q96: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q96_").toString
+    val t = s"$root/corpus"
+    val docs = Tables(s, dir).documents
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8,
+      bloomCols = Seq("fp"))
+    // the needle: fingerprint of a known doc (bounded 1-row collect —
+    // the caller of a content-addressed lookup holds the key)
+    val needle = docs.filter(col("doc_id") === 42L)
+      .select(col("fp")).collect().head.getString(0)
+    graft.sinks.Sinks.readShardsPoint(s, t, "fp", needle)
+      .select("doc_id", "text", "lang", "source", "n_chars", "fp")
+  }
+  val q96Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         md5(regexp_replace(regexp_replace(lower(text),
+      |           '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS fp
+      |  FROM documents
+      |)
+      |SELECT doc_id, text, lang, source, n_chars, fp FROM f
+      |WHERE fp = (SELECT fp FROM f WHERE doc_id = 42)""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -2973,6 +3010,7 @@ object Queries {
     "q93_row_cdc" -> q93,
     "q94_merge_rows" -> q94,
     "q95_curation_refresh" -> q95,
+    "q96_bloom_point" -> q96,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3068,5 +3106,6 @@ object Queries {
     "q93_row_cdc" -> q93Sql,
     "q94_merge_rows" -> q94Sql,
     "q95_curation_refresh" -> q95Sql,
+    "q96_bloom_point" -> q96Sql,
   )
 }

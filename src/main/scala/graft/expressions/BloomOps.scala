@@ -99,6 +99,21 @@ object BloomOps {
   def bloomAgg(item: Column, mBits: Int, k: Int): Column =
     udaf(new BloomAgg(mBits, k)).apply(item)
 
+  /** Driver-side probe over a plain string — the same kernel and the
+    * same UTF-8 byte form as [[BloomAgg]]'s build, for planners that
+    * hold the bits as data rather than in an expression (the shard
+    * manifest's `zbloom_*` stats: one probe per SHARD at planning
+    * time, not per row). */
+  def containsMaybe(bits: Array[Long], k: Int, s: String): Boolean = {
+    val bytes = s.getBytes("UTF-8")
+    val mBits = bits.length * 64
+    var hit = true
+    setBits(bytes, k, mBits, { bit =>
+      if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) hit = false
+    })
+    hit
+  }
+
   /** THE probe kernel shared by the literal and broadcast expressions
     * — one definition so the two can never drift. */
   private[expressions] def probe(v: Any, bits: Array[Long], k: Int): Any = {

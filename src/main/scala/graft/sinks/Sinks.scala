@@ -578,8 +578,14 @@ object Sinks {
                   nShards: Int, retainPrevious: Boolean = false,
                   zoneCols: Seq[String] = Nil,
                   shardCol: Option[String] = None,
-                  sortCols: Seq[String] = Nil): DataFrame = {
+                  sortCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil,
+                  bloomFpp: Double = 0.01): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(bloomCols.forall(df.columns.contains),
+      s"bloomCols must be input columns; missing: ${
+        bloomCols.filterNot(df.columns.contains).mkString(", ")}")
+    require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp in (0,1), got $bloomFpp")
     shardCol.foreach(c => require(df.columns.contains(c),
       s"shardCol '$c' is not a column of the input (${df.columns.mkString(", ")})"))
     require(zoneCols.forall(df.columns.contains),
@@ -603,7 +609,7 @@ object Sinks {
     val lease = acquirePublishLease(fs, base)
     try {
       writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
-        retainPrevious, zoneCols, shardCol, sortCols)
+        retainPrevious, zoneCols, shardCol, sortCols, bloomCols, bloomFpp)
     } finally releasePublishLease(fs, base, lease)
   }
 
@@ -622,7 +628,9 @@ object Sinks {
                                 retainPrevious: Boolean = false,
                                 zoneCols: Seq[String] = Nil,
                                 shardCol: Option[String] = None,
-                                sortCols: Seq[String] = Nil): DataFrame = {
+                                sortCols: Seq[String] = Nil,
+                                bloomCols: Seq[String] = Nil,
+                                bloomFpp: Double = 0.01): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
     // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
@@ -676,9 +684,23 @@ object Sinks {
         "shard", org.apache.spark.sql.types.LongType))
     val written = spark.read.schema(writtenSchema)
       .parquet(stagedData.toString)
+    // bloom sizing from the written bytes: parquet answers count()
+    // from footers, so this is a metadata pass, not a scan. ×2 slack
+    // absorbs shard skew (hash sharding balances; explicit binning
+    // may not) — an overfull shard degrades toward more false
+    // positives (extra shards read), never false negatives.
+    val bloomSpec =
+      if (bloomCols.isEmpty) None
+      else {
+        import graft.expressions.BloomOps
+        val perShard = math.max(64L, math.ceil(
+          written.count().toDouble * 2 / nShards).toLong)
+        val mBits = BloomOps.sizeFor(perShard, bloomFpp)
+        Some((bloomCols, mBits, BloomOps.hashesFor(perShard, mBits)))
+      }
     val manifest = stampSpec(
-      shardSummary(written, idCol, dataCols, zoneCols), shardCol, nShards,
-      sortCols)
+      shardSummary(written, idCol, dataCols, zoneCols, bloomSpec),
+      shardCol, nShards, sortCols)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
     // explicit-assignment validation BEFORE the commit marker: a shard
@@ -1003,7 +1025,9 @@ object Sinks {
     * together or every healthy publish starts failing verification. */
   private def shardSummary(written: DataFrame, idCol: String,
                            dataCols: Seq[String],
-                           zoneCols: Seq[String] = Nil): DataFrame = {
+                           zoneCols: Seq[String] = Nil,
+                           bloom: Option[(Seq[String], Int, Int)] = None)
+      : DataFrame = {
     // zone maps: per-shard min/max of declared columns (Iceberg's
     // manifest column stats) — nulls are ignored by min/max, matching
     // the pruning reader's filter semantics (a predicate row-filters
@@ -1016,13 +1040,49 @@ object Sinks {
     val zoneAggs = zoneCols.flatMap(c => Seq(
       min(col(c)).as(s"zmin_$c"), max(col(c)).as(s"zmax_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"znull_$c")))
-    written
+    // zbloom_<c>: per-shard bloom over the column's STRING form
+    // (Iceberg v2 bloom filters at the manifest grain) — point
+    // predicates on high-cardinality non-clustered columns prune
+    // shards min/max never could (a hash-sharded corpus spreads every
+    // domain everywhere; its fingerprint bloom still answers "not in
+    // this shard" for all but ~ε of them). One-sided like every zone
+    // stat: a NULL bloom (legacy carry) reads as unknown → shard kept.
+    // zbloomk_<c> records the hash count; bits length gives m.
+    val bloomAggs = bloom.toSeq.flatMap { case (cols, mBits, k) =>
+      cols.map(c => graft.expressions.BloomOps
+        .bloomAgg(col(c).cast("string"), mBits, k).as(s"zbloom_$c")) }
+    val base = written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         (Seq(min(col(idCol)).as("min_id"),
           max(col(idCol)).as("max_id"),
           sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
-          ++ zoneAggs): _*)
+          ++ zoneAggs ++ bloomAggs): _*)
+    bloom.fold(base) { case (cols, _, k) =>
+      cols.foldLeft(base)((m, c) =>
+        m.withColumn(s"zbloomk_$c", lit(k)))
+    }
+  }
+
+  /** The bloom declaration a live manifest carries, for rewrites that
+    * must recompute stats consistently across generations: bloomed
+    * columns from the `zbloom_*` names, (mBits, k) from any shard row
+    * with a non-null filter. None when the layout declares no blooms
+    * OR every row's bloom is null (an all-legacy carry can't size a
+    * rebuild — rewritten shards then publish null blooms, the
+    * documented unknown that readers keep conservatively). */
+  private def bloomSpecOf(live: DataFrame): Option[(Seq[String], Int, Int)] = {
+    val cols = live.columns.filter(_.startsWith("zbloom_"))
+      .map(_.stripPrefix("zbloom_")).toSeq
+    if (cols.isEmpty) None
+    else {
+      val c0 = cols.head
+      live.filter(col(s"zbloom_$c0").isNotNull &&
+          col(s"zbloomk_$c0").isNotNull)
+        .select(col(s"zbloom_$c0"), col(s"zbloomk_$c0"))
+        .limit(1).collect().headOption
+        .map(r => (cols, r.getSeq[Long](0).length * 64, r.getInt(1)))
+    }
   }
 
   /** Stamp a manifest with the generation's DECLARED partition spec
@@ -1182,6 +1242,54 @@ object Sinks {
         spark.read.option("basePath", dataDir)
           .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
     pruned.filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
+  }
+
+  /** Candidate shards for the point predicate `column = value` from
+    * the manifest's per-shard bloom stats alone — one probe per SHARD
+    * row, no data touched. One-sided: the result is a SUPERSET of the
+    * shards actually holding the value (≈ε extra under the declared
+    * fpp); a shard whose bloom is NULL (legacy carry) is kept
+    * conservatively. `value` is the STRING form of the sought value —
+    * blooms are built over `CAST(col AS STRING)`, so probe with the
+    * same canonical spelling. */
+  def bloomCandidateShards(spark: SparkSession, path: String,
+                           column: String, value: String,
+                           stamp: Option[String] = None): Seq[Long] = {
+    val m = shardStats(spark, path, stamp)
+    require(m.columns.contains(s"zbloom_$column"),
+      s"no bloom stats for '$column' in $path/manifest — publish with " +
+        s"bloomCols = Seq(...\"$column\"...) to enable point pruning " +
+        s"(have: ${m.columns.filter(_.startsWith("zbloom_"))
+          .map(_.stripPrefix("zbloom_")).mkString(", ")})")
+    // bounded collect: one row per shard, the manifest envelope
+    m.select(col("shard"), col(s"zbloom_$column"), col(s"zbloomk_$column"))
+      .collect().toSeq
+      .filter(r => r.isNullAt(1) || r.isNullAt(2) ||
+        graft.expressions.BloomOps.containsMaybe(
+          r.getSeq[Long](1).toArray, r.getInt(2), value))
+      .map(_.getLong(0)).sorted
+  }
+
+  /** POINT-LOOKUP read on a published layout via bloom pruning: the
+    * rows where `column`'s string form equals `value`, opening only
+    * the shards whose bloom might hold it. This is the door min/max
+    * zones can't be on a hash-sharded corpus — every domain/
+    * fingerprint value spreads across all shards, so range stats
+    * never exclude anything, while a bloom answers "not in this
+    * shard" for all but ~ε of them. The 100 TB shapes: "is this
+    * exact document (content fingerprint) already published?",
+    * "fetch everything from domain X" — membership and retrieval at
+    * manifest-planning cost. Exact by construction: bloom pruning is
+    * one-sided and the survivors are row-filtered. */
+  def readShardsPoint(spark: SparkSession, path: String,
+                      column: String, value: String): DataFrame = {
+    val keep = bloomCandidateShards(spark, path, column, value)
+    val dataDir = s"$path/data"
+    val pruned =
+      if (keep.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+      else spark.read.option("basePath", dataDir)
+        .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
+    pruned.filter(col(column).cast("string") === lit(value))
   }
 
   /** Retained PUBLISHED generations of a [[writeShards]] layout,
@@ -1586,7 +1694,11 @@ object Sinks {
           else stampSpec(shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
               .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
-            effectiveZones), shardCol, nShards, effectiveSort)
+            // bloom stats are a layout property like zones: rewritten
+            // shards rebuild them under the live generation's (m, k)
+            // so probes stay comparable across generations
+            effectiveZones, bloomSpecOf(live)), shardCol, nShards,
+            effectiveSort)
         val keptManifest = stampSpec(
           (if (unchanged.isEmpty) live.filter(lit(false))
            else live.filter(col("shard").isin(unchanged.toSeq: _*)))
@@ -1760,8 +1872,8 @@ object Sinks {
       // stats recomputed), carried live rows for linked ones
       val rewrittenManifest = stampSpec(shardSummary(
         spark.read.schema(writtenSchema).parquet(stagedData.toString)
-          .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones),
-        shardColOpt, nShards, sortCols)
+          .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones,
+        bloomSpecOf(live)), shardColOpt, nShards, sortCols)
       val keptManifest = stampSpec(
         (if (kept.isEmpty) live.filter(lit(false))
          else live.filter(col("shard").isin(kept: _*)))
