@@ -29,7 +29,8 @@ private[plans] object ShardLayouts {
                                   attrs: Seq[Attribute],
                                   rows: Array[InternalRow],
                                   shardOrdinal: Int,
-                                  zoneCols: Set[String])
+                                  zoneCols: Set[String],
+                                  bloomCols: Set[String])
 
   private val manifests = new ConcurrentHashMap[String, CachedManifest]()
 
@@ -76,7 +77,7 @@ private[plans] object ShardLayouts {
       val token = generationToken(fs, manifestPath)
       val key = manifestPath.toString
       val cached = manifests.get(key)
-      if (cached != null && cached.token == token) return zoneOk(cached)
+      if (cached != null && cached.token == token) return statsOk(cached)
       val df = spark.read.parquet(key)
       val attrs = df.queryExecution.analyzed.output
       val shardOrdinal = attrs.indexWhere(_.name == "shard")
@@ -85,18 +86,26 @@ private[plans] object ShardLayouts {
       val zoneCols = attrs.collect {
         case a if a.name.startsWith("zmin_") => a.name.stripPrefix("zmin_")
       }.toSet
+      val bloomCols = attrs.collect {
+        case a if a.name.startsWith("zbloom_") => a.name.stripPrefix("zbloom_")
+      }.toSet
       // one row per shard by contract — the same bounded collect the
       // publisher's own manifest reads perform
       val rows = df.queryExecution.toRdd.map(_.copy()).collect()
-      val entry = CachedManifest(token, key, attrs, rows, shardOrdinal, zoneCols)
+      val entry = CachedManifest(token, key, attrs, rows, shardOrdinal,
+        zoneCols, bloomCols)
       if (manifests.size > 256) manifests.clear()
       manifests.put(key, entry)
-      zoneOk(entry)
+      statsOk(entry)
     } catch {
       case _: Exception => None
     }
   }
 
-  private def zoneOk(m: CachedManifest): Option[CachedManifest] =
-    if (m.zoneCols.nonEmpty) Some(m) else None
+  /** Range zones OR blooms make a manifest worth consulting; n_rows
+    * alone also powers [[ManifestAggregates]]' COUNT(*), but a
+    * stat-free manifest (neither family) is left alone to preserve
+    * the historical zone-gated behavior of every consumer. */
+  private def statsOk(m: CachedManifest): Option[CachedManifest] =
+    if (m.zoneCols.nonEmpty || m.bloomCols.nonEmpty) Some(m) else None
 }

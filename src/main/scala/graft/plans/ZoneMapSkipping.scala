@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -97,13 +98,21 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
       // nothing rather than prune everything
       shardAttr <- l.output.find(a => a.name == "shard" &&
         (a.dataType == IntegerType || a.dataType == LongType))
-      preds = splitConjunctivePredicates(cond)
-        .flatMap(toManifestPredicate(_, mf))
-      if preds.nonEmpty
+      conjuncts = splitConjunctivePredicates(cond)
+      preds = conjuncts.flatMap(toManifestPredicate(_, mf))
+      blooms = conjuncts.flatMap(toBloomProbe(_, mf))
+      if preds.nonEmpty || blooms.nonEmpty
     } yield {
-      val pred = Predicate.create(preds.reduce(And), mf.attrs)
-      pred.initialize(0)
-      val keep = mf.rows.filter(pred.eval).map(_.getLong(mf.shardOrdinal))
+      val predOk: InternalRow => Boolean =
+        if (preds.isEmpty) _ => true
+        else {
+          val p = Predicate.create(preds.reduce(And), mf.attrs)
+          p.initialize(0)
+          p.eval _
+        }
+      val keep = mf.rows
+        .filter(r => predOk(r) && blooms.forall(_.keeps(r)))
+        .map(_.getLong(mf.shardOrdinal))
       val keepConjunct =
         if (keep.isEmpty) Literal.FalseLiteral
         else if (keep.length <= 100)
@@ -116,7 +125,7 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
           InSet(shardAttr, keep.map(shardValue(_, shardAttr)).toSet)
       logInfo(s"zone-map skipping at $dataDir: " +
         s"${keep.length}/${mf.rows.length} shards survive " +
-        s"${preds.length} stat predicate(s)")
+        s"${preds.length} stat predicate(s) + ${blooms.length} bloom probe(s)")
       Filter(And(cond, keepConjunct), l)
     }
   } catch {
@@ -235,6 +244,69 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
         mf.attrs.find(s => s.name == s"znull_${a.name}" &&
             s.dataType == LongType)
           .map(z => Or(IsNull(z), GreaterThan(z, Literal(0L))))
+      case _ => None
+    }
+  }
+
+  /** One bloom-prunable conjunct: keep a shard iff its bloom MIGHT
+    * hold any of `values` (OR-set — an IN list), with per-row
+    * conservatism: null bits / null k / a type stamp that disagrees
+    * with the scan's column type all read as unknown ⇒ keep. */
+  private final case class BloomProbe(bloomOrd: Int, kOrd: Int,
+                                      typeOrd: Int, typeName: String,
+                                      values: Seq[String]) {
+    def keeps(r: InternalRow): Boolean =
+      r.isNullAt(bloomOrd) || r.isNullAt(kOrd) || r.isNullAt(typeOrd) ||
+        r.getUTF8String(typeOrd).toString != typeName || {
+          val bits = r.getArray(bloomOrd).toLongArray()
+          val k = r.getInt(kOrd)
+          values.exists(v =>
+            graft.expressions.BloomOps.containsMaybe(bits, k, v))
+        }
+  }
+
+  /** Translate a point conjunct (`a = v`, `a <=> v`, `a IN (v…)`) on a
+    * BLOOMED column into a driver-side probe — the stat that prunes
+    * where min/max can't (hash-sharded layouts spread every value
+    * range across every shard). The probe value is the comparand cast
+    * to string under the session time zone, the same canonical form
+    * [[graft.sinks.Sinks]]' shardSummary builds the bits over; the
+    * `zbloomt_*` type stamp gates against read schemas that re-type
+    * the column (a different cast spelling would false-negative —
+    * with the gate the shard is simply kept). */
+  private def toBloomProbe(conjunct: Expression,
+                           mf: CachedManifest): Option[BloomProbe] = {
+    def ord(name: String): Int = mf.attrs.indexWhere(_.name == name)
+    def probeFor(a: AttributeReference,
+                 vs: Seq[Expression]): Option[BloomProbe] = {
+      if (!mf.bloomCols.contains(a.name)) return None
+      val (b, k, t) = (ord(s"zbloom_${a.name}"), ord(s"zbloomk_${a.name}"),
+        ord(s"zbloomt_${a.name}"))
+      if (b < 0 || k < 0 || t < 0) return None
+      val tz = Option(SQLConf.get.sessionLocalTimeZone)
+      val strs = vs.map { v =>
+        val s = Cast(Literal.create(v.eval(), v.dataType),
+          org.apache.spark.sql.types.StringType, tz).eval()
+        if (s == null) null else s.toString
+      }
+      // a null comparand can never equal anything — the row filter
+      // already kills the query's rows; prune nothing here
+      if (strs.exists(_ == null)) None
+      else Some(BloomProbe(b, k, t, a.dataType.catalogString, strs))
+    }
+    object Const {
+      def unapply(e: Expression): Option[Expression] =
+        if (e.foldable && e.deterministic) Some(e) else None
+    }
+    conjunct match {
+      case EqualTo(a: AttributeReference, Const(v)) => probeFor(a, Seq(v))
+      case EqualTo(Const(v), a: AttributeReference) => probeFor(a, Seq(v))
+      case EqualNullSafe(a: AttributeReference, Const(v))
+          if v.eval() != null => probeFor(a, Seq(v))
+      case EqualNullSafe(Const(v), a: AttributeReference)
+          if v.eval() != null => probeFor(a, Seq(v))
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(v => v.foldable && v.deterministic) => probeFor(a, vs)
       case _ => None
     }
   }

@@ -1060,7 +1060,13 @@ object Sinks {
           ++ zoneAggs ++ bloomAggs): _*)
     bloom.fold(base) { case (cols, _, k) =>
       cols.foldLeft(base)((m, c) =>
-        m.withColumn(s"zbloomk_$c", lit(k)))
+        m.withColumn(s"zbloomk_$c", lit(k))
+          // the bloomed column's DATA type, for the automatic planner
+          // rule's type-parity gate: a probe under a read schema that
+          // re-types the column could canonicalize differently and
+          // false-negative — the rule probes only when types agree
+          .withColumn(s"zbloomt_$c",
+            lit(written.schema(c).dataType.catalogString)))
     }
   }
 

@@ -119,6 +119,32 @@ class BloomZoneSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("AUTOMATIC bloom pruning: a plain read + point filter gets the " +
+       "shard conjunct from the planner rule, exactly") {
+    val t = Files.createTempDirectory("graft_bloom_").toString + "/pub"
+    Sinks.writeShards(corpus(400), t, "id", nShards = 8,
+      bloomCols = Seq("key"))
+    val q = spark.read.parquet(s"$t/data").filter(col("key") === "k251")
+    // the user filter never mentions shard; any shard conjunct in the
+    // optimized condition is the rule's injection (a single survivor
+    // simplifies to `shard = N`, larger sets to IN/INSET)
+    val cond = q.queryExecution.optimizedPlan.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+    }.map(_.toString).getOrElse("")
+    assert(cond.matches("""(?s).*shard#\d+L? (=|IN).*"""),
+      s"expected an injected shard conjunct in: $cond")
+    assert(q.select("id").as[Long].collect().toSeq == Seq(251L))
+    // IN-list point probes prune through the same arm
+    val q2 = spark.read.parquet(s"$t/data")
+      .filter(col("key").isin("k3", "k77"))
+    assert(q2.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 77L))
+    // and a value the corpus never held: zero candidate shards → the
+    // rule injects a false conjunct, zero files read
+    val q3 = spark.read.parquet(s"$t/data")
+      .filter(col("key") === "never-there")
+    assert(q3.isEmpty)
+  }
+
   test("probe kernel parity: driver-side containsMaybe agrees with the " +
        "aggregate it probes") {
     val items = (0 until 500).map(i => s"item-$i")
