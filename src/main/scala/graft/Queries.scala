@@ -2912,6 +2912,49 @@ object Queries {
       |SELECT doc_id, text, lang, source, n_chars, fp FROM f
       |WHERE fp = (SELECT fp FROM f WHERE doc_id = 42)""".stripMargin
 
+  /** q97 — Z-ORDER clustered layout, pruned reads on BOTH dimensions.
+    *
+    * Publishes events z-ordered on (user_id, ts_sec) — the
+    * multi-column clustering door ([[graft.storage.ZOrder]], the
+    * OPTIMIZE ZORDER analog) — then answers a user-range aggregate AND
+    * a time-range aggregate from the SAME layout, each via zone-map
+    * shard pruning on its own dimension. One-dimensional clustering
+    * picks which of those two queries gets pruning; the z-curve gives
+    * ≈S·√f shard reads to both. Value-exact: pruning is one-sided
+    * (superset of shards) and survivors are row-filtered, so the
+    * result equals the plain filters the oracle runs. */
+  val q97: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q97_").toString
+    val t = s"$root/events_z"
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    // events.ts is TIMESTAMP_NTZ (nanos parquet → converted); NTZ has
+    // no direct long cast — hop through session-TZ timestamp (UTC)
+    val ev = Tables(s, dir).events
+      .withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))
+    graft.storage.ZOrder.publish(ev, t, "event_id",
+      Seq("user_id", "ts_sec"), nShards = 16, bitsPerDim = 8)
+    // 2024-01-10 .. 2024-01-13 UTC (a ~tenth of the corpus month) and
+    // a fixed 20-user band — both windows populated at every SF
+    val byUser = graft.sinks.Sinks
+      .readShardsBetween(s, t, "user_id", 10L, 29L)
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("cents"))
+      .select(lit("by_user").as("dim"), col("cnt"), col("cents"))
+    val byTime = graft.sinks.Sinks
+      .readShardsBetween(s, t, "ts_sec", 1704844800L, 1705103999L)
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("cents"))
+      .select(lit("by_time").as("dim"), col("cnt"), col("cents"))
+    byUser.unionAll(byTime)
+  }
+  val q97Sql: String =
+    """SELECT 'by_user' AS dim, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE user_id BETWEEN 10 AND 29
+      |UNION ALL
+      |SELECT 'by_time' AS dim, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |WHERE CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704844800 AND 1705103999""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3011,6 +3054,7 @@ object Queries {
     "q94_merge_rows" -> q94,
     "q95_curation_refresh" -> q95,
     "q96_bloom_point" -> q96,
+    "q97_zorder" -> q97,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3107,5 +3151,6 @@ object Queries {
     "q94_merge_rows" -> q94Sql,
     "q95_curation_refresh" -> q95Sql,
     "q96_bloom_point" -> q96Sql,
+    "q97_zorder" -> q97Sql,
   )
 }
