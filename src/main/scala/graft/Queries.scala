@@ -2955,6 +2955,100 @@ object Queries {
       |FROM events
       |WHERE CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704844800 AND 1705103999""".stripMargin
 
+  /** q98 — METADATA-ONLY SUM under a VALUE oracle
+    * ([[graft.plans.ManifestAggregates]] `zsum_*`): events published
+    * with an integral `cents` revenue column zone-mapped, then the
+    * corpus-wide `SUM(cents)` / `COUNT(*)` / `COUNT(cents)` /
+    * `MIN`/`MAX(user_id)` totals — plus `MIN`/`MAX(event_id)` over the
+    * UNDECLARED identity column, answered by the min_id/max_id stats
+    * the `spec_id` stamp names — all from the one-row-per-shard
+    * manifest, zero data files opened. Long addition is associative
+    * even under wrap, so Σ of per-shard sums is bit-identical to the
+    * data scan's Sum (the reason the publisher records zsum only for
+    * integral zone columns); the oracle recomputes every total from
+    * the raw table, proving it. At 100 TB: the daily "total revenue,
+    * row count, id range" dashboard query at manifest cost — the
+    * Iceberg metadata-only aggregate shape extended from COUNT/MIN/MAX
+    * to exact SUM. Publish cached per (session, sf): the bench
+    * measures the metadata READ. */
+  private val q98Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  def q98Publish(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q98_").toString
+    val pub = s"$root/pub"
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.sinks.Sinks.writeShards(ev, pub, "event_id", nShards = 16,
+      zoneCols = Seq("cents", "user_id"))
+    q98Published.put(s, (dir, pub))
+    pub
+  }
+
+  val q98: Q = (s, dir) => {
+    val cached = q98Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q98Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .agg(sum(col("cents")).as("total_cents"),
+        count(lit(1)).as("n_events"),
+        count(col("cents")).as("n_vals"),
+        min(col("user_id")).as("first_user"),
+        max(col("user_id")).as("last_user"),
+        // event_id is NOT zone-mapped: these ride the min_id/max_id
+        // stats via the spec_id stamp (the id-column rewrite arm)
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+  }
+  val q98Sql: String =
+    """SELECT CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |       COUNT(*) AS n_events,
+      |       COUNT(round(value*100)) AS n_vals,
+      |       MIN(user_id) AS first_user, MAX(user_id) AS last_user,
+      |       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM events""".stripMargin
+
+  /** q99 — PARTITION-ALIGNED FILTERED COUNT under a VALUE oracle
+    * ([[graft.plans.ManifestAggregates]] filtered-count rewrite, the
+    * Iceberg residual-planning shape): `COUNT(*)` with a date-range
+    * filter over the q90 year-clustered layout, split shard-by-shard —
+    * years fully inside the range are counted from the manifest's
+    * `n_rows` (provably-full: zmin/zmax inside the bounds, znull = 0),
+    * the one straddling boundary year is scanned and row-filtered,
+    * disjoint years are dropped. Two spans: a straddling range
+    * (manifest + one-shard scan) and an aligned one (zero data files).
+    * The oracle replays both filters over the raw table, so the hash
+    * compare proves the split loses nothing. At 100 TB: "rows in this
+    * date window" opens the two boundary shards instead of the corpus. */
+  val q99: Q = (s, dir) => {
+    val cached = q90Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q90Publish(s, dir)
+    def span(name: String, cond: Column): DataFrame =
+      s.read.parquet(s"$pub/data").filter(cond)
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("span"), col("cnt"))
+    span("straddling",
+      col("o_orderdate") >= lit("1996-03-15 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <= lit("1998-12-31 23:59:59").cast("timestamp"))
+      .unionAll(span("aligned",
+        col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")))
+  }
+  val q99Sql: String =
+    """SELECT 'straddling' AS span, COUNT(*) AS cnt FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-15 00:00:00'
+      |                      AND TIMESTAMP '1998-12-31 23:59:59'
+      |UNION ALL
+      |SELECT 'aligned' AS span, COUNT(*) AS cnt FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3055,6 +3149,8 @@ object Queries {
     "q95_curation_refresh" -> q95,
     "q96_bloom_point" -> q96,
     "q97_zorder" -> q97,
+    "q98_metadata_sum" -> q98,
+    "q99_aligned_count" -> q99,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3152,5 +3248,7 @@ object Queries {
     "q95_curation_refresh" -> q95Sql,
     "q96_bloom_point" -> q96Sql,
     "q97_zorder" -> q97Sql,
+    "q98_metadata_sum" -> q98Sql,
+    "q99_aligned_count" -> q99Sql,
   )
 }

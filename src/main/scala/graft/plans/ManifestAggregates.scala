@@ -1,13 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: METADATA-ONLY aggregates over published shard
   * layouts — `COUNT(*)` / `MIN` / `MAX(zone col)` on a plain
@@ -42,6 +43,18 @@ import org.apache.spark.sql.types.LongType
   *     null count — a legacy generation carried forward by a delta
   *     publish has znull = null (unknown) and the rule bails rather
   *     than undercount.
+  *   - `MIN`/`MAX` of the layout's IDENTITY column = min/max over
+  *     min_id/max_id — stats every manifest row carries regardless of
+  *     zone declarations; the `spec_id` stamp names the column, and
+  *     the rewrite requires every row to agree non-null on it (a
+  *     legacy carry has spec_id = null → bail).
+  *   - `SUM(c)` (c an INTEGRAL zone column) = Σ zsum_c: long adds are
+  *     associative even under two's-complement wrap, so the per-shard
+  *     split is bit-exact however either side orders the adds. A NULL
+  *     zsum is accepted only when znull == n_rows proves the shard
+  *     all-null (the scan's Sum skips those rows too); any other NULL
+  *     is a legacy carry and the rule bails. Float sums never rewrite
+  *     (rounding is order-dependent).
   * The rule fires ONLY on the exact global-aggregate shape (no
   * grouping, no filters anywhere below, no DISTINCT, no agg filter
   * clause, every aggregate rewritable, aggregated columns
@@ -49,9 +62,21 @@ import org.apache.spark.sql.types.LongType
   * wrong answers are impossible, only missed savings. Kill switch:
   * `spark.graft.manifestAggregates.enabled=false`.
   */
-object ManifestAggregates extends Rule[LogicalPlan] {
+object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.manifestAggregates.enabled"
+  private val FilteredCountKey =
+    "spark.graft.manifestAggregates.filteredCount.enabled"
+
+  /** Types whose Sum is exactly decomposable into per-shard partials:
+    * long addition is associative even under two's-complement wrap, so
+    * Σ zsum ≡ the data scan's Sum bit-for-bit regardless of either
+    * side's add order. Floats are NOT (rounding depends on order) and
+    * never rewrite. */
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -60,7 +85,13 @@ object ManifestAggregates extends Rule[LogicalPlan] {
         dataScanOf(child) match {
           case Some(fsr) =>
             rewrite(agg, aggExprs, fsr).getOrElse(agg)
-          case None => agg
+          case None => filteredScanOf(child) match {
+            case Some((cond, l, fsr)) if SQLConf.get.getConfString(
+                FilteredCountKey, "true").toBoolean =>
+              rewriteFilteredCount(agg, aggExprs, cond, l, fsr)
+                .getOrElse(agg)
+            case _ => agg
+          }
         }
     }
   }
@@ -108,6 +139,12 @@ object ManifestAggregates extends Rule[LogicalPlan] {
   private final case class CountCol(zoneCol: String) extends Recipe
   private final case class MinStat(zoneCol: String) extends Recipe
   private final case class MaxStat(zoneCol: String) extends Recipe
+  private final case class SumStat(zoneCol: String) extends Recipe
+  // MIN/MAX of the layout's declared identity column — answered from
+  // the min_id/max_id stats EVERY manifest row carries (no zone
+  // declaration needed; the spec_id stamp names the column)
+  private case object MinId extends Recipe
+  private case object MaxId extends Recipe
 
   /** COUNT(col) = Σ (n_rows - znull_col), but ONLY when every cached
     * manifest row carries a recorded null count — a legacy generation
@@ -119,6 +156,237 @@ object ManifestAggregates extends Rule[LogicalPlan] {
       a.dataType == LongType)
     i >= 0 && mf.rows.forall(!_.isNullAt(i))
   }
+
+  /** SUM(col) = Σ zsum_col (long adds are associative even under wrap,
+    * so the split into per-shard partials is bit-exact; the publisher
+    * records zsum only for INTEGRAL zone columns for this reason).
+    * A NULL zsum is legitimate exactly when the shard's column is
+    * all-null (znull == n_rows: the data scan's Sum skips those rows
+    * too) — any other NULL is a legacy carry with an UNKNOWN sum and
+    * the rule must bail rather than under-add. */
+  private def zsumComplete(mf: ShardLayouts.CachedManifest,
+                           c: String): Boolean = {
+    val si = mf.attrs.indexWhere(a => a.name == s"zsum_$c" &&
+      a.dataType == LongType)
+    val zi = mf.attrs.indexWhere(a => a.name == s"znull_$c" &&
+      a.dataType == LongType)
+    val ni = mf.attrs.indexWhere(a => a.name == "n_rows" &&
+      a.dataType == LongType)
+    si >= 0 && zi >= 0 && ni >= 0 && mf.rows.forall(r =>
+      !r.isNullAt(si) || (!r.isNullAt(zi) && !r.isNullAt(ni) &&
+        r.getLong(zi) == r.getLong(ni)))
+  }
+
+  /** The layout data scan under a FILTER (plus attribute-only Projects
+    * on either side) — the shape the filtered-count rewrite serves.
+    * Same file-restriction bails as [[dataScanOf]]. */
+  private def filteredScanOf(plan: LogicalPlan)
+      : Option[(Expression, LogicalRelation, HadoopFsRelation)] =
+    plan match {
+      case Filter(cond, inner) =>
+        def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+          case l: LogicalRelation => Some(l)
+          case Project(pl, c) if pl.forall(
+              _.isInstanceOf[AttributeReference]) => strip(c)
+          case _ => None
+        }
+        strip(inner).flatMap { l =>
+          l.relation match {
+            case fsr: HadoopFsRelation if ShardLayouts.isLayoutScan(fsr) &&
+                !fsr.options.keysIterator.exists(k =>
+                  FileRestrictingOptions.contains(k.toLowerCase(
+                    java.util.Locale.ROOT))) &&
+                !SQLConf.get.ignoreCorruptFiles &&
+                !SQLConf.get.ignoreMissingFiles => Some((cond, l, fsr))
+            case _ => None
+          }
+        }
+      case Project(pl, child) if pl.forall(
+          _.isInstanceOf[AttributeReference]) => filteredScanOf(child)
+      case _ => None
+    }
+
+  /** PARTITION-ALIGNED FILTERED COUNT: `COUNT(*)` under a conjunctive
+    * zone-column filter, split shard-by-shard into
+    *   - FULL shards (every row provably passes —
+    *     [[ZoneMapSkipping.toFullPredicate]]): counted from the
+    *     manifest's `n_rows`, zero data files opened;
+    *   - PARTIAL shards (may intersect but not provably full): the
+    *     original filter + count over ONLY those shards;
+    *   - the rest: provably disjoint, dropped.
+    * The emitted plan is `Sum(cnt)` over a Union of (a) a manifest
+    * scan projecting n_rows for the full shards and (b) the counted
+    * filtered data scan of the partial shards — plan-to-plan like
+    * every rewrite here; the rule computes shard CLASSIFICATION
+    * driver-side (bounded, cached manifest) but never a count.
+    * At 100 TB this is the Iceberg residual-planning shape: "rows in
+    * this date range" opens only the two boundary shards.
+    *
+    * All-or-nothing: EVERY conjunct must be full-analyzable (a value
+    * shape toFullPredicate proves, or a shard-membership conjunct a
+    * prior ZoneMapSkipping pass added — evaluated exactly against each
+    * row's shard id), and every aggregate must be COUNT(*). One
+    * unsupported element → plan untouched. Termination under the
+    * fixpoint batch: the rewritten partial branch carries a
+    * `shard IN (partial)` conjunct that is DISJOINT from any full set
+    * a re-entry could prove (partial = keep ∖ full against the same
+    * cached stats), so re-entry finds no full shards and bails. */
+  private def rewriteFilteredCount(agg: Aggregate,
+                                   aggExprs: Seq[NamedExpression],
+                                   cond: Expression,
+                                   l: LogicalRelation,
+                                   fsr: HadoopFsRelation): Option[LogicalPlan] = try {
+    val spark = SparkSession.active
+    // every output must be a plain COUNT(*) / COUNT(1)
+    val countShaped = aggExprs.forall {
+      case Alias(ae: AggregateExpression, _) => !ae.isDistinct &&
+        ae.filter.isEmpty && ae.mode == Complete &&
+        (ae.aggregateFunction match {
+          case Count(Seq(c)) => c.foldable && c.deterministic &&
+            c.eval() != null
+          case _ => false
+        })
+      case _ => false
+    }
+    if (!countShaped || aggExprs.isEmpty) return None
+    // int/long shard attr on the data side (partition-type inference
+    // off discovers STRING — the IN conjunct below would match nothing)
+    val shardAttr = l.output.find(a => a.name == "shard" &&
+      (a.dataType == IntegerType || a.dataType == LongType))
+      .getOrElse(return None)
+    ShardLayouts.manifestFor(spark, fsr.location.rootPaths.head).flatMap { mf =>
+      // ---- classify every conjunct, all-or-nothing
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (shardConjs, valueConjs) = conjuncts.partition(
+        _.references.forall(_.name == "shard"))
+      val shardChecks: Seq[Long => Boolean] =
+        shardConjs.map(shardCheckOf(_).getOrElse(return None))
+      val fullExprs: Seq[Expression] = valueConjs.map(
+        ZoneMapSkipping.toFullPredicate(_, mf).getOrElse(return None))
+      val keepExprs: Seq[Expression] = valueConjs.flatMap(
+        ZoneMapSkipping.toManifestPredicate(_, mf))
+      def predOf(es: Seq[Expression]): InternalRow => Boolean =
+        if (es.isEmpty) _ => true
+        else {
+          val p = Predicate.create(es.reduce(And), mf.attrs)
+          p.initialize(0)
+          p.eval _
+        }
+      val fullPred = predOf(fullExprs)
+      val keepPred = predOf(keepExprs)
+      val full = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val partial = scala.collection.mutable.ArrayBuffer.empty[Long]
+      mf.rows.foreach { r =>
+        val sid = r.getLong(mf.shardOrdinal)
+        if (shardChecks.forall(_(sid))) {
+          if (fullPred(r)) full += sid
+          else if (keepPred(r)) partial += sid
+        }
+      }
+      // no provably-full shard: nothing the data scan + ZoneMapSkipping
+      // don't already do better — ALSO the termination anchor (see doc)
+      if (full.isEmpty) return None
+
+      // ---- phase 2: generation re-check + fresh manifest plan (the
+      // classification above used the CACHED rows)
+      try {
+        val mPath = new org.apache.hadoop.fs.Path(mf.path)
+        val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (ShardLayouts.generationToken(fs, mPath) != mf.token) return None
+      } catch { case _: Exception => return None }
+      val manifestPlan =
+        try spark.read.parquet(mf.path).queryExecution.analyzed
+        catch { case _: Exception => return None }
+      val nRows = manifestPlan.output.find(a => a.name == "n_rows" &&
+        a.dataType == LongType).getOrElse(return None)
+      val mShard = manifestPlan.output.find(a => a.name == "shard" &&
+        a.dataType == LongType).getOrElse(return None)
+
+      def inSet(attr: Attribute, ids: Seq[Long]): Expression =
+        if (ids.length <= 100)
+          In(attr, ids.sorted.map(shardLit(_, attr)))
+        else InSet(attr, ids.map(shardVal(_, attr)).toSet)
+      val cnt = "cnt"
+      val fullBranch = Project(
+        Seq(Alias(nRows, cnt)()),
+        Filter(inSet(mShard, full.toSeq), manifestPlan))
+      val inner: LogicalPlan =
+        if (partial.isEmpty) fullBranch
+        else {
+          val partialBranch = Aggregate(Nil, Seq(Alias(
+            AggregateExpression(Count(Seq(Literal(1))), Complete,
+              isDistinct = false), cnt)()),
+            Filter(And(cond, inSet(shardAttr, partial.toSeq)), l))
+          Union(Seq(fullBranch, partialBranch))
+        }
+      val cntAttr = inner.output.head
+      val rewritten = aggExprs.map {
+        case a: Alias =>
+          Alias(Coalesce(Seq(
+            AggregateExpression(Sum(cntAttr), Complete, isDistinct = false),
+            Literal(0L))), a.name)(exprId = a.exprId)
+        case _ => return None // unreachable: countShaped checked Alias
+      }
+      // COUNT(*) is LongType and so is Coalesce(Sum(long), 0) — but
+      // keep the belt: a mismatch must bail, not mis-type the plan
+      if (rewritten.zip(aggExprs).forall { case (r, o) =>
+          r.dataType == o.dataType }) {
+        logInfo(s"filtered count at ${fsr.location.rootPaths.head}: " +
+          s"${full.length} full + ${partial.length} partial of " +
+          s"${mf.rows.length} shards")
+        Some(Aggregate(Nil, rewritten, inner))
+      } else None
+    }
+  } catch {
+    // an optimization only: any surprise (foreign manifest, odd types)
+    // leaves the user's plan untouched
+    case e: Exception =>
+      logWarning(s"filtered-count rewrite disabled for this scan: $e")
+      None
+  }
+
+  /** A conjunct referencing ONLY the shard partition column, as an
+    * exact per-shard-id check — the shapes a prior [[ZoneMapSkipping]]
+    * pass (or a user) writes. None = unanalyzable, caller bails. */
+  private def shardCheckOf(conjunct: Expression): Option[Long => Boolean] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case j: Long => Some(j)
+      case _ => None
+    }
+    conjunct match {
+      case IsNotNull(_) => Some(_ => true) // partition values: never null
+      case EqualTo(_: AttributeReference, Literal(v, _)) =>
+        asLong(v).map(x => (sid: Long) => sid == x)
+      case EqualTo(Literal(v, _), _: AttributeReference) =>
+        asLong(v).map(x => (sid: Long) => sid == x)
+      case In(_: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        val ids = vs.map(v => asLong(v.asInstanceOf[Literal].value))
+        if (ids.forall(_.isDefined)) {
+          val set = ids.flatten.toSet
+          Some(set.contains _)
+        } else None
+      case InSet(_: AttributeReference, vs) =>
+        val ids = vs.toSeq.map(asLong)
+        if (ids.forall(_.isDefined)) {
+          val set = ids.flatten.toSet
+          Some(set.contains _)
+        } else None
+      case _ => None
+    }
+  }
+
+  private def shardLit(v: Long, attr: Attribute): Literal =
+    attr.dataType match {
+      case IntegerType => Literal(v.toInt)
+      case _           => Literal(v)
+    }
+  private def shardVal(v: Long, attr: Attribute): Any =
+    attr.dataType match {
+      case IntegerType => v.toInt
+      case _           => v
+    }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
                       fsr: HadoopFsRelation): Option[LogicalPlan] = {
@@ -142,6 +410,13 @@ object ManifestAggregates extends Rule[LogicalPlan] {
                 if mf.zoneCols.contains(c.name) => Some(MinStat(c.name))
             case Max(c: AttributeReference)
                 if mf.zoneCols.contains(c.name) => Some(MaxStat(c.name))
+            case Min(c: AttributeReference)
+                if mf.idCol.contains(c.name) => Some(MinId)
+            case Max(c: AttributeReference)
+                if mf.idCol.contains(c.name) => Some(MaxId)
+            case Sum(c: AttributeReference, _)
+                if integral(c.dataType) && mf.zoneCols.contains(c.name) &&
+                  zsumComplete(mf, c.name) => Some(SumStat(c.name))
             case _ => None
           }).map(r => (a, r))
         case _ => None
@@ -183,6 +458,15 @@ object ManifestAggregates extends Rule[LogicalPlan] {
           case MinStat(c) => mAttr(s"zmin_$c").map(z =>
             AggregateExpression(Min(z), Complete, isDistinct = false))
           case MaxStat(c) => mAttr(s"zmax_$c").map(z =>
+            AggregateExpression(Max(z), Complete, isDistinct = false))
+          // Sum over the per-shard sums: skips NULL (all-null-shard)
+          // rows exactly as the data scan's Sum skips their rows, and
+          // answers NULL on an all-null layout just like the scan
+          case SumStat(c) => mAttr(s"zsum_$c").map(z =>
+            AggregateExpression(Sum(z), Complete, isDistinct = false))
+          case MinId => mAttr("min_id").map(z =>
+            AggregateExpression(Min(z), Complete, isDistinct = false))
+          case MaxId => mAttr("max_id").map(z =>
             AggregateExpression(Max(z), Complete, isDistinct = false))
         }
         inner match {

@@ -23,14 +23,19 @@ import org.apache.spark.sql.types.LongType
   * the next plan reads the fresh stats. */
 private[plans] object ShardLayouts {
 
-  /** One cached manifest generation. */
+  /** One cached manifest generation. `idCol` is the layout's declared
+    * identity column (`spec_id` stamp) — the data column min_id/max_id
+    * summarize — known only when EVERY manifest row agrees non-null on
+    * it (a legacy generation carried forward by a delta publish has
+    * spec_id = null, and id-stat rewrites must not guess). */
   final case class CachedManifest(token: Long,
                                   path: String,
                                   attrs: Seq[Attribute],
                                   rows: Array[InternalRow],
                                   shardOrdinal: Int,
                                   zoneCols: Set[String],
-                                  bloomCols: Set[String])
+                                  bloomCols: Set[String],
+                                  idCol: Option[String])
 
   private val manifests = new ConcurrentHashMap[String, CachedManifest]()
 
@@ -92,8 +97,17 @@ private[plans] object ShardLayouts {
       // one row per shard by contract — the same bounded collect the
       // publisher's own manifest reads perform
       val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+      val specIdx = attrs.indexWhere(a => a.name == "spec_id" &&
+        a.dataType == org.apache.spark.sql.types.StringType)
+      val idCol =
+        if (specIdx >= 0 && rows.nonEmpty &&
+            rows.forall(!_.isNullAt(specIdx)) &&
+            rows.iterator.map(_.getUTF8String(specIdx).toString)
+              .toSet.size == 1)
+          Some(rows.head.getUTF8String(specIdx).toString)
+        else None
       val entry = CachedManifest(token, key, attrs, rows, shardOrdinal,
-        zoneCols, bloomCols)
+        zoneCols, bloomCols, idCol)
       if (manifests.size > 256) manifests.clear()
       manifests.put(key, entry)
       statsOk(entry)

@@ -154,8 +154,10 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   /** Translate one data-side conjunct into a manifest-side predicate
-    * over `zmin_c`/`zmax_c`, or None when the shape can't prune. */
-  private def toManifestPredicate(conjunct: Expression,
+    * over `zmin_c`/`zmax_c`, or None when the shape can't prune.
+    * private[plans]: [[ManifestAggregates]]' filtered-count rewrite
+    * reuses it for its may-intersect (keep) classification. */
+  private[plans] def toManifestPredicate(conjunct: Expression,
                                   mf: CachedManifest): Option[Expression] = {
     // the stat attr must carry the DATA column's exact type: a read
     // schema overriding a zone column's type (or a foreign manifest)
@@ -244,6 +246,90 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
         mf.attrs.find(s => s.name == s"znull_${a.name}" &&
             s.dataType == LongType)
           .map(z => Or(IsNull(z), GreaterThan(z, Literal(0L))))
+      case _ => None
+    }
+  }
+
+  /** Translate one data-side conjunct into a manifest-side PROOF that
+    * EVERY row of a shard satisfies it (the dual of
+    * [[toManifestPredicate]]'s may-intersect test) — or None when the
+    * shape admits no such proof. Powers [[ManifestAggregates]]'
+    * filtered-count rewrite: a shard this predicate accepts can be
+    * counted from its `n_rows` stat without opening it.
+    *
+    * Why every arm demands `znull == 0` (except IS NULL): the zone
+    * stats ignore nulls, so `zmin >= v` proves only the NON-NULL rows
+    * pass — a null row fails every value-comparing predicate and must
+    * not be counted. `IS NULL` is the mirror: full iff znull == n_rows.
+    * Evaluation nulls (empty shard's null zmin, a legacy generation's
+    * null znull) make the predicate eval null, which the caller's
+    * `Predicate` treats as false — unknown never proves fullness.
+    * Soundness under Spark's total order (NaN largest, etc.) is
+    * transitivity: every row ≥ zmin by the stat invariant, so
+    * zmin ≥ v ⟹ row ≥ v — both sides evaluated by the same Catalyst
+    * comparison the row filter itself uses. */
+  private[plans] def toFullPredicate(conjunct: Expression,
+                                     mf: CachedManifest): Option[Expression] = {
+    def statOf(prefix: String, a: AttributeReference): Option[Attribute] =
+      mf.attrs.find(s => s.name == s"${prefix}_${a.name}" &&
+        s.dataType == a.dataType)
+    def znullOf(a: AttributeReference): Option[Attribute] =
+      mf.attrs.find(s => s.name == s"znull_${a.name}" &&
+        s.dataType == LongType)
+    def znullZero(a: AttributeReference): Option[Expression] =
+      znullOf(a).map(z => And(IsNotNull(z), EqualTo(z, Literal(0L))))
+    def lit(v: Expression): Literal = Literal.create(v.eval(), v.dataType)
+    object ZoneCol {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference
+            if mf.zoneCols.contains(a.name) &&
+              statOf("zmin", a).isDefined && statOf("zmax", a).isDefined =>
+          Some(a)
+        case _ => None
+      }
+    }
+    object Const {
+      def unapply(e: Expression): Option[Expression] =
+        if (e.foldable && e.deterministic) Some(e) else None
+    }
+    def allGe(a: AttributeReference, v: Literal, strict: Boolean) =
+      for (lo <- statOf("zmin", a); nz <- znullZero(a))
+        yield And(if (strict) GreaterThan(lo, v)
+                  else GreaterThanOrEqual(lo, v), nz)
+    def allLe(a: AttributeReference, v: Literal, strict: Boolean) =
+      for (hi <- statOf("zmax", a); nz <- znullZero(a))
+        yield And(if (strict) LessThan(hi, v)
+                  else LessThanOrEqual(hi, v), nz)
+    def allEq(a: AttributeReference, v: Literal): Option[Expression] =
+      if (v.value == null) None
+      else for (lo <- statOf("zmin", a); hi <- statOf("zmax", a);
+                nz <- znullZero(a))
+        yield And(And(GreaterThanOrEqual(lo, v), LessThanOrEqual(hi, v)), nz)
+
+    conjunct match {
+      case GreaterThanOrEqual(ZoneCol(a), Const(v)) => allGe(a, lit(v), strict = false)
+      case GreaterThan(ZoneCol(a), Const(v))        => allGe(a, lit(v), strict = true)
+      case LessThanOrEqual(ZoneCol(a), Const(v))    => allLe(a, lit(v), strict = false)
+      case LessThan(ZoneCol(a), Const(v))           => allLe(a, lit(v), strict = true)
+      // flipped comparands: v OP a
+      case GreaterThanOrEqual(Const(v), ZoneCol(a)) => allLe(a, lit(v), strict = false)
+      case GreaterThan(Const(v), ZoneCol(a))        => allLe(a, lit(v), strict = true)
+      case LessThanOrEqual(Const(v), ZoneCol(a))    => allGe(a, lit(v), strict = false)
+      case LessThan(Const(v), ZoneCol(a))           => allGe(a, lit(v), strict = true)
+      case EqualTo(ZoneCol(a), Const(v))            => allEq(a, lit(v))
+      case EqualTo(Const(v), ZoneCol(a))            => allEq(a, lit(v))
+      case In(ZoneCol(a), vs) if vs.nonEmpty && vs.forall(v =>
+          v.foldable && v.deterministic) =>
+        // provable only in the degenerate single-value-shard form:
+        // some list element covers the whole [zmin, zmax] point range
+        val arms = vs.flatMap(v => allEq(a, lit(v)))
+        if (arms.length == vs.length) Some(arms.reduce(Or)) else None
+      case IsNotNull(ZoneCol(a)) => znullZero(a)
+      case IsNull(ZoneCol(a)) =>
+        for (z <- znullOf(a);
+             n <- mf.attrs.find(s => s.name == "n_rows" &&
+               s.dataType == LongType))
+          yield And(IsNotNull(z), EqualTo(z, n))
       case _ => None
     }
   }

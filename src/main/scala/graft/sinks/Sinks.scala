@@ -700,7 +700,7 @@ object Sinks {
       }
     val manifest = stampSpec(
       shardSummary(written, idCol, dataCols, zoneCols, bloomSpec),
-      shardCol, nShards, sortCols)
+      shardCol, nShards, sortCols, idCol)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
     // explicit-assignment validation BEFORE the commit marker: a shard
@@ -1037,9 +1037,25 @@ object Sinks {
     // metadata-only COUNT(col). Consumers must treat an ABSENT or
     // NULL znull value as unknown (legacy generations carried
     // forward by delta publishes have no recount).
+    // zsum_<c> (INTEGRAL zone columns only): the shard's column sum —
+    // powers metadata-only SUM(col). Long addition is associative even
+    // under two's-complement wrap (ANSI off), so Σ of per-shard sums
+    // is bit-identical to the data scan's Sum no matter how either
+    // side partitions the adds; float sums have no such property and
+    // get no stat. NULL zsum on an all-null shard is DISAMBIGUATED by
+    // znull == n_rows (vs a legacy carry, where znull is null too).
+    val integralZones = zoneCols.filter(c =>
+      written.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
     val zoneAggs = zoneCols.flatMap(c => Seq(
       min(col(c)).as(s"zmin_$c"), max(col(c)).as(s"zmax_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"znull_$c")))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"znull_$c"))) ++
+      integralZones.map(c => sum(col(c)).as(s"zsum_$c"))
     // zbloom_<c>: per-shard bloom over the column's STRING form
     // (Iceberg v2 bloom filters at the manifest grain) — point
     // predicates on high-cardinality non-clustered columns prune
@@ -1098,13 +1114,18 @@ object Sinks {
     * manifest alone — which generations used which binning is part of
     * the published contract, not tribal knowledge. */
   private def stampSpec(m: DataFrame, shardCol: Option[String],
-                        nShards: Int, sortCols: Seq[String] = Nil): DataFrame =
+                        nShards: Int, sortCols: Seq[String] = Nil,
+                        idCol: String = null): DataFrame =
     m.withColumn("spec_col", lit(shardCol.orNull).cast("string"))
       .withColumn("spec_n", lit(nShards))
       // the generation's declared within-shard sort order (Iceberg's
       // write sort-order metadata): null = unsorted
       .withColumn("spec_sort", lit(
         if (sortCols.isEmpty) null else sortCols.mkString(",")).cast("string"))
+      // the layout's identity column: names which data column min_id/
+      // max_id summarize, so metadata-only MIN/MAX(id) can rewrite
+      // without a zone declaration (null = recorded before stamping)
+      .withColumn("spec_id", lit(idCol).cast("string"))
 
   /** The partition spec a [[writeShards]] layout's manifest declares:
     * `(explicit assignment column or None for hash, nShards)`. Reads
@@ -1695,8 +1716,8 @@ object Sinks {
         // conforms live manifests that predate spec recording.
         val rewrittenManifest =
           if (toWrite.isEmpty)
-            stampSpec(live.drop("spec_col", "spec_n", "spec_sort")
-              .filter(lit(false)), shardCol, nShards, effectiveSort)
+            stampSpec(live.drop("spec_col", "spec_n", "spec_sort", "spec_id")
+              .filter(lit(false)), shardCol, nShards, effectiveSort, idCol)
           else stampSpec(shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
               .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
@@ -1704,12 +1725,12 @@ object Sinks {
             // shards rebuild them under the live generation's (m, k)
             // so probes stay comparable across generations
             effectiveZones, bloomSpecOf(live)), shardCol, nShards,
-            effectiveSort)
+            effectiveSort, idCol)
         val keptManifest = stampSpec(
           (if (unchanged.isEmpty) live.filter(lit(false))
            else live.filter(col("shard").isin(unchanged.toSeq: _*)))
-            .drop("spec_col", "spec_n", "spec_sort"), shardCol, nShards,
-          effectiveSort)
+            .drop("spec_col", "spec_n", "spec_sort", "spec_id"), shardCol,
+          nShards, effectiveSort, idCol)
         // allowMissingColumns: a live generation published before a
         // stat column existed (e.g. pre-znull manifests) carries
         // forward with NULL for the new stat — the documented
@@ -1879,12 +1900,12 @@ object Sinks {
       val rewrittenManifest = stampSpec(shardSummary(
         spark.read.schema(writtenSchema).parquet(stagedData.toString)
           .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones,
-        bloomSpecOf(live)), shardColOpt, nShards, sortCols)
+        bloomSpecOf(live)), shardColOpt, nShards, sortCols, idCol)
       val keptManifest = stampSpec(
         (if (kept.isEmpty) live.filter(lit(false))
          else live.filter(col("shard").isin(kept: _*)))
-          .drop("spec_col", "spec_n", "spec_sort"),
-        shardColOpt, nShards, sortCols)
+          .drop("spec_col", "spec_n", "spec_sort", "spec_id"),
+        shardColOpt, nShards, sortCols, idCol)
       keptManifest.unionByName(rewrittenManifest,
           allowMissingColumns = true)
         .coalesce(1).write.mode("overwrite")

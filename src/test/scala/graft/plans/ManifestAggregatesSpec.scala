@@ -99,12 +99,15 @@ class ManifestAggregatesSpec extends SparkTestBase {
       s"min over a column without stats must not rewrite: $locs")
   }
 
-  test("a filter below the aggregate keeps the row-level path") {
+  test("a filtered NON-COUNT aggregate keeps the row-level path") {
+    // COUNT(*) under a provable filter is served by the filtered-count
+    // rewrite (below); MIN/MAX/SUM under a filter must stay on data —
+    // partial shards make their stats unusable
     val (rows, locs) = run(read().filter(col("ts") >= 1000)
-      .agg(count(lit(1)).as("n")))
-    assert(rows.head.getLong(0) == 200L)
+      .agg(min(col("ts")).as("lo")))
+    assert(rows.head.getLong(0) == 1001L)
     assert(locs.forall(_ != "manifest"),
-      s"filtered aggregation must stay on data: $locs")
+      s"filtered min must stay on data: $locs")
   }
 
   test("a file-restricting reader option disables the metadata answer") {
@@ -174,6 +177,173 @@ class ManifestAggregatesSpec extends SparkTestBase {
     assert(rows2.head.getLong(0) == 20L)
     assert(locs2 == Seq("data"),
       s"unknown null counts must keep the data scan: $locs2")
+  }
+
+  test("SUM of an integral zone column answered from the manifest") {
+    val (rows, locs) = run(read().agg(
+      sum(col("ts")).as("total"), count(lit(1)).as("n")))
+    // Σ ts = Σ (bucket*1000 + id) = 1000*(100*0+100*1+100*2) + Σ id
+    assert(rows.head.getLong(0) == 300000L + 300L * 299 / 2)
+    assert(rows.head.getLong(1) == 300L)
+    assert(locs == Seq("manifest"),
+      s"expected a manifest-only SUM, got scans of: $locs")
+  }
+
+  test("SUM over a float column keeps the data scan") {
+    val dir = Files.createTempDirectory("graft_magg_fsum_").toString
+    val df = spark.range(50).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("x", col("id").cast("double") / 7)
+    Sinks.writeShards(df, s"$dir/pub", "id", nShards = 2,
+      zoneCols = Seq("x"), shardCol = Some("bucket"))
+    val (rows, locs) = run(spark.read.parquet(s"$dir/pub/data")
+      .agg(sum(col("x")).as("total")))
+    assert(math.abs(rows.head.getDouble(0) -
+      (0 until 50).map(_.toDouble / 7).sum) < 1e-9)
+    assert(locs.forall(_ != "manifest"),
+      s"float SUM is order-dependent and must scan data: $locs")
+  }
+
+  test("SUM with null shards: all-null shard skipped, legacy carry bails") {
+    val dir = Files.createTempDirectory("graft_magg_zsum_").toString
+    val pub = s"$dir/pub"
+    // shard 1's ts is entirely null: zsum null, znull == n_rows — the
+    // metadata answer must sum shard 0 only, like the scan does
+    val df = spark.range(40).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts", when(col("bucket") === 0, col("id")))
+    Sinks.writeShards(df, pub, "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val (rows, locs) = run(spark.read.parquet(s"$pub/data")
+      .agg(sum(col("ts")).as("total")))
+    assert(rows.head.getLong(0) == (0 until 40 by 2).sum.toLong)
+    assert(locs == Seq("manifest"), s"expected metadata-only: $locs")
+    // legacy generation: strip znull — the all-null shard's NULL zsum
+    // is now indistinguishable from an unknown carry; the rule must
+    // bail to the data scan rather than guess
+    val m = spark.read.parquet(s"$pub/manifest")
+    val legacy = m.drop("znull_ts")
+    val tmp = s"$dir/legacy_manifest"
+    legacy.coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(pub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pub/manifest"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$pub/manifest"))
+    val (rows2, locs2) = run(spark.read.parquet(s"$pub/data")
+      .agg(sum(col("ts")).as("total")))
+    assert(rows2.head.getLong(0) == (0 until 40 by 2).sum.toLong)
+    assert(locs2 == Seq("data"),
+      s"ambiguous NULL zsum must keep the data scan: $locs2")
+  }
+
+  test("MIN/MAX of the id column rewrite via min_id/max_id stats") {
+    // `id` is the layout's identity column but NOT zone-mapped — the
+    // spec_id stamp + the always-present min_id/max_id stats answer it
+    val (rows, locs) = run(read().agg(
+      min(col("id")).as("lo"), max(col("id")).as("hi")))
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 299L)
+    assert(locs == Seq("manifest"),
+      s"expected id-stat metadata answer, got scans of: $locs")
+  }
+
+  test("a manifest without the spec_id stamp keeps the data scan for id") {
+    val dir = Files.createTempDirectory("graft_magg_sid_").toString
+    val pub = s"$dir/pub"
+    val df = spark.range(30).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts", col("id") * 2)
+    Sinks.writeShards(df, pub, "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    // simulate a pre-spec_id generation
+    val m = spark.read.parquet(s"$pub/manifest")
+    val legacy = m.drop("spec_id")
+    val tmp = s"$dir/legacy_manifest"
+    legacy.coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(pub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pub/manifest"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$pub/manifest"))
+    val (rows, locs) = run(spark.read.parquet(s"$pub/data")
+      .agg(min(col("id")).as("lo"), max(col("ts")).as("hi")))
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 58L)
+    assert(locs == Seq("data"),
+      s"unknown identity column must keep the data scan: $locs")
+  }
+
+  // ------------------------------------------- filtered COUNT(*)
+
+  test("filtered count: full shards from metadata, partial shards scanned") {
+    // shard ts ranges are disjoint ([0,297], [1001,1298], [2002,2299]):
+    // ts in [1000, 2100] makes shard 1 provably FULL, shard 2 PARTIAL,
+    // shard 0 disjoint
+    val df = read().filter(col("ts") >= 1000 && col("ts") <= 2100)
+      .agg(count(lit(1)).as("n"))
+    val (rows, locs) = run(df)
+    assert(rows.head.getLong(0) == 133L)
+    assert(locs.toSet == Set("manifest", "data"),
+      s"expected a manifest + partial-shard scan union, got: $locs")
+    // the data side must carry shard partition filters (only the
+    // partial shard's files are listed)
+    val dataScans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.head.getName == "data" => s
+    }
+    assert(dataScans.nonEmpty && dataScans.forall(s =>
+      s.partitionFilters.exists(_.references.exists(_.name == "shard"))),
+      "partial branch must prune to the straddling shards")
+  }
+
+  test("filtered count: fully-aligned range is answered metadata-only") {
+    val (rows, locs) = run(read().filter(col("ts") >= 1000)
+      .agg(count(lit(1)).as("n")))
+    assert(rows.head.getLong(0) == 200L)
+    assert(locs == Seq("manifest"),
+      s"aligned range must open zero data files: $locs")
+  }
+
+  test("filtered count: a non-zone conjunct keeps the data scan") {
+    val (rows, locs) = run(read()
+      .filter(col("ts") >= 1000 && col("v") > 10)
+      .agg(count(lit(1)).as("n")))
+    // v = id*2 > 10 ⇒ id ≥ 6; ts >= 1000 ⇒ id % 3 ∈ {1, 2}:
+    // 294 ids in [6, 299], minus the 98 divisible by 3
+    assert(rows.head.getLong(0) == 196L)
+    assert(locs.forall(_ != "manifest"),
+      s"unprovable conjunct must disable the rewrite: $locs")
+  }
+
+  test("filtered count: kill switch keeps the data scan, same answer") {
+    spark.conf.set(
+      "spark.graft.manifestAggregates.filteredCount.enabled", "false")
+    try {
+      val (rows, locs) = run(read().filter(col("ts") >= 1000)
+        .agg(count(lit(1)).as("n")))
+      assert(rows.head.getLong(0) == 200L)
+      assert(locs.forall(_ != "manifest"), s"disabled: $locs")
+    } finally spark.conf.set(
+      "spark.graft.manifestAggregates.filteredCount.enabled", "true")
+  }
+
+  test("filtered count: null-bearing shards are never counted as full") {
+    val dir = Files.createTempDirectory("graft_magg_fc_").toString
+    val pub = s"$dir/pub"
+    // shard 0 (even ids): ts = id, no nulls -> FULL for ts >= 0
+    // shard 1 (odd ids): ts null on id % 4 == 1 -> znull > 0 -> PARTIAL
+    val df = spark.range(60).toDF("id")
+      .withColumn("bucket", col("id") % 2)
+      .withColumn("ts",
+        when(col("bucket") === 1 && col("id") % 4 === 1, lit(null))
+          .otherwise(col("id")))
+    Sinks.writeShards(df, pub, "id", nShards = 2,
+      zoneCols = Seq("ts"), shardCol = Some("bucket"))
+    val expected = df.filter(col("ts") >= 0).count()
+    val (rows, locs) = run(spark.read.parquet(s"$pub/data")
+      .filter(col("ts") >= 0).agg(count(lit(1)).as("n")))
+    assert(rows.head.getLong(0) == expected)
+    assert(locs.toSet == Set("manifest", "data"),
+      s"null-bearing shard must be scanned, not trusted full: $locs")
   }
 
   test("all-null zone column: metadata min/max is null like the scan's") {
