@@ -2636,9 +2636,12 @@ object Queries {
     val pub = s"$root/pub"
     val o = Tables(s, dir).orders
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      // integral revenue column so the filtered-aggregate door (q99)
+      // can answer SUM from per-shard zsum stats
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
       .withColumn("bucket", (year(col("o_orderdate")) - 1995).cast("long"))
     graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
-      zoneCols = Seq("o_orderdate"), shardCol = Some("bucket"),
+      zoneCols = Seq("o_orderdate", "cents"), shardCol = Some("bucket"),
       sortCols = Seq("o_orderdate"))
     q90Published.put(s, (dir, pub))
     pub
@@ -3012,18 +3015,25 @@ object Queries {
       |       MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM events""".stripMargin
 
-  /** q99 — PARTITION-ALIGNED FILTERED COUNT under a VALUE oracle
-    * ([[graft.plans.ManifestAggregates]] filtered-count rewrite, the
-    * Iceberg residual-planning shape): `COUNT(*)` with a date-range
-    * filter over the q90 year-clustered layout, split shard-by-shard —
-    * years fully inside the range are counted from the manifest's
-    * `n_rows` (provably-full: zmin/zmax inside the bounds, znull = 0),
-    * the one straddling boundary year is scanned and row-filtered,
-    * disjoint years are dropped. Two spans: a straddling range
-    * (manifest + one-shard scan) and an aligned one (zero data files).
-    * The oracle replays both filters over the raw table, so the hash
-    * compare proves the split loses nothing. At 100 TB: "rows in this
-    * date window" opens the two boundary shards instead of the corpus. */
+  /** q99 — PARTITION-ALIGNED FILTERED METADATA AGGREGATES under a
+    * VALUE oracle ([[graft.plans.ManifestAggregates]] filtered
+    * rewrite, the Iceberg residual-planning shape): the whole
+    * dashboard aggregate family — `COUNT(*)`, exact `SUM(cents)`,
+    * `MIN`/`MAX(o_orderdate)`, `COUNT(o_orderdate)`, and
+    * `MIN`/`MAX(o_orderkey)` (the undeclared identity column, via the
+    * min_id/max_id stats) — with a date-range filter over the q90
+    * year-clustered layout, split shard-by-shard: years fully inside
+    * the range answer from the manifest row alone (provably-full:
+    * zmin/zmax inside the bounds, znull = 0), the straddling boundary
+    * year is scanned and row-filtered with the ORIGINAL aggregates,
+    * and the two halves re-combine with each aggregate's own merge
+    * (Sum for the additive stats, Min/Max for the order stats).
+    * Two spans: a straddling range (manifest + one-shard scan) and an
+    * aligned one (zero data files). The oracle replays both filters
+    * over the raw table, so the hash compare proves the split loses
+    * nothing — including the bit-exact integral SUM. At 100 TB:
+    * "rows + revenue + date range + id range in this window" opens
+    * only the boundary shards instead of the corpus. */
   val q99: Q = (s, dir) => {
     val cached = q90Published.get(s)
     val pub =
@@ -3033,20 +3043,34 @@ object Queries {
       else q90Publish(s, dir)
     def span(name: String, cond: Column): DataFrame =
       s.read.parquet(s"$pub/data").filter(cond)
-        .agg(count(lit(1)).as("cnt"))
-        .select(lit(name).as("span"), col("cnt"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("cents")).as("cents"),
+          min(col("o_orderdate")).as("first_day"),
+          max(col("o_orderdate")).as("last_day"),
+          count(col("o_orderdate")).as("n_dated"),
+          min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key"))
+        .select(lit(name).as("span"), col("cnt"), col("cents"),
+          col("first_day"), col("last_day"), col("n_dated"),
+          col("first_key"), col("last_key"))
     span("straddling",
       col("o_orderdate") >= lit("1996-03-15 00:00:00").cast("timestamp") &&
         col("o_orderdate") <= lit("1998-12-31 23:59:59").cast("timestamp"))
       .unionAll(span("aligned",
         col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")))
   }
+  private val q99SelectSql: String =
+    """COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents,
+      |       MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day,
+      |       COUNT(o_orderdate) AS n_dated,
+      |       MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key""".stripMargin
   val q99Sql: String =
-    """SELECT 'straddling' AS span, COUNT(*) AS cnt FROM orders
+    s"""SELECT 'straddling' AS span, $q99SelectSql FROM orders
       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-15 00:00:00'
       |                      AND TIMESTAMP '1998-12-31 23:59:59'
       |UNION ALL
-      |SELECT 'aligned' AS span, COUNT(*) AS cnt FROM orders
+      |SELECT 'aligned' AS span, $q99SelectSql FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
 
   // ----------------------------------------------------------- registry
@@ -3150,7 +3174,7 @@ object Queries {
     "q96_bloom_point" -> q96,
     "q97_zorder" -> q97,
     "q98_metadata_sum" -> q98,
-    "q99_aligned_count" -> q99,
+    "q99_filtered_metadata_aggs" -> q99,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3249,6 +3273,6 @@ object Queries {
     "q96_bloom_point" -> q96Sql,
     "q97_zorder" -> q97Sql,
     "q98_metadata_sum" -> q98Sql,
-    "q99_aligned_count" -> q99Sql,
+    "q99_filtered_metadata_aggs" -> q99Sql,
   )
 }

@@ -206,55 +206,97 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** PARTITION-ALIGNED FILTERED COUNT: `COUNT(*)` under a conjunctive
-    * zone-column filter, split shard-by-shard into
+  /** A filtered aggregate's two halves: what a provably-FULL shard
+    * contributes from its manifest row, and how the partial-branch
+    * result + full contributions re-combine. */
+  private sealed trait FStat
+  private case object FNRows extends FStat                       // COUNT(*)
+  private final case class FCountCol(c: String) extends FStat    // n_rows − znull
+  private final case class FSum(c: String) extends FStat         // zsum_c
+  private final case class FMin(c: String) extends FStat         // zmin_c
+  private final case class FMax(c: String) extends FStat         // zmax_c
+  private case object FMinId extends FStat                       // min_id
+  private case object FMaxId extends FStat                       // max_id
+
+  /** PARTITION-ALIGNED FILTERED AGGREGATES: global `COUNT(*)` /
+    * `COUNT(col)` / `SUM(integral zone col)` / `MIN`/`MAX(zone or id
+    * col)` under a conjunctive zone-column filter, split shard-by-shard
+    * into
     *   - FULL shards (every row provably passes —
-    *     [[ZoneMapSkipping.toFullPredicate]]): counted from the
-    *     manifest's `n_rows`, zero data files opened;
+    *     [[ZoneMapSkipping.toFullPredicate]]): answered from the
+    *     manifest row alone (n_rows, n_rows − znull, zsum, zmin/zmax,
+    *     min_id/max_id), zero data files opened. Full-pass is exactly
+    *     what makes the per-shard stats usable under a filter: all
+    *     rows pass, so the unfiltered stat IS the filtered answer;
     *   - PARTIAL shards (may intersect but not provably full): the
-    *     original filter + count over ONLY those shards;
+    *     ORIGINAL aggregates over the original filter, restricted to
+    *     those shards by a `shard IN` partition-pruning conjunct;
     *   - the rest: provably disjoint, dropped.
-    * The emitted plan is `Sum(cnt)` over a Union of (a) a manifest
-    * scan projecting n_rows for the full shards and (b) the counted
-    * filtered data scan of the partial shards — plan-to-plan like
-    * every rewrite here; the rule computes shard CLASSIFICATION
-    * driver-side (bounded, cached manifest) but never a count.
-    * At 100 TB this is the Iceberg residual-planning shape: "rows in
-    * this date range" opens only the two boundary shards.
+    * The emitted plan re-combines with the aggregate's own merge
+    * semantics — Sum over the union for the additive stats (count
+    * shapes get the empty-input Coalesce-to-0, Sum keeps SQL's
+    * null-on-no-rows), Min/Max over the union for the order stats —
+    * plan-to-plan like every rewrite here; the rule computes shard
+    * CLASSIFICATION driver-side (bounded, cached manifest) but never
+    * an answer. At 100 TB this is the Iceberg residual-planning shape:
+    * "rows + revenue + date range in this window" opens only the
+    * boundary shards.
     *
     * All-or-nothing: EVERY conjunct must be full-analyzable (a value
     * shape toFullPredicate proves, or a shard-membership conjunct a
     * prior ZoneMapSkipping pass added — evaluated exactly against each
-    * row's shard id), and every aggregate must be COUNT(*). One
-    * unsupported element → plan untouched. Termination under the
-    * fixpoint batch: the rewritten partial branch carries a
-    * `shard IN (partial)` conjunct that is DISJOINT from any full set
-    * a re-entry could prove (partial = keep ∖ full against the same
-    * cached stats), so re-entry finds no full shards and bails. */
+    * row's shard id), and every aggregate must map to a stat recipe
+    * (same soundness gates as the unfiltered rewrites: znull
+    * completeness for COUNT(col), zsum completeness + integral type
+    * for SUM, the spec_id stamp for id min/max). One unsupported
+    * element → plan untouched. Termination under the fixpoint batch:
+    * the rewritten partial branch carries a `shard IN (partial)`
+    * conjunct that is DISJOINT from any full set a re-entry could
+    * prove (partial = keep ∖ full against the same cached stats), so
+    * re-entry finds no full shards and bails. */
   private def rewriteFilteredCount(agg: Aggregate,
                                    aggExprs: Seq[NamedExpression],
                                    cond: Expression,
                                    l: LogicalRelation,
                                    fsr: HadoopFsRelation): Option[LogicalPlan] = try {
     val spark = SparkSession.active
-    // every output must be a plain COUNT(*) / COUNT(1)
-    val countShaped = aggExprs.forall {
-      case Alias(ae: AggregateExpression, _) => !ae.isDistinct &&
-        ae.filter.isEmpty && ae.mode == Complete &&
-        (ae.aggregateFunction match {
-          case Count(Seq(c)) => c.foldable && c.deterministic &&
-            c.eval() != null
-          case _ => false
-        })
-      case _ => false
-    }
-    if (!countShaped || aggExprs.isEmpty) return None
+    if (aggExprs.isEmpty) return None
     // int/long shard attr on the data side (partition-type inference
     // off discovers STRING — the IN conjunct below would match nothing)
     val shardAttr = l.output.find(a => a.name == "shard" &&
       (a.dataType == IntegerType || a.dataType == LongType))
       .getOrElse(return None)
     ShardLayouts.manifestFor(spark, fsr.location.rootPaths.head).flatMap { mf =>
+      // ---- map every aggregate to its full-shard stat recipe, with
+      // the SAME soundness gates as the unfiltered rewrites (znull
+      // completeness for COUNT(col), zsum completeness + integral type
+      // for SUM, the spec_id stamp for id min/max) — all-or-nothing
+      val fstats: Seq[Option[(Alias, FStat)]] = aggExprs.map {
+        case a @ Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
+            ae.filter.isEmpty && ae.mode == Complete =>
+          (ae.aggregateFunction match {
+            case Count(Seq(c)) if c.foldable && c.deterministic &&
+                c.eval() != null => Some(FNRows)
+            case Count(Seq(c: AttributeReference))
+                if mf.zoneCols.contains(c.name) &&
+                  znullComplete(mf, c.name) => Some(FCountCol(c.name))
+            case Min(c: AttributeReference)
+                if mf.zoneCols.contains(c.name) => Some(FMin(c.name))
+            case Max(c: AttributeReference)
+                if mf.zoneCols.contains(c.name) => Some(FMax(c.name))
+            case Min(c: AttributeReference)
+                if mf.idCol.contains(c.name) => Some(FMinId)
+            case Max(c: AttributeReference)
+                if mf.idCol.contains(c.name) => Some(FMaxId)
+            case Sum(c: AttributeReference, _)
+                if integral(c.dataType) && mf.zoneCols.contains(c.name) &&
+                  zsumComplete(mf, c.name) => Some(FSum(c.name))
+            case _ => None
+          }).map(r => (a, r))
+        case _ => None
+      }
+      if (!fstats.forall(_.isDefined)) return None
+      val recipes: Seq[(Alias, FStat)] = fstats.map(_.get)
       // ---- classify every conjunct, all-or-nothing
       val conjuncts = splitConjunctivePredicates(cond)
       val (shardConjs, valueConjs) = conjuncts.partition(
@@ -297,8 +339,8 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       val manifestPlan =
         try spark.read.parquet(mf.path).queryExecution.analyzed
         catch { case _: Exception => return None }
-      val nRows = manifestPlan.output.find(a => a.name == "n_rows" &&
-        a.dataType == LongType).getOrElse(return None)
+      def mAttr(name: String): Option[Attribute] =
+        manifestPlan.output.find(_.name == name)
       val mShard = manifestPlan.output.find(a => a.name == "shard" &&
         a.dataType == LongType).getOrElse(return None)
 
@@ -306,36 +348,69 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
         if (ids.length <= 100)
           In(attr, ids.sorted.map(shardLit(_, attr)))
         else InSet(attr, ids.map(shardVal(_, attr)).toSet)
-      val cnt = "cnt"
+
+      // full-shard contribution, one manifest-stat column per aggregate
+      // (stat columns must exist with the right types in the FRESH
+      // manifest — a foreign manifest bails here)
+      val fullCols: Seq[Expression] = recipes.map { case (_, r) =>
+        (r match {
+          case FNRows => mAttr("n_rows")
+          case FCountCol(c) =>
+            for (n <- mAttr("n_rows"); z <- mAttr(s"znull_$c"))
+              yield Subtract(n, z): Expression
+          case FSum(c)  => mAttr(s"zsum_$c")
+          case FMin(c)  => mAttr(s"zmin_$c")
+          case FMax(c)  => mAttr(s"zmax_$c")
+          case FMinId   => mAttr("min_id")
+          case FMaxId   => mAttr("max_id")
+        }).getOrElse(return None)
+      }
+      // the original aggregates over the original filter, restricted
+      // to the partial shards — one column per aggregate, same order
+      val partialAggs: Seq[Alias] = recipes.zipWithIndex.map {
+        case ((a, _), i) => Alias(a.child, s"s$i")()
+      }
+      // Union demands exact per-column type agreement between branches;
+      // a stat recorded at a different type than the aggregate's own
+      // result (possible only for a foreign/stale manifest) must bail
+      if (!fullCols.zip(partialAggs).forall { case (f, p) =>
+          f.dataType == p.dataType }) return None
       val fullBranch = Project(
-        Seq(Alias(nRows, cnt)()),
+        fullCols.zipWithIndex.map { case (e, i) => Alias(e, s"s$i")() },
         Filter(inSet(mShard, full.toSeq), manifestPlan))
       val inner: LogicalPlan =
         if (partial.isEmpty) fullBranch
-        else {
-          val partialBranch = Aggregate(Nil, Seq(Alias(
-            AggregateExpression(Count(Seq(Literal(1))), Complete,
-              isDistinct = false), cnt)()),
-            Filter(And(cond, inSet(shardAttr, partial.toSeq)), l))
-          Union(Seq(fullBranch, partialBranch))
+        else Union(Seq(fullBranch, Aggregate(Nil, partialAggs,
+          Filter(And(cond, inSet(shardAttr, partial.toSeq)), l))))
+
+      // re-combine with each aggregate's own merge semantics: Sum for
+      // the additive stats (count shapes keep Count's 0-on-empty via
+      // Coalesce; Sum keeps SQL's null-on-no-rows), Min/Max for the
+      // order stats
+      val u = inner.output
+      val rewritten = recipes.zipWithIndex.map { case ((a, r), i) =>
+        val combined: Expression = r match {
+          case FNRows | FCountCol(_) => Coalesce(Seq(
+            AggregateExpression(Sum(u(i)), Complete, isDistinct = false),
+            Literal(0L)))
+          case FSum(_) =>
+            AggregateExpression(Sum(u(i)), Complete, isDistinct = false)
+          case FMin(_) | FMinId =>
+            AggregateExpression(Min(u(i)), Complete, isDistinct = false)
+          case FMax(_) | FMaxId =>
+            AggregateExpression(Max(u(i)), Complete, isDistinct = false)
         }
-      val cntAttr = inner.output.head
-      val rewritten = aggExprs.map {
-        case a: Alias =>
-          Alias(Coalesce(Seq(
-            AggregateExpression(Sum(cntAttr), Complete, isDistinct = false),
-            Literal(0L))), a.name)(exprId = a.exprId)
-        case _ => return None // unreachable: countShaped checked Alias
+        // keep the ORIGINAL exprId/name/type so consumers above the
+        // aggregate resolve unchanged; a type drift must bail, not
+        // mis-type the plan
+        if (combined.dataType != a.dataType) return None
+        Alias(combined, a.name)(exprId = a.exprId)
       }
-      // COUNT(*) is LongType and so is Coalesce(Sum(long), 0) — but
-      // keep the belt: a mismatch must bail, not mis-type the plan
-      if (rewritten.zip(aggExprs).forall { case (r, o) =>
-          r.dataType == o.dataType }) {
-        logInfo(s"filtered count at ${fsr.location.rootPaths.head}: " +
-          s"${full.length} full + ${partial.length} partial of " +
-          s"${mf.rows.length} shards")
-        Some(Aggregate(Nil, rewritten, inner))
-      } else None
+      logInfo(s"filtered metadata aggregate at " +
+        s"${fsr.location.rootPaths.head}: ${recipes.length} aggregate(s), " +
+        s"${full.length} full + ${partial.length} partial of " +
+        s"${mf.rows.length} shards")
+      Some(Aggregate(Nil, rewritten, inner))
     }
   } catch {
     // an optimization only: any surprise (foreign manifest, odd types)

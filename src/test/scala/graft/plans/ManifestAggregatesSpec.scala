@@ -99,15 +99,14 @@ class ManifestAggregatesSpec extends SparkTestBase {
       s"min over a column without stats must not rewrite: $locs")
   }
 
-  test("a filtered NON-COUNT aggregate keeps the row-level path") {
-    // COUNT(*) under a provable filter is served by the filtered-count
-    // rewrite (below); MIN/MAX/SUM under a filter must stay on data —
-    // partial shards make their stats unusable
+  test("a filtered aggregate with an unsupported sibling keeps data") {
+    // all-or-nothing: avg has no stat recipe, so the whole filtered
+    // aggregate stays on the row-level path
     val (rows, locs) = run(read().filter(col("ts") >= 1000)
-      .agg(min(col("ts")).as("lo")))
+      .agg(min(col("ts")).as("lo"), avg(col("ts")).as("m")))
     assert(rows.head.getLong(0) == 1001L)
     assert(locs.forall(_ != "manifest"),
-      s"filtered min must stay on data: $locs")
+      s"filtered avg must keep the whole aggregate on data: $locs")
   }
 
   test("a file-restricting reader option disables the metadata answer") {
@@ -272,7 +271,7 @@ class ManifestAggregatesSpec extends SparkTestBase {
       s"unknown identity column must keep the data scan: $locs")
   }
 
-  // ------------------------------------------- filtered COUNT(*)
+  // --------------------------------- filtered metadata aggregates
 
   test("filtered count: full shards from metadata, partial shards scanned") {
     // shard ts ranges are disjoint ([0,297], [1001,1298], [2002,2299]):
@@ -344,6 +343,45 @@ class ManifestAggregatesSpec extends SparkTestBase {
     assert(rows.head.getLong(0) == expected)
     assert(locs.toSet == Set("manifest", "data"),
       s"null-bearing shard must be scanned, not trusted full: $locs")
+  }
+
+  test("filtered SUM/MIN/MAX/COUNT(col)/id-stats merge full + partial") {
+    // shard ts ranges: s0 [0,297] (disjoint), s1 [1001,1298] (FULL),
+    // s2 [2002,2299] (PARTIAL up to 2100). Expected values from the
+    // arithmetic structure: shard k holds ids ≡ k (mod 3), ts = k*1000+id
+    val s1Ids = (1 to 298 by 3)           // full shard
+    val s2Ids = (2 to 100 by 3)           // partial shard, ts <= 2100
+    val df = read().filter(col("ts") >= 1000 && col("ts") <= 2100)
+      .agg(count(lit(1)).as("n"), sum(col("ts")).as("total"),
+        min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        count(col("ts")).as("nts"),
+        min(col("id")).as("idlo"), max(col("id")).as("idhi"))
+    val (rows, locs) = run(df)
+    val r = rows.head
+    assert(r.getLong(0) == (s1Ids.size + s2Ids.size).toLong)
+    assert(r.getLong(1) ==
+      s1Ids.map(_ + 1000L).sum + s2Ids.map(_ + 2000L).sum)
+    assert(r.getLong(2) == 1001L && r.getLong(3) == 2098L) // max id≡2 (mod 3) ≤ 100 is 98
+    assert(r.getLong(4) == (s1Ids.size + s2Ids.size).toLong)
+    assert(r.getLong(5) == 1L && r.getLong(6) == 298L)
+    assert(locs.toSet == Set("manifest", "data"),
+      s"expected a manifest + partial-shard scan union, got: $locs")
+  }
+
+  test("filtered SUM/MIN/MAX on an aligned range is metadata-only") {
+    val s1Ids = (1 to 298 by 3)
+    val s2Ids = (2 to 299 by 3)
+    val (rows, locs) = run(read().filter(col("ts") >= 1000)
+      .agg(sum(col("ts")).as("total"), min(col("ts")).as("lo"),
+        max(col("ts")).as("hi"), min(col("id")).as("idlo"),
+        max(col("id")).as("idhi")))
+    val r = rows.head
+    assert(r.getLong(0) ==
+      s1Ids.map(_ + 1000L).sum + s2Ids.map(_ + 2000L).sum)
+    assert(r.getLong(1) == 1001L && r.getLong(2) == 2299L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 299L)
+    assert(locs == Seq("manifest"),
+      s"aligned filtered sum/min/max must open zero data files: $locs")
   }
 
   test("all-null zone column: metadata min/max is null like the scan's") {
