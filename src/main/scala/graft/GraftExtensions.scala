@@ -106,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // from the manifest alone — zero data files opened (see
     // ManifestAggregates)
     ext.injectOptimizerRule(_ => graft.plans.ManifestAggregates)
+    // optimizer rule: ORDER BY <zone col> LIMIT k over a shard layout
+    // opens only the shards that can reach the top-k (see
+    // TopKShardPruning)
+    ext.injectOptimizerRule(_ => graft.plans.TopKShardPruning)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(text[, k[, shingleN]]) - MinHash signature"),

@@ -3073,6 +3073,32 @@ object Queries {
       |SELECT 'aligned' AS span, $q99SelectSql FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
 
+  /** q100 — SHARD-PRUNED TOP-K under a VALUE oracle
+    * ([[graft.plans.TopKShardPruning]]): the latest 25 orders by
+    * `ORDER BY o_orderdate DESC, o_orderkey LIMIT 25` over the q90
+    * year-clustered layout. The manifest's per-shard date ranges prove
+    * ≥ 25 rows live in the newest year, so every other shard is
+    * dropped at planning time — the Sort/Limit run over one shard's
+    * files. The `o_orderkey` tiebreak makes the row SET deterministic,
+    * so the oracle's hash compare proves pruning lost nothing. At
+    * 100 TB this is the "latest N events" dashboard query: one boundary
+    * shard opened instead of a corpus sort. */
+  val q100: Q = (s, dir) => {
+    val cached = q90Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q90Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      .limit(25)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+  }
+  val q100Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |ORDER BY o_orderdate DESC, o_orderkey LIMIT 25""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3175,6 +3201,7 @@ object Queries {
     "q97_zorder" -> q97,
     "q98_metadata_sum" -> q98,
     "q99_filtered_metadata_aggs" -> q99,
+    "q100_topk_pruned" -> q100,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3274,5 +3301,6 @@ object Queries {
     "q97_zorder" -> q97Sql,
     "q98_metadata_sum" -> q98Sql,
     "q99_filtered_metadata_aggs" -> q99Sql,
+    "q100_topk_pruned" -> q100Sql,
   )
 }
