@@ -2639,10 +2639,14 @@ object Queries {
       // integral revenue column so the filtered-aggregate door (q99)
       // can answer SUM from per-shard zsum stats
       .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      // constant-per-shard by construction (shards ARE year buckets):
+      // the single-group column the grouped metadata door proves from
+      // its zmin == zmax stats (q102)
+      .withColumn("oyear", year(col("o_orderdate")))
       .withColumn("bucket", (year(col("o_orderdate")) - 1995).cast("long"))
     graft.sinks.Sinks.writeShards(o, pub, "o_orderkey", nShards = 7,
-      zoneCols = Seq("o_orderdate", "cents"), shardCol = Some("bucket"),
-      sortCols = Seq("o_orderdate"))
+      zoneCols = Seq("o_orderdate", "cents", "oyear"),
+      shardCol = Some("bucket"), sortCols = Seq("o_orderdate"))
     q90Published.put(s, (dir, pub))
     pub
   }
@@ -3099,6 +3103,105 @@ object Queries {
     """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
       |ORDER BY o_orderdate DESC, o_orderkey LIMIT 25""".stripMargin
 
+  /** q101 — GROUPED METADATA AGGREGATES under a VALUE oracle
+    * ([[graft.plans.ManifestAggregates]] grouped door, the Iceberg
+    * partition-stats shape): documents clustered one-language-per-shard
+    * (every shard provably single-group: zmin_lang == zmax_lang,
+    * znull = 0), then the corpus census — docs, total/min/max chars,
+    * doc-id range PER LANGUAGE — answered entirely from the
+    * one-row-per-shard manifest by an ordinary grouped Aggregate over
+    * it. The oracle recomputes the census from the raw table, proving
+    * the rollup exact (including the bit-exact integral SUM). At
+    * 100 TB: "how big is each language's slice" — the first question
+    * asked of any multilingual corpus — at metadata cost, however many
+    * shards each language spans. Publish cached per (session, sf): the
+    * bench measures the metadata read. */
+  private val q101Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+
+  def q101Publish(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q101_").toString
+    val pub = s"$root/pub"
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // languages are a bounded vocabulary at any corpus size: a tiny
+    // distinct dim ranked into dense shard ids, broadcast back
+    val langs = d.select("lang").distinct()
+      .withColumn("bucket", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("lang")) - 1)
+        .cast("long"))
+    val nLangs = langs.count().toInt
+    val clustered = d.join(broadcast(langs), Seq("lang"))
+    graft.sinks.Sinks.writeShards(clustered, pub, "doc_id",
+      nShards = nLangs, zoneCols = Seq("lang", "n_chars"),
+      shardCol = Some("bucket"))
+    q101Published.put(s, (dir, pub))
+    pub
+  }
+
+  val q101: Q = (s, dir) => {
+    val cached = q101Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q101Publish(s, dir)
+    s.read.parquet(s"$pub/data").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+  val q101Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** q102 — GROUPED + FILTERED METADATA AGGREGATES under a VALUE
+    * oracle ([[graft.plans.ManifestAggregates]] composition door):
+    * the per-YEAR order census — rows, revenue cents, date range, key
+    * range — restricted to a date window that STRADDLES a year
+    * boundary, over the q90 year-clustered layout. `oyear` is
+    * constant per shard (shards are year buckets; zmin == zmax proves
+    * it), so years fully inside the window answer per-group from the
+    * manifest rows alone while the one boundary year is scanned,
+    * grouped, and unioned in — the filtered door's full/partial split
+    * composed with the grouped door's partition-stats rollup. The
+    * oracle replays filter + GROUP BY year over the raw table. At
+    * 100 TB: "monthly revenue by region for the trailing window" at
+    * boundary-shard cost — the query every BI dashboard runs hourly. */
+  val q102: Q = (s, dir) => {
+    val cached = q90Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q90Publish(s, dir)
+    s.read.parquet(s"$pub/data")
+      .filter(col("o_orderdate") >= lit("1996-03-15 00:00:00").cast("timestamp") &&
+        col("o_orderdate") <= lit("1998-12-31 23:59:59").cast("timestamp"))
+      .groupBy("oyear")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("cents")).as("cents"),
+        min(col("o_orderdate")).as("first_day"),
+        max(col("o_orderdate")).as("last_day"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+  }
+  val q102Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS oyear, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents,
+      |       MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day,
+      |       MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-15 00:00:00'
+      |                      AND TIMESTAMP '1998-12-31 23:59:59'
+      |GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3202,6 +3305,8 @@ object Queries {
     "q98_metadata_sum" -> q98,
     "q99_filtered_metadata_aggs" -> q99,
     "q100_topk_pruned" -> q100,
+    "q101_grouped_metadata" -> q101,
+    "q102_grouped_filtered" -> q102,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3302,5 +3407,7 @@ object Queries {
     "q98_metadata_sum" -> q98Sql,
     "q99_filtered_metadata_aggs" -> q99Sql,
     "q100_topk_pruned" -> q100Sql,
+    "q101_grouped_metadata" -> q101Sql,
+    "q102_grouped_filtered" -> q102Sql,
   )
 }

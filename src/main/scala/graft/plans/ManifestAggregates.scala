@@ -78,6 +78,9 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  private val GroupedKey =
+    "spark.graft.manifestAggregates.grouped.enabled"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString(EnabledKey, "true").toBoolean) return plan
     plan.transform {
@@ -89,6 +92,19 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
             case Some((cond, l, fsr)) if SQLConf.get.getConfString(
                 FilteredCountKey, "true").toBoolean =>
               rewriteFilteredCount(agg, aggExprs, cond, l, fsr)
+                .getOrElse(agg)
+            case _ => agg
+          }
+        }
+      case agg @ Aggregate(Seq(a: AttributeReference), aggExprs, child, _)
+          if SQLConf.get.getConfString(GroupedKey, "true").toBoolean =>
+        dataScanOf(child) match {
+          case Some(fsr) =>
+            rewriteGrouped(agg, a, aggExprs, fsr).getOrElse(agg)
+          case None => filteredScanOf(child) match {
+            case Some((cond, l, fsr)) if SQLConf.get.getConfString(
+                FilteredCountKey, "true").toBoolean =>
+              rewriteGroupedFiltered(agg, a, aggExprs, cond, l, fsr)
                 .getOrElse(agg)
             case _ => agg
           }
@@ -206,18 +222,6 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** A filtered aggregate's two halves: what a provably-FULL shard
-    * contributes from its manifest row, and how the partial-branch
-    * result + full contributions re-combine. */
-  private sealed trait FStat
-  private case object FNRows extends FStat                       // COUNT(*)
-  private final case class FCountCol(c: String) extends FStat    // n_rows − znull
-  private final case class FSum(c: String) extends FStat         // zsum_c
-  private final case class FMin(c: String) extends FStat         // zmin_c
-  private final case class FMax(c: String) extends FStat         // zmax_c
-  private case object FMinId extends FStat                       // min_id
-  private case object FMaxId extends FStat                       // max_id
-
   /** PARTITION-ALIGNED FILTERED AGGREGATES: global `COUNT(*)` /
     * `COUNT(col)` / `SUM(integral zone col)` / `MIN`/`MAX(zone or id
     * col)` under a conjunctive zone-column filter, split shard-by-shard
@@ -271,62 +275,16 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       // the SAME soundness gates as the unfiltered rewrites (znull
       // completeness for COUNT(col), zsum completeness + integral type
       // for SUM, the spec_id stamp for id min/max) — all-or-nothing
-      val fstats: Seq[Option[(Alias, FStat)]] = aggExprs.map {
-        case a @ Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
-            ae.filter.isEmpty && ae.mode == Complete =>
-          (ae.aggregateFunction match {
-            case Count(Seq(c)) if c.foldable && c.deterministic &&
-                c.eval() != null => Some(FNRows)
-            case Count(Seq(c: AttributeReference))
-                if mf.zoneCols.contains(c.name) &&
-                  znullComplete(mf, c.name) => Some(FCountCol(c.name))
-            case Min(c: AttributeReference)
-                if mf.zoneCols.contains(c.name) => Some(FMin(c.name))
-            case Max(c: AttributeReference)
-                if mf.zoneCols.contains(c.name) => Some(FMax(c.name))
-            case Min(c: AttributeReference)
-                if mf.idCol.contains(c.name) => Some(FMinId)
-            case Max(c: AttributeReference)
-                if mf.idCol.contains(c.name) => Some(FMaxId)
-            case Sum(c: AttributeReference, _)
-                if integral(c.dataType) && mf.zoneCols.contains(c.name) &&
-                  zsumComplete(mf, c.name) => Some(FSum(c.name))
-            case _ => None
-          }).map(r => (a, r))
+      val fstats: Seq[Option[(Alias, Recipe)]] = aggExprs.map {
+        case a @ Alias(ae: AggregateExpression, _) =>
+          recipeOf(mf, ae).map(r => (a, r))
         case _ => None
       }
       if (!fstats.forall(_.isDefined)) return None
-      val recipes: Seq[(Alias, FStat)] = fstats.map(_.get)
-      // ---- classify every conjunct, all-or-nothing
-      val conjuncts = splitConjunctivePredicates(cond)
-      val (shardConjs, valueConjs) = conjuncts.partition(
-        _.references.forall(_.name == "shard"))
-      val shardChecks: Seq[Long => Boolean] =
-        shardConjs.map(shardCheckOf(_).getOrElse(return None))
-      val fullExprs: Seq[Expression] = valueConjs.map(
-        ZoneMapSkipping.toFullPredicate(_, mf).getOrElse(return None))
-      val keepExprs: Seq[Expression] = valueConjs.flatMap(
-        ZoneMapSkipping.toManifestPredicate(_, mf))
-      def predOf(es: Seq[Expression]): InternalRow => Boolean =
-        if (es.isEmpty) _ => true
-        else {
-          val p = Predicate.create(es.reduce(And), mf.attrs)
-          p.initialize(0)
-          p.eval _
-        }
-      val fullPred = predOf(fullExprs)
-      val keepPred = predOf(keepExprs)
-      val full = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val partial = scala.collection.mutable.ArrayBuffer.empty[Long]
-      mf.rows.foreach { r =>
-        val sid = r.getLong(mf.shardOrdinal)
-        if (shardChecks.forall(_(sid))) {
-          if (fullPred(r)) full += sid
-          else if (keepPred(r)) partial += sid
-        }
-      }
+      val recipes: Seq[(Alias, Recipe)] = fstats.map(_.get)
       // no provably-full shard: nothing the data scan + ZoneMapSkipping
       // don't already do better — ALSO the termination anchor (see doc)
+      val (full, partial) = classifyShards(cond, mf).getOrElse(return None)
       if (full.isEmpty) return None
 
       // ---- phase 2: generation re-check + fresh manifest plan (the
@@ -354,15 +312,15 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       // manifest — a foreign manifest bails here)
       val fullCols: Seq[Expression] = recipes.map { case (_, r) =>
         (r match {
-          case FNRows => mAttr("n_rows")
-          case FCountCol(c) =>
+          case CountRows => mAttr("n_rows")
+          case CountCol(c) =>
             for (n <- mAttr("n_rows"); z <- mAttr(s"znull_$c"))
               yield Subtract(n, z): Expression
-          case FSum(c)  => mAttr(s"zsum_$c")
-          case FMin(c)  => mAttr(s"zmin_$c")
-          case FMax(c)  => mAttr(s"zmax_$c")
-          case FMinId   => mAttr("min_id")
-          case FMaxId   => mAttr("max_id")
+          case SumStat(c) => mAttr(s"zsum_$c")
+          case MinStat(c) => mAttr(s"zmin_$c")
+          case MaxStat(c) => mAttr(s"zmax_$c")
+          case MinId      => mAttr("min_id")
+          case MaxId      => mAttr("max_id")
         }).getOrElse(return None)
       }
       // the original aggregates over the original filter, restricted
@@ -390,14 +348,14 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       val u = inner.output
       val rewritten = recipes.zipWithIndex.map { case ((a, r), i) =>
         val combined: Expression = r match {
-          case FNRows | FCountCol(_) => Coalesce(Seq(
+          case CountRows | CountCol(_) => Coalesce(Seq(
             AggregateExpression(Sum(u(i)), Complete, isDistinct = false),
             Literal(0L)))
-          case FSum(_) =>
+          case SumStat(_) =>
             AggregateExpression(Sum(u(i)), Complete, isDistinct = false)
-          case FMin(_) | FMinId =>
+          case MinStat(_) | MinId =>
             AggregateExpression(Min(u(i)), Complete, isDistinct = false)
-          case FMax(_) | FMaxId =>
+          case MaxStat(_) | MaxId =>
             AggregateExpression(Max(u(i)), Complete, isDistinct = false)
         }
         // keep the ORIGINAL exprId/name/type so consumers above the
@@ -420,10 +378,314 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       None
   }
 
+  /** GROUPED METADATA AGGREGATES: `GROUP BY <zone col>` over a layout
+    * whose every shard is provably SINGLE-GROUP — all rows share one
+    * non-null value of the group column (`znull == 0 ∧ zmin == zmax`)
+    * or are all null (`znull == n_rows`) — answered entirely from the
+    * manifest: the Iceberg partition-stats shape ("rows and revenue
+    * per language/day") at one-row-per-shard cost. Single-group is
+    * what makes EVERY whole-shard stat attributable to that one group,
+    * so the same recipes as the global rewrite apply per group:
+    * COUNT(*) = Σ n_rows, COUNT(c) = Σ (n_rows − znull_c),
+    * SUM(integral c) = Σ zsum_c, MIN/MAX from zmin/zmax/min_id/max_id,
+    * merged by an ordinary grouped Aggregate over the manifest scan —
+    * multiple shards of the same group value combine exactly as the
+    * data scan's partial aggregates would. The group value itself is
+    * `znull == n_rows ? NULL : zmin` (all-null shards form the scan's
+    * NULL group), and empty shards are filtered out (`n_rows > 0`) —
+    * the data scan emits no group for them. The bare
+    * `SELECT DISTINCT <zone col>` shape (no aggregates) rides the same
+    * rewrite. All-or-nothing over shards AND aggregates; one
+    * unprovable element → plan untouched. Kill switch:
+    * `spark.graft.manifestAggregates.grouped.enabled=false`. */
+  private def rewriteGrouped(agg: Aggregate, a: AttributeReference,
+                             aggExprs: Seq[NamedExpression],
+                             fsr: HadoopFsRelation): Option[LogicalPlan] = try {
+    val spark = SparkSession.active
+    ShardLayouts.manifestFor(spark, fsr.location.rootPaths.head).flatMap { mf =>
+      if (!mf.zoneCols.contains(a.name)) return None
+      // typed ordinals against the CACHED manifest (a read schema
+      // re-typing the column must bail, not compare across types)
+      def cOrd(n: String, t: DataType): Int =
+        mf.attrs.indexWhere(x => x.name == n && x.dataType == t)
+      val loI = cOrd(s"zmin_${a.name}", a.dataType)
+      val hiI = cOrd(s"zmax_${a.name}", a.dataType)
+      val nI = cOrd("n_rows", LongType)
+      val zI = cOrd(s"znull_${a.name}", LongType)
+      if (loI < 0 || hiI < 0 || nI < 0 || zI < 0) return None
+      val ordering = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(a.dataType)
+      // PHASE 1a — every shard single-group against the cached rows
+      val singleGroup = mf.rows.forall { r =>
+        !r.isNullAt(nI) && !r.isNullAt(zI) && {
+          val n = r.getLong(nI)
+          val z = r.getLong(zI)
+          n == 0L || z == n ||
+            (z == 0L && !r.isNullAt(loI) && !r.isNullAt(hiI) &&
+              ordering.compare(r.get(loI, a.dataType),
+                r.get(hiI, a.dataType)) == 0)
+        }
+      }
+      if (!singleGroup) return None
+      // PHASE 1b — every output either passes the group value through
+      // or maps to a stat recipe
+      val mapped: Seq[Option[Either[NamedExpression, (Alias, Recipe)]]] =
+        aggExprs.map {
+          case ar: AttributeReference if ar.exprId == a.exprId =>
+            Some(scala.util.Left(ar))
+          case al @ Alias(ar: AttributeReference, _)
+              if ar.exprId == a.exprId => Some(scala.util.Left(al))
+          case al @ Alias(ae: AggregateExpression, _) =>
+            recipeOf(mf, ae).map(r => scala.util.Right((al, r)))
+          case _ => None
+        }
+      if (!mapped.forall(_.isDefined)) return None
+
+      // PHASE 2 — generation re-check + fresh manifest plan (same
+      // staleness discipline as every other door here)
+      try {
+        val mPath = new org.apache.hadoop.fs.Path(mf.path)
+        val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (ShardLayouts.generationToken(fs, mPath) != mf.token) return None
+      } catch { case _: Exception => return None }
+      val manifestPlan =
+        try spark.read.parquet(mf.path).queryExecution.analyzed
+        catch { case _: Exception => return None }
+      def mAttrT(name: String, t: DataType): Option[Attribute] =
+        manifestPlan.output.find(x => x.name == name && x.dataType == t)
+      def mAttr(name: String): Option[Attribute] =
+        manifestPlan.output.find(_.name == name)
+      val lo = mAttrT(s"zmin_${a.name}", a.dataType).getOrElse(return None)
+      val nRows = mAttrT("n_rows", LongType).getOrElse(return None)
+      val znull = mAttrT(s"znull_${a.name}", LongType).getOrElse(return None)
+      // the shard's one group value; all-null shards form the NULL group
+      val groupVal: Expression =
+        If(EqualTo(znull, nRows), Literal(null, a.dataType), lo)
+      val rewritten: Seq[NamedExpression] = mapped.map(_.get).map {
+        case scala.util.Left(ne) =>
+          if (groupVal.dataType != ne.dataType) return None
+          Alias(groupVal, ne.name)(exprId = ne.exprId)
+        case scala.util.Right((al, recipe)) =>
+          statAggExprOf(recipe, mAttr) match {
+            case Some(e) if e.dataType == al.dataType =>
+              Alias(e, al.name)(exprId = al.exprId)
+            case _ => return None
+          }
+      }
+      logInfo(s"grouped metadata aggregate at ${mf.path}: " +
+        s"GROUP BY ${a.name} over ${mf.rows.length} shard rows, " +
+        s"zero data files")
+      Some(Aggregate(Seq(groupVal), rewritten,
+        Filter(GreaterThan(nRows, Literal(0L)), manifestPlan)))
+    }
+  } catch {
+    // an optimization only: any surprise leaves the user's plan alone
+    case e: Exception =>
+      logWarning(s"grouped metadata aggregate disabled for this scan: $e")
+      None
+  }
+
+  /** GROUPED + FILTERED METADATA AGGREGATES — the composition of the
+    * two doors above: `GROUP BY <single-group zone col>` under a
+    * conjunctive zone filter ("docs and chars per language in this
+    * date window"). Every shard is single-group on the grouping column
+    * (same proof as [[rewriteGrouped]]), the filter classifies shards
+    * FULL / PARTIAL / disjoint (same classification as the filtered
+    * door), and the emitted plan unions (a) one manifest row per FULL
+    * shard projecting [group value, per-aggregate stat contribution]
+    * with (b) the ORIGINAL grouped aggregate over the filter restricted
+    * to the PARTIAL shards — then re-groups with each aggregate's own
+    * merge. A partial shard contributes at most one group (it is
+    * single-group), and its rows that fail the filter are dropped by
+    * the row-level path exactly as the unrewritten plan would.
+    * Termination: the partial branch's `shard IN` conjunct re-enters
+    * with an empty FULL set (partial = keep ∖ full on the same cached
+    * stats) and bails. Gated by BOTH kill switches. */
+  private def rewriteGroupedFiltered(agg: Aggregate, a: AttributeReference,
+                                     aggExprs: Seq[NamedExpression],
+                                     cond: Expression,
+                                     l: LogicalRelation,
+                                     fsr: HadoopFsRelation): Option[LogicalPlan] = try {
+    val spark = SparkSession.active
+    val shardAttr = l.output.find(x => x.name == "shard" &&
+      (x.dataType == IntegerType || x.dataType == LongType))
+      .getOrElse(return None)
+    ShardLayouts.manifestFor(spark, fsr.location.rootPaths.head).flatMap { mf =>
+      if (!mf.zoneCols.contains(a.name)) return None
+      def cOrd(n: String, t: DataType): Int =
+        mf.attrs.indexWhere(x => x.name == n && x.dataType == t)
+      val loI = cOrd(s"zmin_${a.name}", a.dataType)
+      val hiI = cOrd(s"zmax_${a.name}", a.dataType)
+      val nI = cOrd("n_rows", LongType)
+      val zI = cOrd(s"znull_${a.name}", LongType)
+      if (loI < 0 || hiI < 0 || nI < 0 || zI < 0) return None
+      val ordering = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(a.dataType)
+      val singleGroup = mf.rows.forall { r =>
+        !r.isNullAt(nI) && !r.isNullAt(zI) && {
+          val n = r.getLong(nI)
+          val z = r.getLong(zI)
+          n == 0L || z == n ||
+            (z == 0L && !r.isNullAt(loI) && !r.isNullAt(hiI) &&
+              ordering.compare(r.get(loI, a.dataType),
+                r.get(hiI, a.dataType)) == 0)
+        }
+      }
+      if (!singleGroup) return None
+      val mapped: Seq[Option[Either[NamedExpression, (Alias, Recipe)]]] =
+        aggExprs.map {
+          case ar: AttributeReference if ar.exprId == a.exprId =>
+            Some(scala.util.Left(ar))
+          case al @ Alias(ar: AttributeReference, _)
+              if ar.exprId == a.exprId => Some(scala.util.Left(al))
+          case al @ Alias(ae: AggregateExpression, _) =>
+            recipeOf(mf, ae).map(r => scala.util.Right((al, r)))
+          case _ => None
+        }
+      if (!mapped.forall(_.isDefined)) return None
+      val outs = mapped.map(_.get)
+      val rights: Seq[(Alias, Recipe)] = outs.collect {
+        case scala.util.Right(p) => p
+      }
+      val (full, partial) = classifyShards(cond, mf).getOrElse(return None)
+      if (full.isEmpty) return None
+
+      // phase 2: generation re-check + fresh manifest plan
+      try {
+        val mPath = new org.apache.hadoop.fs.Path(mf.path)
+        val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (ShardLayouts.generationToken(fs, mPath) != mf.token) return None
+      } catch { case _: Exception => return None }
+      val manifestPlan =
+        try spark.read.parquet(mf.path).queryExecution.analyzed
+        catch { case _: Exception => return None }
+      def mAttrT(name: String, t: DataType): Option[Attribute] =
+        manifestPlan.output.find(x => x.name == name && x.dataType == t)
+      def mAttr(name: String): Option[Attribute] =
+        manifestPlan.output.find(_.name == name)
+      val lo = mAttrT(s"zmin_${a.name}", a.dataType).getOrElse(return None)
+      val nRows = mAttrT("n_rows", LongType).getOrElse(return None)
+      val znull = mAttrT(s"znull_${a.name}", LongType).getOrElse(return None)
+      val mShard = mAttrT("shard", LongType).getOrElse(return None)
+      val groupVal: Expression =
+        If(EqualTo(znull, nRows), Literal(null, a.dataType), lo)
+      if (groupVal.dataType != a.dataType) return None
+
+      def inSet(attr: Attribute, ids: Seq[Long]): Expression =
+        if (ids.length <= 100)
+          In(attr, ids.sorted.map(shardLit(_, attr)))
+        else InSet(attr, ids.map(shardVal(_, attr)).toSet)
+
+      // full branch: [group value, one stat contribution per aggregate]
+      val fullCols: Seq[Expression] = rights.map { case (_, r) =>
+        (r match {
+          case CountRows => mAttr("n_rows")
+          case CountCol(c) =>
+            for (n <- mAttr("n_rows"); z <- mAttr(s"znull_$c"))
+              yield Subtract(n, z): Expression
+          case SumStat(c) => mAttr(s"zsum_$c")
+          case MinStat(c) => mAttr(s"zmin_$c")
+          case MaxStat(c) => mAttr(s"zmax_$c")
+          case MinId      => mAttr("min_id")
+          case MaxId      => mAttr("max_id")
+        }).getOrElse(return None)
+      }
+      // partial branch: the ORIGINAL grouped aggregate restricted to
+      // the partial shards — [group col, original aggregates]
+      val partialAggs: Seq[NamedExpression] =
+        Alias(a, "g")() +: rights.zipWithIndex.map { case ((al, _), i) =>
+          Alias(al.child, s"s$i")()
+        }
+      if (!fullCols.zip(rights).forall { case (f, (al, _)) =>
+          f.dataType == al.dataType }) return None
+      val fullBranch = Project(
+        Alias(groupVal, "g")() +: fullCols.zipWithIndex.map {
+          case (e, i) => Alias(e, s"s$i")()
+        },
+        Filter(inSet(mShard, full), manifestPlan))
+      val inner: LogicalPlan =
+        if (partial.isEmpty) fullBranch
+        else Union(Seq(fullBranch, Aggregate(Seq(a), partialAggs,
+          Filter(And(cond, inSet(shardAttr, partial)), l))))
+
+      val u = inner.output
+      val groupU = u.head
+      var ri = 0
+      val rewritten: Seq[NamedExpression] = outs.map {
+        case scala.util.Left(ne) =>
+          Alias(groupU, ne.name)(exprId = ne.exprId)
+        case scala.util.Right((al, r)) =>
+          val col = u(1 + ri); ri += 1
+          val combined: Expression = r match {
+            case CountRows | CountCol(_) => Coalesce(Seq(
+              AggregateExpression(Sum(col), Complete, isDistinct = false),
+              Literal(0L)))
+            case SumStat(_) =>
+              AggregateExpression(Sum(col), Complete, isDistinct = false)
+            case MinStat(_) | MinId =>
+              AggregateExpression(Min(col), Complete, isDistinct = false)
+            case MaxStat(_) | MaxId =>
+              AggregateExpression(Max(col), Complete, isDistinct = false)
+          }
+          if (combined.dataType != al.dataType) return None
+          Alias(combined, al.name)(exprId = al.exprId)
+      }
+      logInfo(s"grouped filtered metadata aggregate at " +
+        s"${fsr.location.rootPaths.head}: GROUP BY ${a.name}, " +
+        s"${full.length} full + ${partial.length} partial of " +
+        s"${mf.rows.length} shards")
+      Some(Aggregate(Seq(groupU), rewritten, inner))
+    }
+  } catch {
+    case e: Exception =>
+      logWarning(s"grouped-filtered rewrite disabled for this scan: $e")
+      None
+  }
+
+  /** Classify every shard under a conjunctive zone filter against the
+    * CACHED manifest, all-or-nothing: (FULL — every row provably
+    * passes, [[ZoneMapSkipping.toFullPredicate]]; PARTIAL — may
+    * intersect but not provably full). Shards ruled out by the
+    * may-intersect test are dropped entirely. None when any conjunct
+    * is unanalyzable (not a provable value shape and not a
+    * shard-membership conjunct a prior zone pass added). */
+  private def classifyShards(cond: Expression,
+                             mf: ShardLayouts.CachedManifest)
+      : Option[(Seq[Long], Seq[Long])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (shardConjs, valueConjs) = conjuncts.partition(
+      _.references.forall(_.name == "shard"))
+    val shardChecks: Seq[Long => Boolean] =
+      shardConjs.map(shardCheckOf(_).getOrElse(return None))
+    val fullExprs: Seq[Expression] = valueConjs.map(
+      ZoneMapSkipping.toFullPredicate(_, mf).getOrElse(return None))
+    val keepExprs: Seq[Expression] = valueConjs.flatMap(
+      ZoneMapSkipping.toManifestPredicate(_, mf))
+    def predOf(es: Seq[Expression]): InternalRow => Boolean =
+      if (es.isEmpty) _ => true
+      else {
+        val p = Predicate.create(es.reduce(And), mf.attrs)
+        p.initialize(0)
+        p.eval _
+      }
+    val fullPred = predOf(fullExprs)
+    val keepPred = predOf(keepExprs)
+    val full = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val partial = scala.collection.mutable.ArrayBuffer.empty[Long]
+    mf.rows.foreach { r =>
+      val sid = r.getLong(mf.shardOrdinal)
+      if (shardChecks.forall(_(sid))) {
+        if (fullPred(r)) full += sid
+        else if (keepPred(r)) partial += sid
+      }
+    }
+    Some((full.toSeq, partial.toSeq))
+  }
+
   /** A conjunct referencing ONLY the shard partition column, as an
     * exact per-shard-id check — the shapes a prior [[ZoneMapSkipping]]
     * pass (or a user) writes. None = unanalyzable, caller bails. */
-  private def shardCheckOf(conjunct: Expression): Option[Long => Boolean] = {
+  private[plans] def shardCheckOf(conjunct: Expression): Option[Long => Boolean] = {
     def asLong(v: Any): Option[Long] = v match {
       case i: Int => Some(i.toLong)
       case j: Long => Some(j)
@@ -463,6 +725,64 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       case _           => v
     }
 
+  /** One aggregate expression's manifest recipe, with every soundness
+    * gate applied against the CACHED manifest (znull completeness for
+    * COUNT(col), zsum completeness + integral type for SUM, the
+    * spec_id stamp for id min/max). None = not rewritable. */
+  private def recipeOf(mf: ShardLayouts.CachedManifest,
+                       ae: AggregateExpression): Option[Recipe] =
+    if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) None
+    else ae.aggregateFunction match {
+      case Count(Seq(c)) if c.foldable && c.deterministic &&
+          c.eval() != null => Some(CountRows)
+      case Count(Seq(c: AttributeReference))
+          if mf.zoneCols.contains(c.name) &&
+            znullComplete(mf, c.name) => Some(CountCol(c.name))
+      case Min(c: AttributeReference)
+          if mf.zoneCols.contains(c.name) => Some(MinStat(c.name))
+      case Max(c: AttributeReference)
+          if mf.zoneCols.contains(c.name) => Some(MaxStat(c.name))
+      case Min(c: AttributeReference)
+          if mf.idCol.contains(c.name) => Some(MinId)
+      case Max(c: AttributeReference)
+          if mf.idCol.contains(c.name) => Some(MaxId)
+      case Sum(c: AttributeReference, _)
+          if integral(c.dataType) && mf.zoneCols.contains(c.name) &&
+            zsumComplete(mf, c.name) => Some(SumStat(c.name))
+      case _ => None
+    }
+
+  /** The manifest-side aggregate expression a recipe evaluates to,
+    * built over the FRESH manifest scan's attributes. None when a stat
+    * column is missing there (foreign manifest). */
+  private def statAggExprOf(recipe: Recipe,
+                            mAttr: String => Option[Attribute])
+      : Option[Expression] = recipe match {
+    case CountRows =>
+      mAttr("n_rows").map(n => Coalesce(Seq(
+        AggregateExpression(Sum(n), Complete, isDistinct = false),
+        Literal(0L))))
+    case CountCol(c) =>
+      for (n <- mAttr("n_rows"); z <- mAttr(s"znull_$c"))
+        yield Coalesce(Seq(
+          AggregateExpression(Sum(Subtract(n, z)), Complete,
+            isDistinct = false),
+          Literal(0L)))
+    case MinStat(c) => mAttr(s"zmin_$c").map(z =>
+      AggregateExpression(Min(z), Complete, isDistinct = false))
+    case MaxStat(c) => mAttr(s"zmax_$c").map(z =>
+      AggregateExpression(Max(z), Complete, isDistinct = false))
+    // Sum over the per-shard sums: skips NULL (all-null-shard) rows
+    // exactly as the data scan's Sum skips their rows, and answers
+    // NULL on an all-null input just like the scan
+    case SumStat(c) => mAttr(s"zsum_$c").map(z =>
+      AggregateExpression(Sum(z), Complete, isDistinct = false))
+    case MinId => mAttr("min_id").map(z =>
+      AggregateExpression(Min(z), Complete, isDistinct = false))
+    case MaxId => mAttr("max_id").map(z =>
+      AggregateExpression(Max(z), Complete, isDistinct = false))
+  }
+
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
                       fsr: HadoopFsRelation): Option[LogicalPlan] = {
     val spark = SparkSession.active
@@ -473,27 +793,8 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
       // non-zone column) must bail without I/O, or every fixpoint
       // iteration repeats the read.
       val recipes: Seq[Option[(Alias, Recipe)]] = aggExprs.map {
-        case a @ Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
-            ae.filter.isEmpty && ae.mode == Complete =>
-          (ae.aggregateFunction match {
-            case Count(Seq(c)) if c.foldable && c.deterministic &&
-                c.eval() != null => Some(CountRows)
-            case Count(Seq(c: AttributeReference))
-                if mf.zoneCols.contains(c.name) &&
-                  znullComplete(mf, c.name) => Some(CountCol(c.name))
-            case Min(c: AttributeReference)
-                if mf.zoneCols.contains(c.name) => Some(MinStat(c.name))
-            case Max(c: AttributeReference)
-                if mf.zoneCols.contains(c.name) => Some(MaxStat(c.name))
-            case Min(c: AttributeReference)
-                if mf.idCol.contains(c.name) => Some(MinId)
-            case Max(c: AttributeReference)
-                if mf.idCol.contains(c.name) => Some(MaxId)
-            case Sum(c: AttributeReference, _)
-                if integral(c.dataType) && mf.zoneCols.contains(c.name) &&
-                  zsumComplete(mf, c.name) => Some(SumStat(c.name))
-            case _ => None
-          }).map(r => (a, r))
+        case a @ Alias(ae: AggregateExpression, _) =>
+          recipeOf(mf, ae).map(r => (a, r))
         case _ => None
       }
       if (!recipes.forall(_.isDefined)) return None
@@ -519,32 +820,7 @@ object ManifestAggregates extends Rule[LogicalPlan] with PredicateHelper {
         manifestPlan.output.find(_.name == name)
 
       val rewritten = recipes.map(_.get).map { case (a, recipe) =>
-        val inner: Option[Expression] = recipe match {
-          case CountRows =>
-            mAttr("n_rows").map(n => Coalesce(Seq(
-              AggregateExpression(Sum(n), Complete, isDistinct = false),
-              Literal(0L))))
-          case CountCol(c) =>
-            for (n <- mAttr("n_rows"); z <- mAttr(s"znull_$c"))
-              yield Coalesce(Seq(
-                AggregateExpression(Sum(Subtract(n, z)), Complete,
-                  isDistinct = false),
-                Literal(0L)))
-          case MinStat(c) => mAttr(s"zmin_$c").map(z =>
-            AggregateExpression(Min(z), Complete, isDistinct = false))
-          case MaxStat(c) => mAttr(s"zmax_$c").map(z =>
-            AggregateExpression(Max(z), Complete, isDistinct = false))
-          // Sum over the per-shard sums: skips NULL (all-null-shard)
-          // rows exactly as the data scan's Sum skips their rows, and
-          // answers NULL on an all-null layout just like the scan
-          case SumStat(c) => mAttr(s"zsum_$c").map(z =>
-            AggregateExpression(Sum(z), Complete, isDistinct = false))
-          case MinId => mAttr("min_id").map(z =>
-            AggregateExpression(Min(z), Complete, isDistinct = false))
-          case MaxId => mAttr("max_id").map(z =>
-            AggregateExpression(Max(z), Complete, isDistinct = false))
-        }
-        inner match {
+        statAggExprOf(recipe, mAttr) match {
           // keep the ORIGINAL exprId/name/type so consumers above the
           // aggregate resolve unchanged
           case Some(e) if e.dataType == a.dataType =>

@@ -384,6 +384,121 @@ class ManifestAggregatesSpec extends SparkTestBase {
       s"aligned filtered sum/min/max must open zero data files: $locs")
   }
 
+  // --------------------------------- grouped metadata aggregates
+
+  // 9 shards: buckets 0-7 carry grp = "g" + (bucket % 4) — two shards
+  // per group, single-group each; bucket 8 is entirely null-grp
+  private lazy val gpub: String = {
+    val dir = Files.createTempDirectory("graft_magg_grp_").toString
+    val base = spark.range(100).toDF("id")
+      .withColumn("bucket", col("id") % 8)
+      .withColumn("grp", concat(lit("g"), (col("bucket") % 4)))
+      .withColumn("x", col("id"))
+    val nulls = spark.range(100, 110).toDF("id")
+      .withColumn("bucket", lit(8L))
+      .withColumn("grp", lit(null).cast("string"))
+      .withColumn("x", col("id"))
+    Sinks.writeShards(base.unionAll(nulls), s"$dir/pub", "id",
+      nShards = 9, zoneCols = Seq("grp", "x"), shardCol = Some("bucket"))
+    s"$dir/pub"
+  }
+
+  test("GROUP BY a single-group zone col answers from the manifest") {
+    def q() = spark.read.parquet(s"$gpub/data").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        min(col("x")).as("xlo"), max(col("x")).as("xhi"),
+        count(col("grp")).as("ng"),
+        min(col("id")).as("idlo"), max(col("id")).as("idhi"))
+    // ground truth from the data scan with the door closed
+    spark.conf.set("spark.graft.manifestAggregates.grouped.enabled", "false")
+    val expected =
+      try q().collect().toSeq.sortBy(r => Option(r.getString(0)))
+      finally spark.conf.set(
+        "spark.graft.manifestAggregates.grouped.enabled", "true")
+    val (rows, locs) = run(q())
+    assert(rows.sortBy(r => Option(r.getString(0))) == expected,
+      "manifest answer must match the data scan exactly")
+    assert(rows.length == 5) // g0..g3 + the NULL group
+    assert(locs == Seq("manifest"),
+      s"grouped aggregate must open zero data files: $locs")
+  }
+
+  test("SELECT DISTINCT over a single-group zone col is metadata-only") {
+    val (rows, locs) = run(
+      spark.read.parquet(s"$gpub/data").select("grp").distinct())
+    assert(rows.map(r => Option(r.getString(0))).toSet ==
+      Set(Some("g0"), Some("g1"), Some("g2"), Some("g3"), None))
+    assert(locs == Seq("manifest"), s"expected metadata-only: $locs")
+  }
+
+  test("GROUP BY a multi-value-per-shard zone col keeps the data scan") {
+    // the main fixture's ts varies within every shard
+    val (rows, locs) = run(read().groupBy("ts")
+      .agg(count(lit(1)).as("n")))
+    assert(rows.length == 300)
+    assert(locs == Seq("data"),
+      s"non-single-group layout must scan data: $locs")
+  }
+
+  test("grouped kill switch keeps the data scan, same answer") {
+    spark.conf.set("spark.graft.manifestAggregates.grouped.enabled", "false")
+    try {
+      val (rows, locs) = run(spark.read.parquet(s"$gpub/data")
+        .groupBy("grp").agg(count(lit(1)).as("n")))
+      assert(rows.length == 5)
+      assert(locs == Seq("data"), s"disabled door must scan data: $locs")
+    } finally spark.conf.set(
+      "spark.graft.manifestAggregates.grouped.enabled", "true")
+  }
+
+  test("grouped avg/distinct aggregates keep the data scan") {
+    val (rows, locs) = run(spark.read.parquet(s"$gpub/data")
+      .groupBy("grp").agg(avg(col("x")).as("m")))
+    assert(rows.length == 5)
+    assert(locs == Seq("data"),
+      s"avg has no stat recipe, the whole group-by must scan: $locs")
+  }
+
+  test("grouped + filtered: full shards from metadata, partial scanned") {
+    // x >= 90: the null-grp shard (x 100-109) is provably FULL; shards
+    // 0-7 (x up to 92..99) straddle and stay on the row-level path
+    def q() = spark.read.parquet(s"$gpub/data")
+      .filter(col("x") >= 90).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        min(col("x")).as("xlo"), max(col("x")).as("xhi"))
+    spark.conf.set("spark.graft.manifestAggregates.grouped.enabled", "false")
+    val expected =
+      try q().collect().toSeq.sortBy(r => Option(r.getString(0)))
+      finally spark.conf.set(
+        "spark.graft.manifestAggregates.grouped.enabled", "true")
+    val (rows, locs) = run(q())
+    assert(rows.sortBy(r => Option(r.getString(0))) == expected,
+      "split answer must match the data scan exactly")
+    assert(locs.toSet == Set("manifest", "data"),
+      s"expected a manifest + partial-shard union, got: $locs")
+  }
+
+  test("grouped + filtered: aligned filter is answered metadata-only") {
+    val (rows, locs) = run(spark.read.parquet(s"$gpub/data")
+      .filter(col("x") >= 100).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+    // only the all-null-grp shard holds x >= 100: one NULL group
+    assert(rows.length == 1 && rows.head.isNullAt(0))
+    assert(rows.head.getLong(1) == 10L)
+    assert(rows.head.getLong(2) == (100 until 110).sum.toLong)
+    assert(locs == Seq("manifest"),
+      s"aligned grouped filter must open zero data files: $locs")
+  }
+
+  test("grouped + filtered: a non-zone conjunct keeps the data scan") {
+    val (rows, locs) = run(spark.read.parquet(s"$gpub/data")
+      .filter(col("x") >= 100 && col("id") % 2 === 0).groupBy("grp")
+      .agg(count(lit(1)).as("n")))
+    assert(rows.length == 1 && rows.head.getLong(1) == 5L)
+    assert(locs.forall(_ != "manifest"),
+      s"unprovable conjunct must disable the rewrite: $locs")
+  }
+
   test("all-null zone column: metadata min/max is null like the scan's") {
     val dir = Files.createTempDirectory("graft_magg_null_").toString
     val df = spark.range(40).toDF("id")
