@@ -3084,9 +3084,14 @@ object Queries {
     * ≥ 25 rows live in the newest year, so every other shard is
     * dropped at planning time — the Sort/Limit run over one shard's
     * files. The `o_orderkey` tiebreak makes the row SET deterministic,
-    * so the oracle's hash compare proves pruning lost nothing. At
-    * 100 TB this is the "latest N events" dashboard query: one boundary
-    * shard opened instead of a corpus sort. */
+    * so the oracle's hash compare proves pruning lost nothing. A
+    * second FILTERED span ("latest as of mid-1997") proves the θ
+    * threshold composes with the filter classification: 1995/1996 are
+    * provably full under the cutoff and 1996's guaranteed rows set a θ
+    * that rules 1995 out, while the straddling 1997 shard is scanned —
+    * a cut no filter-only pruning could make. At 100 TB this is the
+    * "latest N events [in this window]" dashboard query: boundary
+    * shards opened instead of a corpus sort. */
   val q100: Q = (s, dir) => {
     val cached = q90Published.get(s)
     val pub =
@@ -3094,14 +3099,25 @@ object Queries {
           java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
         cached._2
       else q90Publish(s, dir)
-    s.read.parquet(s"$pub/data")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
-      .limit(25)
-      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    def span(name: String, df: DataFrame => DataFrame): DataFrame =
+      df(s.read.parquet(s"$pub/data"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+        .limit(25)
+        .select(lit(name).as("span"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+    span("latest", identity)
+      .unionAll(span("asof_mid97", _.filter(col("o_orderdate") <=
+        lit("1997-06-30 23:59:59").cast("timestamp"))))
   }
+  private val q100ColsSql =
+    "o_orderkey, o_orderdate, o_totalprice FROM orders"
   val q100Sql: String =
-    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
-      |ORDER BY o_orderdate DESC, o_orderkey LIMIT 25""".stripMargin
+    s"""SELECT * FROM (SELECT 'latest' AS span, $q100ColsSql
+      |ORDER BY o_orderdate DESC, o_orderkey LIMIT 25)
+      |UNION ALL
+      |SELECT * FROM (SELECT 'asof_mid97' AS span, $q100ColsSql
+      |WHERE o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
+      |ORDER BY o_orderdate DESC, o_orderkey LIMIT 25)""".stripMargin
 
   /** q101 — GROUPED METADATA AGGREGATES under a VALUE oracle
     * ([[graft.plans.ManifestAggregates]] grouped door, the Iceberg

@@ -40,11 +40,24 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
   * prune (NaN's total-order placement is not representable in the
   * min/max stats).
   *
-  * At 100 TB this is the "latest N events" / "top spenders this epoch"
-  * shape: a time-clustered layout answers `ORDER BY ts DESC LIMIT 100`
-  * from the one newest shard instead of sorting the corpus. Kill
-  * switch: `spark.graft.topKShardPruning.enabled=false`. */
-object TopKShardPruning extends Rule[LogicalPlan] {
+  * The FILTERED shape (`WHERE <zone filter> ORDER BY ... LIMIT k`)
+  * composes: shards are classified FULL / PARTIAL / disjoint under the
+  * filter (the [[ManifestAggregates]] classification machinery), the
+  * guaranteed tally and null counts draw only on FULL shards — a
+  * θ-backing row must both beat θ AND pass the filter, and a full
+  * shard's rows provably do — while PARTIAL shards are kept unless θ
+  * rules them out and disjoint shards drop outright. An unanalyzable
+  * conjunct disables pruning entirely (no proof that enough passing
+  * rows exist). The conjunct only fires when it SHRINKS what existing
+  * shard conjuncts allow, which is also the fixpoint termination
+  * anchor.
+  *
+  * At 100 TB this is the "latest N events [in this window]" / "top
+  * spenders this epoch" shape: a time-clustered layout answers
+  * `ORDER BY ts DESC LIMIT 100` from the one newest shard instead of
+  * sorting the corpus. Kill switch:
+  * `spark.graft.topKShardPruning.enabled=false`. */
+object TopKShardPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.topKShardPruning.enabled"
 
@@ -94,14 +107,23 @@ object TopKShardPruning extends Rule[LogicalPlan] {
           if a.dataType != FloatType && a.dataType != DoubleType => a
       case _ => return None
     }
-    // strip attribute-only Projects down to the layout scan
-    def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+    // strip attribute-only Projects (and at most one Filter — the
+    // filtered top-k shape: `WHERE <zone filter> ORDER BY ... LIMIT k`)
+    // down to the layout scan
+    def stripProj(p: LogicalPlan): Option[LogicalRelation] = p match {
       case l: LogicalRelation => Some(l)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        strip(c)
+        stripProj(c)
       case _ => None
     }
-    val l = strip(child).getOrElse(return None)
+    def strip(p: LogicalPlan)
+        : Option[(LogicalRelation, Option[Expression])] = p match {
+      case Filter(cond, c) => stripProj(c).map(l => (l, Some(cond)))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case _ => stripProj(p).map(l => (l, None))
+    }
+    val (l, filterCond) = strip(child).getOrElse(return None)
     val fsr = l.relation match {
       case f: HadoopFsRelation if ShardLayouts.isLayoutScan(f) => f
       case _ => return None
@@ -130,6 +152,52 @@ object TopKShardPruning extends Rule[LogicalPlan] {
           opt(r, loI, key.dataType), opt(r, hiI, key.dataType),
           opt(r, zI, LongType).map(_.asInstanceOf[Long]))
       }
+      // Classify shards under the filter (if any): ALLOWED by existing
+      // shard conjuncts, then FULL (every row provably passes — only
+      // these shards' rows back the θ guarantee, because a θ-backing
+      // row must both beat θ AND pass the filter) / PARTIAL (may
+      // intersect) / dropped (provably disjoint — can contribute no
+      // row at all). Unfiltered scans: everything is FULL.
+      val (allowed, fullSet, partialSet) = filterCond match {
+        case None =>
+          val all = stats.map(_.sid).toSet
+          (all, all, Set.empty[Long])
+        case Some(cond) =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          val (shardConjs, valueConjs) = conjuncts.partition(
+            _.references.forall(_.name == "shard"))
+          val shardChecks = shardConjs.map(
+            ManifestAggregates.shardCheckOf(_).getOrElse(return None))
+          val fullExprs = valueConjs.map(
+            ZoneMapSkipping.toFullPredicate(_, mf).getOrElse(return None))
+          val keepExprs = valueConjs.flatMap(
+            ZoneMapSkipping.toManifestPredicate(_, mf))
+          def predOf(es: Seq[Expression])
+              : org.apache.spark.sql.catalyst.InternalRow => Boolean =
+            if (es.isEmpty) _ => true
+            else {
+              val p = Predicate.create(es.reduce(And), mf.attrs)
+              p.initialize(0)
+              p.eval _
+            }
+          val fullPred = predOf(fullExprs)
+          val keepPred = predOf(keepExprs)
+          val al = scala.collection.mutable.Set.empty[Long]
+          val fu = scala.collection.mutable.Set.empty[Long]
+          val pa = scala.collection.mutable.Set.empty[Long]
+          mf.rows.foreach { r =>
+            val sid = r.getLong(mf.shardOrdinal)
+            if (shardChecks.forall(_(sid))) {
+              al += sid
+              if (fullPred(r)) fu += sid
+              else if (keepPred(r)) pa += sid
+            }
+          }
+          (al.toSet, fu.toSet, pa.toSet)
+      }
+      val fullStats = stats.filter(s => fullSet.contains(s.sid))
+      val universe = stats.filter(s =>
+        fullSet.contains(s.sid) || partialSet.contains(s.sid))
       val ordering = TypeUtils.getInterpretedOrdering(key.dataType)
       val desc = !so.isAscending
       // best/worst side of a shard under this direction
@@ -141,11 +209,13 @@ object TopKShardPruning extends Rule[LogicalPlan] {
           if (desc) ordering.lt(b, theta) else ordering.gt(b, theta)
         case None => false
       }
-      /** θ for the kk best NON-NULL rows, or None when the stats can't
-        * guarantee kk non-null rows exist. */
+      /** θ for the kk best NON-NULL rows, counted over FULL shards
+        * only (their rows provably pass the filter, so they really do
+        * occupy top-k slots), or None when the stats can't guarantee
+        * kk such rows exist. */
       def thresholdFor(kk: Long): Option[Any] = {
-        if (stats.flatMap(_.nonNullCnt).sum < kk) return None
-        val sorted = stats
+        if (fullStats.flatMap(_.nonNullCnt).sum < kk) return None
+        val sorted = fullStats
           .filter(s => guaranteedAt(s).isDefined)
           .sortWith { (a, b) =>
             val (x, y) = (guaranteedAt(a).get, guaranteedAt(b).get)
@@ -164,24 +234,29 @@ object TopKShardPruning extends Rule[LogicalPlan] {
           // nulls sort last: they only reach the top-k when fewer than
           // k non-null rows are guaranteed — then prune nothing
           val theta = thresholdFor(k.toLong).getOrElse(return None)
-          stats.filter(s => !provablyOut(s, theta) && !s.noValues)
+          universe.filter(s => !provablyOut(s, theta) && !s.noValues)
             .map(_.sid)
         } else {
-          val knownNulls = stats.flatMap(_.znull).sum
+          // null counts back top-k slots only when the rows provably
+          // pass the filter — FULL shards
+          val knownNulls = fullStats.flatMap(_.znull).sum
           if (knownNulls >= k) {
             // the top-k is entirely null rows: keep every shard that
             // has (or may have) nulls
-            stats.filter(s => !s.znull.contains(0L)).map(_.sid)
+            universe.filter(s => !s.znull.contains(0L)).map(_.sid)
           } else {
             val theta = thresholdFor(k.toLong - knownNulls)
               .getOrElse(return None)
             // null-bearing (or unknown-null) shards are always kept —
             // their nulls occupy leading positions
-            stats.filter(s => !s.znull.contains(0L) ||
+            universe.filter(s => !s.znull.contains(0L) ||
               (!provablyOut(s, theta) && !s.noValues)).map(_.sid)
           }
         }
-      if (keep.length >= stats.length) return None
+      // fire only when the conjunct SHRINKS what existing shard
+      // conjuncts already allow — also the fixpoint termination anchor
+      // (re-entry sees allowed == keep and bails)
+      if (keep.length >= allowed.size) return None
       val keepConjunct =
         if (keep.isEmpty) Literal.FalseLiteral
         else if (keep.length <= 100)
@@ -195,9 +270,14 @@ object TopKShardPruning extends Rule[LogicalPlan] {
         }).toSet)
       logInfo(s"top-k shard pruning at ${fsr.location.rootPaths.head}: " +
         s"${keep.length}/${stats.length} shards can reach the top $k " +
-        s"by ${key.name} ${if (desc) "DESC" else "ASC"}")
-      // rebuild the stripped Projects above the filtered scan
+        s"by ${key.name} ${if (desc) "DESC" else "ASC"}" +
+        (if (filterCond.isDefined)
+           s" (filtered: ${fullSet.size} full + ${partialSet.size} partial)"
+         else ""))
+      // rebuild the stripped shape with the conjunct folded into the
+      // existing Filter (or a new one directly above the scan)
       def rebuild(p: LogicalPlan): LogicalPlan = p match {
+        case Filter(cond, c) => Filter(And(cond, keepConjunct), c)
         case rel: LogicalRelation => Filter(keepConjunct, rel)
         case pr @ Project(_, c) => pr.copy(child = rebuild(c))
         case other => other // not reached: strip() validated the shape

@@ -139,6 +139,39 @@ class TopKShardPruningSpec extends SparkTestBase {
       s"nulls-last top-k lives in shard 0 alone: $parts")
   }
 
+  test("filtered top-k: θ from full shards prunes what the filter can't") {
+    // ts <= 2100 intersects every shard (zone skipping alone prunes
+    // nothing): s0/s1 provably FULL, s2 PARTIAL. θ for k=5 comes from
+    // s1 (100 guaranteed rows ≥ 1001), which rules out s0 entirely —
+    // the top-5 live in s2's passing rows
+    val df = read().filter(col("ts") <= 2100)
+      .orderBy(col("ts").desc).limit(5).select("ts")
+    val (rows, parts) = run(df)
+    assert(rows.map(_.getLong(0)) == Seq(2098L, 2095L, 2092L, 2089L, 2086L))
+    assert(parts == Seq("shard=1", "shard=2"),
+      s"θ must drop shard 0 under the filter, scanned: $parts")
+  }
+
+  test("filtered top-k: range filter composes with the newest-shard cut") {
+    // ts in [1000, 2100]: s0 disjoint (dropped), s1 FULL, s2 PARTIAL
+    val df = read()
+      .filter(col("ts") >= 1000 && col("ts") <= 2100)
+      .orderBy(col("ts").desc).limit(5).select("ts")
+    val (rows, parts) = run(df)
+    assert(rows.map(_.getLong(0)) == Seq(2098L, 2095L, 2092L, 2089L, 2086L))
+    assert(parts == Seq("shard=1", "shard=2"),
+      s"disjoint shard must drop, full+partial stay: $parts")
+  }
+
+  test("filtered top-k: an unanalyzable filter disables pruning") {
+    val df = read().filter(col("id") > 10)
+      .orderBy(col("ts").desc).limit(3).select("ts")
+    val (rows, parts) = run(df)
+    assert(rows.map(_.getLong(0)) == Seq(2299L, 2296L, 2293L))
+    assert(parts.length == 3,
+      s"no zone proof for the filter, nothing may be pruned: $parts")
+  }
+
   test("SQL ORDER BY ... LIMIT goes through the same pruning") {
     read().createOrReplaceTempView("topk_layout")
     val df = spark.sql(
