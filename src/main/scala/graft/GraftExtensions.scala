@@ -329,6 +329,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.functions.expr(litString(be, "bucketExpr")),
             litInt(n, "num").toLong, litInt(d, "denom").toLong) },
       "(pathA, pathB, bucketExpr[, num, denom]) as literals")
+    tvf("approx_distinct_shards",
+      "approx_distinct_shards(path, column[, stamp]) - metadata-only " +
+        "approximate COUNT(DISTINCT column) from the manifest's HLL " +
+        "sketches (publish with sketchCols); one row: approx_distinct, " +
+        "n_shards, n_rows",
+      { case Seq(p, c) =>
+          graft.sinks.Sinks.approxDistinctShards(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"))
+        case Seq(p, c, st) =>
+          graft.sinks.Sinks.approxDistinctShards(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"),
+            Some(litString(st, "stamp"))) },
+      "(path, column[, stamp]) as string literals")
     tvf("shards_changed_since",
       "shards_changed_since(path, stamp) - rows of shards whose content " +
         "changed since the retained generation (incremental consumption)",

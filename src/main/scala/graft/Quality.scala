@@ -189,7 +189,34 @@ object Quality {
     val q68 = Entry("q68_bloom_decontam", "false_negative_shingle_hits",
       "<=", 0.0, lost.toDouble)
 
-    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68)
+    // q103: storage-integrated IVF (cell-clustered layout, shard-pruned
+    // read) recall@5 vs the same brute-force truth as q23/q67 — the
+    // shipped q103 parameters (16 cells, 6 probed)
+    val vroot = java.nio.file.Files
+      .createTempDirectory("graft_qual_vix_").toString + "/idx"
+    graft.operators.VectorIndex.publish(emb, vroot, "vec_id", "embedding",
+      nCells = 16, nShards = 8)
+    val vixQs = emb.filter(col("vec_id") < 20)
+    val q103 = Entry("q103_vector_index", "recall_at_5_vs_exact",
+      ">=", 0.70, recall(topkPairs(graft.operators.VectorIndex.topK(
+        spark, vroot, vixQs, "vec_id", "embedding", k = 5, nProbe = 6)),
+        bruteTruth))
+
+    // q104: manifest-HLL distinct estimate vs the exact count (the
+    // shipped q104 layout: 16 shards, sketch on o_custkey)
+    val droot = java.nio.file.Files
+      .createTempDirectory("graft_qual_hll_").toString + "/orders"
+    val ord = Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.sinks.Sinks.writeShards(ord, droot, "o_orderkey", nShards = 16,
+      sketchCols = Seq("o_custkey"))
+    val est = graft.sinks.Sinks.approxDistinctShards(spark, droot,
+      "o_custkey").head.getLong(0)
+    val exactD = ord.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    val q104 = Entry("q104_manifest_distinct", "rel_err_vs_exact_distinct",
+      "<=", 0.05, math.abs(est - exactD.toDouble) / exactD)
+
+    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104)
   }
 
   /** Render + write `QUALITY.json`; returns the entries. */

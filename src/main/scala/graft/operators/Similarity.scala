@@ -45,7 +45,7 @@ object Similarity {
     * surfaced null-score rows when a query had fewer than k scorable
     * corpus rows. (The native aggregate also skips nulls itself; the
     * explicit filter keeps the contract visible in the plan.) */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame =
     // annScope: execute under the raised ObjectHashAggregate fallback
     // threshold (scoped session clone) so a task holding hundreds of
     // query groups stays in hash mode — see GraftSession.annScope.

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CentroidOps
+import graft.functions.Vectors
+
+/** STORAGE-INTEGRATED vector search: an IVF index persisted as a
+  * shard layout of the engine's table format, so approximate top-k
+  * over a lake-scale embedding corpus opens only the shards that can
+  * hold a query's nearest cells.
+  *
+  * [[graft.operators.Similarity.ivfTopK]] prunes the SCAN'S ROWS
+  * (each query scores one cell's rows) but still READS the whole
+  * corpus every search. At 100 TB that read is the bill. This door
+  * moves the cell structure into the STORAGE layout:
+  *
+  *  - '''publish''': assign every corpus vector its nearest coarse
+  *    centroid (collect-free — the centroid frame is broadcast-packed,
+  *    [[Similarity.assignCellsFrame]]), CLUSTER shards by cell
+  *    (shard = floor(cell·nShards/nCells), so each shard holds a
+  *    contiguous cell range and the manifest's `zmin_cell/zmax_cell`
+  *    are tight), and publish through [[graft.sinks.Sinks.writeShards]]
+  *    with zone maps on `cell`. The centroid set rides beside the
+  *    layout (`$root/centroids`) as model metadata — k≈√n rows, the
+  *    same planning-scale envelope as the manifest itself.
+  *  - '''topK''': route each query vector to its `nProbe` nearest
+  *    cells (one broadcast-packed projection over the QUERY batch —
+  *    never the corpus), open only the shards whose zone range
+  *    intersects the probed cells ([[graft.sinks.Sinks.readShardsIn]]),
+  *    and run the bounded-heap cosine top-k inside the survivors.
+  *    Per-search I/O drops from O(corpus) to
+  *    ~O(corpus · |probed cells| / nCells) — the pruning the manifest
+  *    zone stats already give range scans, applied to vector search.
+  *
+  * Recall is the IVF trade: a true neighbor assigned to an unprobed
+  * cell is missed; `nProbe` tunes it (QUALITY.json floors the measured
+  * recall on the fixture corpus). Everything INSIDE the probed cells
+  * is scored exactly — scores are bit-identical to the brute-force
+  * door on the same pairs. */
+object VectorIndex {
+
+  /** Train (or accept) coarse centroids, assign cells collect-free,
+    * and publish the cell-clustered layout + centroid side table.
+    *
+    * `centroids`: None trains k-means on the corpus
+    * ([[Similarity.kmeansCentroids]] — driver-budgeted, loud error
+    * past the literal budget); Some(frame) with (`cid`, `cv`) columns
+    * uses externally-trained centroids (the 100 TB path: train on a
+    * sample offline, publish with the frame, nothing ever collected).
+    * Cell ids must be dense 0..nCells-1 — the shard mapping needs the
+    * range to cluster contiguously. */
+  def publish(corpus: DataFrame, root: String, idCol: String,
+              vecCol: String, nCells: Int, nShards: Int,
+              centroids: Option[DataFrame] = None,
+              iters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    require(!corpus.columns.exists(c =>
+        c.equalsIgnoreCase("cell") || c.equalsIgnoreCase("vshard")),
+      "publish derives `cell` and `vshard` columns; rename the input's")
+    val centFrame = centroids.getOrElse {
+      val (ids, cents) = Similarity.kmeansCentroids(corpus, vecCol, nCells, iters)
+      import spark.implicits._
+      ids.zip(cents).toSeq
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    }
+    // dense-id contract, checked on the tiny centroid frame: the
+    // contiguous shard mapping below is meaningless on sparse ids
+    val nC = {
+      val r = centFrame.agg(count(lit(1)), min(col("cid")), max(col("cid")))
+        .collect().head
+      val (n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(lo == 0L && hi == n - 1,
+        s"centroid ids must be dense 0..n-1 (got [$lo, $hi] over $n rows)")
+      n
+    }
+    val assigned = Similarity
+      .assignCellsFrame(corpus, vecCol, centFrame, "cid", "cv", "cell")
+      .withColumn("vshard",
+        floor(col("cell") * nShards / lit(nC)).cast("long"))
+    graft.sinks.Sinks.writeShards(assigned, root, idCol, nShards,
+      zoneCols = Seq("cell"), shardCol = Some("vshard"))
+    // side table AFTER the layout commit: a crash between the two
+    // leaves a layout without centroids — topK fails loudly on the
+    // missing path instead of searching with a stale model
+    centFrame.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  /** Cell-routed approximate top-k over a [[publish]]ed layout.
+    * `queries` has (idCol, vecCol); the batch is small by construction
+    * (a search API call), so the probe-cell collect is bounded by
+    * |queries|·nProbe, never the corpus. Returns the
+    * (query_id, rank, corpus_id, score) shape of every search door. */
+  def topK(spark: SparkSession, root: String, queries: DataFrame,
+           idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val packed = cents
+      .select(struct(col("cid").as("cid"), col("cv").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("_ac_cents"))
+    val routed = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(packed))
+      .withColumn("cell", explode(slice(
+        CentroidOps.nearestCentroidsCol(col("qv"), col("_ac_cents"),
+          assumeConstant = true), 1, nProbe)))
+      .drop("_ac_cents")
+    val cells = routed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = graft.sinks.Sinks.readShardsIn(spark, root, "cell", cells)
+    // join on cell: a corpus row lives in ONE cell, so each
+    // (query, corpus) pair scores at most once — no dedup needed
+    val scored = corpus
+      .select(col("cell"), col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("c_norm", Vectors.norm(col("cv")))
+      .join(broadcast(routed.withColumn("q_norm", Vectors.norm(col("qv")))),
+        Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Vectors.cosineWithNorms(Vectors.dot(col("cv"), col("qv")),
+          col("c_norm"), col("q_norm")).as("score"))
+    Similarity.topK(scored, k)
+  }
+}

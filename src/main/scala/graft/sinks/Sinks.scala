@@ -580,11 +580,15 @@ object Sinks {
                   shardCol: Option[String] = None,
                   sortCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil,
-                  bloomFpp: Double = 0.01): DataFrame = {
+                  bloomFpp: Double = 0.01,
+                  sketchCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(bloomCols.forall(df.columns.contains),
       s"bloomCols must be input columns; missing: ${
         bloomCols.filterNot(df.columns.contains).mkString(", ")}")
+    require(sketchCols.forall(df.columns.contains),
+      s"sketchCols must be input columns; missing: ${
+        sketchCols.filterNot(df.columns.contains).mkString(", ")}")
     require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp in (0,1), got $bloomFpp")
     shardCol.foreach(c => require(df.columns.contains(c),
       s"shardCol '$c' is not a column of the input (${df.columns.mkString(", ")})"))
@@ -609,7 +613,8 @@ object Sinks {
     val lease = acquirePublishLease(fs, base)
     try {
       writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
-        retainPrevious, zoneCols, shardCol, sortCols, bloomCols, bloomFpp)
+        retainPrevious, zoneCols, shardCol, sortCols, bloomCols, bloomFpp,
+        sketchCols)
     } finally releasePublishLease(fs, base, lease)
   }
 
@@ -630,7 +635,8 @@ object Sinks {
                                 shardCol: Option[String] = None,
                                 sortCols: Seq[String] = Nil,
                                 bloomCols: Seq[String] = Nil,
-                                bloomFpp: Double = 0.01): DataFrame = {
+                                bloomFpp: Double = 0.01,
+                                sketchCols: Seq[String] = Nil): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
     // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
@@ -699,7 +705,7 @@ object Sinks {
         Some((bloomCols, mBits, BloomOps.hashesFor(perShard, mBits)))
       }
     val manifest = stampSpec(
-      shardSummary(written, idCol, dataCols, zoneCols, bloomSpec),
+      shardSummary(written, idCol, dataCols, zoneCols, bloomSpec, sketchCols),
       shardCol, nShards, sortCols, idCol)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
@@ -1026,7 +1032,8 @@ object Sinks {
   private def shardSummary(written: DataFrame, idCol: String,
                            dataCols: Seq[String],
                            zoneCols: Seq[String] = Nil,
-                           bloom: Option[(Seq[String], Int, Int)] = None)
+                           bloom: Option[(Seq[String], Int, Int)] = None,
+                           sketchCols: Seq[String] = Nil)
       : DataFrame = {
     // zone maps: per-shard min/max of declared columns (Iceberg's
     // manifest column stats) — nulls are ignored by min/max, matching
@@ -1067,13 +1074,27 @@ object Sinks {
     val bloomAggs = bloom.toSeq.flatMap { case (cols, mBits, k) =>
       cols.map(c => graft.expressions.BloomOps
         .bloomAgg(col(c).cast("string"), mBits, k).as(s"zbloom_$c")) }
+    // zhll_<c>: per-shard DataSketches HLL over the column's STRING
+    // form (Spark's native hll_sketch_agg — a TypedImperativeAggregate
+    // with map-side partials). Sketch union is lossless for HLL, so
+    // hll_union_agg over the MANIFEST answers approximate
+    // COUNT(DISTINCT c) for the whole corpus — or any shard subset a
+    // reader prunes to — without opening a data file. ~1.6 KB per
+    // (shard, column) at lgK=12, rel. err ≈ 1.6%. String form for the
+    // same reason blooms use it: one canonical representation across
+    // generations regardless of read-schema re-typing. NULL sketch
+    // (legacy carry) = unknown; the distinct door REFUSES to estimate
+    // over it rather than silently undercount.
+    val sketchAggs = sketchCols.map(c =>
+      hll_sketch_agg(col(c).cast("string"), lit(SketchLgK))
+        .as(s"zhll_$c"))
     val base = written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         (Seq(min(col(idCol)).as("min_id"),
           max(col(idCol)).as("max_id"),
           sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
-          ++ zoneAggs ++ bloomAggs): _*)
+          ++ zoneAggs ++ bloomAggs ++ sketchAggs): _*)
     bloom.fold(base) { case (cols, _, k) =>
       cols.foldLeft(base)((m, c) =>
         m.withColumn(s"zbloomk_$c", lit(k))
@@ -1085,6 +1106,19 @@ object Sinks {
             lit(written.schema(c).dataType.catalogString)))
     }
   }
+
+  /** lgConfigK for manifest HLL sketches: 2^12 registers ≈ 1.6 KB per
+    * (shard, column), relative error ≈ 1.6% — manifest-weight stats
+    * even at 10^5 shards. Fixed (not a knob) so sketches from every
+    * generation union losslessly. */
+  private val SketchLgK = 12
+
+  /** The sketched columns a live manifest declares (`zhll_*` names) —
+    * rewrites recompute them so delta/compaction/merge generations
+    * keep the distinct door answerable. */
+  private def sketchColsOf(live: DataFrame): Seq[String] =
+    live.columns.filter(_.startsWith("zhll_"))
+      .map(_.stripPrefix("zhll_")).toSeq
 
   /** The bloom declaration a live manifest carries, for rewrites that
     * must recompute stats consistently across generations: bloomed
@@ -1271,6 +1305,46 @@ object Sinks {
     pruned.filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
   }
 
+  /** SET-MEMBERSHIP read on a published layout via zone pruning: the
+    * rows where `zoneCol IN (values)`, opening only shards whose
+    * recorded [zmin, zmax] can intersect the set. The door behind
+    * cell-routed reads ([[graft.operators.VectorIndex.topK]] probes
+    * nProbe IVF cells of a cell-clustered corpus) and any dictionary-
+    * coded selective IN. Result rows are EXACTLY
+    * `read(data).filter(zoneCol.isin(values))`: pruning is one-sided
+    * (range-intersect keeps a superset), survivors are row-filtered.
+    * `values` is bounded by the CALLER's probe set, not the corpus —
+    * the manifest collect is one row per shard, the same envelope as
+    * every planning door here. */
+  def readShardsIn(spark: SparkSession, path: String,
+                   zoneCol: String, values: Seq[Any]): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/manifest")
+    require(manifest.columns.contains(s"zmin_$zoneCol"),
+      s"no zone map for '$zoneCol' in $path/manifest — publish with " +
+        s"zoneCols = Seq(...\"$zoneCol\"...) to enable pruning (have: ${
+          manifest.columns.filter(_.startsWith("zmin_"))
+            .map(_.stripPrefix("zmin_")).mkString(", ")})")
+    val dataDir = s"$path/data"
+    val noMatch = spark.read.parquet(dataDir).filter(lit(false))
+    if (values.isEmpty) noMatch
+    else {
+      // per-shard range intersect with the value set: one OR chain
+      // over the bounded value list, evaluated on the one-row-per-
+      // shard manifest (null stats = all-null shard, skipped — it
+      // cannot hold a matching row)
+      val hit = values.map(v =>
+        col(s"zmin_$zoneCol") <= lit(v) && col(s"zmax_$zoneCol") >= lit(v))
+        .reduce(_ || _)
+      val keep = manifest.filter(hit)
+        .select(col("shard")).collect().map(_.getLong(0)).sorted
+      val pruned =
+        if (keep.isEmpty) noMatch
+        else spark.read.option("basePath", dataDir)
+          .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
+      pruned.filter(col(zoneCol).isin(values: _*))
+    }
+  }
+
   /** Candidate shards for the point predicate `column = value` from
     * the manifest's per-shard bloom stats alone — one probe per SHARD
     * row, no data touched. One-sided: the result is a SUPERSET of the
@@ -1404,6 +1478,44 @@ object Sinks {
           stamp.fold("")(s => s" (or generation $s not retained; " +
             s"retained: ${listShardVersions(spark, path).mkString(", ")})"))
     spark.read.parquet(mp)
+  }
+
+  /** METADATA-ONLY approximate COUNT(DISTINCT `column`) on a published
+    * layout: union the per-shard HLL sketches the publish recorded
+    * (`zhll_<column>`, lossless HLL union) and estimate — zero data
+    * files opened, one pass over the one-row-per-shard manifest. The
+    * 100 TB shape: "how many distinct users / domains / fingerprints
+    * does this corpus hold" at planning cost instead of a corpus-wide
+    * shuffle; works on any retained generation (`stamp`) for free.
+    *
+    * STRICT by design: a shard with rows but a NULL sketch (a legacy
+    * carry from a pre-sketch generation) makes the union an
+    * undercount, so the door throws instead of silently skipping —
+    * re-publish (or compact) under the current declaration to restore
+    * it. Returns one row: (approx_distinct long, n_shards, n_rows). */
+  def approxDistinctShards(spark: SparkSession, path: String,
+                           column: String,
+                           stamp: Option[String] = None): DataFrame = {
+    val m = shardStats(spark, path, stamp)
+    require(m.columns.contains(s"zhll_$column"),
+      s"no distinct sketch for '$column' in $path/manifest — publish " +
+        s"with sketchCols = Seq(...\"$column\"...) to enable the " +
+        s"metadata distinct door (have: ${
+          m.columns.filter(_.startsWith("zhll_"))
+            .map(_.stripPrefix("zhll_")).mkString(", ")})")
+    val carries = m.filter(col(s"zhll_$column").isNull && col("n_rows") > 0)
+      .select(col("shard")).collect().map(_.getLong(0))
+    if (carries.nonEmpty)
+      throw new IllegalStateException(
+        s"shards ${carries.sorted.mkString(", ")} carry no " +
+          s"'$column' sketch (legacy generation) — a union would " +
+          "undercount; re-publish or compact under the current " +
+          "sketch declaration")
+    m.agg(
+      hll_sketch_estimate(hll_union_agg(col(s"zhll_$column"), lit(true)))
+        .as("approx_distinct"),
+      count(lit(1)).as("n_shards"),
+      sum(col("n_rows")).as("n_rows"))
   }
 
   /** INCREMENTAL READ door — the consumer side of [[publishDelta]]:
@@ -1721,11 +1833,12 @@ object Sinks {
           else stampSpec(shardSummary(
             spark.read.schema(writtenSchema).parquet(stagedData.toString)
               .filter(col("shard").isin(toWrite: _*)), idCol, dataCols,
-            // bloom stats are a layout property like zones: rewritten
-            // shards rebuild them under the live generation's (m, k)
-            // so probes stay comparable across generations
-            effectiveZones, bloomSpecOf(live)), shardCol, nShards,
-            effectiveSort, idCol)
+            // bloom/sketch stats are a layout property like zones:
+            // rewritten shards rebuild them under the live
+            // generation's declaration so probes and distinct unions
+            // stay comparable across generations
+            effectiveZones, bloomSpecOf(live), sketchColsOf(live)),
+            shardCol, nShards, effectiveSort, idCol)
         val keptManifest = stampSpec(
           (if (unchanged.isEmpty) live.filter(lit(false))
            else live.filter(col("shard").isin(unchanged.toSeq: _*)))
@@ -1900,7 +2013,8 @@ object Sinks {
       val rewrittenManifest = stampSpec(shardSummary(
         spark.read.schema(writtenSchema).parquet(stagedData.toString)
           .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones,
-        bloomSpecOf(live)), shardColOpt, nShards, sortCols, idCol)
+        bloomSpecOf(live), sketchColsOf(live)),
+        shardColOpt, nShards, sortCols, idCol)
       val keptManifest = stampSpec(
         (if (kept.isEmpty) live.filter(lit(false))
          else live.filter(col("shard").isin(kept: _*)))

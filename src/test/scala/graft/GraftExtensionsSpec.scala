@@ -257,6 +257,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(changed == (1L until 80L by 2).toSeq,
       "only the restated bucket flows to a catching-up consumer")
 
+    // metadata distinct door from pure SQL (sketch-declared layout)
+    val spub = s"$dir/sketched"
+    graft.sinks.Sinks.writeShards(
+      gen("a").withColumn("user", concat(lit("u"), col("id") % 20)),
+      spub, "id", nShards = 4, sketchCols = Seq("user"))
+    val approx = spark.sql(
+      s"SELECT approx_distinct, n_rows FROM " +
+        s"approx_distinct_shards('$spub', 'user')")
+      .as[(Long, Long)].head()
+    assert(approx._2 == 80L)
+    assert(math.abs(approx._1 - 20L) <= 1,
+      s"20 distinct users, estimated ${approx._1}")
+
     // non-literal / wrong-arity args fail loudly at analysis
     intercept[Exception] {
       spark.sql("SELECT * FROM shards_at('/nowhere')").collect()

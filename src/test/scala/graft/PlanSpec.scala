@@ -208,6 +208,10 @@ class PlanSpec extends SparkTestBase {
       "q16_embed_neardup" -> "same literal-bounded ANN query set",
       "q23_ann_ivf" -> "same literal-bounded ANN query set",
       "q67_ann_quantized" -> "same literal-bounded ANN query set",
+      "q103_vector_index" -> ("same literal-bounded ANN query set, " +
+        "routed: the broadcast side is the query batch × ≤nProbe " +
+        "cells plus the 1-row packed centroid frame — the search-API " +
+        "contract every search door shares"),
       "q54_contamination" -> ("benchmark shingle set = docs filtered to " +
         "a literal id range then distinct'd: grows with the (fixed) " +
         "eval set, not the corpus"),

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Storage-integrated IVF search: the cell-clustered publish, the
+  * set-membership read door behind it, and the recall/exactness
+  * contracts of cell-routed top-k. */
+class VectorIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("readShardsIn equals the plain IN filter and opens only " +
+       "intersecting shards") {
+    val t = Files.createTempDirectory("graft_vin_").toString + "/pub"
+    val df = spark.range(300).toDF("id")
+      .withColumn("bucket", (col("id") / 50).cast("long"))
+      .withColumn("payload", concat(lit("p"), col("id")))
+    graft.sinks.Sinks.writeShards(df, t, "id", nShards = 6,
+      zoneCols = Seq("bucket"), shardCol = Some("bucket"))
+    val vals = Seq(1L, 4L)
+    val got = graft.sinks.Sinks.readShardsIn(spark, t, "bucket", vals)
+    val want = spark.read.parquet(s"$t/data").filter(col("bucket").isin(vals: _*))
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      want.select("id").as[Long].collect().sorted.toSeq)
+    // pruning: only the 2 matching shards' files are planned
+    val all = spark.read.parquet(s"$t/data").inputFiles.length
+    assert(got.inputFiles.length < all,
+      s"expected pruning, opened ${got.inputFiles.length} of $all")
+    // empty value set: zero rows, schema intact
+    assert(graft.sinks.Sinks.readShardsIn(spark, t, "bucket", Nil).isEmpty)
+    // no-intersection set: zero rows
+    assert(graft.sinks.Sinks.readShardsIn(spark, t, "bucket", Seq(99L)).isEmpty)
+  }
+
+  test("publish + topK: searches only probed cells' shards, scores " +
+       "bit-equal to brute force on the returned pairs, recall holds") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    VectorIndex.publish(embeddings, t, "vec_id", "embedding",
+      nCells = 16, nShards = 8)
+    // centroid side table rides beside the layout
+    val cents = spark.read.parquet(s"$t/centroids")
+    assert(cents.count() == 16 && cents.columns.sameElements(Array("cid", "cv")))
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val got = VectorIndex.topK(spark, t, queries, "vec_id", "embedding",
+      k = 5, nProbe = 6)
+    assert(got.groupBy("query_id").count().filter(col("count") > 5).isEmpty)
+    val brute = Similarity.bruteForceTopK(embeddings, queries,
+      "embedding", "vec_id", k = 5)
+    // exactness inside the probe: every returned (query, corpus) pair
+    // carries the same double cosine brute force computes
+    val bruteScores = brute.select(col("query_id"), col("corpus_id"),
+      col("score").as("b_score"))
+    val joined = got.join(bruteScores, Seq("query_id", "corpus_id"), "left")
+      .filter(col("b_score").isNotNull)
+    assert(joined.filter(col("score") =!= col("b_score")).isEmpty,
+      "IVF scores must be bit-identical to brute force on shared pairs")
+    // recall vs exact top-5 at nProbe=6/16 on the fixture corpus —
+    // floor chosen below the measured value with margin; QUALITY.json
+    // tracks the exact number per round
+    val truth = brute.select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val hits = got.select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = hits.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall $recall below spec floor 0.5")
+  }
+
+  test("topK reads prune shards: a 1-probe search plans a strict " +
+       "subset of the corpus files") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    VectorIndex.publish(embeddings, t, "vec_id", "embedding",
+      nCells = 16, nShards = 8)
+    val one = embeddings.filter(col("vec_id") === 0)
+    // route the query exactly as topK does, then check the door's plan
+    val cents = spark.read.parquet(s"$t/centroids")
+    val packed = cents.select(struct(col("cid"), col("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+    val cell = one.crossJoin(packed).select(element_at(
+        graft.expressions.CentroidOps.nearestCentroidsCol(
+          col("embedding").cast("array<double>"), col("cs")), 1))
+      .as[Long].collect().head
+    val pruned = graft.sinks.Sinks.readShardsIn(spark, t, "cell", Seq(cell))
+    val all = spark.read.parquet(s"$t/data").inputFiles.length
+    assert(pruned.inputFiles.length < all,
+      s"1-cell probe should not plan all $all files")
+  }
+
+  test("publish with externally-trained centroids is collect-free and " +
+       "rejects sparse centroid ids") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    // external frame: 4 dense-id centroids picked from the corpus
+    val ext = embeddings.filter(col("vec_id") < 4)
+      .select((col("vec_id") % 4).as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    VectorIndex.publish(embeddings, t, "vec_id", "embedding",
+      nCells = 4, nShards = 4, centroids = Some(ext))
+    val m = spark.read.parquet(s"$t/manifest")
+    assert(m.columns.contains("zmin_cell"))
+    // every corpus row got a cell in [0, 4)
+    val cells = spark.read.parquet(s"$t/data").select("cell")
+      .as[Long].collect()
+    assert(cells.forall(c => c >= 0 && c < 4))
+    val sparse = ext.withColumn("cid", col("cid") * 2)
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.publish(embeddings,
+        Files.createTempDirectory("graft_vix_").toString + "/idx2",
+        "vec_id", "embedding", nCells = 4, nShards = 4,
+        centroids = Some(sparse))
+    }
+    assert(err.getMessage.contains("dense"))
+  }
+}
