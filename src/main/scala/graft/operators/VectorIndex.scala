@@ -79,13 +79,92 @@ object VectorIndex {
       .assignCellsFrame(corpus, vecCol, centFrame, "cid", "cv", "cell")
       .withColumn("vshard",
         floor(col("cell") * nShards / lit(nC)).cast("long"))
+    // id bloom: [[append]] must find an id's CURRENT shard to handle
+    // re-embedded vectors (the cell — hence shard — of an id can
+    // change), and cell clustering means id ranges span every shard,
+    // so min/max stats can never answer "where does this id live"
     graft.sinks.Sinks.writeShards(assigned, root, idCol, nShards,
-      zoneCols = Seq("cell"), shardCol = Some("vshard"))
+      zoneCols = Seq("cell"), shardCol = Some("vshard"),
+      bloomCols = Seq(idCol))
     // side table AFTER the layout commit: a crash between the two
     // leaves a layout without centroids — topK fails loudly on the
     // missing path instead of searching with a stale model
     centFrame.select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  /** INCREMENTAL index maintenance: upsert a batch of vectors into a
+    * [[publish]]ed index, rewriting ONLY the shards their cells map
+    * to ([[graft.sinks.Sinks.mergeRows]] — untouched shards carry
+    * forward as hard links with identical manifest rows). New ids
+    * insert, existing ids replace (a re-embedded document moves to
+    * its new cell's shard and vanishes from its old one — the merge
+    * door's replace semantics). The centroid set is FIXED at publish
+    * time — the IVF contract: appends assign against the same coarse
+    * quantizer, so recall drifts only as the data distribution does;
+    * re-train + re-publish when it has (the SemDeDup k≈√n law says
+    * when). At 100 TB an append of B vectors touching C cells costs
+    * ~C/nCells of the corpus in rewrites, not a corpus scan. */
+  def append(newRows: DataFrame, root: String, idCol: String,
+             vecCol: String, retainPrevious: Boolean = false): Unit = {
+    val spark = newRows.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    val nC = cents.count()
+    val live = graft.sinks.Sinks.shardStats(spark, root)
+    val nShards = live.select(max(col("spec_n"))).collect().head.getInt(0)
+    val assigned = Similarity
+      .assignCellsFrame(newRows, vecCol, cents, "cid", "cv", "cell")
+      .withColumn("vshard",
+        floor(col("cell") * nShards / lit(nC)).cast("long"))
+      // the merge door evaluates its patch more than once (shard
+      // detection, uniqueness gate, rewrite) — pin the assignment
+      .localCheckpoint()
+    // RE-EMBEDDED ids move cells — their OLD row lives in a shard the
+    // upsert below never touches (merge replaces within the patch's
+    // TARGET shards). Find current locations through the id bloom
+    // (candidate shards only — cell clustering spreads id ranges over
+    // every shard, so blooms are the stat that answers this), and
+    // pre-delete the rows whose shard is about to change. Pure
+    // inserts and same-shard replaces skip the extra generation.
+    val ids = assigned.select(col(idCol).cast("string"))
+      .collect().map(_.getString(0)).toSeq // bounded: the append batch
+    val cand = candidateShards(spark, root, idCol, ids, live)
+    if (cand.nonEmpty) {
+      val dataDir = s"$root/data"
+      val liveRows = spark.read.option("basePath", dataDir)
+        .parquet(cand.map(s => s"$dataDir/shard=$s"): _*)
+        .drop("shard")
+        .join(broadcast(assigned
+          .select(col(idCol), col("vshard").as("_new_vshard"))),
+          Seq(idCol))
+      val moved = liveRows.filter(col("vshard") =!= col("_new_vshard"))
+        .drop("_new_vshard")
+        .localCheckpoint()
+      if (!moved.isEmpty)
+        graft.sinks.Sinks.mergeRows(spark, root, moved, idCol,
+          deleteWhen = Some(lit(true)), retainPrevious = retainPrevious)
+    }
+    graft.sinks.Sinks.mergeRows(spark, root, assigned, idCol,
+      retainPrevious = retainPrevious)
+    ()
+  }
+
+  /** Shards that might hold any of `ids`, from the manifest's id
+    * bloom (one probe per (shard, id) on the driver — bounded by the
+    * append batch × shard count). A missing/NULL bloom keeps the
+    * shard conservatively, like every one-sided stat here. */
+  private def candidateShards(spark: SparkSession, root: String,
+                              idCol: String, ids: Seq[String],
+                              live: DataFrame): Seq[Long] = {
+    if (ids.isEmpty) return Nil
+    if (!live.columns.contains(s"zbloom_$idCol"))
+      return live.select(col("shard")).collect().map(_.getLong(0)).sorted.toSeq
+    live.select(col("shard"), col(s"zbloom_$idCol"), col(s"zbloomk_$idCol"))
+      .collect().toSeq
+      .filter(r => r.isNullAt(1) || r.isNullAt(2) ||
+        ids.exists(v => graft.expressions.BloomOps.containsMaybe(
+          r.getSeq[Long](1).toArray, r.getInt(2), v)))
+      .map(_.getLong(0)).sorted
   }
 
   /** Cell-routed approximate top-k over a [[publish]]ed layout.

@@ -88,6 +88,54 @@ class VectorIndexSpec extends SparkTestBase {
       s"1-cell probe should not plan all $all files")
   }
 
+  test("append rewrites only the appended cells' shards; search finds " +
+       "the new vectors; replaced ids move shards") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    val base = embeddings.filter(col("vec_id") < 400)
+    VectorIndex.publish(base, t, "vec_id", "embedding",
+      nCells = 16, nShards = 8)
+    val before = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, h) => s -> (n, h) }.toMap
+    // a SMALL batch (5 vectors -> at most 5 cells): the point of the
+    // door is that rewrite cost scales with the batch's cells, so the
+    // spec appends few vectors and asserts most shards carry forward
+    val extra = embeddings.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+    VectorIndex.append(extra, t, "vec_id", "embedding")
+    val after = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, h) => s -> (n, h) }.toMap
+    // total membership = base + appended batch
+    assert(after.values.map(_._1).sum == 405L)
+    // untouched shards carry identical manifest rows (hard links)
+    val untouched = before.keySet.intersect(after.keySet)
+      .filter(s => before(s) == after(s))
+    assert(untouched.nonEmpty,
+      "an append of 5 vectors must not rewrite every shard")
+    // the full index now answers searches over appended vectors
+    val q = embeddings.filter(col("vec_id") === 402)
+    val indexed = embeddings.filter(col("vec_id") < 400 ||
+      (col("vec_id") >= 400 && col("vec_id") < 405))
+    val got = VectorIndex.topK(spark, t, q, "vec_id", "embedding",
+      k = 3, nProbe = 16)
+    val brute = Similarity.bruteForceTopK(indexed, q,
+      "embedding", "vec_id", k = 3)
+    assert(got.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet ==
+      brute.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet,
+      "all-cell probe over the appended index must equal brute force")
+    // replace: re-append an EXISTING id with a different vector — it
+    // must appear exactly once, in its new cell's shard
+    val moved = embeddings.filter(col("vec_id") === 10)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x))
+    VectorIndex.append(moved, t, "vec_id", "embedding")
+    val cnt = spark.read.parquet(s"$t/data")
+      .filter(col("vec_id") === 10).count()
+    assert(cnt == 1L, s"replaced id must appear once, found $cnt")
+  }
+
   test("publish with externally-trained centroids is collect-free and " +
        "rejects sparse centroid ids") {
     val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
