@@ -615,7 +615,7 @@ object Dedup {
       .withColumnRenamed("_sd_id", idCol)
   }
 
-  private def semanticDedupCore(df: DataFrame, vecCol: String, idCol: String,
+  private[operators] def semanticDedupCore(df: DataFrame, vecCol: String, idCol: String,
                                 cellCol: String,
                                 spark: org.apache.spark.sql.SparkSession,
                                 centDf: DataFrame,

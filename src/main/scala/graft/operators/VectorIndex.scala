@@ -149,6 +149,25 @@ object VectorIndex {
     ()
   }
 
+  /** SEMANTIC DEDUP over a [[publish]]ed index — the storage layout's
+    * second job: the per-row cell assignment the publish recorded
+    * powers SemDeDup's within-cell pair scoring directly, so the most
+    * expensive dedup stage (assignment — one projection over the
+    * whole corpus per run) is paid ONCE at publish time and every
+    * dedup run starts from storage. Output and semantics are exactly
+    * [[Dedup.semanticDedupFrame]] with the index's centroid set
+    * (spec-pinned): survivors keep the lowest id of each near-
+    * duplicate group at cosine ≥ `threshold`. */
+  def semanticDedup(spark: SparkSession, root: String, idCol: String,
+                    vecCol: String, threshold: Double = 0.95): DataFrame = {
+    val corpus = spark.read.parquet(s"$root/data")
+    val centDf = spark.read.parquet(s"$root/centroids")
+      .select(col("cid").cast("long").as("cell"),
+        col("cv").cast("array<double>").as("centv"))
+    Dedup.semanticDedupCore(corpus, vecCol, idCol, "cell", spark,
+      centDf, threshold)
+  }
+
   /** Shards that might hold any of `ids`, from the manifest's id
     * bloom (one probe per (shard, id) on the driver — bounded by the
     * append batch × shard count). A missing/NULL bloom keeps the

@@ -136,6 +136,32 @@ class VectorIndexSpec extends SparkTestBase {
     assert(cnt == 1L, s"replaced id must appear once, found $cnt")
   }
 
+  test("semanticDedup over the index equals semanticDedupFrame over " +
+       "the raw corpus with the same centroids") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    // plant exact duplicates (ids +1000): cosine 1.0, same cell by
+    // construction — the dedup MUST collapse each pair to its low id
+    val corpus = embeddings.select("vec_id", "embedding").unionByName(
+      embeddings.select((col("vec_id") + 1000L).as("vec_id"),
+        col("embedding")))
+    VectorIndex.publish(corpus, t, "vec_id", "embedding",
+      nCells = 16, nShards = 8)
+    val cents = spark.read.parquet(s"$t/centroids")
+    val viaIndex = VectorIndex.semanticDedup(spark, t, "vec_id",
+        "embedding", threshold = 0.95)
+      .filter(col("vec_id") === col("survivor_id"))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.semanticDedupFrame(corpus, "embedding",
+        "vec_id", spark, cents, "cid", "cv", threshold = 0.95)
+      .filter(col("vec_id") === col("survivor_id"))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == direct,
+      "index-backed dedup must keep exactly the survivors the frame " +
+        "door keeps")
+    assert(viaIndex == (0L until 500L).toSeq,
+      "every planted duplicate must collapse to its low id")
+  }
+
   test("publish with externally-trained centroids is collect-free and " +
        "rejects sparse centroid ids") {
     val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
