@@ -31,6 +31,10 @@ import graft.operators.{Chunking, Sampling}
   *     (the `Sampling.assignSplit` label; fractions must sum to 1)
   *   - `sample_by_weight(id, weight)` → boolean keep-decision
   *     (the `Sampling.sampleByWeight` coin)
+  *   - `lang_id(text)` → string; `quality_score(text)` → double —
+  *     the q17/q18 text-analysis operators as scalars (one
+  *     MarkerCounts scan each, merged by CombineMarkerCounts when
+  *     co-projected)
   *   - `top_k_by_score(score, id, k)` → aggregate; the k best
   *     (id, score) structs by (score desc, id asc) in rank order —
   *     the ANN tail's bounded heap, O(k) through the shuffle
@@ -244,6 +248,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(b, "bands"), litInt(s, "seed").toLong)
         case _ => throw new IllegalArgumentException(
           "rp_bands expects (vec, numPlanes, bands[, seed])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      info("lang_id",
+        "lang_id(text) - n-gram-marker language guess " +
+          "(en/de/fr/es/zh/und) from one MarkerCounts scan — the q17 " +
+          "operator as a scalar"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          val c = ColumnBridge.column(t)
+          ColumnBridge.catalystExpression(
+            graft.functions.TextStats.langId(
+              graft.functions.TextStats.counts(c)))
+        case _ => throw new IllegalArgumentException("lang_id expects (text)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      info("quality_score",
+        "quality_score(text) - length/stopword/punctuation composite " +
+          "quality score in [-0.25, 1] — the q18 operator as a scalar"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) =>
+          val c = ColumnBridge.column(t)
+          ColumnBridge.catalystExpression(
+            graft.functions.TextStats.qualityScore(c,
+              graft.functions.TextStats.counts(c)))
+        case _ => throw new IllegalArgumentException(
+          "quality_score expects (text)")
       }))
     ext.injectFunction((
       FunctionIdentifier("adjacent_pair_stats"),

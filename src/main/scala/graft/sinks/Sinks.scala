@@ -1318,6 +1318,15 @@ object Sinks {
     * every planning door here. */
   def readShardsIn(spark: SparkSession, path: String,
                    zoneCol: String, values: Seq[Any]): DataFrame = {
+    // the probe set sizes the per-shard intersection test (an OR
+    // chain evaluated over the manifest) — this door is for BOUNDED
+    // sets (cell probes, dictionary codes); a corpus-sized IN belongs
+    // on the data scan, where the automatic zone rule still prunes
+    require(values.lengthCompare(10000) <= 0,
+      s"readShardsIn probe set has ${values.length} values — beyond " +
+        "the bounded-planning envelope (10k); filter the data scan " +
+        "directly (the automatic zone-skipping rule still prunes) or " +
+        "split the set")
     val manifest = spark.read.parquet(s"$path/manifest")
     require(manifest.columns.contains(s"zmin_$zoneCol"),
       s"no zone map for '$zoneCol' in $path/manifest — publish with " +
@@ -1332,7 +1341,7 @@ object Sinks {
       // over the bounded value list, evaluated on the one-row-per-
       // shard manifest (null stats = all-null shard, skipped — it
       // cannot hold a matching row)
-      val hit = values.map(v =>
+      val hit = values.distinct.map(v =>
         col(s"zmin_$zoneCol") <= lit(v) && col(s"zmax_$zoneCol") >= lit(v))
         .reduce(_ || _)
       val keep = manifest.filter(hit)

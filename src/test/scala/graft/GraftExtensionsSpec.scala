@@ -318,6 +318,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlFrac == colFrac && sqlFrac > 0.0 && sqlFrac < 1.0)
   }
 
+  test("lang_id / quality_score SQL functions match the Column API " +
+       "over the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, lang_id(text) AS l, quality_score(text) AS q " +
+        "FROM ext_docs ORDER BY doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    val viaCol = docs
+      .withColumn("_mc", graft.functions.TextStats.counts($"text"))
+      .select($"doc_id",
+        graft.functions.TextStats.langId($"_mc").as("l"),
+        graft.functions.TextStats.qualityScore($"text", $"_mc").as("q"))
+      .orderBy($"doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.map(_._2).distinct.size > 1,
+      "fixture corpus must exercise more than one language")
+  }
+
   test("rp_bands SQL function matches the Column API") {
     Seq(Tuple1(Array(0.5, -1.0, 2.0, 0.25))).toDF("v")
       .createOrReplaceTempView("ext_rp")
