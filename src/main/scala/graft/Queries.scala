@@ -3279,6 +3279,51 @@ object Queries {
     graft.sinks.Sinks.approxDistinctShards(s, t, "o_custkey")
   }
 
+  /** q105 — vector-index APPEND under a VALUE oracle (the index
+    * lifecycle end to end): publish 6/7 of the embedding corpus as a
+    * cell-clustered index, then [[graft.operators.VectorIndex.append]]
+    * the remaining 1/7 PLUS a re-embedding of vec_id 10 (negated
+    * vector — its cell, hence shard, changes, exercising the id-bloom
+    * locate + pre-delete path). The oracle is the full final corpus
+    * in SQL — every base row, every appended row, the replaced row
+    * exactly once with its NEW vector — so the hash compare proves
+    * the incremental write path equals the recompute it replaces
+    * (the q95 guarantee for the vector store). The digest carries
+    * the sequential-fold self-dot (content) and the first element
+    * (sign — a negated vector has the same norm). */
+  val q105: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q105_").toString
+    val t = s"$root/idx"
+    val emb = Tables(s, dir).embeddings
+    // fixed data-defined centroids (the q66 protocol): q105 exercises
+    // the APPEND path, not recall — skipping k-means keeps the door's
+    // number about the write machinery
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    graft.operators.VectorIndex.publish(
+      emb.filter(col("vec_id") % 7 =!= 0), t, "vec_id", "embedding",
+      nCells = 16, nShards = 8, centroids = Some(cents))
+    val patch = emb.filter(col("vec_id") % 7 === 0)
+      .unionByName(emb.filter(col("vec_id") === 10)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+    graft.operators.VectorIndex.append(patch, t, "vec_id", "embedding")
+    s.read.parquet(s"$t/data")
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.Vectors.dot(
+          col("embedding"), col("embedding")), 4).as("nrm2"),
+        element_at(col("embedding"), 1).cast("double").as("e1"))
+  }
+  val q105Sql: String =
+    """SELECT vec_id, label,
+      |       round(list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])), 4) AS nrm2,
+      |       CAST(e[1] AS DOUBLE) AS e1
+      |FROM (
+      |  SELECT vec_id, label,
+      |         CASE WHEN vec_id = 10 THEN list_transform(embedding, x -> -x)
+      |              ELSE embedding END AS e
+      |  FROM embeddings)""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -3386,6 +3431,7 @@ object Queries {
     "q102_grouped_filtered" -> q102,
     "q103_vector_index" -> q103,
     "q104_manifest_distinct" -> q104,
+    "q105_vector_append" -> q105,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3493,5 +3539,6 @@ object Queries {
     // q104_manifest_distinct: rows-only (HLL estimate is
     // implementation-defined; QUALITY.json floors relative error vs
     // the exact distinct count)
+    "q105_vector_append" -> q105Sql,
   )
 }
