@@ -149,6 +149,33 @@ object VectorIndex {
     ()
   }
 
+  /** STREAMING index maintenance: keep a [[publish]]ed index current
+    * as vectors arrive — each micro-batch [[append]]s (cells assigned
+    * collect-free, only the batch's shards rewritten, re-embedded ids
+    * moved). `foreachBatch` is at-least-once: a replayed batch
+    * re-upserts the same rows, which is EFFECT-idempotent (the final
+    * corpus is identical; the cost is one redundant generation), so
+    * the door needs no external dedup ledger. Ids must be unique
+    * WITHIN a micro-batch ([[graft.sinks.Sinks.mergeRows]]'s loud
+    * gate); a source that can repeat an id inside one batch must
+    * collapse it upstream, where the "which version wins" rule
+    * lives. The index must be [[publish]]ed before the stream starts
+    * (centroids are the fixed coarse quantizer appends assign
+    * against). */
+  def stream(spark: SparkSession, vectors: DataFrame, root: String,
+             idCol: String, vecCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val b = batch.toDF()
+          if (!b.isEmpty) append(b, root, idCol, vecCol)
+          ()
+      }
+      .start()
+
   /** SEMANTIC DEDUP over a [[publish]]ed index — the storage layout's
     * second job: the per-row cell assignment the publish recorded
     * powers SemDeDup's within-cell pair scoring directly, so the most

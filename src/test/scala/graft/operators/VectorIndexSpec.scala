@@ -162,6 +162,41 @@ class VectorIndexSpec extends SparkTestBase {
       "every planted duplicate must collapse to its low id")
   }
 
+  test("stream: micro-batch appends keep the index current; a search " +
+       "after the stream sees every arrival") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    val cp = Files.createTempDirectory("graft_vix_cp_").toString
+    VectorIndex.publish(embeddings.filter(col("vec_id") < 300), t,
+      "vec_id", "embedding", nCells = 16, nShards = 8)
+    val arrivals = embeddings.filter(col("vec_id") >= 300 &&
+        col("vec_id") < 320)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val in = MemoryStream[(Long, Array[Float], Int)]
+    val q = VectorIndex.stream(spark,
+      in.toDF().toDF("vec_id", "embedding", "label"), t,
+      "vec_id", "embedding", cp)
+    in.addData(arrivals.take(10).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(arrivals.drop(10).toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(s"$t/data").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 300L) ++ (300L until 320L)).sorted.toSeq)
+    // the maintained index answers searches over streamed vectors
+    val got = VectorIndex.topK(spark, t,
+      embeddings.filter(col("vec_id") === 310), "vec_id", "embedding",
+      k = 3, nProbe = 16)
+    val brute = Similarity.bruteForceTopK(
+      embeddings.filter(col("vec_id") < 320),
+      embeddings.filter(col("vec_id") === 310),
+      "embedding", "vec_id", k = 3)
+    assert(got.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet ==
+      brute.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("publish with externally-trained centroids is collect-free and " +
        "rejects sparse centroid ids") {
     val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
