@@ -50,6 +50,26 @@ class SketchStatsSpec extends SparkTestBase {
       s"time-travel estimate ${old.getLong(0)} vs exact 200 outside 5%")
   }
 
+  test("null column values are excluded (COUNT(DISTINCT) semantics); " +
+       "an all-null shard publishes an EMPTY sketch, not a null one") {
+    val t = Files.createTempDirectory("graft_hll_").toString + "/pub"
+    // shard 1's user column is entirely null — the publish must still
+    // record a (empty) sketch there, or the strict door would refuse
+    // a perfectly healthy layout
+    val df = spark.range(100).toDF("id")
+      .withColumn("user",
+        when(col("id") < 50, concat(lit("u"), col("id"))))
+      .withColumn("bucket", (col("id") / 50).cast("long"))
+    Sinks.writeShards(df, t, "id", nShards = 2,
+      shardCol = Some("bucket"), sketchCols = Seq("user"))
+    val m = spark.read.parquet(s"$t/manifest")
+    assert(m.filter(col("zhll_user").isNull).isEmpty,
+      "no shard may publish a null sketch")
+    val r = Sinks.approxDistinctShards(spark, t, "user").collect().head
+    assert(r.getLong(0) == 50L,
+      s"50 non-null users (nulls excluded), estimated ${r.getLong(0)}")
+  }
+
   test("a NULL sketch on a populated shard is refused, never an " +
        "undercount; an undeclared column fails loudly") {
     val t = Files.createTempDirectory("graft_hll_").toString + "/pub"
