@@ -33,6 +33,36 @@ class VectorIndexSpec extends SparkTestBase {
     assert(graft.sinks.Sinks.readShardsIn(spark, t, "bucket", Nil).isEmpty)
     // no-intersection set: zero rows
     assert(graft.sinks.Sinks.readShardsIn(spark, t, "bucket", Seq(99L)).isEmpty)
+    // oversized probe set refused loudly (the bounded-planning envelope)
+    val big = intercept[IllegalArgumentException] {
+      graft.sinks.Sinks.readShardsIn(spark, t, "bucket",
+        (0L until 10001L).toSeq)
+    }
+    assert(big.getMessage.contains("bounded-planning"))
+  }
+
+  test("readShardsIn prunes on STRING and TIMESTAMP zone columns too") {
+    val t = Files.createTempDirectory("graft_vin_").toString + "/pub"
+    val df = spark.range(300).toDF("id")
+      .withColumn("bucket", (col("id") / 100).cast("long"))
+      .withColumn("day",
+        date_format(expr("timestamp'2024-01-01' + make_interval(0,0,0,CAST(id/100 AS INT))"),
+          "yyyy-MM-dd"))
+      .withColumn("ts",
+        expr("timestamp'2024-01-01' + make_interval(0,0,0,CAST(id/100 AS INT))"))
+    graft.sinks.Sinks.writeShards(df, t, "id", nShards = 3,
+      zoneCols = Seq("day", "ts"), shardCol = Some("bucket"))
+    val all = spark.read.parquet(s"$t/data").inputFiles.length
+    val byDay = graft.sinks.Sinks.readShardsIn(spark, t, "day",
+      Seq("2024-01-02"))
+    assert(byDay.select("id").as[Long].collect().sorted.toSeq ==
+      (100L until 200L).toSeq)
+    assert(byDay.inputFiles.length < all)
+    val wantTs = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val byTs = graft.sinks.Sinks.readShardsIn(spark, t, "ts", Seq(wantTs))
+    assert(byTs.select("id").as[Long].collect().sorted.toSeq ==
+      (200L until 300L).toSeq)
+    assert(byTs.inputFiles.length < all)
   }
 
   test("publish + topK: searches only probed cells' shards, scores " +
