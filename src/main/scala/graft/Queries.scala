@@ -3279,25 +3279,29 @@ object Queries {
     graft.sinks.Sinks.approxDistinctShards(s, t, "o_custkey")
   }
 
-  /** q105 — vector-index APPEND under a VALUE oracle (the index
-    * lifecycle end to end): publish 6/7 of the embedding corpus as a
-    * cell-clustered index, then [[graft.operators.VectorIndex.append]]
-    * the remaining 1/7 PLUS a re-embedding of vec_id 10 (negated
-    * vector — its cell, hence shard, changes, exercising the id-bloom
-    * locate + pre-delete path). The oracle is the full final corpus
-    * in SQL — every base row, every appended row, the replaced row
-    * exactly once with its NEW vector — so the hash compare proves
-    * the incremental write path equals the recompute it replaces
-    * (the q95 guarantee for the vector store). The digest carries
-    * the sequential-fold self-dot (content) and the first element
-    * (sign — a negated vector has the same norm). */
+  /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
+    * of the embedding corpus as a cell-clustered index, then
+    * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
+    * re-embedding of vec_id 10 (negated vector — its cell, hence
+    * shard, changes; the id-bloom locates the old row and ONE merge
+    * generation moves it atomically), then take down ids 3/10/21 plus
+    * a never-published id through [[graft.operators.VectorIndex
+    * .delete]] (bloom-routed erasure — deleting 10 AFTER its move
+    * proves the move left exactly one live row to find). The oracle
+    * is the full final corpus in SQL — every base row, every appended
+    * row, the replaced row with its NEW vector, the deleted ids gone,
+    * the absent id a no-op — so the hash compare proves the
+    * incremental write path equals the recompute it replaces (the q95
+    * guarantee for the vector store). The digest carries the
+    * sequential-fold self-dot (content) and the first element (sign —
+    * a negated vector has the same norm). */
   val q105: Q = (s, dir) => {
     val root = java.nio.file.Files.createTempDirectory("graft_q105_").toString
     val t = s"$root/idx"
     val emb = Tables(s, dir).embeddings
     // fixed data-defined centroids (the q66 protocol): q105 exercises
-    // the APPEND path, not recall — skipping k-means keeps the door's
-    // number about the write machinery
+    // the write machinery, not recall — skipping k-means keeps the
+    // door's number about the lifecycle
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("cv"))
@@ -3308,6 +3312,8 @@ object Queries {
       .unionByName(emb.filter(col("vec_id") === 10)
         .withColumn("embedding", transform(col("embedding"), x => -x)))
     graft.operators.VectorIndex.append(patch, t, "vec_id", "embedding")
+    graft.operators.VectorIndex.delete(s, t, "vec_id",
+      Seq("3", "10", "21", "987654321"))
     s.read.parquet(s"$t/data")
       .select(col("vec_id"), col("label"),
         round(graft.functions.Vectors.dot(
@@ -3322,7 +3328,8 @@ object Queries {
       |  SELECT vec_id, label,
       |         CASE WHEN vec_id = 10 THEN list_transform(embedding, x -> -x)
       |              ELSE embedding END AS e
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings
+      |  WHERE vec_id NOT IN (3, 10, 21))""".stripMargin
 
   // ----------------------------------------------------------- registry
 

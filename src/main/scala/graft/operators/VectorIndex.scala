@@ -98,8 +98,10 @@ object VectorIndex {
     * to ([[graft.sinks.Sinks.mergeRows]] — untouched shards carry
     * forward as hard links with identical manifest rows). New ids
     * insert, existing ids replace (a re-embedded document moves to
-    * its new cell's shard and vanishes from its old one — the merge
-    * door's replace semantics). The centroid set is FIXED at publish
+    * its new cell's shard and vanishes from its old one — ONE merge
+    * generation, the patch carrying a delete row at the old shard
+    * beside the upsert at the new, so the move is atomic under the
+    * publish crash envelope). The centroid set is FIXED at publish
     * time — the IVF contract: appends assign against the same coarse
     * quantizer, so recall drifts only as the data distribution does;
     * re-train + re-publish when it has (the SemDeDup k≈√n law says
@@ -120,32 +122,66 @@ object VectorIndex {
       // detection, uniqueness gate, rewrite) — pin the assignment
       .localCheckpoint()
     // RE-EMBEDDED ids move cells — their OLD row lives in a shard the
-    // upsert below never touches (merge replaces within the patch's
-    // TARGET shards). Find current locations through the id bloom
-    // (candidate shards only — cell clustering spreads id ranges over
-    // every shard, so blooms are the stat that answers this), and
-    // pre-delete the rows whose shard is about to change. Pure
-    // inserts and same-shard replaces skip the extra generation.
+    // upsert alone would never touch (merge replaces within the
+    // patch's TARGET shards). Find current locations through the id
+    // bloom (candidate shards only — cell clustering spreads id
+    // ranges over every shard, so blooms are the stat that answers
+    // this), and fold the old-shard DELETE rows into the SAME merge
+    // as the upserts: one generation moves the id atomically — a
+    // crash can never strand it deleted-but-not-reinserted, and the
+    // old shard's rewrite is not paid twice.
     val ids = assigned.select(col(idCol).cast("string"))
       .collect().map(_.getString(0)).toSeq // bounded: the append batch
     val cand = candidateShards(spark, root, idCol, ids, live)
-    if (cand.nonEmpty) {
-      val dataDir = s"$root/data"
-      val liveRows = spark.read.option("basePath", dataDir)
-        .parquet(cand.map(s => s"$dataDir/shard=$s"): _*)
-        .drop("shard")
-        .join(broadcast(assigned
-          .select(col(idCol), col("vshard").as("_new_vshard"))),
-          Seq(idCol))
-      val moved = liveRows.filter(col("vshard") =!= col("_new_vshard"))
-        .drop("_new_vshard")
-        .localCheckpoint()
-      if (!moved.isEmpty)
-        graft.sinks.Sinks.mergeRows(spark, root, moved, idCol,
-          deleteWhen = Some(lit(true)), retainPrevious = retainPrevious)
-    }
-    graft.sinks.Sinks.mergeRows(spark, root, assigned, idCol,
-      retainPrevious = retainPrevious)
+    val del = "_graft_move_delete"
+    val patch =
+      if (cand.isEmpty) assigned.withColumn(del, lit(false))
+      else {
+        val dataDir = s"$root/data"
+        val liveRows = spark.read.option("basePath", dataDir)
+          .parquet(cand.map(s => s"$dataDir/shard=$s"): _*)
+          .drop("shard")
+          .join(broadcast(assigned
+            .select(col(idCol), col("vshard").as("_new_vshard"))),
+            Seq(idCol))
+        val moved = liveRows.filter(col("vshard") =!= col("_new_vshard"))
+          .drop("_new_vshard")
+          .localCheckpoint() // pin: the merge evaluates its patch twice+
+        moved.withColumn(del, lit(true))
+          .unionByName(assigned.withColumn(del, lit(false)))
+      }
+    graft.sinks.Sinks.mergeRows(spark, root, patch, idCol,
+      deleteWhen = Some(col(del)), retainPrevious = retainPrevious)
+    ()
+  }
+
+  /** TAKEDOWN on the vector store: remove `ids` from a [[publish]]ed
+    * index in ONE generation, touching only the shards the id bloom
+    * says might hold them — the opt-out/right-to-erasure door
+    * ([[graft.sinks.Sinks.mergeRows]]'s delete semantics applied
+    * through the same bloom routing [[append]] uses to find moved
+    * rows). Cell clustering spreads id ranges over every shard, so
+    * min/max zones can never answer "where does this id live"; the
+    * bloom can, one-sidedly: false positives open an extra shard
+    * whose anti-join then removes nothing, false negatives cannot
+    * happen. Ids absent from the index are no-ops (SQL MERGE's
+    * unmatched DELETE). At 100 TB a takedown of B ids costs the
+    * shards that hold them, never a corpus scan. */
+  def delete(spark: SparkSession, root: String, idCol: String,
+             ids: Seq[String], retainPrevious: Boolean = false): Unit = {
+    if (ids.isEmpty) return
+    val live = graft.sinks.Sinks.shardStats(spark, root)
+    val cand = candidateShards(spark, root, idCol, ids, live)
+    if (cand.isEmpty) return // bloom proved absence everywhere
+    val dataDir = s"$root/data"
+    val victims = spark.read.option("basePath", dataDir)
+      .parquet(cand.map(s => s"$dataDir/shard=$s"): _*)
+      .drop("shard")
+      .filter(col(idCol).cast("string").isin(ids: _*))
+      .localCheckpoint() // pin: the merge evaluates its patch twice+
+    if (victims.isEmpty) return // all-false-positive probe: no-op
+    graft.sinks.Sinks.mergeRows(spark, root, victims, idCol,
+      deleteWhen = Some(lit(true)), retainPrevious = retainPrevious)
     ()
   }
 

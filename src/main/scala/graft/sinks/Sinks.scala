@@ -2073,7 +2073,11 @@ object Sinks {
     *    (absent id: no-op, like SQL MERGE's unmatched DELETE);
     *  - otherwise → upsert: replaces the live row with that id, or
     *    inserts (possibly creating a shard the manifest didn't have).
-    * Patch ids must be unique (enforced — one verdict per id), the
+    * UPSERT ids must be unique (enforced — one verdict per id);
+    * delete rows may repeat an id, including an upserted one: a
+    * delete at the id's old explicit shard plus an upsert at its new
+    * one is the atomic MOVE, one generation instead of two (a crash
+    * can no longer strand the id deleted-but-not-reinserted). The
     * patch must carry the layout's data columns (and its explicit
     * assignment column, when the spec declares one — deletes too:
     * the spec is how the door finds the row's shard), and must be
@@ -2124,15 +2128,25 @@ object Sinks {
             "it first")))
       val sharded = patch.withColumn("shard",
         shardAssignment(idCol, nShards, shardColOpt))
-      // one verdict per id: a duplicate patch id would make "replace
-      // the live row" ambiguous (and a delete+upsert of the same id
-      // order-dependent)
+      // one VERDICT per id: two upsert rows of the same id would make
+      // "replace the live row" ambiguous. DELETE rows are exempt and
+      // may share an id with the upsert — that is the atomic MOVE
+      // shape ([[graft.operators.VectorIndex.append]]): one generation
+      // removes the id at its old shard and inserts it at its new
+      // one. Removal is by id across every hit shard (the anti-join
+      // below), so extra delete rows are idempotent and the outcome
+      // per id is always "upsert row if present, else gone" —
+      // order-free.
+      val delFlag = deleteWhen.fold(lit(false))(d =>
+        coalesce(d, lit(false)))
       val u = sharded.agg(count(lit(1)),
-        count_distinct(col(idCol))).collect().head
+        count(when(!delFlag, lit(1))),
+        count_distinct(when(!delFlag, col(idCol)))).collect().head
       if (u.getLong(0) == 0L) return live // empty patch: no-op
-      require(u.getLong(0) == u.getLong(1),
-        s"mergeRows: patch ids ('$idCol') must be unique — got " +
-          s"${u.getLong(0)} rows, ${u.getLong(1)} distinct ids")
+      require(u.getLong(1) == u.getLong(2),
+        s"mergeRows: upsert ids ('$idCol') must be unique (delete " +
+          s"rows may repeat an id) — got ${u.getLong(1)} upsert " +
+          s"rows, ${u.getLong(2)} distinct ids")
       // target shards: computable from the patch alone (bounded
       // collect, ≤ nShards rows)
       val hit = sharded.select(col("shard")).distinct()

@@ -166,6 +166,55 @@ class VectorIndexSpec extends SparkTestBase {
     assert(cnt == 1L, s"replaced id must appear once, found $cnt")
   }
 
+  test("append moves a re-embedded id in ONE generation (atomic: no " +
+       "deleted-but-not-reinserted window)") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    VectorIndex.publish(embeddings.filter(col("vec_id") < 400), t,
+      "vec_id", "embedding", nCells = 16, nShards = 8)
+    // negate id 10's vector: its nearest cell — hence shard — changes
+    val moved = embeddings.filter(col("vec_id") === 10)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    VectorIndex.append(moved, t, "vec_id", "embedding",
+      retainPrevious = true)
+    assert(graft.sinks.Sinks.listShardVersions(spark, t).size == 1,
+      "a moving append must publish exactly ONE generation")
+    val rows = spark.read.parquet(s"$t/data")
+      .filter(col("vec_id") === 10).count()
+    assert(rows == 1L, s"moved id must live exactly once, found $rows")
+    assert(graft.sinks.Sinks.verifyShards(spark, t, "vec_id")
+      .filter(!col("ok")).isEmpty)
+  }
+
+  test("delete: bloom-routed takedown removes the ids, leaves the " +
+       "rest byte-identical, no-ops on absent ids") {
+    val t = Files.createTempDirectory("graft_vix_").toString + "/idx"
+    VectorIndex.publish(embeddings.filter(col("vec_id") < 400), t,
+      "vec_id", "embedding", nCells = 16, nShards = 8)
+    val before = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, h) => s -> (n, h) }.toMap
+    VectorIndex.delete(spark, t, "vec_id", Seq("7", "42", "987654321"))
+    val left = spark.read.parquet(s"$t/data").select("vec_id")
+      .as[Long].collect().toSet
+    assert(!left.contains(7L) && !left.contains(42L))
+    assert(left.size == 398, s"only the two live ids go, got ${left.size}")
+    // blast radius: shards holding neither id carry forward unchanged
+    val after = spark.read.parquet(s"$t/manifest")
+      .select("shard", "n_rows", "content_hash")
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, h) => s -> (n, h) }.toMap
+    assert(before.exists { case (s, v) => after.get(s).contains(v) },
+      "a 2-id takedown must not rewrite every shard")
+    // generation hygiene: an all-absent takedown publishes NOTHING
+    val manBefore = spark.read.parquet(s"$t/manifest").collect().toSet
+    VectorIndex.delete(spark, t, "vec_id", Seq("111222333", "444555666"))
+    assert(spark.read.parquet(s"$t/manifest").collect().toSet == manBefore,
+      "absent-id takedown must be a manifest no-op")
+    assert(graft.sinks.Sinks.verifyShards(spark, t, "vec_id")
+      .filter(!col("ok")).isEmpty)
+  }
+
   test("semanticDedup over the index equals semanticDedupFrame over " +
        "the raw corpus with the same centroids") {
     val t = Files.createTempDirectory("graft_vix_").toString + "/idx"

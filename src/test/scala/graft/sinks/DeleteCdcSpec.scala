@@ -218,6 +218,58 @@ class DeleteCdcSpec extends SparkTestBase {
       (3L, "delete"), (100L, "insert")).sortBy(identity))
   }
 
+  test("mergeRows: atomic MOVE — one patch deletes an id at its old " +
+       "explicit shard and upserts it at a new one, one generation") {
+    val t = freshLayout() // bucket = id mod 4, explicit spec
+    // id 2 lives in bucket 2; move it to bucket 0 (a re-keyed row —
+    // the VectorIndex re-embedding shape): ONE mergeRows call with a
+    // delete row claiming the OLD shard and an upsert claiming the NEW
+    val patch = Seq(
+      (2L, "gamma", "de", 30L, 2L, true),   // delete at old shard
+      (2L, "gamma-v2", "de", 31L, 0L, false), // upsert at new shard
+    ).toDF("id", "text", "lang", "n", "bucket", "_del")
+    Sinks.mergeRows(spark, t, patch, "id",
+      deleteWhen = Some(col("_del")), retainPrevious = true)
+    val rows = spark.read.parquet(s"$t/data")
+      .filter(col("id") === 2L)
+      .select("text", "bucket", "shard")
+      .as[(String, Long, Long)].collect()
+    assert(rows.toSeq == Seq(("gamma-v2", 0L, 0L)),
+      s"moved id must live exactly once, at the new shard: ${rows.toSeq}")
+    // atomicity: the move was ONE generation, not delete-then-insert
+    assert(Sinks.listShardVersions(spark, t).size == 1,
+      "an atomic move must publish exactly one generation")
+    assert(Sinks.verifyShards(spark, t, "id").filter(!col("ok")).isEmpty)
+    // CDC sees a semantic update, not a delete+insert
+    val stamp = Sinks.listShardVersions(spark, t).head
+    val feed = Sinks.readRowChanges(spark, t, stamp, "id")
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(feed.toSeq == Seq((2L, "update_postimage"), (2L, "update_preimage")),
+      s"a moved id is an UPDATE to the reader: ${feed.toSeq}")
+  }
+
+  test("mergeRows: duplicate UPSERT ids still rejected; delete rows may " +
+       "repeat an id") {
+    val t = freshLayout()
+    // two upserts of one id: ambiguous verdict, loud error
+    val dupUp = Seq(
+      (1L, "a", "en", 1L, 1L, false), (1L, "b", "en", 2L, 1L, false))
+      .toDF("id", "text", "lang", "n", "bucket", "_del")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeRows(spark, t, dupUp, "id", deleteWhen = Some(col("_del")))
+    }
+    assert(e.getMessage.contains("unique"))
+    // two delete rows of one id (bloom false positives can route a
+    // takedown to several candidate shards): idempotent, allowed
+    val dupDel = Seq(
+      (3L, "delta", "de", 40L, 3L, true), (3L, "delta", "de", 40L, 1L, true))
+      .toDF("id", "text", "lang", "n", "bucket", "_del")
+    Sinks.mergeRows(spark, t, dupDel, "id", deleteWhen = Some(col("_del")))
+    assert(spark.read.parquet(s"$t/data")
+      .filter(col("id") === 3L).isEmpty, "id 3 must be gone")
+    assert(Sinks.verifyShards(spark, t, "id").filter(!col("ok")).isEmpty)
+  }
+
   test("mergeRows: duplicate patch ids rejected; empty patch is a no-op; " +
        "unmatched delete is a no-op") {
     val t = Files.createTempDirectory("graft_mergespec_").toString + "/c"
