@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.DoubleType
 
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.expressions.{AdjacentPairStats, ArrayDot, BloomOps, DupShingleStats, MarkerCounts, MinHashSig, MisraGriesAgg, NearestCentroidsCol, RpBands, ShingleArr, SigMatchFrac, SimHashSig, TopKByScoreAgg}
+import graft.expressions.{AdjacentPairStats, ArrayDot, BloomOps, DupShingleStats, KllMergeAgg, KllQuantile, KllSketchAgg, MarkerCounts, MinHashSig, MisraGriesAgg, NearestCentroidsCol, RpBands, ShingleArr, SigMatchFrac, SimHashSig, TopKByScoreAgg}
 import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
@@ -65,6 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
   }
+  /** "0.5,0.95,0.99" → ranks, for the quantile TVF (TVF args are
+    * string literals; a CSV keeps the arity fixed). */
+  private def parseRanks(csv: String): Seq[Double] =
+    csv.split(',').toSeq.map { s =>
+      try s.trim.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"ranks_csv must be comma-separated doubles in [0,1], got '$csv'")
+      }
+    }
   private def litFraction(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
@@ -205,6 +215,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s, i, kk) => TopKByScoreAgg(s, i, litInt(kk, "k"))
         case _ => throw new IllegalArgumentException(
           "top_k_by_score expects (score, id, k)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg",
+        "kll_sketch_agg(x) - aggregate: serialized KLL quantile sketch " +
+          "over a DOUBLE column (the manifest zkll_* stat's builder)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x) => KllSketchAgg(x)
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch_agg expects (x)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      info("kll_merge_agg",
+        "kll_merge_agg(sketch) - aggregate: union serialized KLL " +
+          "sketches (error-preserving merge)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => KllMergeAgg(s)
+        case _ => throw new IllegalArgumentException(
+          "kll_merge_agg expects (sketch)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(sketch, rank) - value at normalized rank in [0,1] " +
+          "(INCLUSIVE, the percentile_disc convention)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, r) => KllQuantile(s, Cast(r, DoubleType))
+        case _ => throw new IllegalArgumentException(
+          "kll_quantile expects (sketch, rank)")
       }))
     ext.injectFunction((
       FunctionIdentifier("dup_shingle_stats"),
@@ -376,6 +416,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litString(p, "path"), litString(c, "column"),
             Some(litString(st, "stamp"))) },
       "(path, column[, stamp]) as string literals")
+    tvf("approx_quantiles_shards",
+      "approx_quantiles_shards(path, column, ranks_csv[, stamp]) - " +
+        "metadata-only approximate quantiles from the manifest's KLL " +
+        "sketches (publish with quantileCols); one row per rank: " +
+        "(rank, value)",
+      { case Seq(p, c, r) =>
+          graft.sinks.Sinks.approxQuantilesShards(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"),
+            parseRanks(litString(r, "ranks_csv")))
+        case Seq(p, c, r, st) =>
+          graft.sinks.Sinks.approxQuantilesShards(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"),
+            parseRanks(litString(r, "ranks_csv")),
+            Some(litString(st, "stamp"))) },
+      "(path, column, ranks_csv[, stamp]) as string literals")
     tvf("shards_changed_since",
       "shards_changed_since(path, stamp) - rows of shards whose content " +
         "changed since the retained generation (incremental consumption)",

@@ -216,7 +216,28 @@ object Quality {
     val q104 = Entry("q104_manifest_distinct", "rel_err_vs_exact_distinct",
       "<=", 0.05, math.abs(est - exactD.toDouble) / exactD)
 
-    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104)
+    // q106: manifest-KLL quantiles vs the exact rank (the shipped
+    // q106 layout: 16 shards, quantile sketch on n_chars). The
+    // measure is RANK error — |true_rank(answered_value) − q| — the
+    // bound KLL actually guarantees (~1.65% at the fixed k), checked
+    // at p50/p90/p99 with a 5% floor.
+    val qroot = java.nio.file.Files
+      .createTempDirectory("graft_qual_kll_").toString + "/docs"
+    val dlen = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("n_chars")).localCheckpoint()
+    graft.sinks.Sinks.writeShards(dlen, qroot, "doc_id", nShards = 16,
+      quantileCols = Seq("n_chars"))
+    val nDocs = dlen.count().toDouble
+    val maxRankErr = graft.sinks.Sinks.approxQuantilesShards(spark, qroot,
+        "n_chars", Seq(0.5, 0.9, 0.99)).collect().map { r =>
+      val (q, v) = (r.getDouble(0), r.getDouble(1))
+      val trueRank = dlen.filter(col("n_chars") <= v).count() / nDocs
+      math.abs(trueRank - q)
+    }.max
+    val q106 = Entry("q106_manifest_quantiles", "max_rank_err_p50_p90_p99",
+      "<=", 0.05, maxRankErr)
+
+    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104, q106)
   }
 
   /** Render + write `QUALITY.json`; returns the entries. */

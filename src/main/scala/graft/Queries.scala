@@ -3279,6 +3279,30 @@ object Queries {
     graft.sinks.Sinks.approxDistinctShards(s, t, "o_custkey")
   }
 
+  /** q106 — METADATA-ONLY approximate QUANTILES (rows-only: KLL
+    * compaction flips random coins, so the values are floored in
+    * QUALITY.json — max rank error ≤ 5% vs the exact distribution —
+    * not hash-compared): publish documents with a KLL quantile sketch
+    * on `n_chars` (`quantileCols`), then answer "p50/p90/p99 document
+    * length of this corpus" from [[graft.sinks.Sinks
+    * .approxQuantilesShards]] — a one-row-per-shard manifest read.
+    * Quantiles are the one DISTRIBUTION question the exact metadata
+    * aggregates (q89/q98–q102: COUNT/SUM/MIN/MAX) cannot answer: at
+    * 100 TB "what's the p95 doc length" is otherwise a corpus-wide
+    * sort or a full TDigest pass. KLL merge preserves the rank-error
+    * bound across any merge tree, so the shard-sketch union is as
+    * accurate as one sketch over the whole corpus. */
+  val q106: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_q106_").toString
+    val t = s"$root/docs"
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.Sinks.writeShards(d, t, "doc_id", nShards = 16,
+      quantileCols = Seq("n_chars"))
+    graft.sinks.Sinks.approxQuantilesShards(s, t, "n_chars",
+      Seq(0.5, 0.9, 0.99))
+  }
+
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
     * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
@@ -3439,6 +3463,7 @@ object Queries {
     "q103_vector_index" -> q103,
     "q104_manifest_distinct" -> q104,
     "q105_vector_append" -> q105,
+    "q106_manifest_quantiles" -> q106,
   )
 
   val oracle: Map[String, String] = Map(

@@ -581,7 +581,8 @@ object Sinks {
                   sortCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil,
                   bloomFpp: Double = 0.01,
-                  sketchCols: Seq[String] = Nil): DataFrame = {
+                  sketchCols: Seq[String] = Nil,
+                  quantileCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(bloomCols.forall(df.columns.contains),
       s"bloomCols must be input columns; missing: ${
@@ -589,6 +590,14 @@ object Sinks {
     require(sketchCols.forall(df.columns.contains),
       s"sketchCols must be input columns; missing: ${
         sketchCols.filterNot(df.columns.contains).mkString(", ")}")
+    require(quantileCols.forall(df.columns.contains),
+      s"quantileCols must be input columns; missing: ${
+        quantileCols.filterNot(df.columns.contains).mkString(", ")}")
+    quantileCols.foreach(c => require(df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"quantileCols must be numeric (quantiles of '$c': " +
+        s"${df.schema(c).dataType.sql} has no rank order the sketch " +
+        "can summarize)"))
     require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp in (0,1), got $bloomFpp")
     shardCol.foreach(c => require(df.columns.contains(c),
       s"shardCol '$c' is not a column of the input (${df.columns.mkString(", ")})"))
@@ -614,7 +623,7 @@ object Sinks {
     try {
       writeShardsLeased(df, path, idCol, nShards, spark, base, fs,
         retainPrevious, zoneCols, shardCol, sortCols, bloomCols, bloomFpp,
-        sketchCols)
+        sketchCols, quantileCols)
     } finally releasePublishLease(fs, base, lease)
   }
 
@@ -636,7 +645,8 @@ object Sinks {
                                 sortCols: Seq[String] = Nil,
                                 bloomCols: Seq[String] = Nil,
                                 bloomFpp: Double = 0.01,
-                                sketchCols: Seq[String] = Nil): DataFrame = {
+                                sketchCols: Seq[String] = Nil,
+                                quantileCols: Seq[String] = Nil): DataFrame = {
     // finish whatever a killed predecessor left behind BEFORE touching
     // the layout (the lease guarantees the debris is ours to sweep)
     recoverPublish(fs, base)
@@ -705,7 +715,8 @@ object Sinks {
         Some((bloomCols, mBits, BloomOps.hashesFor(perShard, mBits)))
       }
     val manifest = stampSpec(
-      shardSummary(written, idCol, dataCols, zoneCols, bloomSpec, sketchCols),
+      shardSummary(written, idCol, dataCols, zoneCols, bloomSpec, sketchCols,
+        quantileCols),
       shardCol, nShards, sortCols, idCol)
     manifest.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
@@ -1033,7 +1044,8 @@ object Sinks {
                            dataCols: Seq[String],
                            zoneCols: Seq[String] = Nil,
                            bloom: Option[(Seq[String], Int, Int)] = None,
-                           sketchCols: Seq[String] = Nil)
+                           sketchCols: Seq[String] = Nil,
+                           quantileCols: Seq[String] = Nil)
       : DataFrame = {
     // zone maps: per-shard min/max of declared columns (Iceberg's
     // manifest column stats) — nulls are ignored by min/max, matching
@@ -1088,13 +1100,27 @@ object Sinks {
     val sketchAggs = sketchCols.map(c =>
       hll_sketch_agg(col(c).cast("string"), lit(SketchLgK))
         .as(s"zhll_$c"))
+    // zkll_<c>: per-shard KLL quantile sketch over the column cast to
+    // double (DataSketches KLL, fixed k — [[graft.expressions.KllOps]]).
+    // KLL merge preserves the rank-error bound across any merge tree
+    // ("Mergeable Summaries"), so kll_merge_agg over the MANIFEST
+    // answers "p50/p95/p99 of this column, corpus-wide or any pruned
+    // shard subset" without a data file — the one DISTRIBUTION
+    // question min/max/sum scalars can't touch. NULL sketch (legacy
+    // carry) = unknown; the quantile door refuses rather than skew.
+    val kllAggs = quantileCols.map(c =>
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.expressions.KllSketchAgg(
+          org.apache.spark.sql.graftshim.ColumnBridge.catalystExpression(
+            col(c).cast("double"))).toAggregateExpression())
+        .as(s"zkll_$c"))
     val base = written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         (Seq(min(col(idCol)).as("min_id"),
           max(col(idCol)).as("max_id"),
           sum(xxhash64(dataCols.map(col): _*)).as("content_hash"))
-          ++ zoneAggs ++ bloomAggs ++ sketchAggs): _*)
+          ++ zoneAggs ++ bloomAggs ++ sketchAggs ++ kllAggs): _*)
     bloom.fold(base) { case (cols, _, k) =>
       cols.foldLeft(base)((m, c) =>
         m.withColumn(s"zbloomk_$c", lit(k))
@@ -1119,6 +1145,13 @@ object Sinks {
   private def sketchColsOf(live: DataFrame): Seq[String] =
     live.columns.filter(_.startsWith("zhll_"))
       .map(_.stripPrefix("zhll_")).toSeq
+
+  /** The quantile-sketched columns a live manifest declares
+    * (`zkll_*` names) — rewrites recompute them so delta/merge
+    * generations keep the quantile door answerable. */
+  private def quantileColsOf(live: DataFrame): Seq[String] =
+    live.columns.filter(_.startsWith("zkll_"))
+      .map(_.stripPrefix("zkll_")).toSeq
 
   /** The bloom declaration a live manifest carries, for rewrites that
     * must recompute stats consistently across generations: bloomed
@@ -1527,6 +1560,58 @@ object Sinks {
       sum(col("n_rows")).as("n_rows"))
   }
 
+  /** METADATA-ONLY approximate QUANTILES of `column` on a published
+    * layout: merge the per-shard KLL sketches the publish recorded
+    * (`zkll_<column>` — [[graft.expressions.KllSketchAgg]]) and read
+    * the requested ranks — zero data files opened, one pass over the
+    * one-row-per-shard manifest. The 100 TB shape: "median / p95 /
+    * p99 document length of this corpus" at planning cost instead of
+    * a corpus-wide sort or TDigest pass; works on any retained
+    * generation (`stamp`) for free. KLL merge preserves the rank-error
+    * bound (~1.65% at the fixed k) across any merge tree, so the
+    * union is as accurate as one sketch built over the whole corpus.
+    *
+    * STRICT like the distinct door: a shard with rows but a NULL
+    * sketch (legacy carry) would silently skew every rank, so the
+    * door throws — re-publish (or merge-rewrite) under the current
+    * declaration to restore it. Returns one row per requested rank:
+    * (rank double, value double), rank order preserved. */
+  def approxQuantilesShards(spark: SparkSession, path: String,
+                            column: String, ranks: Seq[Double],
+                            stamp: Option[String] = None): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be non-empty and within [0,1], got ${ranks.mkString(", ")}")
+    val m = shardStats(spark, path, stamp)
+    require(m.columns.contains(s"zkll_$column"),
+      s"no quantile sketch for '$column' in $path/manifest — publish " +
+        s"with quantileCols = Seq(...\"$column\"...) to enable the " +
+        s"metadata quantile door (have: ${
+          m.columns.filter(_.startsWith("zkll_"))
+            .map(_.stripPrefix("zkll_")).mkString(", ")})")
+    val carries = m.filter(col(s"zkll_$column").isNull && col("n_rows") > 0)
+      .select(col("shard")).collect().map(_.getLong(0))
+    if (carries.nonEmpty)
+      throw new IllegalStateException(
+        s"shards ${carries.sorted.mkString(", ")} carry no " +
+          s"'$column' quantile sketch (legacy generation) — a merge " +
+          "would skew every rank; re-publish or merge-rewrite under " +
+          "the current quantileCols declaration")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val merged = ColumnBridge.column(graft.expressions.KllMergeAgg(
+      ColumnBridge.catalystExpression(col(s"zkll_$column")))
+      .toAggregateExpression())
+    val one = m.agg(merged.as("_sk"))
+    // one sketch row × |ranks| quantile reads — plan-level (the
+    // scalar expression runs inside ordinary codegen'd projection)
+    val rankCol = explode(array(ranks.map(r => lit(r)): _*)).as("rank")
+    one.select(rankCol, col("_sk"))
+      .select(col("rank"),
+        ColumnBridge.column(graft.expressions.KllQuantile(
+          ColumnBridge.catalystExpression(col("_sk")),
+          ColumnBridge.catalystExpression(col("rank").cast("double"))))
+          .as("value"))
+  }
+
   /** INCREMENTAL READ door — the consumer side of [[publishDelta]]:
     * the rows of every live shard whose content differs from the
     * retained generation displaced at `stamp` (changed shards, plus
@@ -1846,7 +1931,8 @@ object Sinks {
             // rewritten shards rebuild them under the live
             // generation's declaration so probes and distinct unions
             // stay comparable across generations
-            effectiveZones, bloomSpecOf(live), sketchColsOf(live)),
+            effectiveZones, bloomSpecOf(live), sketchColsOf(live),
+            quantileColsOf(live)),
             shardCol, nShards, effectiveSort, idCol)
         val keptManifest = stampSpec(
           (if (unchanged.isEmpty) live.filter(lit(false))
@@ -2022,7 +2108,7 @@ object Sinks {
       val rewrittenManifest = stampSpec(shardSummary(
         spark.read.schema(writtenSchema).parquet(stagedData.toString)
           .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones,
-        bloomSpecOf(live), sketchColsOf(live)),
+        bloomSpecOf(live), sketchColsOf(live), quantileColsOf(live)),
         shardColOpt, nShards, sortCols, idCol)
       val keptManifest = stampSpec(
         (if (kept.isEmpty) live.filter(lit(false))

@@ -1,0 +1,140 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Manifest KLL quantile sketches (`zkll_*`) and the metadata-only
+  * quantile door: rank accuracy of the merged estimate, rewrite
+  * consistency across generations, time travel, null handling, the
+  * strict legacy-carry refusal, and the SQL surface. */
+class KllStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 2000 rows, lengths 1..2000 — exact quantiles are trivial to state
+  private def corpus = spark.range(1, 2001).toDF("id")
+    .withColumn("len", col("id").cast("long"))
+    .withColumn("payload", concat(lit("b"), col("id")))
+    .localCheckpoint()
+
+  /** True normalized rank of `v` among 1..2000: v/2000. */
+  private def rankOf(v: Double): Double = v / 2000.0
+
+  test("approxQuantilesShards answers p50/p95/p99 within 5% rank " +
+       "error from the manifest alone") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    Sinks.writeShards(corpus, t, "id", nShards = 8,
+      quantileCols = Seq("len"))
+    val m = spark.read.parquet(s"$t/manifest")
+    assert(m.columns.contains("zkll_len"))
+    val got = Sinks.approxQuantilesShards(spark, t, "len",
+        Seq(0.5, 0.95, 0.99))
+      .orderBy("rank").as[(Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.95, 0.99))
+    got.foreach { case (q, v) =>
+      assert(math.abs(rankOf(v) - q) <= 0.05,
+        s"p$q answered $v (true rank ${rankOf(v)}) — rank error > 5%")
+    }
+  }
+
+  test("delta publish recomputes quantile sketches for rewritten " +
+       "shards; time travel answers the old distribution") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    Sinks.writeShards(corpus, t, "id", nShards = 8,
+      quantileCols = Seq("len"), retainPrevious = true)
+    // second generation: every length ×10 — the median moves 10×
+    val v2 = corpus.withColumn("len", col("len") * 10L)
+    Sinks.publishDelta(v2, t, "id", nShards = 8, retainPrevious = true)
+    val now = Sinks.approxQuantilesShards(spark, t, "len", Seq(0.5))
+      .as[(Double, Double)].collect().head._2
+    assert(math.abs(now / 10.0 / 2000.0 - 0.5) <= 0.05,
+      s"post-delta median $now should sit near 10000")
+    val stamp = Sinks.listShardVersions(spark, t).last
+    val old = Sinks.approxQuantilesShards(spark, t, "len", Seq(0.5),
+      Some(stamp)).as[(Double, Double)].collect().head._2
+    assert(math.abs(rankOf(old) - 0.5) <= 0.05,
+      s"time-travel median $old should sit near 1000")
+  }
+
+  test("mergeRows rewrite keeps the quantile door answerable (zkll " +
+       "recomputed under the inherited declaration)") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    Sinks.writeShards(corpus, t, "id", nShards = 4,
+      quantileCols = Seq("len"))
+    val patch = Seq((1L, 999999L, "patched")).toDF("id", "len", "payload")
+    Sinks.mergeRows(spark, t, patch, "id")
+    val m = spark.read.parquet(s"$t/manifest")
+    assert(m.filter(col("zkll_len").isNull).isEmpty,
+      "every shard must carry a sketch after a merge rewrite")
+    val p99 = Sinks.approxQuantilesShards(spark, t, "len", Seq(1.0))
+      .as[(Double, Double)].collect().head._2
+    assert(p99 == 999999.0, s"max rank must see the merged row, got $p99")
+  }
+
+  test("nulls are excluded; an all-null shard publishes an EMPTY " +
+       "sketch, not a null one") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    val df = spark.range(100).toDF("id")
+      .withColumn("len", when(col("id") < 50, col("id") + 1L))
+      .withColumn("bucket", (col("id") / 50).cast("long"))
+    Sinks.writeShards(df, t, "id", nShards = 2,
+      shardCol = Some("bucket"), quantileCols = Seq("len"))
+    val m = spark.read.parquet(s"$t/manifest")
+    assert(m.filter(col("zkll_len").isNull).isEmpty,
+      "no shard may publish a null sketch")
+    val p100 = Sinks.approxQuantilesShards(spark, t, "len", Seq(1.0))
+      .as[(Double, Double)].collect().head._2
+    assert(p100 == 50.0,
+      s"nulls excluded: max of the 50 non-null lens is 50, got $p100")
+  }
+
+  test("a NULL sketch on a populated shard is refused; an undeclared " +
+       "or non-numeric column fails loudly") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    Sinks.writeShards(corpus, t, "id", nShards = 4,
+      quantileCols = Seq("len"))
+    val m = spark.read.parquet(s"$t/manifest").localCheckpoint()
+    m.withColumn("zkll_len",
+        when(col("shard") === 0, lit(null)).otherwise(col("zkll_len")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$t/manifest")
+    val err = intercept[IllegalStateException] {
+      Sinks.approxQuantilesShards(spark, t, "len", Seq(0.5)).collect()
+    }
+    assert(err.getMessage.contains("legacy"))
+    val miss = intercept[IllegalArgumentException] {
+      Sinks.approxQuantilesShards(spark, t, "payload", Seq(0.5))
+    }
+    assert(miss.getMessage.contains("quantileCols"))
+    val t2 = Files.createTempDirectory("graft_kll_").toString + "/p2"
+    val nonNum = intercept[IllegalArgumentException] {
+      Sinks.writeShards(corpus, t2, "id", nShards = 2,
+        quantileCols = Seq("payload"))
+    }
+    assert(nonNum.getMessage.contains("numeric"))
+  }
+
+  test("SQL surface: kll_sketch_agg/kll_merge_agg/kll_quantile and the " +
+       "approx_quantiles_shards TVF answer the same ranks") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    Sinks.writeShards(corpus, t, "id", nShards = 8,
+      quantileCols = Seq("len"))
+    // pure-SQL pipeline over raw data: build → merge → read
+    corpus.createOrReplaceTempView("kll_corpus")
+    val sqlMedian = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5) AS p50 FROM (
+        |  SELECT kll_sketch_agg(CAST(len AS DOUBLE)) AS sk
+        |  FROM kll_corpus GROUP BY id % 4)""".stripMargin)
+      .as[Double].collect().head
+    assert(math.abs(rankOf(sqlMedian) - 0.5) <= 0.05,
+      s"SQL median $sqlMedian outside 5% rank error")
+    // the TVF answers from the manifest
+    val tvf = spark.sql(
+      s"SELECT rank, value FROM approx_quantiles_shards('$t', 'len', " +
+        "'0.5,0.99') ORDER BY rank").as[(Double, Double)].collect()
+    assert(tvf.map(_._1).toSeq == Seq(0.5, 0.99))
+    tvf.foreach { case (q, v) =>
+      assert(math.abs(rankOf(v) - q) <= 0.05,
+        s"TVF p$q answered $v — rank error > 5%")
+    }
+  }
+}
