@@ -433,6 +433,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             parseRanks(litString(r, "ranks_csv")),
             Some(litString(st, "stamp"))) },
       "(path, column, ranks_csv[, stamp]) as string literals")
+    tvf("approx_quantiles_shards_by",
+      "approx_quantiles_shards_by(path, column, group_col, ranks_csv" +
+        "[, stamp]) - metadata-only approximate quantiles PER GROUP " +
+        "on a group-clustered layout (every shard single-group); one " +
+        "row per (group, rank)",
+      { case Seq(p, c, g, r) =>
+          graft.sinks.Sinks.approxQuantilesShardsBy(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"),
+            litString(g, "group_col"), parseRanks(litString(r, "ranks_csv")))
+        case Seq(p, c, g, r, st) =>
+          graft.sinks.Sinks.approxQuantilesShardsBy(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(c, "column"),
+            litString(g, "group_col"), parseRanks(litString(r, "ranks_csv")),
+            Some(litString(st, "stamp"))) },
+      "(path, column, group_col, ranks_csv[, stamp]) as string literals")
     tvf("shards_changed_since",
       "shards_changed_since(path, stamp) - rows of shards whose content " +
         "changed since the retained generation (incremental consumption)",

@@ -234,8 +234,33 @@ object Quality {
       val trueRank = dlen.filter(col("n_chars") <= v).count() / nDocs
       math.abs(trueRank - q)
     }.max
-    val q106 = Entry("q106_manifest_quantiles", "max_rank_err_p50_p90_p99",
-      "<=", 0.05, maxRankErr)
+    // grouped door on a lang-clustered layout ("p50 length per
+    // language" from the manifest): same rank-error measure, folded
+    // into the one entry as a max over both doors
+    val dql = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("lang").isNotNull).localCheckpoint()
+    val langs = dql.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted
+    val bucketExpr = langs.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (l, i)) => when(col("lang") === l, lit(i.toLong))
+        .otherwise(acc)
+    }
+    val gkroot = java.nio.file.Files
+      .createTempDirectory("graft_qual_kllg_").toString + "/docs_by_lang"
+    graft.sinks.Sinks.writeShards(dql.withColumn("bucket", bucketExpr),
+      gkroot, "doc_id", nShards = langs.length, shardCol = Some("bucket"),
+      zoneCols = Seq("lang"), quantileCols = Seq("n_chars"))
+    val grpErr = graft.sinks.Sinks.approxQuantilesShardsBy(spark, gkroot,
+        "n_chars", "lang", Seq(0.5)).collect().map { r =>
+      val (l, q, v) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val grp = dql.filter(col("lang") === l)
+      val n = grp.count().toDouble
+      math.abs(grp.filter(col("n_chars") <= v).count() / n - q)
+    }.max
+    val q106 = Entry("q106_manifest_quantiles",
+      "max_rank_err_global_p50_p90_p99_and_by_lang_p50",
+      "<=", 0.05, math.max(maxRankErr, grpErr))
 
     Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104, q106)
   }

@@ -1612,6 +1612,72 @@ object Sinks {
           .as("value"))
   }
 
+  /** GROUPED metadata quantiles — [[approxQuantilesShards]] per group
+    * ("p50/p95 document length PER LANGUAGE"), answerable from the
+    * manifest exactly when every shard is provably SINGLE-GROUP on
+    * `groupCol` (the same proof the grouped metadata-aggregate
+    * planner door uses: all rows share one non-null value —
+    * `znull == 0 ∧ zmin == zmax` — or are all null, the scan's NULL
+    * group). Single-group is what makes a shard's whole sketch
+    * attributable to one group; several shards of a group merge with
+    * KLL's error-preserving union, exactly as the global door does.
+    * A layout not clustered by `groupCol` REFUSES loudly (quantiles
+    * of mixed shards would be unattributable, not just inexact).
+    * Returns one row per (group, rank): (groupCol, rank, value). */
+  def approxQuantilesShardsBy(spark: SparkSession, path: String,
+                              column: String, groupCol: String,
+                              ranks: Seq[Double],
+                              stamp: Option[String] = None): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be non-empty and within [0,1], got ${ranks.mkString(", ")}")
+    val m = shardStats(spark, path, stamp)
+    require(m.columns.contains(s"zkll_$column"),
+      s"no quantile sketch for '$column' in $path/manifest — publish " +
+        s"with quantileCols = Seq(...\"$column\"...)")
+    Seq(s"zmin_$groupCol", s"zmax_$groupCol", s"znull_$groupCol")
+      .foreach(c => require(m.columns.contains(c),
+        s"'$groupCol' is not a zone column of $path — grouped " +
+          s"quantiles need its per-shard min/max/null stats " +
+          s"(publish with zoneCols = Seq(...\"$groupCol\"...))"))
+    val carries = m.filter(col(s"zkll_$column").isNull && col("n_rows") > 0)
+      .select(col("shard")).collect().map(_.getLong(0))
+    if (carries.nonEmpty)
+      throw new IllegalStateException(
+        s"shards ${carries.sorted.mkString(", ")} carry no " +
+          s"'$column' quantile sketch (legacy generation) — " +
+          "re-publish or merge-rewrite under the current declaration")
+    // single-group proof, all-or-nothing: one mixed shard and the
+    // whole question is unanswerable from this layout
+    val zn = col(s"znull_$groupCol")
+    val mixed = m.filter(col("n_rows") > 0 &&
+        zn.isNotNull && !(zn === col("n_rows")) &&
+        !(zn === 0L && col(s"zmin_$groupCol") === col(s"zmax_$groupCol")))
+      .select(col("shard")).collect().map(_.getLong(0))
+    val unknown = m.filter(col("n_rows") > 0 && zn.isNull)
+      .select(col("shard")).collect().map(_.getLong(0))
+    if (mixed.nonEmpty || unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"shards ${(mixed ++ unknown).sorted.mkString(", ")} are not " +
+          s"provably single-group on '$groupCol' — publish CLUSTERED " +
+          s"by it (shardCol) to enable grouped quantiles")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val groupVal = when(zn === col("n_rows"), lit(null))
+      .otherwise(col(s"zmin_$groupCol")).as(groupCol)
+    val merged = ColumnBridge.column(graft.expressions.KllMergeAgg(
+      ColumnBridge.catalystExpression(col(s"zkll_$column")))
+      .toAggregateExpression())
+    val perGroup = m.filter(col("n_rows") > 0)
+      .groupBy(groupVal).agg(merged.as("_sk"))
+    perGroup
+      .select(col(groupCol),
+        explode(array(ranks.map(r => lit(r)): _*)).as("rank"), col("_sk"))
+      .select(col(groupCol), col("rank"),
+        ColumnBridge.column(graft.expressions.KllQuantile(
+          ColumnBridge.catalystExpression(col("_sk")),
+          ColumnBridge.catalystExpression(col("rank").cast("double"))))
+          .as("value"))
+  }
+
   /** INCREMENTAL READ door — the consumer side of [[publishDelta]]:
     * the rows of every live shard whose content differs from the
     * retained generation displaced at `stamp` (changed shards, plus

@@ -113,6 +113,43 @@ class KllStatsSpec extends SparkTestBase {
     assert(nonNum.getMessage.contains("numeric"))
   }
 
+  test("grouped quantiles on a group-clustered layout answer per-group " +
+       "ranks; a hash-sharded (mixed) layout refuses loudly") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    // two groups with DISJOINT length ranges: ga = 1..1000,
+    // gb = 10001..11000 — per-group medians are unambiguous
+    val df = spark.range(1, 2001).toDF("id")
+      .withColumn("grp", when(col("id") <= 1000, lit("ga")).otherwise(lit("gb")))
+      .withColumn("len",
+        when(col("id") <= 1000, col("id")).otherwise(col("id") + 9000L))
+      .withColumn("bucket",
+        when(col("grp") === "ga", lit(0L)).otherwise(lit(1L)))
+      .localCheckpoint()
+    Sinks.writeShards(df, t, "id", nShards = 2, shardCol = Some("bucket"),
+      zoneCols = Seq("grp"), quantileCols = Seq("len"))
+    val got = Sinks.approxQuantilesShardsBy(spark, t, "len", "grp",
+        Seq(0.5)).as[(String, Double, Double)].collect()
+      .map { case (g, _, v) => g -> v }.toMap
+    assert(math.abs(got("ga") - 500.0) / 1000.0 <= 0.05,
+      s"ga median ${got("ga")} should sit near 500")
+    assert(math.abs(got("gb") - 10500.0) / 1000.0 <= 0.05,
+      s"gb median ${got("gb")} should sit near 10500")
+    // the SQL TVF answers the same shape
+    val tvf = spark.sql("SELECT grp, value FROM " +
+        s"approx_quantiles_shards_by('$t', 'len', 'grp', '0.5')")
+      .as[(String, Double)].collect().toMap
+    assert(tvf.keySet == Set("ga", "gb") &&
+      math.abs(tvf("ga") - got("ga")) <= 60.0)
+    // hash-sharded layout: groups mix within shards — refuse
+    val t2 = Files.createTempDirectory("graft_kll_").toString + "/p2"
+    Sinks.writeShards(df.drop("bucket"), t2, "id", nShards = 4,
+      zoneCols = Seq("grp"), quantileCols = Seq("len"))
+    val err = intercept[IllegalStateException] {
+      Sinks.approxQuantilesShardsBy(spark, t2, "len", "grp", Seq(0.5))
+    }
+    assert(err.getMessage.contains("single-group"))
+  }
+
   test("SQL surface: kll_sketch_agg/kll_merge_agg/kll_quantile and the " +
        "approx_quantiles_shards TVF answer the same ranks") {
     val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
