@@ -2291,18 +2291,30 @@ object Sinks {
       // order-free.
       val delFlag = deleteWhen.fold(lit(false))(d =>
         coalesce(d, lit(false)))
+      // ONE pass serves the gates AND the target-shard discovery
+      // (collect_set is bounded by nShards — the manifest envelope):
+      // the patch is often the tail of an expensive lineage (a CDC
+      // feed, a judged refresh), and at 100 TB every extra evaluation
+      // of it is a real bill — this pass plus the rewrite itself is
+      // the whole cost, down from three evaluations.
       val u = sharded.agg(count(lit(1)),
         count(when(!delFlag, lit(1))),
-        count_distinct(when(!delFlag, col(idCol)))).collect().head
+        count_distinct(when(!delFlag, col(idCol))),
+        count(when(col("shard").isNull, lit(1))),
+        collect_set(col("shard"))).collect().head
       if (u.getLong(0) == 0L) return live // empty patch: no-op
       require(u.getLong(1) == u.getLong(2),
         s"mergeRows: upsert ids ('$idCol') must be unique (delete " +
           s"rows may repeat an id) — got ${u.getLong(1)} upsert " +
           s"rows, ${u.getLong(2)} distinct ids")
-      // target shards: computable from the patch alone (bounded
-      // collect, ≤ nShards rows)
-      val hit = sharded.select(col("shard")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
+      // a NULL explicit-assignment value would route rows to a
+      // partition no loader plans for — fail BEFORE any write (the
+      // staged-manifest range gate still backstops out-of-range ids)
+      require(u.getLong(3) == 0L,
+        s"mergeRows: ${u.getLong(3)} patch rows carry a NULL shard " +
+          s"(the layout's assignment column '${shardColOpt.getOrElse(idCol)}' " +
+          "must be non-null)")
+      val hit = u.getSeq[Long](4).sorted
       val liveShards = live.select(col("shard")).collect()
         .map(_.getLong(0)).toSet
       val existingHit = hit.filter(liveShards.contains)
