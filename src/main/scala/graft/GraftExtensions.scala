@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.expressions.{AdjacentPairStats, ArrayDot, BloomOps, DupShingleStats, KllMergeAgg, KllQuantile, KllSketchAgg, MarkerCounts, MinHashSig, MisraGriesAgg, NearestCentroidsCol, RpBands, ShingleArr, SigMatchFrac, SimHashSig, TopKByScoreAgg}
+import graft.expressions.{AdjacentPairStats, ArrayDot, BloomOps, DupShingleStats, KllMergeAgg, KllQuantile, KllRank, KllSketchAgg, MarkerCounts, MinHashSig, MisraGriesAgg, NearestCentroidsCol, RpBands, ShingleArr, SigMatchFrac, SimHashSig, TopKByScoreAgg}
 import graft.operators.{Chunking, Sampling}
 
 /** SparkSessionExtensions hook: registers the engine's native
@@ -245,6 +245,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s, r) => KllQuantile(s, Cast(r, DoubleType))
         case _ => throw new IllegalArgumentException(
           "kll_quantile expects (sketch, rank)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_rank"),
+      info("kll_rank",
+        "kll_rank(sketch, value) - normalized rank of value in [0,1] " +
+          "(INCLUSIVE): fraction of sketched values <= it"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, v) => KllRank(s, Cast(v, DoubleType))
+        case _ => throw new IllegalArgumentException(
+          "kll_rank expects (sketch, value)")
       }))
     ext.injectFunction((
       FunctionIdentifier("dup_shingle_stats"),

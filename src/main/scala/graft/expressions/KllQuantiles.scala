@@ -47,6 +47,11 @@ object KllOps {
     val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
     s.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
   }
+
+  def rank(bytes: Array[Byte], value: Double): Double = {
+    val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    s.getRank(value, QuantileSearchCriteria.INCLUSIVE)
+  }
 }
 
 /** `kll_sketch_agg(x)` — aggregate a DOUBLE column into a serialized
@@ -185,5 +190,37 @@ case class KllQuantile(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_rank(sketch, value)` — the INVERSE of [[KllQuantile]]: the
+  * normalized rank of `value` (fraction of sketched values ≤ it,
+  * INCLUSIVE). The token-budget planning question — "what share of
+  * documents fit in 512 chars" — as one manifest read when composed
+  * with the TVF surface:
+  * `SELECT kll_rank(kll_merge_agg(zkll_n_chars), 512.0)
+  *    FROM shard_stats('<path>')`.
+  * NULL on NULL sketch; throws on an EMPTY sketch, like the forward
+  * door. */
+case class KllRank(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kll_rank needs a BINARY sketch, got ${left.dataType.sql}")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kll_rank needs a DOUBLE value, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_rank"
+
+  override protected def nullSafeEval(sketch: Any, value: Any): Any =
+    KllOps.rank(sketch.asInstanceOf[Array[Byte]],
+      value.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRank =
     copy(left = newLeft, right = newRight)
 }

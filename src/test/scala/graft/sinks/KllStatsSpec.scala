@@ -173,5 +173,12 @@ class KllStatsSpec extends SparkTestBase {
       assert(math.abs(rankOf(v) - q) <= 0.05,
         s"TVF p$q answered $v — rank error > 5%")
     }
+    // the INVERSE door composes in pure SQL over the manifest TVF:
+    // "what fraction of rows are <= 500" — true answer 0.25
+    val share = spark.sql(
+      "SELECT kll_rank(kll_merge_agg(zkll_len), 500.0) " +
+        s"FROM shard_stats('$t')").as[Double].collect().head
+    assert(math.abs(share - 0.25) <= 0.05,
+      s"kll_rank(500) answered $share, true share 0.25")
   }
 }
