@@ -1232,6 +1232,69 @@ object Sinks {
     publishDelta(df, path, idCol, nShards, retainPrevious, zoneCols,
       shardCol, sortCols)
 
+  /** QUANTILE-GUIDED REBIN — the stats→layout loop closed: re-cluster
+    * a published layout into ~equi-depth range shards on a numeric
+    * column, with the cut points read from the manifest's KLL sketch
+    * ([[approxQuantilesShards]]) instead of a planning scan. The only
+    * data pass is the rewrite itself — which ANY rebin pays — so at
+    * 100 TB this turns "skew crept into the date/length clustering,
+    * re-balance it" from scan+plan+rewrite into plan-from-metadata +
+    * rewrite. After the rebin, zone ranges on `binCol` are tight
+    * equi-depth intervals: a range predicate opens ~|range|/nShards
+    * of the corpus AND every shard holds ~the same row count (no
+    * straggler shards — the two goals hash sharding cannot serve at
+    * once for range queries).
+    *
+    * The bin assignment column (`qbin`) rides the data like any
+    * explicit spec column, and the cuts are published BESIDE the
+    * layout (`$path/qbin_cuts`, nShards−1 rows) AFTER the layout
+    * commits — later patch authors bin new rows with [[qbinExpr]]
+    * over the same cuts (a crash between the two leaves a layout
+    * whose missing cuts file fails loudly, never a silently
+    * mis-binned merge). KLL rank error (~1.65%) shifts bin
+    * populations by at most that fraction — balance, not
+    * correctness: membership is exact from the cut values. NULL
+    * `binCol` values land in bin 0 (deterministic; nulls have no
+    * rank). Requires the live manifest to carry `zkll_<binCol>`. */
+  def rebinShardsByQuantiles(spark: SparkSession, path: String,
+                             idCol: String, binCol: String, nShards: Int,
+                             extraZoneCols: Seq[String] = Nil,
+                             retainPrevious: Boolean = true,
+                             sortCols: Seq[String] = Nil): DataFrame = {
+    require(nShards > 1 && nShards <= 1024,
+      s"quantile rebin needs 1 < nShards <= 1024 (the cut expression " +
+        s"is a per-row fold over nShards-1 cuts), got $nShards")
+    val cuts = approxQuantilesShards(spark, path, binCol,
+        (1 until nShards).map(_.toDouble / nShards))
+      .orderBy("rank").select("value")
+      .collect().map(_.getDouble(0)).toSeq
+    require(cuts.distinct.size > 0, "no cuts — empty layout?")
+    val live = spark.read.parquet(s"$path/data").drop("shard", "qbin")
+    val rebinned = live.withColumn("qbin", qbinExpr(cuts, col(binCol)))
+    val manifest = rebinShards(rebinned, path, idCol, nShards,
+      zoneCols = (binCol +: extraZoneCols).distinct,
+      shardCol = Some("qbin"), retainPrevious = retainPrevious,
+      sortCols = sortCols)
+    // cuts AFTER the layout commit (the VectorIndex centroid
+    // convention): readers of a half-published state fail on the
+    // missing path instead of binning against stale cuts
+    locally {
+      import spark.implicits._
+      cuts.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("cut_idx", "cut")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/qbin_cuts")
+    }
+    manifest
+  }
+
+  /** The bin of `value` against equi-depth `cuts` (count of cuts ≤ it
+    * — monotone, exact from the cut values; NULL → bin 0). Publish
+    * and every later patch MUST use the same cuts
+    * (`$path/qbin_cuts`) or rows mis-route. */
+  def qbinExpr(cuts: Seq[Double], value: Column): Column =
+    cuts.foldLeft(lit(0L))((acc, c) =>
+      acc + when(value >= lit(c), 1L).otherwise(0L))
+
   /** Integrity check for a [[writeShards]] layout: recompute each
     * shard's (n_rows, id range, content hash) from the published data
     * files and diff against the stored manifest. One scan of the data,

@@ -150,6 +150,57 @@ class KllStatsSpec extends SparkTestBase {
     assert(err.getMessage.contains("single-group"))
   }
 
+  test("quantile-guided rebin: equi-depth range shards planned from " +
+       "the manifest sketch; range scans prune; later merges bin with " +
+       "the published cuts") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    // scattered lengths (id*7919 mod 10000): hash-sharded publish
+    // leaves every shard spanning the whole length range
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("len", (col("id") * 7919L) % 10000L)
+      .withColumn("payload", concat(lit("p"), col("id")))
+      .localCheckpoint()
+    Sinks.writeShards(df, t, "id", nShards = 8,
+      zoneCols = Seq("len"), quantileCols = Seq("len"))
+    Sinks.rebinShardsByQuantiles(spark, t, "id", "len", nShards = 8)
+    // row count preserved, layout intact
+    assert(spark.read.parquet(s"$t/data").count() == 4000L)
+    assert(Sinks.verifyShards(spark, t, "id").filter(!col("ok")).isEmpty)
+    // equi-depth: every non-empty shard within 2x of the mean
+    val m = spark.read.parquet(s"$t/manifest")
+    val sizes = m.select(col("n_rows")).as[Long].collect()
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.forall(s => s >= mean / 2 && s <= mean * 2),
+      s"shard sizes ${sizes.toSeq} not equi-depth around $mean")
+    // range clustering: zone ranges are (near-)disjoint — total
+    // overlap-free ordering of (zmin, zmax) by shard cut order
+    val zones = m.select(col("zmin_len"), col("zmax_len"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    zones.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"zones overlap: $hi > $lo2")
+      case _ => ()
+    }
+    // a narrow range predicate now prunes most shards
+    val pruned = Sinks.readShardsBetween(spark, t, "len", 0L, 1200L)
+    val all = spark.read.parquet(s"$t/data").inputFiles.length
+    assert(pruned.inputFiles.length < all,
+      s"range scan should prune, opened ${pruned.inputFiles.length}/$all")
+    assert(pruned.count() ==
+      df.filter(col("len") >= 0L && col("len") <= 1200L).count())
+    // the cuts are published; a later patch bins new rows with them
+    val cuts = spark.read.parquet(s"$t/qbin_cuts")
+      .orderBy("cut_idx").select("cut").as[Double].collect().toSeq
+    assert(cuts.length == 7)
+    val patch = Seq((9001L, 42L, "new-doc")).toDF("id", "len", "payload")
+      .withColumn("qbin", Sinks.qbinExpr(cuts, col("len")))
+    Sinks.mergeRows(spark, t, patch, "id")
+    val got = spark.read.parquet(s"$t/data").filter(col("id") === 9001L)
+      .select("shard").as[Long].collect()
+    assert(got.length == 1 && got.head == 0L,
+      s"len=42 belongs in the lowest bin, landed ${got.toSeq}")
+  }
+
   test("SQL surface: kll_sketch_agg/kll_merge_agg/kll_quantile and the " +
        "approx_quantiles_shards TVF answer the same ranks") {
     val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
