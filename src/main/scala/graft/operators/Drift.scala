@@ -63,4 +63,30 @@ object Drift {
       StructField("drifted", BooleanType, nullable = false))
     a.sparkSession.createDataFrame(out.toSeq.asJava, schema)
   }
+
+  /** STREAMING DISTRIBUTION MONITOR — the unbounded complement of
+    * [[bucketShift]]: per event-time tumbling window, a KLL quantile
+    * sketch of `valueCol` plus the row count, emitted append-mode
+    * once the watermark closes the window. Downstream reads any rank
+    * with the scalar surface (`kll_quantile(sketch, 0.95)`,
+    * `kll_rank(sketch, 512)`) or diffs adjacent windows' sketches —
+    * "did this hour's doc-length distribution drift from the last" as
+    * one row per window. State per open window is O(k) (the sketch IS
+    * the aggregation buffer — [[graft.expressions.KllSketchAgg]]
+    * serializes into the state store), never O(rows): the property
+    * that makes a distribution monitor viable on an unbounded stream
+    * where retaining rows for exact percentiles cannot be. */
+  def streamingQuantiles(stream: DataFrame, tsCol: String,
+                         valueCol: String, windowLen: String,
+                         watermark: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val sk = ColumnBridge.column(graft.expressions.KllSketchAgg(
+      ColumnBridge.catalystExpression(col(valueCol).cast("double")))
+      .toAggregateExpression())
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(sk.as("sketch"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("sketch"), col("n"))
+  }
 }

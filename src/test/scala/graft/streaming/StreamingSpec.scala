@@ -617,4 +617,38 @@ class StreamingSpec extends SparkTestBase {
       .select("session_id", "n", "last").as[(Long, Long, Long)].collect()
     assert(bynSession.toSeq == Seq((1L, 3L, 1080L), (2L, 1L, 5000L)))
   }
+
+  test("streaming distribution monitor: per-window KLL sketches emit " +
+       "append-mode and answer quantiles downstream") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val monitored = graft.operators.Drift.streamingQuantiles(
+      in.toDF().toDF("ts", "len"), "ts", "len",
+      windowLen = "10 seconds", watermark = "5 seconds")
+    val q = monitored.writeStream.format("memory").queryName("kll_mon")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 1: lengths 1..100; window 2 opens later with 1001..1100
+    in.addData((1L to 100L).map(i => (t("2024-01-01 00:00:01"), i)): _*)
+    q.processAllAvailable()
+    in.addData((1001L to 1100L).map(i => (t("2024-01-01 00:00:12"), i)): _*)
+    q.processAllAvailable()
+    // advance the watermark past both windows so append emits them
+    in.addData((t("2024-01-01 00:01:00"), 5L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      """SELECT win_start, n, kll_quantile(sketch, 0.5) AS p50,
+        |       kll_rank(sketch, 50.0) AS r50
+        |FROM kll_mon ORDER BY win_start""".stripMargin)
+      .as[(java.sql.Timestamp, Long, Double, Double)].collect()
+    assert(rows.length == 2, s"two closed windows expected, got ${rows.toSeq}")
+    val (w1, w2) = (rows(0), rows(1))
+    assert(w1._2 == 100L && math.abs(w1._3 - 50.0) <= 5.0,
+      s"window-1 median ${w1._3} should sit near 50")
+    assert(math.abs(w1._4 - 0.5) <= 0.05,
+      s"window-1 rank(50) ${w1._4} should sit near 0.5")
+    assert(w2._2 == 100L && math.abs(w2._3 - 1050.0) <= 5.0,
+      s"window-2 median ${w2._3} should sit near 1050 — " +
+        "distribution drift visible window-over-window")
+  }
 }
