@@ -262,7 +262,25 @@ object Quality {
       "max_rank_err_global_p50_p90_p99_and_by_lang_p50",
       "<=", 0.05, math.max(maxRankErr, grpErr))
 
-    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104, q106)
+    // q107: BPE fit compression — 40 learned merges must tokenize the
+    // corpus well below character splitting (tokens per non-space
+    // char; 1.0 = no compression). Deterministic fit, so the measured
+    // value is a reproducible number, not a statistical hope.
+    val bdocs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val bm = graft.operators.Bpe.fit(bdocs, "text", nMerges = 40,
+      maxVocab = 65536)
+    val bstats = bdocs.select(
+        size(graft.operators.Bpe.encode(col("text"), bm))
+          .cast("double").as("t"),
+        length(regexp_replace(lower(col("text")), "\\s+", ""))
+          .cast("double").as("c"))
+      .agg(sum(col("t")), sum(col("c"))).collect().head
+    val q107 = Entry("q107_bpe_fit", "tokens_per_char_after_40_merges",
+      "<=", 0.80, bstats.getDouble(0) / bstats.getDouble(1))
+
+    Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104, q106,
+      q107)
   }
 
   /** Render + write `QUALITY.json`; returns the entries. */

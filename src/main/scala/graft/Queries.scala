@@ -3303,6 +3303,28 @@ object Queries {
       Seq(0.5, 0.9, 0.99))
   }
 
+  /** q107 — BPE tokenizer FITTING (rows-only: no SQL engine can
+    * replay a merge-table fit, so correctness lives in BpeSpec's
+    * pinned textbook merges + determinism and the QUALITY compression
+    * floor): learn 40 merges from the documents corpus — ONE
+    * distributed word count, driver-side merge learning over the
+    * bounded frequency head, the corpus never collected — then
+    * tokenize the corpus with the learned table
+    * ([[graft.expressions.BpeEncode]], one shuffle-free projection)
+    * and emit per-doc token accounting. The fit half of the text
+    * pipeline q48 only counts for. */
+  val q107: Q = (s, dir) => {
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val merges = graft.operators.Bpe.fit(d, "text", nMerges = 40,
+      maxVocab = 65536)
+    d.select(col("doc_id"),
+        graft.operators.Bpe.encode(col("text"), merges).as("toks"),
+        length(regexp_replace(lower(col("text")), "\\s+", ""))
+          .as("n_sym_chars"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        col("n_sym_chars"))
+  }
+
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
     * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
@@ -3464,6 +3486,7 @@ object Queries {
     "q104_manifest_distinct" -> q104,
     "q105_vector_append" -> q105,
     "q106_manifest_quantiles" -> q106,
+    "q107_bpe_fit" -> q107,
   )
 
   val oracle: Map[String, String] = Map(

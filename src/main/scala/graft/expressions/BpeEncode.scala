@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `BpeEncode(text, merges)` — tokenize with a LEARNED BPE merge
+  * table ([[graft.operators.Bpe]]): whitespace words (the caller
+  * lower-cases — [[graft.operators.Bpe.encode]] does, matching the
+  * fit's casing) → character symbols (end-of-word sentinel) → merges
+  * applied in learned priority order. The merge table is expression state
+  * (≤4096 pairs — task-serialized once per partition like any
+  * literal), so the encode is one distributed projection with zero
+  * shuffle and zero driver participation.
+  *
+  * Application order is the TRAINING order (each merge scanned
+  * left-to-right, non-overlapping — [[graft.operators.Bpe.mergePair]]
+  * is the shared kernel), so encoding a word the fit saw yields
+  * exactly the segmentation the fit ended with — the determinism the
+  * spec pins. NULL text → NULL. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode needs a STRING input, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  // merge priority: pair -> rank; applied rank-ascending per word
+  @transient private lazy val ranked: Array[(String, String)] = merges.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var start = 0
+    val n = text.length
+    while (start < n) {
+      while (start < n && Character.isWhitespace(text.charAt(start))) start += 1
+      var end = start
+      while (end < n && !Character.isWhitespace(text.charAt(end))) end += 1
+      if (end > start) {
+        var syms = graft.operators.Bpe.symbols(text.substring(start, end))
+        var i = 0
+        while (i < ranked.length && syms.length > 1) {
+          syms = graft.operators.Bpe.mergePair(syms, ranked(i))
+          i += 1
+        }
+        var j = 0
+        while (j < syms.length) {
+          out.add(UTF8String.fromString(syms(j))); j += 1
+        }
+      }
+      start = end
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
