@@ -426,6 +426,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litString(p, "path"), litString(c, "column"),
             Some(litString(st, "stamp"))) },
       "(path, column[, stamp]) as string literals")
+    tvf("shard_doctor",
+      "shard_doctor(path) - one-row health summary of a published " +
+        "layout from its manifest: shard balance (skew = max/mean), " +
+        "spec, declared stat families, legacy-carry count, retained " +
+        "generations",
+      { case Seq(p) =>
+          graft.sinks.Sinks.shardDoctor(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path")) },
+      "(path) as a string literal")
     tvf("approx_quantiles_shards",
       "approx_quantiles_shards(path, column, ranks_csv[, stamp]) - " +
         "metadata-only approximate quantiles from the manifest's KLL " +

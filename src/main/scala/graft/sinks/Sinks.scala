@@ -1675,6 +1675,62 @@ object Sinks {
           .as("value"))
   }
 
+  /** LAYOUT DOCTOR — the ops summary every door here assumes someone
+    * eventually asks for: one row describing a published layout's
+    * health, computed entirely from the manifest (+ one versions
+    * listing). Columns: shard/row counts, balance (`skew` =
+    * max/mean shard rows — the rebin trigger), the partition spec,
+    * which stat families are declared (zones/blooms/distinct
+    * sketches/quantile sketches, CSV), how many populated shards
+    * carry a NULL declared stat (`legacy_carry_shards` — the count
+    * that makes the strict doors refuse; re-publish or merge-rewrite
+    * to clear), and how many displaced generations are retained
+    * (time-travel/CDC reach). SQL: `SELECT * FROM
+    * shard_doctor('<path>')` — the first thing to run before trusting
+    * or tuning a corpus you didn't publish yourself. */
+  def shardDoctor(spark: SparkSession, path: String): DataFrame = {
+    val m = shardStats(spark, path)
+    val rows = m.collect() // one row per shard: the manifest envelope
+    val cols = m.columns
+    def declared(prefix: String): Seq[String] =
+      cols.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq
+    val zones = declared("zmin_")
+    val blooms = declared("zbloom_") // zbloomk_/zbloomt_ don't match the prefix
+    val hlls = declared("zhll_")
+    val klls = declared("zkll_")
+    val statCols: Seq[String] =
+      zones.map(c => s"zmin_$c") ++ blooms.map(c => s"zbloom_$c") ++
+        hlls.map(c => s"zhll_$c") ++ klls.map(c => s"zkll_$c")
+    val nIdx = cols.indexOf("n_rows")
+    val legacy = rows.count { r =>
+      !r.isNullAt(nIdx) && r.getLong(nIdx) > 0 &&
+        statCols.exists(c => r.isNullAt(cols.indexOf(c)))
+    }
+    val sizes = rows.map(_.getLong(nIdx))
+    val total = sizes.sum
+    val mean = if (sizes.nonEmpty) total.toDouble / sizes.length else 0.0
+    val spec = rows.headOption
+    def specStr(c: String): String =
+      spec.flatMap(r => Option(r.get(cols.indexOf(c)))).map(_.toString).orNull
+    val retained = listShardVersions(spark, path).size
+    import spark.implicits._
+    Seq((
+      sizes.length.toLong, total,
+      if (sizes.isEmpty) 0L else sizes.min,
+      if (sizes.isEmpty) 0L else sizes.max,
+      mean,
+      if (mean > 0) sizes.max / mean else 0.0,
+      specStr("spec_col"), specStr("spec_n"), specStr("spec_sort"),
+      specStr("spec_id"),
+      zones.sorted.mkString(","), blooms.sorted.mkString(","),
+      hlls.sorted.mkString(","), klls.sorted.mkString(","),
+      legacy.toLong, retained.toLong,
+    )).toDF("n_shards", "n_rows", "min_shard_rows", "max_shard_rows",
+      "mean_shard_rows", "skew", "spec_col", "spec_n", "spec_sort",
+      "spec_id", "zone_cols", "bloom_cols", "distinct_sketch_cols",
+      "quantile_sketch_cols", "legacy_carry_shards", "retained_versions")
+  }
+
   /** GROUPED metadata quantiles — [[approxQuantilesShards]] per group
     * ("p50/p95 document length PER LANGUAGE"), answerable from the
     * manifest exactly when every shard is provably SINGLE-GROUP on

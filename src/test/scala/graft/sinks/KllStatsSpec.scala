@@ -201,6 +201,36 @@ class KllStatsSpec extends SparkTestBase {
       s"len=42 belongs in the lowest bin, landed ${got.toSeq}")
   }
 
+  test("shard_doctor summarizes a layout's health in one manifest row " +
+       "and counts legacy carries the strict doors would refuse") {
+    val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
+    Sinks.writeShards(corpus, t, "id", nShards = 8,
+      zoneCols = Seq("len"), bloomCols = Seq("payload"),
+      sketchCols = Seq("payload"), quantileCols = Seq("len"),
+      retainPrevious = true)
+    Sinks.mergeRows(spark, t,
+      Seq((1L, 5L, "patched")).toDF("id", "len", "payload"), "id",
+      retainPrevious = true)
+    val d = spark.sql(s"SELECT * FROM shard_doctor('$t')").collect().head
+    def f(n: String) = d.get(d.fieldIndex(n))
+    assert(f("n_shards") == 8L && f("n_rows") == 2000L)
+    assert(f("zone_cols") == "len" && f("bloom_cols") == "payload")
+    assert(f("distinct_sketch_cols") == "payload" &&
+      f("quantile_sketch_cols") == "len")
+    assert(f("legacy_carry_shards") == 0L)
+    assert(f("retained_versions") == 1L)
+    assert(f("spec_n") == "8")
+    val skew = d.getDouble(d.fieldIndex("skew"))
+    assert(skew >= 1.0 && skew < 2.0, s"hash sharding should balance, $skew")
+    // null one shard's quantile sketch: the doctor counts the carry
+    val m = spark.read.parquet(s"$t/manifest").localCheckpoint()
+    m.withColumn("zkll_len",
+        when(col("shard") === 1, lit(null)).otherwise(col("zkll_len")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$t/manifest")
+    val d2 = Sinks.shardDoctor(spark, t).collect().head
+    assert(d2.getLong(d2.fieldIndex("legacy_carry_shards")) == 1L)
+  }
+
   test("SQL surface: kll_sketch_agg/kll_merge_agg/kll_quantile and the " +
        "approx_quantiles_shards TVF answer the same ranks") {
     val t = Files.createTempDirectory("graft_kll_").toString + "/pub"
