@@ -170,6 +170,13 @@ object VectorIndex {
   def delete(spark: SparkSession, root: String, idCol: String,
              ids: Seq[String], retainPrevious: Boolean = false): Unit = {
     if (ids.isEmpty) return
+    // bounded-planning envelope (the readShardsIn stance): the bloom
+    // probe is ids × shards on the driver and the filter is a literal
+    // IN — a corpus-scale erasure is a PREDICATE takedown
+    // (Sinks.deleteWhere), not an id list
+    require(ids.length <= 10000,
+      s"delete takes a bounded id list (<= 10000, got ${ids.length}); " +
+        "for larger erasures use Sinks.deleteWhere with a predicate")
     val live = graft.sinks.Sinks.shardStats(spark, root)
     val cand = candidateShards(spark, root, idCol, ids, live)
     if (cand.isEmpty) return // bloom proved absence everywhere

@@ -1269,7 +1269,17 @@ object Sinks {
       .orderBy("rank").select("value")
       .collect().map(_.getDouble(0)).toSeq
     require(cuts.distinct.size > 0, "no cuts — empty layout?")
-    val live = spark.read.parquet(s"$path/data").drop("shard", "qbin")
+    // drop a PREVIOUS quantile rebin's bin column (re-rebinning under
+    // new cuts), but never a user column that happens to share the
+    // name — only the layout's own spec claims it
+    val specCol = shardStats(spark, path).select(col("spec_col"))
+      .limit(1).collect().headOption.flatMap(r => Option(r.getString(0)))
+    val liveRaw = spark.read.parquet(s"$path/data").drop("shard")
+    require(!liveRaw.columns.contains("qbin") || specCol.contains("qbin"),
+      s"the layout carries a 'qbin' DATA column that is not the " +
+        "quantile-rebin spec — rename it before a quantile rebin")
+    val live =
+      if (specCol.contains("qbin")) liveRaw.drop("qbin") else liveRaw
     val rebinned = live.withColumn("qbin", qbinExpr(cuts, col(binCol)))
     val manifest = rebinShards(rebinned, path, idCol, nShards,
       zoneCols = (binCol +: extraZoneCols).distinct,

@@ -211,6 +211,12 @@ class VectorIndexSpec extends SparkTestBase {
     VectorIndex.delete(spark, t, "vec_id", Seq("111222333", "444555666"))
     assert(spark.read.parquet(s"$t/manifest").collect().toSet == manBefore,
       "absent-id takedown must be a manifest no-op")
+    // bounded-planning envelope: oversized id lists refused loudly
+    val big = intercept[IllegalArgumentException] {
+      VectorIndex.delete(spark, t, "vec_id",
+        (0 until 10001).map(_.toString))
+    }
+    assert(big.getMessage.contains("bounded"))
     assert(graft.sinks.Sinks.verifyShards(spark, t, "vec_id")
       .filter(!col("ok")).isEmpty)
   }

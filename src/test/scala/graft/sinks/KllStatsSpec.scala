@@ -199,6 +199,21 @@ class KllStatsSpec extends SparkTestBase {
       .select("shard").as[Long].collect()
     assert(got.length == 1 && got.head == 0L,
       s"len=42 belongs in the lowest bin, landed ${got.toSeq}")
+    // RE-rebin under fresh cuts: the spec's own qbin is replaced (not
+    // duplicated), rows survive, integrity holds
+    Sinks.rebinShardsByQuantiles(spark, t, "id", "len", nShards = 4)
+    assert(spark.read.parquet(s"$t/data").count() == 4001L)
+    assert(spark.read.parquet(s"$t/data").columns.count(_ == "qbin") == 1)
+    assert(Sinks.verifyShards(spark, t, "id").filter(!col("ok")).isEmpty)
+    // a USER column named qbin (not the spec) is never silently
+    // dropped — the rebin refuses
+    val t3 = Files.createTempDirectory("graft_kll_").toString + "/p3"
+    Sinks.writeShards(df.withColumn("qbin", lit(99L)), t3, "id",
+      nShards = 4, quantileCols = Seq("len"))
+    val clash = intercept[IllegalArgumentException] {
+      Sinks.rebinShardsByQuantiles(spark, t3, "id", "len", nShards = 4)
+    }
+    assert(clash.getMessage.contains("qbin"))
   }
 
   test("shard_doctor summarizes a layout's health in one manifest row " +
