@@ -377,4 +377,21 @@ class GraftExtensionsSpec extends SparkTestBase {
       .as[Seq[Long]].head()
     assert(out == lit)
   }
+
+  test("kll family SQL functions resolve and round-trip build -> merge " +
+       "-> quantile/rank from pure SQL") {
+    Seq("kll_sketch_agg", "kll_merge_agg", "kll_quantile", "kll_rank")
+      .foreach { f =>
+        assert(spark.sql(s"DESCRIBE FUNCTION $f").collect().nonEmpty,
+          s"$f must be registered")
+      }
+    val r = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5) AS p50,
+        |       kll_rank(kll_merge_agg(sk), 25.0) AS r25
+        |FROM (SELECT kll_sketch_agg(CAST(id AS DOUBLE)) AS sk
+        |      FROM range(1, 101) GROUP BY id % 4)""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 50.0) <= 2.0, s"p50 of 1..100: ${r._1}")
+    assert(math.abs(r._2 - 0.25) <= 0.02, s"rank(25) of 1..100: ${r._2}")
+  }
 }
