@@ -120,4 +120,26 @@ object Bpe {
     ColumnBridge.column(BpeEncode(
       ColumnBridge.catalystExpression(lower(text)), merges))
   }
+
+  /** Persist a learned merge table beside the corpus it was fit on
+    * (`$path/bpe_merges` — the centroid/qbin_cuts sidecar
+    * convention): the tokenizer is a CORPUS artifact, and every later
+    * run (or retained-generation consumer) must encode with exactly
+    * the table the fit produced, not a refit that a changed corpus
+    * would silently drift. */
+  def publishMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String, merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bpe_merges")
+  }
+
+  /** Load a published merge table in learned priority order; fails
+    * loudly on a missing sidecar (never a silent refit). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(s"$path/bpe_merges").orderBy("rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
 }

@@ -58,6 +58,23 @@ class BpeSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("merge table publishes beside the corpus and loads back in " +
+       "learned order (no silent refit drift)") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, "sent " + ("ab " * 5) + i))
+      .toDF("id", "text")
+    val merges = Bpe.fit(docs, "text", nMerges = 8)
+    val t = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    Bpe.publishMerges(spark, t, merges)
+    assert(Bpe.loadMerges(spark, t) == merges)
+    // encode with the loaded table equals encode with the fit's own
+    val a = docs.select(Bpe.encode(col("text"), merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    val b = docs.select(
+        Bpe.encode(col("text"), Bpe.loadMerges(spark, t)).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(a == b)
+  }
+
   test("maxVocab caps the collected head; nMerges bounds enforced") {
     val docs = Seq.tabulate(50)(i => (i.toLong, s"w$i w$i common common"))
       .toDF("id", "text")
