@@ -1272,7 +1272,8 @@ object Sinks {
     // drop a PREVIOUS quantile rebin's bin column (re-rebinning under
     // new cuts), but never a user column that happens to share the
     // name — only the layout's own spec claims it
-    val specCol = shardStats(spark, path).select(col("spec_col"))
+    val liveM = shardStats(spark, path)
+    val specCol = liveM.select(col("spec_col"))
       .limit(1).collect().headOption.flatMap(r => Option(r.getString(0)))
     val liveRaw = spark.read.parquet(s"$path/data").drop("shard")
     require(!liveRaw.columns.contains("qbin") || specCol.contains("qbin"),
@@ -1281,10 +1282,21 @@ object Sinks {
     val live =
       if (specCol.contains("qbin")) liveRaw.drop("qbin") else liveRaw
     val rebinned = live.withColumn("qbin", qbinExpr(cuts, col(binCol)))
-    val manifest = rebinShards(rebinned, path, idCol, nShards,
+    // a quantile rebin changes (nearly) every shard's membership, so
+    // publishDelta's carry-forward detection pass could never save a
+    // byte — go straight through the full-publish door: one corpus
+    // read into the staged write, stats from the written bytes,
+    // nothing evaluated twice. Stat declarations are a LAYOUT
+    // property (the delta path inherits them); the fresh publish must
+    // re-declare them or the rebin would silently strip blooms/
+    // sketches — including the very zkll the NEXT re-rebin needs.
+    val manifest = writeShards(rebinned, path, idCol, nShards,
+      retainPrevious = retainPrevious,
       zoneCols = (binCol +: extraZoneCols).distinct,
-      shardCol = Some("qbin"), retainPrevious = retainPrevious,
-      sortCols = sortCols)
+      shardCol = Some("qbin"), sortCols = sortCols,
+      bloomCols = bloomSpecOf(liveM).map(_._1).getOrElse(Nil),
+      sketchCols = sketchColsOf(liveM),
+      quantileCols = (binCol +: quantileColsOf(liveM)).distinct)
     // cuts AFTER the layout commit (the VectorIndex centroid
     // convention): readers of a half-published state fail on the
     // missing path instead of binning against stale cuts
