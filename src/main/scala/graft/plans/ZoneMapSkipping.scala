@@ -110,8 +110,15 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
           p.initialize(0)
           p.eval _
         }
+      // blob payloads load lazily per probed column (byte-bounded LRU
+      // in ShardLayouts) — a failed/stale load keeps every shard
+      val loaded = blooms.map(p =>
+        (p, ShardLayouts.bloomFor(spark, mf, p.column)))
       val keep = mf.rows
-        .filter(r => predOk(r) && blooms.forall(_.keeps(r)))
+        .filter { r =>
+          val sid = r.getLong(mf.shardOrdinal)
+          predOk(r) && loaded.forall { case (p, side) => p.keeps(sid, side) }
+        }
         .map(_.getLong(mf.shardOrdinal))
       val keepConjunct =
         if (keep.isEmpty) Literal.FalseLiteral
@@ -335,20 +342,25 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** One bloom-prunable conjunct: keep a shard iff its bloom MIGHT
-    * hold any of `values` (OR-set — an IN list), with per-row
-    * conservatism: null bits / null k / a type stamp that disagrees
-    * with the scan's column type all read as unknown ⇒ keep. */
-  private final case class BloomProbe(bloomOrd: Int, kOrd: Int,
-                                      typeOrd: Int, typeName: String,
+    * hold any of `values` (OR-set — an IN list), with per-shard
+    * conservatism: a shard absent from the lazily-loaded side (null
+    * bits / null k / null type stamp — a legacy carry), a failed or
+    * stale load (`side` = None), or a type stamp that disagrees with
+    * the scan's column type all read as unknown ⇒ keep. */
+  private final case class BloomProbe(column: String, typeName: String,
                                       values: Seq[String]) {
-    def keeps(r: InternalRow): Boolean =
-      r.isNullAt(bloomOrd) || r.isNullAt(kOrd) || r.isNullAt(typeOrd) ||
-        r.getUTF8String(typeOrd).toString != typeName || {
-          val bits = r.getArray(bloomOrd).toLongArray()
-          val k = r.getInt(kOrd)
-          values.exists(v =>
-            graft.expressions.BloomOps.containsMaybe(bits, k, v))
+    def keeps(sid: Long,
+              side: Option[ShardLayouts.BloomColumn]): Boolean =
+      side match {
+        case None => true
+        case Some(bc) => bc.byShard.get(sid) match {
+          case None => true
+          case Some(sb) =>
+            sb.typeName != typeName ||
+              values.exists(v =>
+                graft.expressions.BloomOps.containsMaybe(sb.bits, sb.k, v))
         }
+      }
   }
 
   /** Translate a point conjunct (`a = v`, `a <=> v`, `a IN (v…)`) on a
@@ -362,13 +374,15 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
     * with the gate the shard is simply kept). */
   private def toBloomProbe(conjunct: Expression,
                            mf: CachedManifest): Option[BloomProbe] = {
-    def ord(name: String): Int = mf.attrs.indexWhere(_.name == name)
     def probeFor(a: AttributeReference,
                  vs: Seq[Expression]): Option[BloomProbe] = {
       if (!mf.bloomCols.contains(a.name)) return None
-      val (b, k, t) = (ord(s"zbloom_${a.name}"), ord(s"zbloomk_${a.name}"),
-        ord(s"zbloomt_${a.name}"))
-      if (b < 0 || k < 0 || t < 0) return None
+      // all three stat columns must exist in the manifest's FULL
+      // schema (the bits themselves load lazily, outside the cache)
+      val names = mf.fullSchema.fieldNames.toSet
+      if (!names.contains(s"zbloom_${a.name}") ||
+          !names.contains(s"zbloomk_${a.name}") ||
+          !names.contains(s"zbloomt_${a.name}")) return None
       val tz = Option(SQLConf.get.sessionLocalTimeZone)
       val strs = vs.map { v =>
         val s = Cast(Literal.create(v.eval(), v.dataType),
@@ -378,7 +392,7 @@ object ZoneMapSkipping extends Rule[LogicalPlan] with PredicateHelper {
       // a null comparand can never equal anything — the row filter
       // already kills the query's rows; prune nothing here
       if (strs.exists(_ == null)) None
-      else Some(BloomProbe(b, k, t, a.dataType.catalogString, strs))
+      else Some(BloomProbe(a.name, a.dataType.catalogString, strs))
     }
     object Const {
       def unapply(e: Expression): Option[Expression] =
