@@ -3325,6 +3325,59 @@ object Queries {
         col("n_sym_chars"))
   }
 
+  /** q108 — CJK-aware text analysis under a VALUE oracle: the
+    * whitespace word convention degenerates on scripts that write
+    * without spaces (a CJK clause is one "word"), so the text stack's
+    * CJK char-level fallback ([[Text.cjkPreSplit]] — one word per
+    * ideograph, identity on Latin) must produce tokens/segments BOTH
+    * engines agree on. The fixture is deterministic mixed-script text
+    * built by both engines from the documents table (translate the
+    * first 40 chars' letters to 26 CJK ideographs, keep digits/
+    * punctuation/whitespace — the q80/q82 planted-fixture pattern);
+    * the oracle replays the exact pre-split regex as an RE2 class.
+    * Token count, distinct-token count, segment count and the first
+    * 4-word segment are hash-compared — the segmentation itself, not
+    * a summary of it. */
+  val q108: Q = (s, dir) => {
+    val fixture = concat(lit("cjk "),
+      translate(lower(substring(col("text"), 1, 40)),
+        "abcdefghijklmnopqrstuvwxyz",
+        "一二三四五六七八九十" +
+          "百千万円年月日時分本" +
+          "人子女山川田"))
+    val src = Tables(s, dir).documents.filter(col("doc_id") < 200)
+      .select(col("doc_id"), fixture.as("t"))
+    val toks = Text.tokensCjk(col("t"))
+    val segs = Text.segmentsCjk(col("t"), 4)
+    src.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(segs).cast("long").as("n_segments"),
+      element_at(segs, 1).as("seg1"))
+  }
+  val q108Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    'cjk ' || translate(lower(substr(text, 1, 40)),
+      |      'abcdefghijklmnopqrstuvwxyz',
+      |      '一二三四五六七八九十百千万円年月日時分本人子女山川田') AS t
+      |  FROM documents WHERE doc_id < 200
+      |), p AS (
+      |  SELECT doc_id,
+      |    regexp_replace(t,
+      |      '([\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}])',
+      |      ' \1 ', 'g') AS pt
+      |  FROM f
+      |), w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(pt), '\s+') AS ws FROM p
+      |)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |  CAST(len(ws) // 4 + (CASE WHEN len(ws) % 4 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_segments,
+      |  array_to_string(ws[1:4], ' ') AS seg1
+      |FROM w""".stripMargin
+
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
     * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
@@ -3487,6 +3540,7 @@ object Queries {
     "q105_vector_append" -> q105,
     "q106_manifest_quantiles" -> q106,
     "q107_bpe_fit" -> q107,
+    "q108_cjk_text" -> q108,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3595,5 +3649,6 @@ object Queries {
     // implementation-defined; QUALITY.json floors relative error vs
     // the exact distinct count)
     "q105_vector_append" -> q105Sql,
+    "q108_cjk_text" -> q108Sql,
   )
 }

@@ -35,15 +35,27 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   // merge priority: pair -> rank; applied rank-ascending per word
   @transient private lazy val ranked: Array[(String, String)] = merges.toArray
 
+  /** EXACTLY Java regex `\s` — the fit's splitter. (The previous
+    * `Character.isWhitespace` also matched U+1680/U+2028/U+3000 etc.,
+    * so text with Unicode spaces was one word at fit time but two at
+    * encode time, breaking the determinism contract.) */
+  private def isSplitWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val out = new java.util.ArrayList[UTF8String]()
     var start = 0
     val n = text.length
     while (start < n) {
-      while (start < n && Character.isWhitespace(text.charAt(start))) start += 1
+      while (start < n && isSplitWs(text.charAt(start))) start += 1
       var end = start
-      while (end < n && !Character.isWhitespace(text.charAt(end))) end += 1
+      // a CJK char is a standalone word (the fit's cjkPreSplit
+      // inserts spaces around each one); otherwise extend to the next
+      // whitespace OR CJK boundary
+      if (end < n && graft.functions.Text.isCjk(text.charAt(end))) end += 1
+      else while (end < n && !isSplitWs(text.charAt(end)) &&
+        !graft.functions.Text.isCjk(text.charAt(end))) end += 1
       if (end > start) {
         var syms = graft.operators.Bpe.symbols(text.substring(start, end))
         var i = 0

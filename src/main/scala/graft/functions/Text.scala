@@ -24,6 +24,43 @@ object Text {
   /** Whitespace tokens (split on runs of whitespace). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** The BMP ranges this engine treats as "CJK writes without word
+    * spaces": Hiragana+Katakana (U+3040–30FF), CJK Ext A
+    * (U+3400–4DBF), Unified Ideographs (U+4E00–9FFF), Compatibility
+    * Ideographs (U+F900–FAFF). Hangul is NOT included (Korean is
+    * space-delimited), nor are supplementary-plane extensions
+    * (surrogate pairs — the rare tail; a char-level split there would
+    * split the pair). ONE definition: the Column regex, the JVM
+    * kernel ([[isCjk]] — BpeEncode's split), and every oracle's RE2
+    * class (`\x{3040}-…`) must describe the same set or fit/encode/
+    * oracle segmentations drift. */
+  val CjkRegexClass: String =
+    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF]"
+
+  /** The same set, char-side — shared with [[graft.expressions.BpeEncode]]. */
+  def isCjk(ch: Char): Boolean =
+    (ch >= 0x3040 && ch <= 0x30FF) || (ch >= 0x3400 && ch <= 0x4DBF) ||
+      (ch >= 0x4E00 && ch <= 0x9FFF) || (ch >= 0xF900 && ch <= 0xFAFF)
+
+  /** CJK pre-split: a space around every CJK char, so the whitespace
+    * word convention yields ONE WORD PER IDEOGRAPH on scripts that
+    * write without spaces — the standard char-level fallback for
+    * quality stats and tokenizer fitting on multilingual corpora
+    * (word-frequency heads, Gopher word stats and boilerplate
+    * segments all degenerate to whole-clause "words" otherwise).
+    * Identity on space-delimited text, so Latin-corpus results are
+    * byte-identical with or without it. Replayable in ANSI SQL:
+    * `regexp_replace(t, '([\x{3040}-\x{30FF}…])', ' \1 ', 'g')`. */
+  def cjkPreSplit(c: Column): Column =
+    regexp_replace(c, s"($CjkRegexClass)", " $1 ")
+
+  /** [[tokens]] under the CJK char-level fallback. */
+  def tokensCjk(c: Column): Column = tokens(cjkPreSplit(c))
+
+  /** [[segments]] under the CJK char-level fallback. */
+  def segmentsCjk(c: Column, segWords: Int): Column =
+    segments(cjkPreSplit(c), segWords)
+
   /** BPE-ish subword-boundary token count: words + digits + punctuation
     * as separate tokens (GPT-2-style pre-tokenizer shape, simplified). */
   def bpeishTokens(c: Column): Column =

@@ -57,13 +57,20 @@ object Boilerplate {
   def scrubFrequentSegments(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", segWords: Int = 8,
                             minDocs: Long = 20,
-                            exactStringKeys: Boolean = false): DataFrame = {
+                            exactStringKeys: Boolean = false,
+                            cjkAware: Boolean = false): DataFrame = {
     require(minDocs > 1, s"minDocs=1 would scrub every document; got $minDocs")
     // NULL text segments as empty text — a null-text doc still yields
     // its one (empty) segment, so the one-row-per-document contract
     // holds for it too (without this, posexplode of a null array
     // would silently delete the doc from the output)
-    val segArr = Text.segments(coalesce(col(textCol), lit("")), segWords)
+    // cjkAware: segment over char-level CJK words (Text.cjkPreSplit —
+    // identity on space-delimited scripts), so ideographic boilerplate
+    // forms segWords-char segments instead of whole-clause "words"
+    val segText = coalesce(col(textCol), lit(""))
+    val segArr =
+      if (cjkAware) Text.segmentsCjk(segText, segWords)
+      else Text.segments(segText, segWords)
     val segs = docs.select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
     val keyCols: Seq[String] = if (exactStringKeys) Seq("seg") else Seq("_f1", "_f2")
     val keyed =

@@ -93,16 +93,25 @@ object Bpe {
   }
 
   /** FIT on a corpus: one distributed word count (lower-cased,
-    * whitespace words — the [[graft.functions.Text.tokens]]
-    * convention), the frequency head collected under `maxVocab`
-    * (deterministic order: count desc, word asc), merges learned
-    * driver-side. */
+    * whitespace words under the CJK char-level fallback —
+    * [[graft.functions.Text.cjkPreSplit]]: ideographic scripts write
+    * without spaces, so each CJK char fits as its own word instead of
+    * whole clauses degenerating the merge table; identity on
+    * space-delimited text), the frequency head collected under
+    * `maxVocab` (deterministic order: count desc, word asc), merges
+    * learned driver-side. The segmentation here and in
+    * [[graft.expressions.BpeEncode]] are THE SAME function — Java
+    * regex `\s+` over the pre-split text vs the kernel's exact-`\s`
+    * char test + standalone-CJK words — so encoding a word the fit
+    * saw yields exactly the fit's segmentation on any script. */
   def fit(corpus: DataFrame, textCol: String, nMerges: Int,
           maxVocab: Int = 65536): Seq[(String, String)] = {
     require(maxVocab > 0 && maxVocab <= 1000000,
       s"maxVocab in (0, 1e6], got $maxVocab")
     val wc = corpus
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .select(explode(split(
+        graft.functions.Text.cjkPreSplit(lower(col(textCol))),
+        "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)

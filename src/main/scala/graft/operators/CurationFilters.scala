@@ -48,14 +48,22 @@ object CurationFilters {
     * nothing but reads only `idCol`/`textCol`. */
   def gopherFilter(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
-                   rules: GopherRules = GopherRules()): DataFrame = {
-    val mc = TextStats.counts(col(textCol))
+                   rules: GopherRules = GopherRules(),
+                   cjkAware: Boolean = false): DataFrame = {
+    // cjkAware: word stats over char-level CJK words (one word per
+    // ideograph, Text.cjkPreSplit — identity on space-delimited
+    // scripts). Whole-clause "words" otherwise blow the mean-word-
+    // length bound and zero the word count on unsegmented scripts;
+    // tune `rules` for the char-level regime (e.g. minMeanWlen = 1).
+    val t =
+      if (cjkAware) Text.cjkPreSplit(col(textCol)) else col(textCol)
+    val mc = TextStats.counts(t)
     docs
       .withColumn("_mc", mc)
       .select(
         col(idCol),
-        TextStats.wordCount(col(textCol), col("_mc")).as("n_words"),
-        (length(col(textCol)) - TextStats.spaceCount(col("_mc")))
+        TextStats.wordCount(t, col("_mc")).as("n_words"),
+        (length(t) - TextStats.spaceCount(col("_mc")))
           .cast("long").as("swlen"),
         TextStats.stopwordCount(col("_mc")).as("stop_cnt"),
         TextStats.punctCount(col("_mc")).as("punct_cnt"))
@@ -84,8 +92,15 @@ object CurationFilters {
     * through the driver. */
   def unigramLmScore(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id",
-                     minCount: Long = 200): DataFrame = {
-    val tok = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+                     minCount: Long = 200,
+                     cjkAware: Boolean = false): DataFrame = {
+    // cjkAware: one token per ideograph (Text.cjkPreSplit — identity
+    // on space-delimited scripts), so the model counts CJK chars
+    // instead of unsegmentable whole clauses
+    val tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cjkAware) Text.tokensCjk else Text.tokens
+    val tok = docs.select(col(idCol),
+      explode(tokenize(col(textCol))).as("w"))
     val model = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val oov = sum(when(col("c") < minCount, 1L).otherwise(0L))
     tok.join(model, "w")

@@ -1261,9 +1261,12 @@ object Sinks {
                              extraZoneCols: Seq[String] = Nil,
                              retainPrevious: Boolean = true,
                              sortCols: Seq[String] = Nil): DataFrame = {
-    require(nShards > 1 && nShards <= 1024,
-      s"quantile rebin needs 1 < nShards <= 1024 (the cut expression " +
-        s"is a per-row fold over nShards-1 cuts), got $nShards")
+    // the row-side bin kernel is a binary search over the cut table
+    // ([[graft.expressions.QuantileBin]]), so the shard count scales
+    // to the 10^4–10^5 an equi-depth 100 TB layout wants; 2^20 bounds
+    // the driver-collected cut table (8 MB) far above any real layout
+    require(nShards > 1 && nShards <= (1 << 20),
+      s"quantile rebin needs 1 < nShards <= ${1 << 20}, got $nShards")
     val cuts = approxQuantilesShards(spark, path, binCol,
         (1 until nShards).map(_.toDouble / nShards))
       .orderBy("rank").select("value")
@@ -1288,22 +1291,35 @@ object Sinks {
     // read into the staged write, stats from the written bytes,
     // nothing evaluated twice. Stat declarations are a LAYOUT
     // property (the delta path inherits them); the fresh publish must
-    // re-declare them or the rebin would silently strip blooms/
-    // sketches — including the very zkll the NEXT re-rebin needs.
+    // re-declare ALL of them — blooms, distinct/quantile sketches,
+    // AND the live zone set — or the rebin would silently strip
+    // stats later doors rely on (a date zone readShardsBetween
+    // prunes with, the group zones the grouped-quantile door
+    // requires, the very zkll the NEXT re-rebin needs). Only a zone
+    // on a column that no longer exists is dropped (the previous
+    // rebin's 'qbin' spec column — re-derived below under new cuts).
+    val liveZoneCols = liveM.columns.filter(_.startsWith("zmin_"))
+      .map(_.stripPrefix("zmin_")).toSeq
+    val zoneCols = (binCol +: (extraZoneCols ++ liveZoneCols)).distinct
+      .filter(rebinned.columns.contains)
     val manifest = writeShards(rebinned, path, idCol, nShards,
       retainPrevious = retainPrevious,
-      zoneCols = (binCol +: extraZoneCols).distinct,
+      zoneCols = zoneCols,
       shardCol = Some("qbin"), sortCols = sortCols,
       bloomCols = bloomSpecOf(liveM).map(_._1).getOrElse(Nil),
       sketchCols = sketchColsOf(liveM),
       quantileCols = (binCol +: quantileColsOf(liveM)).distinct)
     // cuts AFTER the layout commit (the VectorIndex centroid
-    // convention): readers of a half-published state fail on the
-    // missing path instead of binning against stale cuts
+    // convention): a FIRST rebin's readers fail on the missing path
+    // instead of binning against stale cuts, and a RE-rebin crashing
+    // in this window leaves a cut table whose intervals disagree with
+    // the committed zones — which [[qbinCuts]]' manifest check
+    // refuses loudly (the bin_col/n_shards stamps + per-shard
+    // containment make the staleness detectable, not just argued)
     locally {
       import spark.implicits._
-      cuts.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toDF("cut_idx", "cut")
+      cuts.zipWithIndex.map { case (c, i) => (i.toLong, c, binCol, nShards) }
+        .toDF("cut_idx", "cut", "bin_col", "n_shards")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/qbin_cuts")
     }
     manifest
@@ -1312,10 +1328,98 @@ object Sinks {
   /** The bin of `value` against equi-depth `cuts` (count of cuts ≤ it
     * — monotone, exact from the cut values; NULL → bin 0). Publish
     * and every later patch MUST use the same cuts
-    * (`$path/qbin_cuts`) or rows mis-route. */
-  def qbinExpr(cuts: Seq[Double], value: Column): Column =
-    cuts.foldLeft(lit(0L))((acc, c) =>
-      acc + when(value >= lit(c), 1L).otherwise(0L))
+    * (`$path/qbin_cuts` — read them through [[qbinCuts]], which
+    * verifies the sidecar against the live manifest) or rows
+    * mis-route. Binary search over the sorted cuts (a native
+    * codegen'd expression): ~log₂(n) comparisons per row, so
+    * equi-depth layouts scale to the 10^4–10^5 shards a 100 TB
+    * corpus wants — the previous per-row fold over nShards−1 `when`
+    * terms capped the layout at 1024 bins. */
+  def qbinExpr(cuts: Seq[Double], value: Column): Column = {
+    // count-of-cuts-≤-v is order-independent; sorting (NaN last under
+    // the total order, never counted) is what makes the search valid
+    val sorted = cuts.toArray.sorted
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.QuantileBin(
+        org.apache.spark.sql.graftshim.ColumnBridge.catalystExpression(
+          value.cast("double")),
+        sorted))
+  }
+
+  /** Read a quantile-rebinned layout's cut table, VERIFIED against
+    * the live manifest before anything routes rows with it: the bin
+    * column and shard count must match the layout's spec, and every
+    * occupied shard's recorded `[zmin, zmax]` on the bin column must
+    * lie inside its cut interval — `shard i ⇒ zmin ≥ cuts(i−1) ∧
+    * zmax < cuts(i)`, exactly [[qbinExpr]]'s arithmetic. The check is
+    * manifest-priced (one row per shard) and makes staleness LOUD
+    * instead of silently degrading the clustering: a crash between a
+    * re-rebin's layout commit and its cuts overwrite leaves cuts that
+    * disagree with the committed zones, and this refuses them. Delta
+    * publishes and row-level merges keep binning with the same cuts,
+    * so their generations verify clean. Returns (binCol, cuts). */
+  def qbinCuts(spark: SparkSession, path: String): (String, Seq[Double]) = {
+    val cutsPath = s"$path/qbin_cuts"
+    val fs = new org.apache.hadoop.fs.Path(cutsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(cutsPath)),
+      s"no cut table at $cutsPath — not a quantile-rebinned layout " +
+        "(or a first rebin crashed before publishing its cuts; re-run " +
+        "rebinShardsByQuantiles)")
+    val raw = spark.read.parquet(cutsPath)
+    require(raw.columns.contains("bin_col") && raw.columns.contains("n_shards"),
+      s"$cutsPath lacks bin_col/n_shards stamps — rewrite it with a " +
+        "current rebinShardsByQuantiles")
+    val rows = raw.orderBy("cut_idx")
+      .select(col("cut"), col("bin_col"), col("n_shards")).collect()
+    require(rows.nonEmpty, s"$cutsPath is empty")
+    val binCol = rows.head.getString(1)
+    val nShards = rows.head.getInt(2)
+    val cuts = rows.map(_.getDouble(0)).toSeq
+    require(cuts.length == nShards - 1,
+      s"$cutsPath holds ${cuts.length} cuts but records n_shards=" +
+        s"$nShards — corrupt sidecar")
+    val m = shardStats(spark, path)
+    val specN = m.select(col("spec_n")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    val specCol = m.select(col("spec_col")).limit(1).collect()
+      .headOption.flatMap(r => Option(r.getString(0)))
+    require(specCol.contains("qbin") && specN.contains(nShards),
+      s"cut table at $cutsPath (bin_col=$binCol, n_shards=$nShards) " +
+        s"does not describe the live layout (spec_col=${specCol.orNull}, " +
+        s"spec_n=${specN.orNull}) — the layout was republished under a " +
+        "different spec; re-run rebinShardsByQuantiles")
+    Seq(s"zmin_$binCol", s"zmax_$binCol").foreach(c =>
+      require(m.columns.contains(c),
+        s"live manifest lacks $c — '$binCol' is not a zone column of " +
+          s"$path, so these cuts cannot belong to it"))
+    // interval containment per occupied shard: stale cuts from a
+    // crashed re-rebin disagree with the committed zones unless the
+    // routing coincides anyway (then they are interchangeable)
+    val bad = m.filter(col("n_rows") > 0)
+      .select(col("shard"), col(s"zmin_$binCol").cast("double"),
+        col(s"zmax_$binCol").cast("double"))
+      .collect().flatMap { r =>
+        val sid = r.getLong(0)
+        if (r.isNullAt(1) || r.isNullAt(2)) {
+          // all-null bin column: every row binned 0 — any other shard
+          // id proves the cuts (or the layout) inconsistent
+          if (sid == 0L) None else Some(sid)
+        } else {
+          val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+          val okLo = sid == 0L || lo >= cuts((sid - 1).toInt)
+          val okHi = sid == cuts.length.toLong || hi < cuts(sid.toInt)
+          if (okLo && okHi && sid <= cuts.length.toLong) None else Some(sid)
+        }
+      }
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"cut table at $cutsPath is STALE: shards ${bad.sorted.mkString(", ")} " +
+          s"hold '$binCol' values outside their cut intervals — a " +
+          "re-rebin crashed between its layout commit and its cuts " +
+          "publish. Re-run rebinShardsByQuantiles before routing rows.")
+    (binCol, cuts)
+  }
 
   /** Integrity check for a [[writeShards]] layout: recompute each
     * shard's (n_rows, id range, content hash) from the published data
@@ -1720,13 +1824,26 @@ object Sinks {
     val blooms = declared("zbloom_") // zbloomk_/zbloomt_ don't match the prefix
     val hlls = declared("zhll_")
     val klls = declared("zkll_")
-    val statCols: Seq[String] =
-      zones.map(c => s"zmin_$c") ++ blooms.map(c => s"zbloom_$c") ++
-        hlls.map(c => s"zhll_$c") ++ klls.map(c => s"zkll_$c")
     val nIdx = cols.indexOf("n_rows")
+    // A populated shard carries STALE stats when a blob stat the
+    // strict doors refuse on (zbloom_/zhll_/zkll_) is null, or a zone
+    // stat is null WITHOUT the all-null disambiguation: a
+    // current-generation shard whose zone column is genuinely all
+    // null publishes null zmin/zmax beside znull == n_rows (nulls are
+    // ignored by min/max — the documented totality stance), and that
+    // is a healthy layout, not a legacy carry.
+    val blobCols: Seq[String] = blooms.map(c => s"zbloom_$c") ++
+      hlls.map(c => s"zhll_$c") ++ klls.map(c => s"zkll_$c")
     val legacy = rows.count { r =>
-      !r.isNullAt(nIdx) && r.getLong(nIdx) > 0 &&
-        statCols.exists(c => r.isNullAt(cols.indexOf(c)))
+      !r.isNullAt(nIdx) && r.getLong(nIdx) > 0 && {
+        val n = r.getLong(nIdx)
+        blobCols.exists(c => r.isNullAt(cols.indexOf(c))) ||
+          zones.exists { c =>
+            val zi = cols.indexOf(s"znull_$c")
+            r.isNullAt(cols.indexOf(s"zmin_$c")) &&
+              !(zi >= 0 && !r.isNullAt(zi) && r.getLong(zi) == n)
+          }
+      }
     }
     val sizes = rows.map(_.getLong(nIdx))
     val total = sizes.sum
