@@ -498,6 +498,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litString(p, "path"), litString(st, "stamp"),
             litString(ic, "idCol")) },
       "(path, stamp, idCol) as string literals")
+    tvf("qbin_cuts",
+      "qbin_cuts(path) - a quantile-rebinned layout's cut table, " +
+        "VERIFIED against the live manifest before returning (refuses " +
+        "missing/unstamped/spec-mismatched/STALE cuts loudly); one row " +
+        "per cut: (cut_idx, cut, bin_col) — the rebin-planning " +
+        "inspection door",
+      { case Seq(p) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          val (binCol, cuts) =
+            graft.sinks.Sinks.qbinCuts(s, litString(p, "path"))
+          import s.implicits._
+          cuts.zipWithIndex
+            .map { case (c, i) => (i.toLong, c, binCol) }
+            .toDF("cut_idx", "cut", "bin_col") },
+      "(path) as a string literal")
+    tvf("vector_takedown",
+      "vector_takedown(path, id_col, ids_csv) - PROCEDURE form of the " +
+        "bloom-routed erasure door (VectorIndex.delete): removes the " +
+        "listed ids from a published layout (absent ids are no-ops, " +
+        "the displaced generation is retained for audit) and returns " +
+        "one row (ids_requested, rows_before, rows_after). Planning " +
+        "the query PERFORMS the takedown — the CALL-procedure shape " +
+        "Spark SQL lacks",
+      { case Seq(p, ic, idsE) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          val path = litString(p, "path")
+          val idCol = litString(ic, "id_col")
+          val ids = litString(idsE, "ids_csv").split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          def liveRows: Long = graft.sinks.Sinks.shardStats(s, path)
+            .agg(org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum("n_rows"),
+              org.apache.spark.sql.functions.lit(0L)))
+            .collect().head.getLong(0)
+          val before = liveRows
+          graft.operators.VectorIndex.delete(s, path, idCol, ids,
+            retainPrevious = true)
+          val after = liveRows
+          import s.implicits._
+          Seq((ids.length.toLong, before, after))
+            .toDF("ids_requested", "rows_before", "rows_after") },
+      "(path, id_col, ids_csv) as string literals")
 
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters_sketch"),

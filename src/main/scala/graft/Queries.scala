@@ -2731,19 +2731,28 @@ object Queries {
     * what went). DeleteCdcSpec pins the mechanics this query can't
     * see from the rows: only the matching shard is rewritten, the
     * other seven carry forward by hard link. */
-  val q92: Q = (s, dir) => {
+  /** q92's fixture (the pre-door publish) and door (the takedown +
+    * read-back), separable so the bench can price them apart — the
+    * at-scale story is the DOOR: a takedown's cost is the matching
+    * shard's rewrite, while the fixture publish is corpus-sized by
+    * construction and amortized in production. */
+  private[graft] def q92Fixture(s: SparkSession, dir: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_q92_").toString
     val t = s"$root/corpus"
     val docs = Tables(s, dir).documents
       .withColumn("bucket", pmod(col("doc_id"), lit(8L)))
     graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8,
       zoneCols = Seq("n_chars"), shardCol = Some("bucket"))
+    t
+  }
+  private[graft] def q92Door(s: SparkSession, t: String): DataFrame = {
     graft.sinks.Sinks.deleteWhere(s, t, "doc_id",
       col("bucket") === 3L && col("n_chars") % 2 === 0,
       retainPrevious = true)
     s.read.parquet(s"$t/data")
       .select("doc_id", "text", "lang", "source", "n_chars", "bucket")
   }
+  val q92: Q = (s, dir) => q92Door(s, q92Fixture(s, dir))
   val q92Sql: String =
     """SELECT doc_id, text, lang, source, n_chars,
       |       doc_id % 8 AS bucket
@@ -2761,7 +2770,10 @@ object Queries {
     * semantic delta and nothing else. This is the
     * incremental-recompute contract: a downstream index catches up on
     * these rows alone. */
-  val q93: Q = (s, dir) => {
+  /** q93's fixture = BOTH publishes (v1 + the delta that creates the
+    * change history); the door = the manifest-planned CDC read. The
+    * at-scale story is the door: it opens only changed shards. */
+  private[graft] def q93Fixture(s: SparkSession, dir: String): (String, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft_q93_").toString
     val t = s"$root/corpus"
     val docs = Tables(s, dir).documents
@@ -2778,7 +2790,14 @@ object Queries {
     val versions = graft.sinks.Sinks.listShardVersions(s, t)
     require(versions.size == 1,
       s"q93: expected exactly one retired generation, got $versions")
-    graft.sinks.Sinks.readRowChanges(s, t, versions.head, "doc_id")
+    (t, versions.head)
+  }
+  private[graft] def q93Door(s: SparkSession, t: String,
+                             stamp: String): DataFrame =
+    graft.sinks.Sinks.readRowChanges(s, t, stamp, "doc_id")
+  val q93: Q = (s, dir) => {
+    val (t, stamp) = q93Fixture(s, dir)
+    q93Door(s, t, stamp)
   }
   val q93Sql: String =
     """SELECT doc_id, text, lang, source, n_chars,
@@ -2806,11 +2825,19 @@ object Queries {
     * MERGE semantics over the base table, proving upsert/delete/
     * insert landed exactly and every unpatched row survived
     * untouched. */
-  val q94: Q = (s, dir) => {
+  /** q94's fixture = the base publish; the door = the patch merge +
+    * read-back. The at-scale story is the door: the merge's cost is
+    * the patched shards, never a corpus scan. */
+  private[graft] def q94Fixture(s: SparkSession, dir: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_q94_").toString
     val t = s"$root/corpus"
+    graft.sinks.Sinks.writeShards(Tables(s, dir).documents, t,
+      "doc_id", nShards = 8)
+    t
+  }
+  private[graft] def q94Door(s: SparkSession, dir: String,
+                             t: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8)
     val patch = docs.filter(col("doc_id") % 11 === 0)
       .withColumn("text", concat(lit("merged: "), col("text")))
       .withColumn("_del", col("doc_id") % 33 === 0)
@@ -2823,6 +2850,7 @@ object Queries {
     s.read.parquet(s"$t/data")
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
+  val q94: Q = (s, dir) => q94Door(s, dir, q94Fixture(s, dir))
   val q94Sql: String =
     """SELECT doc_id,
       |       CASE WHEN doc_id % 11 = 0 THEN 'merged: ' || text
@@ -2844,13 +2872,18 @@ object Queries {
     * compare proves the incremental path equals the recompute it
     * replaces — the equality that makes CDC-driven curation
     * trustworthy at 100 TB. */
-  val q95: Q = (s, dir) => {
+  private[graft] val q95Gate =
+    col("n_chars") % 3 =!= 0 && col("lang").isNotNull
+  /** q95's fixture = THREE publishes (base v1, curated init, base v2
+    * delta); the door = the incremental refresh itself. The at-scale
+    * story is the door: it judges only the changed rows. */
+  private[graft] def q95Fixture(s: SparkSession, dir: String)
+      : (String, String, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft_q95_").toString
     val (basePath, curatedPath) = (s"$root/base", s"$root/curated")
     val docs = Tables(s, dir).documents
-    val gate = col("n_chars") % 3 =!= 0 && col("lang").isNotNull
     graft.sinks.Sinks.writeShards(docs, basePath, "doc_id", nShards = 8)
-    graft.sinks.Sinks.writeShards(docs.filter(gate), curatedPath,
+    graft.sinks.Sinks.writeShards(docs.filter(q95Gate), curatedPath,
       "doc_id", nShards = 8)
     val v2 = docs.filter(col("doc_id") % 19 =!= 0)
       .withColumn("n_chars",
@@ -2864,10 +2897,18 @@ object Queries {
     val versions = graft.sinks.Sinks.listShardVersions(s, basePath)
     require(versions.size == 1,
       s"q95: expected exactly one retired base generation, got $versions")
-    graft.apps.CurationRefresh.run(s, basePath, versions.head,
-      curatedPath, "doc_id", gate)
+    (basePath, versions.head, curatedPath)
+  }
+  private[graft] def q95Door(s: SparkSession, basePath: String,
+                             stamp: String, curatedPath: String): DataFrame = {
+    graft.apps.CurationRefresh.run(s, basePath, stamp,
+      curatedPath, "doc_id", q95Gate)
     s.read.parquet(s"$curatedPath/data")
       .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+  val q95: Q = (s, dir) => {
+    val (basePath, stamp, curatedPath) = q95Fixture(s, dir)
+    q95Door(s, basePath, stamp, curatedPath)
   }
   val q95Sql: String =
     """WITH v2 AS (
@@ -3292,16 +3333,22 @@ object Queries {
     * sort or a full TDigest pass. KLL merge preserves the rank-error
     * bound across any merge tree, so the shard-sketch union is as
     * accurate as one sketch over the whole corpus. */
-  val q106: Q = (s, dir) => {
+  /** q106's fixture = the sketch-declaring publish; the door = the
+    * manifest-only quantile read. The at-scale story is the door: one
+    * row per shard, ~flat across decades. */
+  private[graft] def q106Fixture(s: SparkSession, dir: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_q106_").toString
     val t = s"$root/docs"
     val d = Tables(s, dir).documents
       .select(col("doc_id"), col("lang"), col("n_chars"))
     graft.sinks.Sinks.writeShards(d, t, "doc_id", nShards = 16,
       quantileCols = Seq("n_chars"))
+    t
+  }
+  private[graft] def q106Door(s: SparkSession, t: String): DataFrame =
     graft.sinks.Sinks.approxQuantilesShards(s, t, "n_chars",
       Seq(0.5, 0.9, 0.99))
-  }
+  val q106: Q = (s, dir) => q106Door(s, q106Fixture(s, dir))
 
   /** q107 — BPE tokenizer FITTING (rows-only: no SQL engine can
     * replay a merge-table fit, so correctness lives in BpeSpec's
@@ -3313,10 +3360,18 @@ object Queries {
     * ([[graft.expressions.BpeEncode]], one shuffle-free projection)
     * and emit per-doc token accounting. The fit half of the text
     * pipeline q48 only counts for. */
-  val q107: Q = (s, dir) => {
+  /** q107's "fixture" = the FIT (one distributed word count + driver
+    * merge learning — amortized in production over every encode run);
+    * the door = the encode projection + token accounting. The
+    * at-scale story is the door: a shuffle-free scan-speed pass. */
+  private[graft] def q107Fixture(s: SparkSession,
+                                 dir: String): Seq[(String, String)] =
+    graft.operators.Bpe.fit(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      "text", nMerges = 40, maxVocab = 65536)
+  private[graft] def q107Door(s: SparkSession, dir: String,
+                              merges: Seq[(String, String)]): DataFrame = {
     val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-    val merges = graft.operators.Bpe.fit(d, "text", nMerges = 40,
-      maxVocab = 65536)
     d.select(col("doc_id"),
         graft.operators.Bpe.encode(col("text"), merges).as("toks"),
         length(regexp_replace(lower(col("text")), "\\s+", ""))
@@ -3324,6 +3379,7 @@ object Queries {
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         col("n_sym_chars"))
   }
+  val q107: Q = (s, dir) => q107Door(s, dir, q107Fixture(s, dir))
 
   /** q108 — CJK-aware text analysis under a VALUE oracle: the
     * whitespace word convention degenerates on scripts that write
@@ -3394,7 +3450,11 @@ object Queries {
     * guarantee for the vector store). The digest carries the
     * sequential-fold self-dot (content) and the first element (sign —
     * a negated vector has the same norm). */
-  val q105: Q = (s, dir) => {
+  /** q105's fixture = the base-index publish (6/7 of the corpus);
+    * the door = append (with the atomic move) + bloom-routed takedown
+    * + full read-back. The at-scale story is the door: each step's
+    * cost is its touched shards plus one merge generation. */
+  private[graft] def q105Fixture(s: SparkSession, dir: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_q105_").toString
     val t = s"$root/idx"
     val emb = Tables(s, dir).embeddings
@@ -3407,6 +3467,11 @@ object Queries {
     graft.operators.VectorIndex.publish(
       emb.filter(col("vec_id") % 7 =!= 0), t, "vec_id", "embedding",
       nCells = 16, nShards = 8, centroids = Some(cents))
+    t
+  }
+  private[graft] def q105Door(s: SparkSession, dir: String,
+                              t: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
     val patch = emb.filter(col("vec_id") % 7 === 0)
       .unionByName(emb.filter(col("vec_id") === 10)
         .withColumn("embedding", transform(col("embedding"), x => -x)))
@@ -3419,6 +3484,7 @@ object Queries {
           col("embedding"), col("embedding")), 4).as("nrm2"),
         element_at(col("embedding"), 1).cast("double").as("e1"))
   }
+  val q105: Q = (s, dir) => q105Door(s, dir, q105Fixture(s, dir))
   val q105Sql: String =
     """SELECT vec_id, label,
       |       round(list_dot_product(CAST(e AS DOUBLE[]), CAST(e AS DOUBLE[])), 4) AS nrm2,

@@ -234,6 +234,99 @@ case class DupShingleStats(child: Expression, n: Int)
   override def prettyName: String = "dup_shingle_stats"
 }
 
+/** One-pass winnowing span fingerprints (Schleimer et al. SIGMOD'03 —
+  * the [[graft.operators.Dedup.spanFingerprints]] kernel): whitespace
+  * words → k-word grams → md5 per gram → minimum digest of every
+  * w-position window → distinct, as ONE native expression. Replaces a
+  * five-operator Column tree (`transform(md5)` + `sequence` + `slice`
+  * + `array_min` + `array_distinct`) that allocated a gram string, a
+  * 32-char hex string AND a w-element window array per text position —
+  * q63's row-proportional cost leader at 100×. Semantics are
+  * BIT-IDENTICAL to the tree it replaces (the q63 oracle replays them
+  * in DuckDB): gram text is words joined by single spaces (texts of ≤k
+  * words yield the whole text as one gram), the hash is lowercase md5
+  * hex, and "min" is lexicographic on the hex digest — equivalent to
+  * unsigned byte order on the raw digest, which is what the inner loop
+  * compares (hex encoding is monotone per byte). Output keeps
+  * first-occurrence order, matching `array_distinct`. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = Hashing.sparkTokens(v.asInstanceOf[UTF8String].toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    // per-gram md5 digests (raw bytes — hex encoding is monotone per
+    // byte, so unsigned byte comparison == hex lexicographic)
+    val m = if (words.length <= k) 1 else words.length - k + 1
+    val digests = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      val last = if (words.length <= k) words.length else i + k
+      var j = i
+      while (j < last) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      md.reset()
+      digests(i) = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var p = 0
+      while (p < a.length) {
+        val x = a(p) & 0xff
+        val y = b(p) & 0xff
+        if (x != y) return x < y
+        p += 1
+      }
+      false
+    }
+    // window minima (w is small — a direct scan beats deque overhead),
+    // distinct in first-occurrence order (array_distinct's contract)
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+    val windows = math.max(m - w, 0)
+    i = 0
+    while (i <= windows) {
+      var best = digests(i)
+      var j = i + 1
+      val end = math.min(i + w, m)
+      while (j < end) {
+        if (less(digests(j), best)) best = digests(j)
+        j += 1
+      }
+      seen.add(java.nio.ByteBuffer.wrap(best))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      val d = it.next().array()
+      val hex = new Array[Char](32)
+      var p = 0
+      while (p < 16) {
+        hex(2 * p) = HexChars((d(p) & 0xf0) >> 4)
+        hex(2 * p + 1) = HexChars(d(p) & 0x0f)
+        p += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object TextSignatures {
   /** Column API for the native signatures. */
   def minHashSig(c: Column, k: Int, shingleN: Int = 3): Column =
@@ -244,4 +337,6 @@ object TextSignatures {
     ColumnBridge.column(ShingleArr(ColumnBridge.expression(c), n))
   def dupShingleStats(c: Column, n: Int): Column =
     ColumnBridge.column(DupShingleStats(ColumnBridge.expression(c), n))
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
 }

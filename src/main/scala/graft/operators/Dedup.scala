@@ -336,25 +336,17 @@ object Dedup {
     * hex digest, both of which DuckDB reproduces bit-for-bit (q63's
     * oracle). Returns distinct (id, fp). */
   def spanFingerprints(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 8, w: Int = 4): DataFrame = {
-    // Gram hashes are already co-located per row, so the winnow is
-    // per-row array arithmetic — NO shuffle (a window-function form
-    // would shuffle+sort every gram hash by doc id for values that
-    // never leave their row). The _hs projection survives as its own
-    // Project: CollapseProject refuses to inline a non-cheap
-    // expression referenced more than once (it appears in the sequence
-    // bound AND the slice lambda), and no OptimizationBarrier is used
-    // because a declared-nondeterministic pin would defeat AQE
-    // exchange reuse in sharedSpans' self-join (PlanSpec pins both the
-    // single-md5 plan and the reuse).
-    val hashes = transform(
-      graft.expressions.TextSignatures.shingles(col(textCol), k), s => md5(s))
-    val winnowed = array_distinct(transform(
-      sequence(lit(0), greatest(size(col("_hs")) - w, lit(0))),
-      i => array_min(slice(col("_hs"), i + lit(1), lit(w)))))
-    df.select(col(idCol).as("id"), hashes.as("_hs"))
-      .select(col("id"), explode(winnowed).as("fp")) // array_distinct ⇒ (id, fp) unique
-  }
+                       k: Int = 8, w: Int = 4): DataFrame =
+    // Gram hashes never leave their row, so the whole kernel —
+    // grams → md5 → window minima → distinct — is ONE native
+    // expression ([[graft.expressions.WinnowFingerprints]], bit-
+    // identical to the five-operator Column tree it replaced and to
+    // the q63 oracle's DuckDB replay): no shuffle, and none of the
+    // per-position gram-string / hex-string / window-array
+    // allocations that made the tree q63's cost leader at 100×.
+    df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextSignatures
+        .winnowFingerprints(col(textCol), k, w)).as("fp"))
 
   /** Cross-document VERBATIM-SPAN detection: pairs of documents whose
     * winnowed fingerprints ([[spanFingerprints]]) collide at least

@@ -394,4 +394,88 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(math.abs(r._1 - 50.0) <= 2.0, s"p50 of 1..100: ${r._1}")
     assert(math.abs(r._2 - 0.25) <= 0.02, s"rank(25) of 1..100: ${r._2}")
   }
+
+  test("qbin_cuts TVF returns the VERIFIED cut table from pure SQL " +
+       "and refuses a never-rebinned layout") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqlcuts_").toString + "/pub"
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("len", (col("id") * 7919L) % 1000L)
+      .localCheckpoint()
+    graft.sinks.Sinks.writeShards(df, dir, "id", nShards = 4,
+      zoneCols = Seq("len"), quantileCols = Seq("len"))
+    val missing = intercept[Exception](
+      spark.sql(s"SELECT * FROM qbin_cuts('$dir')").collect())
+    assert(missing.getMessage.contains("not a quantile-rebinned"))
+    graft.sinks.Sinks.rebinShardsByQuantiles(spark, dir, "id", "len",
+      nShards = 4)
+    val rows = spark.sql(
+      s"SELECT cut_idx, cut, bin_col FROM qbin_cuts('$dir') ORDER BY cut_idx")
+      .as[(Long, Double, String)].collect()
+    assert(rows.length == 3 && rows.forall(_._3 == "len"))
+    val (binCol, apiCuts) = graft.sinks.Sinks.qbinCuts(spark, dir)
+    assert(binCol == "len" && rows.map(_._2).toSeq == apiCuts)
+  }
+
+  test("vector_takedown TVF is the SQL procedure form of the " +
+       "bloom-routed erasure door") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sqltd_").toString + "/idx"
+    val emb = Tables(spark, sf).embeddings
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    graft.operators.VectorIndex.publish(emb, dir, "vec_id", "embedding",
+      nCells = 8, nShards = 4, centroids = Some(cents))
+    val before = spark.read.parquet(s"$dir/data").count()
+    val r = spark.sql(
+      s"SELECT * FROM vector_takedown('$dir', 'vec_id', '3, 21, 987654321')")
+      .as[(Long, Long, Long)].head()
+    assert(r._1 == 3L && r._2 == before && r._3 == before - 2,
+      s"expected (3, $before, ${before - 2}), got $r")
+    val left = spark.read.parquet(s"$dir/data")
+      .filter(col("vec_id").isin(3L, 21L)).count()
+    assert(left == 0L, "taken-down ids must be gone")
+    // the displaced generation is retained for audit
+    assert(graft.sinks.Sinks.listShardVersions(spark, dir).nonEmpty)
+  }
+
+  test("the streaming quantile monitor's aggregation is expressible " +
+       "in pure SQL (kll_sketch_agg over event-time windows)") {
+    // batch replay of Drift.streamingQuantiles' exact aggregation
+    // shape: same windows, same sketch family, ranks read back with
+    // the registered scalar surface
+    val ev = spark.range(0, 600).toDF("i")
+      .select(
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+          + col("i") * 6).cast("timestamp").as("ts"),
+        (col("i") % 100).cast("double").as("v"))
+      .localCheckpoint()
+    ev.createOrReplaceTempView("ext_mon")
+    val sqlRows = spark.sql(
+      """SELECT window.start AS win_start, kll_quantile(kll_sketch_agg(v), 0.5) AS p50,
+        |       COUNT(1) AS n
+        |FROM ext_mon GROUP BY window(ts, '10 minutes')
+        |ORDER BY win_start""".stripMargin)
+      .as[(java.sql.Timestamp, Double, Long)].collect()
+    val opRows = graft.operators.Drift.streamingQuantiles(
+        ev, "ts", "v", "10 minutes", "0 seconds")
+      .select(col("win_start"),
+        org.apache.spark.sql.graftshim.ColumnBridge.column(
+          graft.expressions.KllQuantile(
+            org.apache.spark.sql.graftshim.ColumnBridge
+              .catalystExpression(col("sketch")),
+            org.apache.spark.sql.graftshim.ColumnBridge
+              .catalystExpression(lit(0.5).cast("double")))).as("p50"),
+        col("n"))
+      .orderBy("win_start")
+      .as[(java.sql.Timestamp, Double, Long)].collect()
+    assert(sqlRows.length == opRows.length && sqlRows.nonEmpty)
+    sqlRows.zip(opRows).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._3 == b._3,
+        s"window/count drift: $a vs $b")
+      assert(math.abs(a._2 - b._2) <= 10.0,
+        s"both paths must answer ~the same p50: $a vs $b")
+    }
+  }
 }

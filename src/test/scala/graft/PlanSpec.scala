@@ -164,6 +164,11 @@ class PlanSpec extends SparkTestBase {
       s"expected <=2 hash exchanges, got $exchanges:\n$p")
     val md5s = "md5".r.findAllIn(p.toLowerCase).length
     assert(md5s <= 1, s"corpus must be hashed once, found $md5s md5 sites:\n$p")
+    // the kernel is the ONE native expression (grams -> md5 -> window
+    // minima -> distinct in a single row-local pass), not the
+    // five-operator Column tree it replaced
+    assert(p.toLowerCase.contains("winnow_fingerprints"),
+      s"q63 must hash/winnow through the native kernel:\n$p")
   }
 
   test("guardrail: no broadcast hint pins an SF-proportional table") {
