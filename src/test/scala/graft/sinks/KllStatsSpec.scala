@@ -188,10 +188,10 @@ class KllStatsSpec extends SparkTestBase {
       s"range scan should prune, opened ${pruned.inputFiles.length}/$all")
     assert(pruned.count() ==
       df.filter(col("len") >= 0L && col("len") <= 1200L).count())
-    // the cuts are published; a later patch bins new rows with them
-    val cuts = spark.read.parquet(s"$t/qbin_cuts")
-      .orderBy("cut_idx").select("cut").as[Double].collect().toSeq
-    assert(cuts.length == 7)
+    // the cuts are published; a later patch bins new rows with them —
+    // read through the VERIFIED door (stamp + containment checked)
+    val (cutsBinCol, cuts) = Sinks.qbinCuts(spark, t)
+    assert(cutsBinCol == "len" && cuts.length == 7)
     val patch = Seq((9001L, 42L, "new-doc")).toDF("id", "len", "payload")
       .withColumn("qbin", Sinks.qbinExpr(cuts, col("len")))
     Sinks.mergeRows(spark, t, patch, "id")
