@@ -232,10 +232,20 @@ object Bench {
         val (fx, m) = timed(Queries.q107Fixture(spark, sfDir))
         (fx, timed(sink(Queries.q107Door(spark, sfDir, m)))._1)
       }))
-    val splits: Seq[(String, Double, Double)] = doorSplits.map {
+    // one door's failure must not kill the whole bench (the catalog
+    // passes have the same per-query discipline) — a failed door is
+    // LOUD on stderr and absent from the sidecar, never a fake number
+    val splits: Seq[(String, Double, Double)] = doorSplits.flatMap {
       case (name, run) =>
-        val samples = (0 until 2).map(_ => run())
-        (name, samples.map(_._1).min, samples.map(_._2).min)
+        val samples = (0 until 2).flatMap { _ =>
+          try Some(run())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name split failed: ${e.getMessage}")
+            None
+          }
+        }
+        if (samples.isEmpty) None
+        else Some((name, samples.map(_._1).min, samples.map(_._2).min))
     }
     val splitsJson = splits.map { case (n, fx, door) =>
       "\"" + n + "\":{\"fixture_sec\":" + f3(fx) +

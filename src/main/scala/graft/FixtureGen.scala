@@ -83,7 +83,12 @@ object FixtureGen {
         .withColumn("text", when(col("_r") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit(" "),
             concat(lit(" r"), col("_r"), lit(" ")))))
-        .withColumn("n_chars", length(col("text")))
+        // keep the SOURCE column's type: length() returns int, but the
+        // generated corpus records n_chars as int64 — an int32 recompute
+        // silently re-types the scaled fixture, and every write door
+        // that unions int32 live shards with int64 patch rows then dies
+        // on a parquet physical-type mismatch at 10×/100× only
+        .withColumn("n_chars", length(col("text")).cast("long"))
     // events: each replica shifted into its own disjoint month — a
     // bigger corpus is MORE TIME of logs, not 100× the event density
     // in one fixed month. Without the shift every interval join's
