@@ -37,10 +37,15 @@ object Text {
   val CjkRegexClass: String =
     "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF]"
 
-  /** The same set, char-side — shared with [[graft.expressions.BpeEncode]]. */
+  /** The same set, char-side — shared with [[graft.expressions.BpeEncode]].
+    * One leading compare rejects all of Latin (every range starts at or
+    * above U+3040): this test runs per CHARACTER in the encode scan, so
+    * the common-script fast path matters at corpus scale. */
   def isCjk(ch: Char): Boolean =
-    (ch >= 0x3040 && ch <= 0x30FF) || (ch >= 0x3400 && ch <= 0x4DBF) ||
-      (ch >= 0x4E00 && ch <= 0x9FFF) || (ch >= 0xF900 && ch <= 0xFAFF)
+    ch >= 0x3040 && (ch <= 0x30FF ||
+      (ch >= 0x3400 && ch <= 0x4DBF) ||
+      (ch >= 0x4E00 && ch <= 0x9FFF) ||
+      (ch >= 0xF900 && ch <= 0xFAFF))
 
   /** CJK pre-split: a space around every CJK char, so the whitespace
     * word convention yields ONE WORD PER IDEOGRAPH on scripts that
