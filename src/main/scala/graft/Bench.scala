@@ -231,6 +231,14 @@ object Bench {
       "q107_bpe_fit" -> (() => {
         val (fx, m) = timed(Queries.q107Fixture(spark, sfDir))
         (fx, timed(sink(Queries.q107Door(spark, sfDir, m)))._1)
+      }),
+      "q109_manifest_rebuild" -> (() => {
+        val (fx, t) = timed(Queries.q109Fixture(spark, sfDir))
+        (fx, timed(sink(Queries.q109Door(spark, t)))._1)
+      }),
+      "q110_stats_evolve" -> (() => {
+        val (fx, t) = timed(Queries.q110Fixture(spark, sfDir))
+        (fx, timed(sink(Queries.q110Door(spark, t)))._1)
       }))
     // one door's failure must not kill the whole bench (the catalog
     // passes have the same per-query discipline) — a failed door is

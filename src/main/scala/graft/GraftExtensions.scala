@@ -540,6 +540,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq((ids.length.toLong, before, after))
             .toDF("ids_requested", "rows_before", "rows_after") },
       "(path, id_col, ids_csv) as string literals")
+    // '' is a legal "no columns" for the stats-door CSVs, so this
+    // matches the literal directly instead of litString's non-empty gate
+    def csvCols(e: Expression, what: String): Seq[String] = e match {
+      case Literal(v, _) if v != null =>
+        v.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal (CSV, '' = none), got: $other")
+    }
+    tvf("rebuild_manifest",
+      "rebuild_manifest(path, id_col, n_shards[, shard_col[, zone_csv]])" +
+        " - PROCEDURE form of the manifest disaster-recovery door " +
+        "(Sinks.rebuildManifest): reconstructs a lost/corrupt manifest " +
+        "from the data files under a caller-redeclared spec (verified " +
+        "against the bytes), publishing it as a new generation over " +
+        "hard-linked data. shard_col '' means hash-of-id. Returns the " +
+        "rebuilt manifest (the shard_stats shape)",
+      { case Seq(p, ic, n) =>
+          graft.sinks.Sinks.rebuildManifest(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(ic, "id_col"),
+            litInt(n, "n_shards"))
+        case Seq(p, ic, n, sc) =>
+          graft.sinks.Sinks.rebuildManifest(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(ic, "id_col"),
+            litInt(n, "n_shards"),
+            Some(litString(sc, "shard_col")).filter(_.nonEmpty))
+        case Seq(p, ic, n, sc, z) =>
+          graft.sinks.Sinks.rebuildManifest(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"), litString(ic, "id_col"),
+            litInt(n, "n_shards"),
+            Some(litString(sc, "shard_col")).filter(_.nonEmpty),
+            zoneCols = csvCols(z, "zone_csv")) },
+      "(path, id_col, n_shards[, shard_col[, zone_csv]]) as literals")
+    tvf("declare_shard_stats",
+      "declare_shard_stats(path, zone_csv, bloom_csv, sketch_csv, " +
+        "quantile_csv) - PROCEDURE form of the stat-evolution/healing " +
+        "door (Sinks.declareShardStats): adds the CSV-listed stat " +
+        "families to a live layout and refills NULL legacy stats, " +
+        "without rewriting data ('' = none). Returns the live manifest",
+      { case Seq(p, z, b, sk, q) =>
+          graft.sinks.Sinks.declareShardStats(
+            org.apache.spark.sql.SparkSession.active,
+            litString(p, "path"),
+            zoneCols = csvCols(z, "zone_csv"),
+            bloomCols = csvCols(b, "bloom_csv"),
+            sketchCols = csvCols(sk, "sketch_csv"),
+            quantileCols = csvCols(q, "quantile_csv")) },
+      "(path, zone_csv, bloom_csv, sketch_csv, quantile_csv) as literals")
 
     ext.injectFunction((
       FunctionIdentifier("heavy_hitters_sketch"),

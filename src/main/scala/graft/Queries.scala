@@ -3434,6 +3434,114 @@ object Queries {
       |  array_to_string(ws[1:4], ' ') AS seg1
       |FROM w""".stripMargin
 
+  /** q109 — MANIFEST DISASTER RECOVERY under a VALUE oracle: publish
+    * the documents corpus as a bucket-clustered layout with zone +
+    * sum stats, DELETE the manifest outright (the metadata-loss
+    * disaster no 100 TB deployment is allowed to treat as fatal),
+    * then [[graft.sinks.Sinks.rebuildManifest]] reconstructs it from
+    * the data bytes alone — and the RESULT IS THE REBUILT MANIFEST
+    * ITSELF: the oracle recomputes every deterministic per-shard stat
+    * (row counts, id ranges, zone min/max, null counts, integral
+    * sums) straight from the base table under the same explicit
+    * assignment, so the hash compare proves the recovered metadata
+    * equals what a from-scratch publish would have written.
+    * StatsRecoverySpec pins what the rows can't show: the declared
+    * spec is verified against the bytes (wrong nShards/idCol refuse
+    * loudly), data files hard-link forward unmodified, and the blob
+    * doors (bloom/HLL/KLL) answer again post-rebuild. */
+  /** q109's fixture = the publish + the manifest deletion; the door =
+    * the rebuild (one stats scan, zero data writes) + the manifest
+    * read-back. The at-scale story is the door: recovery costs one
+    * corpus READ — a from-scratch republish would pay the read PLUS
+    * rewriting 100 TB. */
+  private[graft] def q109Fixture(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q109_").toString
+    val t = s"$root/corpus"
+    val docs = Tables(s, dir).documents
+      .withColumn("bucket", pmod(col("doc_id"), lit(8L)))
+    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8,
+      shardCol = Some("bucket"), zoneCols = Seq("n_chars", "lang"))
+    // the disaster: metadata gone, data intact
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/manifest"), true)
+    t
+  }
+  private[graft] def q109Door(s: SparkSession, t: String): DataFrame = {
+    graft.sinks.Sinks.rebuildManifest(s, t, "doc_id", nShards = 8,
+      shardCol = Some("bucket"), zoneCols = Seq("n_chars", "lang"))
+    graft.sinks.Sinks.shardStats(s, t)
+      .select(col("shard"), col("n_rows"),
+        col("min_id"), col("max_id"),
+        col("zmin_n_chars").as("min_chars"),
+        col("zmax_n_chars").as("max_chars"),
+        col("zsum_n_chars").as("sum_chars"),
+        col("znull_n_chars").as("null_chars"),
+        col("zmin_lang").as("min_lang"),
+        col("zmax_lang").as("max_lang"))
+  }
+  val q109: Q = (s, dir) => q109Door(s, q109Fixture(s, dir))
+  val q109Sql: String =
+    """SELECT doc_id % 8 AS shard, count(*) AS n_rows,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS null_chars,
+      |       min(lang) AS min_lang, max(lang) AS max_lang
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** q110 — STAT-FAMILY EVOLUTION + HEALING under a VALUE oracle:
+    * publish the documents corpus with a single zone declaration,
+    * then [[graft.sinks.Sinks.declareShardStats]] widens the layout
+    * to lang/source zones WITHOUT REWRITING A DATA BYTE (the Iceberg
+    * "compute column statistics" shape — until this door, adding a
+    * stat to a published 100 TB corpus meant a full merge-rewrite).
+    * The result is the evolved manifest's deterministic stats; the
+    * oracle recomputes them from the base table under the same
+    * assignment, proving the one-read stats pass wrote exactly what
+    * a from-scratch publish with the wider declaration would have.
+    * StatsRecoverySpec pins the rest: files hard-link forward, NULL
+    * legacy stats heal shard-pruned, idempotent calls publish no
+    * generation. */
+  /** q110's fixture = the narrow publish; the door = the stat
+    * evolution (one corpus read, manifest-only write) + manifest
+    * read-back. At scale the door's alternative is a corpus REWRITE —
+    * this is read-cost vs write-cost on 100 TB. */
+  private[graft] def q110Fixture(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q110_").toString
+    val t = s"$root/corpus"
+    val docs = Tables(s, dir).documents
+      .withColumn("bucket", pmod(col("doc_id"), lit(8L)))
+    graft.sinks.Sinks.writeShards(docs, t, "doc_id", nShards = 8,
+      shardCol = Some("bucket"), zoneCols = Seq("n_chars"))
+    t
+  }
+  private[graft] def q110Door(s: SparkSession, t: String): DataFrame = {
+    graft.sinks.Sinks.declareShardStats(s, t,
+      zoneCols = Seq("lang", "source"))
+    graft.sinks.Sinks.shardStats(s, t)
+      .select(col("shard"), col("n_rows"),
+        col("zmin_n_chars").as("min_chars"),
+        col("zmax_n_chars").as("max_chars"),
+        col("zmin_lang").as("min_lang"),
+        col("zmax_lang").as("max_lang"),
+        col("znull_lang").as("null_lang"),
+        col("zmin_source").as("min_source"),
+        col("zmax_source").as("max_source"))
+  }
+  val q110: Q = (s, dir) => q110Door(s, q110Fixture(s, dir))
+  val q110Sql: String =
+    """SELECT doc_id % 8 AS shard, count(*) AS n_rows,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       min(lang) AS min_lang, max(lang) AS max_lang,
+      |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS null_lang,
+      |       min(source) AS min_source, max(source) AS max_source
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
     * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
@@ -3607,6 +3715,8 @@ object Queries {
     "q106_manifest_quantiles" -> q106,
     "q107_bpe_fit" -> q107,
     "q108_cjk_text" -> q108,
+    "q109_manifest_rebuild" -> q109,
+    "q110_stats_evolve" -> q110,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3716,5 +3826,7 @@ object Queries {
     // the exact distinct count)
     "q105_vector_append" -> q105Sql,
     "q108_cjk_text" -> q108Sql,
+    "q109_manifest_rebuild" -> q109Sql,
+    "q110_stats_evolve" -> q110Sql,
   )
 }

@@ -1870,6 +1870,305 @@ object Sinks {
       "quantile_sketch_cols", "legacy_carry_shards", "retained_versions")
   }
 
+  /** MANIFEST DISASTER RECOVERY — rebuild a published layout's
+    * manifest from nothing but its data files (the Iceberg
+    * "metadata loss" runbook, `RewriteTablePath`/`register_table`
+    * territory): the data bytes are the durable artifact, every
+    * manifest stat is a pure function of them, so a deleted or
+    * corrupted `$path/manifest` need never brick a 100 TB corpus.
+    * One scan of the data recomputes the full per-shard summary —
+    * row counts, id range, content hashes, and every declared stat
+    * family (zones + null counts + integral sums, blooms, HLL
+    * distinct sketches, KLL quantile sketches) — and the new
+    * manifest is promoted as a NEW GENERATION whose data files are
+    * the live ones hard-linked: same crash envelope as any publish
+    * (a kill anywhere leaves the old state or the complete new one,
+    * [[recoverPublish]] converges), same retention story
+    * (`retainPrevious` keeps the displaced generation for audit).
+    *
+    * The caller RE-DECLARES the layout spec — it died with the
+    * manifest — and the rebuild VERIFIES it against the bytes before
+    * publishing: the declared assignment (hash of `idCol` over
+    * `nShards`, or the explicit `shardCol`) must reproduce every
+    * row's shard directory, so a wrong `nShards` or id column fails
+    * loudly instead of stamping a spec that would misroute every
+    * later [[mergeRows]] patch. (`sortCols` is declarative-only —
+    * re-stamped, not re-verified: rows are not rewritten here.)
+    *
+    * Also the STAT BACKFILL door for a healthy layout: rebuilding
+    * with a wider declaration set adds stat families to a corpus
+    * published before they existed, at scan cost but zero data
+    * rewrite — but prefer [[declareShardStats]], which reads the
+    * spec from the live manifest instead of trusting a caller.
+    * Returns the live (rebuilt) manifest. */
+  def rebuildManifest(spark: SparkSession, path: String, idCol: String,
+                      nShards: Int, shardCol: Option[String] = None,
+                      zoneCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil,
+                      bloomFpp: Double = 0.01,
+                      sketchCols: Seq[String] = Nil,
+                      quantileCols: Seq[String] = Nil,
+                      sortCols: Seq[String] = Nil,
+                      retainPrevious: Boolean = false): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp in (0,1), got $bloomFpp")
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquirePublishLease(fs, base)
+    try {
+      // a sealed staging from a crashed publish may itself hold the
+      // newest manifest — recovery first, so the rebuild reads the
+      // converged generation, not a mid-promote mix
+      recoverPublish(fs, base)
+      val dataDir = s"$path/data"
+      require(fs.exists(new org.apache.hadoop.fs.Path(dataDir)),
+        s"rebuildManifest: no data at $dataDir — nothing to rebuild from")
+      val (dataCols, writtenSchema) = layoutSchema(spark, dataDir)
+      validateStatDecls(writtenSchema, dataCols, idCol, shardCol,
+        zoneCols, bloomCols, sketchCols, quantileCols, sortCols,
+        "rebuildManifest")
+      val written = spark.read.schema(writtenSchema).parquet(dataDir)
+      // spec verification from the BYTES (column-pruned scan): the
+      // declared assignment must reproduce the shard directories, or
+      // the stamped spec would misroute every later patch. limit(1)
+      // short-circuits — the happy path still scans, the broken one
+      // stops at the first witness.
+      val bad = written
+        .filter(shardAssignment(idCol, nShards, shardCol) =!= col("shard"))
+        .select((shardCol.toSeq.map(col) :+ col(idCol) :+ col("shard")): _*)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"rebuildManifest: declared spec (${shardCol.fold(
+            s"hash($idCol)")(c => s"explicit $c")} over $nShards shards) " +
+            s"does not reproduce the published shard directories " +
+            s"(witness: ${bad.head}) — wrong nShards, idCol, or shardCol")
+      val bloomSpec =
+        if (bloomCols.isEmpty) None
+        else {
+          import graft.expressions.BloomOps
+          val perShard = math.max(64L, math.ceil(
+            written.count().toDouble * 2 / nShards).toLong)
+          val mBits = BloomOps.sizeFor(perShard, bloomFpp)
+          Some((bloomCols, mBits, BloomOps.hashesFor(perShard, mBits)))
+        }
+      val manifest = stampSpec(
+        shardSummary(written, idCol, dataCols, zoneCols, bloomSpec,
+          sketchCols, quantileCols),
+        shardCol, nShards, sortCols, idCol)
+      publishManifestOnly(spark, path, base, fs, manifest, retainPrevious)
+    } finally releasePublishLease(fs, base, lease)
+  }
+
+  /** STAT-FAMILY EVOLUTION + HEALING on a live layout — Iceberg's
+    * "compute table column statistics" shape: add zone / bloom /
+    * distinct-sketch / quantile-sketch declarations to an
+    * already-published corpus, and refill any NULL stats the strict
+    * metadata doors refuse on (the legacy carries
+    * [[shardDoctor]] counts), ALL WITHOUT REWRITING A DATA BYTE.
+    * Until now the only cure for a legacy carry was a merge-rewrite
+    * of the shard — corpus-write cost for a stats problem; this door
+    * recomputes summaries from a READ and republishes the manifest
+    * beside hard-linked data (one generation, the standard crash
+    * envelope and retention).
+    *
+    * Cost model, the reason this door exists at 100 TB:
+    *  - healing only (no new families): scans ONLY the carrying
+    *    shards (partition-pruned read), manifest-sized write;
+    *  - adding a family: one full corpus READ (inherent — new stats
+    *    are functions of the data), zero data write. Existing stats
+    *    of rescanned shards are recomputed in the same pass
+    *    (deterministic zones/sums/hashes land bit-identical;
+    *    sketch/bloom blobs re-derive under the live spec).
+    *  - nothing to do: returns the live manifest, NO new generation.
+    *
+    * Spec (assignment, sort, id) is read from the live manifest and
+    * never changed here; layouts stamped before `spec_id` recording
+    * must [[rebuildManifest]] once to stamp it. Declared columns
+    * must exist in the data (quantiles numeric). Returns the live
+    * manifest. */
+  def declareShardStats(spark: SparkSession, path: String,
+                        zoneCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil,
+                        bloomFpp: Double = 0.01,
+                        sketchCols: Seq[String] = Nil,
+                        quantileCols: Seq[String] = Nil,
+                        retainPrevious: Boolean = false): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquirePublishLease(fs, base)
+    try {
+      recoverPublish(fs, base)
+      require(fs.exists(new org.apache.hadoop.fs.Path(base, "manifest")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
+        s"declareShardStats: $path is not a published shard layout " +
+          "(manifest lost? rebuildManifest is the recovery door)")
+      val live = spark.read.parquet(s"$path/manifest")
+      require(Seq("spec_col", "spec_n", "spec_id")
+          .forall(live.columns.contains),
+        s"declareShardStats: the live manifest of $path predates " +
+          "spec/id stamping; rebuildManifest once to stamp it")
+      val specRow = live.select(col("spec_col"), col("spec_n"),
+        (if (live.columns.contains("spec_sort")) col("spec_sort")
+         else lit(null).cast("string")).as("spec_sort"),
+        col("spec_id")).limit(1).collect()
+      require(specRow.nonEmpty,
+        s"declareShardStats: $path has an empty manifest — nothing " +
+          "is declared or carried on zero shards")
+      val shardColOpt = Option(specRow.head.getString(0))
+      val nShards = specRow.head.getInt(1)
+      val sortCols = Option(specRow.head.getString(2))
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      val idCol = specRow.head.getString(3)
+      require(idCol != null,
+        s"declareShardStats: $path has no spec_id stamp (published " +
+          "before id recording); rebuildManifest once to stamp it")
+      val dataDir = s"$path/data"
+      val (dataCols, writtenSchema) = layoutSchema(spark, dataDir)
+      validateStatDecls(writtenSchema, dataCols, idCol, None,
+        zoneCols, bloomCols, sketchCols, quantileCols, Nil,
+        "declareShardStats")
+      // target declarations = live ∪ new (a live declaration on a
+      // column the data no longer carries — only a displaced spec
+      // column like a previous rebin's 'qbin' — drops silently, the
+      // rebin convention)
+      def liveFam(prefix: String): Seq[String] =
+        live.columns.filter(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix)).toSeq
+      val zAll = (liveFam("zmin_") ++ zoneCols).distinct
+        .filter(dataCols.contains)
+      val bAll = (liveFam("zbloom_") ++ bloomCols).distinct
+        .filter(dataCols.contains)
+      val sAll = (liveFam("zhll_") ++ sketchCols).distinct
+        .filter(dataCols.contains)
+      val qAll = (liveFam("zkll_") ++ quantileCols).distinct
+        .filter(dataCols.contains)
+      val newFamily =
+        zAll.exists(c => !live.columns.contains(s"zmin_$c")) ||
+        bAll.exists(c => !live.columns.contains(s"zbloom_$c")) ||
+        sAll.exists(c => !live.columns.contains(s"zhll_$c")) ||
+        qAll.exists(c => !live.columns.contains(s"zkll_$c")) ||
+        // znull/zsum recounts added to a family stamped before they
+        // existed read as new too: the columns are absent outright
+        zAll.exists(c => !live.columns.contains(s"znull_$c"))
+      // legacy carries under the EXISTING declarations — evaluated as
+      // boolean FLAGS inside the scan, never by collecting blob
+      // columns (the ShardLayouts driver-bound rule)
+      val carryFlags: Seq[Column] =
+        liveFam("zbloom_").map(c => col(s"zbloom_$c").isNull) ++
+        liveFam("zhll_").map(c => col(s"zhll_$c").isNull) ++
+        liveFam("zkll_").map(c => col(s"zkll_$c").isNull) ++
+        liveFam("zmin_").flatMap { c =>
+          if (!live.columns.contains(s"znull_$c")) Seq(lit(true))
+          else Seq(col(s"znull_$c").isNull,
+            col(s"zmin_$c").isNull &&
+              !(col(s"znull_$c") === col("n_rows")))
+        }
+      val needy: Seq[Long] =
+        if (carryFlags.isEmpty) Nil
+        else live.filter(col("n_rows") > 0 &&
+            carryFlags.reduce(_ || _))
+          .select(col("shard")).collect().map(_.getLong(0)).toSeq
+      if (!newFamily && needy.isEmpty) return live // nothing to do
+      val written = spark.read.schema(writtenSchema).parquet(dataDir)
+      // healing-only reads prune to the carrying shards; a new family
+      // needs every shard's data (stats are functions of the bytes)
+      val scanned =
+        if (newFamily) written
+        else written.filter(col("shard").isin(needy: _*))
+      val bloomSpec =
+        if (bAll.isEmpty) None
+        else bloomSpecOf(live).map { case (_, m, k) => (bAll, m, k) }
+          .orElse {
+            import graft.expressions.BloomOps
+            val perShard = math.max(64L, math.ceil(
+              written.count().toDouble * 2 / nShards).toLong)
+            val mBits = BloomOps.sizeFor(perShard, bloomFpp)
+            Some((bAll, mBits, BloomOps.hashesFor(perShard, mBits)))
+          }
+      val recomputed = stampSpec(
+        shardSummary(scanned, idCol, dataCols, zAll, bloomSpec, sAll, qAll),
+        shardColOpt, nShards, sortCols, idCol)
+      val manifest =
+        if (newFamily) recomputed
+        else stampSpec(
+            live.filter(!col("shard").isin(needy: _*))
+              .drop("spec_col", "spec_n", "spec_sort", "spec_id"),
+            shardColOpt, nShards, sortCols, idCol)
+          .unionByName(recomputed, allowMissingColumns = true)
+      publishManifestOnly(spark, path, base, fs, manifest, retainPrevious)
+    } finally releasePublishLease(fs, base, lease)
+  }
+
+  /** Shared declaration checks of the stats-recovery doors: every
+    * declared column must exist in the published data, quantile
+    * columns must be numeric. */
+  private def validateStatDecls(
+      writtenSchema: org.apache.spark.sql.types.StructType,
+      dataCols: Seq[String], idCol: String, shardCol: Option[String],
+      zoneCols: Seq[String], bloomCols: Seq[String],
+      sketchCols: Seq[String], quantileCols: Seq[String],
+      sortCols: Seq[String], door: String): Unit = {
+    require(dataCols.contains(idCol),
+      s"$door: id column '$idCol' is not a data column " +
+        s"(${dataCols.mkString(", ")})")
+    shardCol.foreach(c => require(dataCols.contains(c),
+      s"$door: shardCol '$c' is not a data column"))
+    Seq("zoneCols" -> zoneCols, "bloomCols" -> bloomCols,
+        "sketchCols" -> sketchCols, "quantileCols" -> quantileCols,
+        "sortCols" -> sortCols).foreach { case (what, cols) =>
+      require(cols.forall(dataCols.contains),
+        s"$door: $what must be data columns; missing: ${
+          cols.filterNot(dataCols.contains).mkString(", ")}")
+    }
+    quantileCols.foreach(c => require(writtenSchema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$door: quantileCols must be numeric (quantiles of '$c': " +
+        s"${writtenSchema(c).dataType.sql} has no rank order)"))
+  }
+
+  /** MANIFEST-ONLY publish: stage a generation whose data is the live
+    * generation hard-linked file for file and whose manifest is
+    * `manifestDf`, then seal and promote through the standard
+    * machinery — the stats-recovery doors change what the manifest
+    * SAYS, never what the data IS, but they ride the same staged/
+    * marker/promote crash envelope as every publish so a kill at any
+    * point leaves the old state or the complete new one. The
+    * manifest is written (forcing its data scan) BEFORE any live dir
+    * moves. Caller holds the lease. */
+  private def publishManifestOnly(spark: SparkSession, path: String,
+      base: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      manifestDf: DataFrame, retainPrevious: Boolean): DataFrame = {
+    val stamp = genStamp()
+    val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
+    val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
+    val stagedData = new org.apache.hadoop.fs.Path(staging, "data")
+    val livePath = new org.apache.hadoop.fs.Path(base, "data")
+    try {
+      // manifest first: its lineage scans the LIVE data files, which
+      // must complete before promote renames them; the staged links
+      // below point at the same inodes either way
+      manifestDf.coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "manifest").toString)
+      fs.mkdirs(stagedData)
+      fs.listStatus(livePath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .foreach { d =>
+          val dst = new org.apache.hadoop.fs.Path(stagedData, d.getPath.getName)
+          fs.mkdirs(dst)
+          fs.listStatus(d.getPath).filter(_.isFile).foreach(st =>
+            linkOrCopy(fs, st.getPath,
+              new org.apache.hadoop.fs.Path(dst, st.getPath.getName)))
+        }
+    } catch {
+      case e: Throwable => fs.delete(staging, true); throw e
+    }
+    fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
+      true).close()
+    promoteStaged(fs, base, staging, old, retainPrevious)
+    spark.read.parquet(s"$path/manifest")
+  }
+
   /** GROUPED metadata quantiles — [[approxQuantilesShards]] per group
     * ("p50/p95 document length PER LANGUAGE"), answerable from the
     * manifest exactly when every shard is provably SINGLE-GROUP on
