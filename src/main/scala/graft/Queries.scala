@@ -3542,6 +3542,112 @@ object Queries {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  /** q111 — cross-document verbatim-span EXCISION under a VALUE
+    * oracle ([[graft.operators.Dedup.exciseSharedSpans]] — the
+    * REMOVAL half of q63's detection, Lee et al. 2022): every word
+    * position covered by an 8-gram shared verbatim by ≥3 documents
+    * is cut, each document's unique remainder kept. The fixture
+    * plants a 12-word template suffix on every 7th document (the
+    * q80/q108 planted-fixture pattern — both engines build it), so
+    * the door must excise exactly the planted template (plus any
+    * naturally repeated spans — the oracle replays those too, and
+    * boundary grams straddling unique text stay, trimming nothing
+    * they shouldn't). Hash-free by design: grams group by their own
+    * text, so the whole pipeline — token split, gram window, df
+    * threshold, covered-position cut — is replayed exactly by
+    * DuckDB and the clean TEXT itself is hash-compared, not a
+    * summary of it. */
+  val q111: Q = (s, dir) => {
+    val planted = when(col("doc_id") % 7 === 0,
+        concat(coalesce(col("text"), lit("")),
+          lit(" lorem template header alpha beta " +
+            "gamma delta epsilon zeta eta theta iota")))
+      .otherwise(col("text"))
+    val src = Tables(s, dir).documents
+      .select(col("doc_id"), planted.as("text"))
+    graft.operators.Dedup.exciseSharedSpans(src, "text", "doc_id",
+        k = 8, minDf = 3L)
+      .withColumnRenamed("id", "doc_id")
+  }
+  val q111Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') ||
+      |      ' lorem template header alpha beta gamma delta epsilon zeta eta theta iota'
+      |    ELSE coalesce(text, '') END AS t
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(t, '\s+', ' ', 'g')), ' ') AS w
+      |  FROM f
+      |), g AS (
+      |  SELECT doc_id, u.i, array_to_string(w[u.i:u.i+7], ' ') AS gram
+      |  FROM tk, unnest(range(1, greatest(len(w) - 6, 1))) AS u(i)
+      |), hot AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+      |), st AS (
+      |  SELECT doc_id, list(i) AS starts FROM g JOIN hot USING (gram)
+      |  GROUP BY doc_id
+      |), j AS (
+      |  SELECT tk.doc_id, tk.w, coalesce(st.starts, []) AS ss
+      |  FROM tk LEFT JOIN st USING (doc_id)
+      |)
+      |SELECT doc_id,
+      |  coalesce(array_to_string(list_transform(
+      |    list_filter(range(1, len(w) + 1),
+      |      p -> len(list_filter(ss, s -> p >= s AND p <= s + 7)) = 0),
+      |    p -> w[p]), ' '), '') AS clean_text,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - len(list_filter(range(1, len(w) + 1),
+      |    p -> len(list_filter(ss, s -> p >= s AND p <= s + 7)) = 0))
+      |    AS BIGINT) AS n_removed
+      |FROM j""".stripMargin
+
+  /** q112 — DSIR importance weighting under a VALUE oracle
+    * ([[graft.operators.Dsir.importanceWeights]], Xie et al. 2023):
+    * score every document by how much more likely it is under the
+    * English-target unigram model than under the raw multilingual
+    * model — the principled domain-selection weight that replaces
+    * source allowlists. Integer micro-nat arithmetic end to end (one
+    * rounded log per VOCAB entry, integer sums per doc), so the
+    * oracle replays the exact weights, not a tolerance band: DuckDB
+    * rebuilds both models, the smoothed log-ratio table, the
+    * normalizer, and the per-doc sum, and the hash compare is
+    * bit-exact. English docs must rank high, other langs low — but
+    * the oracle checks the WEIGHTS, which is stronger. */
+  val q112: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    graft.operators.Dsir.importanceWeights(
+      docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+  }
+  val q112Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), cr AS (
+      |  SELECT w, count(*) AS c_r FROM tk GROUP BY w
+      |), ct AS (
+      |  SELECT w, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY w
+      |), ratio AS (
+      |  SELECT cr.w,
+      |    CAST(round(ln((coalesce(ct.c_t, 0) + 1.0) / (cr.c_r + 1.0))
+      |      * 1e6, 0) AS BIGINT) AS r_micro
+      |  FROM cr LEFT JOIN ct USING (w)
+      |), norm AS (
+      |  SELECT CAST(round(ln(
+      |      ((SELECT CAST(sum(c_r) AS DOUBLE) FROM cr)
+      |        + (SELECT count(*) FROM cr)) /
+      |      ((SELECT CAST(coalesce(sum(c_t), 0) AS DOUBLE) FROM ct)
+      |        + (SELECT count(*) FROM cr))) * 1e6, 0) AS BIGINT)
+      |    AS norm_micro
+      |)
+      |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(r.r_micro) + count(*) * (SELECT norm_micro FROM norm)
+      |    AS BIGINT) AS weight_micro
+      |FROM tk JOIN ratio r USING (w)
+      |GROUP BY tk.doc_id""".stripMargin
+
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
     * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
@@ -3717,6 +3823,8 @@ object Queries {
     "q108_cjk_text" -> q108,
     "q109_manifest_rebuild" -> q109,
     "q110_stats_evolve" -> q110,
+    "q111_span_excision" -> q111,
+    "q112_dsir_weights" -> q112,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3828,5 +3936,7 @@ object Queries {
     "q108_cjk_text" -> q108Sql,
     "q109_manifest_rebuild" -> q109Sql,
     "q110_stats_evolve" -> q110Sql,
+    "q111_span_excision" -> q111Sql,
+    "q112_dsir_weights" -> q112Sql,
   )
 }

@@ -383,6 +383,89 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-document VERBATIM-SPAN EXCISION — the REMOVAL half of the
+    * copied-span story ([[sharedSpans]] only DETECTS): cut every
+    * word position covered by a `k`-gram that appears verbatim in
+    * ≥ `minDf` distinct documents, keeping each document's unique
+    * remainder intact. Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") show repeated substrings — license
+    * blocks, templated headers, pasted passages — hurt LM quality
+    * even inside otherwise-unique documents, where document-level
+    * dedup (q10/q11) and doc-DROPPING filters (q81's duplicated-
+    * n-gram fraction) can't reach. Policy here is REMOVE-EVERYWHERE
+    * (the C4/boilerplate stance) rather than keep-one-occurrence:
+    * a span common to ≥ minDf documents is treated as template, not
+    * content. Deliberately hash-free — grams travel as their own
+    * text (k≈8 words ≈ tens of bytes), so the operator is exact,
+    * collision-free, and DuckDB-replayable end to end (q111's value
+    * oracle); a 100 TB deployment can swap in 128-bit fingerprints
+    * (the q82 shuffle-byte optimization) without changing the plan
+    * shape.
+    *
+    * Plan: (1) one generate pass expands each doc into its (start,
+    * gram) pairs — the gram array is built row-locally by a HOF
+    * (k× text bytes, linear — the token array is never carried
+    * through the explode); (2) one groupBy-gram counts distinct
+    * docs and keeps grams with df ≥ minDf — THE shuffle, Σ grams ≈
+    * corpus tokens, with map-side partial aggregation; (3) hot
+    * starts join back (the hot set is a tiny fraction of grams —
+    * AQE broadcasts it when it fits) and collect per doc; (4) one
+    * codegen'd HOF projection drops covered positions — per-doc cost
+    * O(tokens × hot-starts), fine because hot starts per doc are
+    * bounded by its copied material. No pair expansion anywhere:
+    * unlike [[sharedSpans]]' Σdf² postings combos this is Σdf — the
+    * excision door scales strictly better than the detection door.
+    *
+    * Tokens are `\s+`-split verbatim words (case-SENSITIVE — excised
+    * spans are verbatim copies, the Lee et al. definition; run
+    * [[graft.functions.Text.cjkPreSplit]] upstream for CJK corpora).
+    * Documents shorter than k tokens contribute no grams and pass
+    * through untouched. Returns (id, clean_text, n_tokens,
+    * n_removed) — n_tokens counts the ORIGINAL tokens, n_removed
+    * how many were excised. */
+  def exciseSharedSpans(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 8, minDf: Long = 2L): DataFrame = {
+    require(k >= 1, s"k-gram length must be >= 1, got $k")
+    require(minDf >= 2, s"minDf < 2 would excise every position " +
+      s"(df >= 1 always holds), got $minDf")
+    val toks = split(trim(regexp_replace(
+      coalesce(col(textCol), lit("")), "\\s+", " ")), " ")
+    val base = df.select(col(idCol).as("id"), toks.as("_toks"))
+    // (start, gram) pairs via a row-local HOF: the gram array costs
+    // k× the text bytes (linear); carrying _toks through the explode
+    // instead would copy the whole token array into every position's
+    // row — the quadratic-bytes mistake the winnow kernel fixed
+    val gramsOf = when(size(col("_toks")) >= k,
+        transform(sequence(lit(0), size(col("_toks")) - k),
+          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("id"),
+      posexplode(gramsOf).as(Seq("_i", "_gram")))
+    val hot = grams.groupBy(col("_gram"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_gram"))
+    val hotStarts = grams.join(hot, "_gram")
+      .groupBy(col("id")).agg(collect_list(col("_i")).as("_starts"))
+    val kGap = lit(k)
+    base.join(hotStarts, Seq("id"), "left")
+      .select(col("id"),
+        col("_toks"), coalesce(col("_starts"),
+          array().cast("array<int>")).as("_st"))
+      .select(col("id"), col("_toks"),
+        // covered(i) ⇔ some hot gram starts in (i-k, i]
+        filter(transform(col("_toks"),
+            (w, i) => struct(w.as("w"), i.as("i"))),
+          s => !exists(col("_st"),
+            st => s("i") >= st && s("i") < st + kGap)).as("_kept"))
+      .select(col("id"),
+        array_join(transform(col("_kept"), s => s("w")), " ")
+          .as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Collapse near-dup candidate pairs into duplicate clusters via
     * GraphX connected components; survivors = the minimum id per
     * cluster. This is the step after any blocking strategy (minhash /

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[Dsir.importanceWeights]] — hand-checked micro-nat arithmetic on
+  * a tiny corpus, the domain-separation property on real fixture
+  * data, and partition-count invariance (the integer-sum determinism
+  * claim). */
+class DsirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("weights reproduce the smoothed unigram log-ratio by hand") {
+    // raw: 2 docs. target = doc 1 only.
+    //   doc 1: "a a b"   doc 2: "c c c"
+    // raw counts:   a=2 b=1 c=3   Z_r=6  V=3
+    // target:       a=2 b=1       Z_t=3
+    // r(a)=ln(3/3)=0; r(b)=ln(2/2)=0; r(c)=ln(1/4)
+    // norm = ln((6+3)/(3+3)) = ln(1.5)
+    val df = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(df, df.filter(col("doc_id") === 1L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val norm = math.round(math.log(9.0 / 6.0) * 1e6)
+    val rc = math.round(math.log(1.0 / 4.0) * 1e6)
+    assert(out(1L) == ((3L, 3L * norm)),
+      s"doc1: got ${out(1L)}, want (3, ${3 * norm})")
+    assert(out(2L) == ((3L, 3L * rc + 3L * norm)),
+      s"doc2: got ${out(2L)}, want (3, ${3 * rc + 3 * norm})")
+    // the target-like doc must outrank the target-unlike one
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("on the fixture corpus, English documents outrank non-English " +
+    "under an English target (the DSIR selection property)") {
+    val docs = graft.Tables(spark, sf).documents
+    val w = Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "en"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("weight_micro").cast("double") /
+        col("n_tokens").cast("double")).as("per_tok"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"mean per-token weight en=${w(true)} vs rest=${w(false)}")
+  }
+
+  test("weights are partition-count invariant (integer micro-nat sums)") {
+    val docs = graft.Tables(spark, sf).documents.limit(200)
+    val t = docs.filter(col("lang") === "en")
+    val a = Dsir.importanceWeights(docs.repartition(1), t)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Dsir.importanceWeights(docs.repartition(13), t.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b, "weights must be bit-identical at any parallelism")
+  }
+}
