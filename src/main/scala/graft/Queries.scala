@@ -3617,8 +3617,11 @@ object Queries {
     * the oracle checks the WEIGHTS, which is stronger. */
   val q112: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
-    graft.operators.Dsir.importanceWeights(
-      docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+    // the target is a predicate-picked subset, so both models ride
+    // ONE explode+count pass (importanceWeightsWhen — DsirSpec pins
+    // it weight-identical to the two-frame form)
+    graft.operators.Dsir.importanceWeightsWhen(
+      docs, col("lang") === "en", "text", "doc_id")
   }
   val q112Sql: String =
     """WITH tk AS (
@@ -3647,6 +3650,58 @@ object Queries {
       |    AS BIGINT) AS weight_micro
       |FROM tk JOIN ratio r USING (w)
       |GROUP BY tk.doc_id""".stripMargin
+
+  /** q113 — DSIR RESAMPLING under a VALUE oracle
+    * ([[graft.operators.Dsir.resample]]): the selection half of
+    * q112's weighting — Gumbel-top-k over the log importance
+    * weights, i.e. k docs sampled without replacement with
+    * probability ∝ w(x) (Xie et al. §2). The Gumbel draw is seeded
+    * by the engine's one deterministic coin (the Knuth hash every
+    * sampler flips) and rounded to micro-nats, so the oracle replays
+    * the EXACT selected set — weights, noise, ranking and all —
+    * while execution stays a bounded-heap top-k, never a global
+    * sort. */
+  val q113: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val w = graft.operators.Dsir.importanceWeightsWhen(
+      docs, col("lang") === "en", "text", "doc_id")
+    graft.operators.Dsir.resample(w, k = 100)
+  }
+  val q113Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents
+      |), cr AS (
+      |  SELECT w, count(*) AS c_r FROM tk GROUP BY w
+      |), ct AS (
+      |  SELECT w, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY w
+      |), ratio AS (
+      |  SELECT cr.w,
+      |    CAST(round(ln((coalesce(ct.c_t, 0) + 1.0) / (cr.c_r + 1.0))
+      |      * 1e6, 0) AS BIGINT) AS r_micro
+      |  FROM cr LEFT JOIN ct USING (w)
+      |), norm AS (
+      |  SELECT CAST(round(ln(
+      |      ((SELECT CAST(sum(c_r) AS DOUBLE) FROM cr)
+      |        + (SELECT count(*) FROM cr)) /
+      |      ((SELECT CAST(coalesce(sum(c_t), 0) AS DOUBLE) FROM ct)
+      |        + (SELECT count(*) FROM cr))) * 1e6, 0) AS BIGINT)
+      |    AS norm_micro
+      |), weights AS (
+      |  SELECT tk.doc_id,
+      |    CAST(sum(r.r_micro) + count(*) * (SELECT norm_micro FROM norm)
+      |      AS BIGINT) AS weight_micro
+      |  FROM tk JOIN ratio r USING (w)
+      |  GROUP BY tk.doc_id
+      |)
+      |SELECT doc_id, weight_micro,
+      |  weight_micro + CAST(round(-ln(-ln(
+      |      (((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
+      |        / 4294967296.0)) * 1e6, 0) AS BIGINT) AS score_micro
+      |FROM weights
+      |ORDER BY score_micro DESC, doc_id
+      |LIMIT 100""".stripMargin
 
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
@@ -3825,6 +3880,7 @@ object Queries {
     "q110_stats_evolve" -> q110,
     "q111_span_excision" -> q111,
     "q112_dsir_weights" -> q112,
+    "q113_dsir_resample" -> q113,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3938,5 +3994,6 @@ object Queries {
     "q110_stats_evolve" -> q110Sql,
     "q111_span_excision" -> q111Sql,
     "q112_dsir_weights" -> q112Sql,
+    "q113_dsir_resample" -> q113Sql,
   )
 }

@@ -62,19 +62,49 @@ object Dsir {
     val tokT = target.select(explode(tokenize(col(textCol))).as("w"))
     val cntR = tokR.groupBy("w").agg(count(lit(1)).as("c_r"))
     val cntT = tokT.groupBy("w").agg(count(lit(1)).as("c_t"))
+    val model = cntR.join(cntT, Seq("w"), "left")
+      .select(col("w"), col("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    weightsFromModel(tokR, model, idCol)
+  }
+
+  /** [[importanceWeights]] when the target is a SUBSET of the raw
+    * corpus picked by a predicate (q112's lang='en' shape — the
+    * common curation case): both unigram models come out of ONE
+    * explode+count pass (a conditional count rides the raw count's
+    * shuffle), so the corpus is tokenized twice instead of three
+    * times. Identical weights to the two-frame form by construction
+    * (DsirSpec pins them equal). */
+  def importanceWeightsWhen(raw: DataFrame, isTarget: Column,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            cjkAware: Boolean = false): DataFrame = {
+    val tokenize: Column => Column =
+      if (cjkAware) Text.tokensCjk else Text.tokens
+    val tok = raw.select(col(idCol), isTarget.as("_t"),
+      explode(tokenize(col(textCol))).as("w"))
+    val model = tok.groupBy("w").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("c_t"))
+    weightsFromModel(tok.select(col(idCol), col("w")), model, idCol)
+  }
+
+  /** Shared weight tail: per-vocab rounded log-ratios, the 1-row
+    * normalizer, the per-doc integer sum. `model` = (w, c_r, c_t). */
+  private def weightsFromModel(tokR: DataFrame, model: DataFrame,
+                               idCol: String): DataFrame = {
     // one rounded transcendental per VOCAB entry, never per token
-    val ratio = cntR.join(cntT, Seq("w"), "left")
-      .select(col("w"),
-        round(log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
-            (col("c_r") + lit(1L)).cast("double")) * 1e6, 0)
-          .cast("long").as("r_micro"))
+    val ratio = model.select(col("w"),
+      round(log((col("c_t") + lit(1L)).cast("double") /
+          (col("c_r") + lit(1L)).cast("double")) * 1e6, 0)
+        .cast("long").as("r_micro"))
     // the smoothing normalizer ln((Z_r+V)/(Z_t+V)) is per-token
-    // constant — two 1-row aggregates, one rounded log
-    val totals = cntR.agg(sum(col("c_r")).as("z_r"),
-        count(lit(1)).as("v"))
-      .crossJoin(cntT.agg(coalesce(sum(col("c_t")), lit(0L)).as("z_t")))
+    // constant — one 1-row aggregate, one rounded log
+    val totals = model.agg(sum(col("c_r")).as("z_r"),
+        count(lit(1)).as("v"), sum(col("c_t")).as("z_t"))
       .select(round(log((col("z_r") + col("v")).cast("double") /
-            (col("z_t") + col("v")).cast("double")) * 1e6, 0)
+            (coalesce(col("z_t"), lit(0L)) + col("v")).cast("double"))
+          * 1e6, 0)
         .cast("long").as("norm_micro"))
     tokR.join(ratio, "w")
       .groupBy(col(idCol))
@@ -83,5 +113,35 @@ object Dsir {
       .select(col(idCol), col("n_tokens"),
         (col("_s") + col("n_tokens") * col("norm_micro"))
           .as("weight_micro"))
+  }
+
+  /** The RESAMPLE half of DSIR (Xie et al. §2: Gumbel-top-k over the
+    * log importance weights = sampling k documents without
+    * replacement with probability ∝ w(x)): each doc's selection key
+    * is `weight_micro + Gumbel noise`, and the k largest keys win.
+    * The noise is seeded by the engine's ONE deterministic coin
+    * ([[Sampling.knuthCoin]] — Knuth multiplicative hash of the id,
+    * engine-portable integer arithmetic), mapped to (0,1) and through
+    * −ln(−ln u), rounded to integer micro-nats like every
+    * transcendental here — so the draw is a pure function of
+    * (id, weight): reproducible across runs, partitionings, and
+    * engines (q113's oracle replays the exact selection). Execution
+    * is a bounded-heap top-k (TakeOrderedAndProject — per-partition
+    * heaps, k rows to the driver), never a global sort. Ties break
+    * by id. Returns (idCol, weight_micro, score_micro), the k
+    * selected docs. */
+  def resample(weighted: DataFrame, k: Int,
+               idCol: String = "doc_id",
+               weightCol: String = "weight_micro"): DataFrame = {
+    require(k > 0, s"resample needs k > 0, got $k")
+    // coin ∈ [0, 2³²) → u ∈ (0,1): the +0.5 keeps both log args
+    // strictly inside their domains for every coin value
+    val u = (Sampling.knuthCoin(col(idCol)).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val gumbel = round(-log(-log(u)) * 1e6, 0).cast("long")
+    weighted.select(col(idCol), col(weightCol),
+        (col(weightCol) + gumbel).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -46,6 +46,37 @@ class DsirSpec extends SparkTestBase {
       s"mean per-token weight en=${w(true)} vs rest=${w(false)}")
   }
 
+  test("importanceWeightsWhen (one model pass) is weight-identical " +
+    "to the two-frame form on a subset target") {
+    val docs = graft.Tables(spark, sf).documents
+    val two = Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "en"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val one = Dsir.importanceWeightsWhen(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one == two)
+  }
+
+  test("resample: Gumbel-top-k selection is a pure function of " +
+    "(id, weight) — reproducible, k-bounded, higher weight wins in " +
+    "expectation and ties break by id") {
+    val df = Seq.tabulate(50)(i => (i.toLong, 3L, (i % 5) * 1000000L))
+      .toDF("doc_id", "n_tokens", "weight_micro")
+    val a = Dsir.resample(df, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val b = Dsir.resample(df.repartition(7), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toSeq == b.toSeq,
+      "the selected set and order must not depend on partitioning")
+    assert(a.length == 10)
+    // scores strictly ordered desc, ids ascending within equal scores
+    assert(a.map(_._2).toSeq == a.map(_._2).sortBy(-_).toSeq)
+    // higher-weight docs (weight 4e6, every 5th id) should dominate
+    // a top-10 of 50 under weight gaps of e^1..e^4 per tier
+    val heavy = a.count(_._1 % 5 == 4)
+    assert(heavy >= 5, s"only $heavy of 10 selected from the top tier")
+  }
+
   test("weights are partition-count invariant (integer micro-nat sums)") {
     val docs = graft.Tables(spark, sf).documents.limit(200)
     val t = docs.filter(col("lang") === "en")
