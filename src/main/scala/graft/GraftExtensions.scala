@@ -575,6 +575,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Some(litString(sc, "shard_col")).filter(_.nonEmpty),
             zoneCols = csvCols(z, "zone_csv")) },
       "(path, id_col, n_shards[, shard_col[, zone_csv]]) as literals")
+    tvf("excise_shared_spans",
+      "excise_shared_spans(path, text_col, id_col, k, min_df) - " +
+        "cross-document verbatim-span REMOVAL (Dedup.exciseSharedSpans, " +
+        "Lee et al. 2022): cut every word position covered by a k-gram " +
+        "shared by >= min_df distinct documents of the parquet corpus " +
+        "at path; returns (id, clean_text, n_tokens, n_removed)",
+      { case Seq(p, tc, ic, kk, md) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          graft.operators.Dedup.exciseSharedSpans(
+            s.read.parquet(litString(p, "path")),
+            litString(tc, "text_col"), litString(ic, "id_col"),
+            k = litInt(kk, "k"), minDf = litInt(md, "min_df").toLong) },
+      "(path, text_col, id_col, k, min_df) as literals")
+    tvf("dsir_weights",
+      "dsir_weights(path, text_col, id_col, target_predicate) - DSIR " +
+        "importance weights (Dsir.importanceWeightsWhen, Xie et al. " +
+        "2023) of the parquet corpus at path against the target subset " +
+        "picked by the SQL predicate (e.g. 'lang = ''en'''); returns " +
+        "(id, n_tokens, weight_micro) in integer micro-nats",
+      { case Seq(p, tc, ic, pr) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          graft.operators.Dsir.importanceWeightsWhen(
+            s.read.parquet(litString(p, "path")),
+            org.apache.spark.sql.functions.expr(
+              litString(pr, "target_predicate")),
+            litString(tc, "text_col"), litString(ic, "id_col")) },
+      "(path, text_col, id_col, target_predicate) as string literals")
     tvf("declare_shard_stats",
       "declare_shard_stats(path, zone_csv, bloom_csv, sketch_csv, " +
         "quantile_csv) - PROCEDURE form of the stat-evolution/healing " +

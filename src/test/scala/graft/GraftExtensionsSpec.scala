@@ -478,4 +478,32 @@ class GraftExtensionsSpec extends SparkTestBase {
         s"both paths must answer ~the same p50: $a vs $b")
     }
   }
+
+  test("excise_shared_spans / dsir_weights TVFs match their Column " +
+       "APIs from pure SQL over a parquet corpus") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_tvf_").toString
+    Seq(
+      (1L, "en", "u1 u2 a b c d v1 v2"),
+      (2L, "en", "w1 a b c d"),
+      (3L, "fr", "a b c d x1 x2 x3"),
+      (4L, "fr", "y1 y2 y3 y4 y5"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(dir)
+    val sqlEx = spark.sql(
+      s"SELECT * FROM excise_shared_spans('$dir', 'text', 'doc_id', 4, 3)")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val opEx = graft.operators.Dedup.exciseSharedSpans(
+        spark.read.parquet(dir), "text", "doc_id", k = 4, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sqlEx == opEx && sqlEx(2L) == "w1")
+    val sqlW = spark.sql(
+      s"SELECT * FROM dsir_weights('$dir', 'text', 'doc_id', " +
+        "'lang = ''en''')")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val opW = graft.operators.Dsir.importanceWeightsWhen(
+        spark.read.parquet(dir), col("lang") === "en", "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sqlW == opW && sqlW.size == 4)
+  }
 }

@@ -243,6 +243,31 @@ class StatsRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("concurrent-reader pin: a reader holding the displaced stamp " +
+    "keeps a CONSISTENT pre-evolution corpus after declareShardStats") {
+    val work = Files.createTempDirectory("graft_ccr_").toString
+    val t = s"$work/corpus"
+    Sinks.writeShards(corpus, t, "id", nShards = 4,
+      shardCol = Some("bucket"), zoneCols = Seq("score"))
+    val before = spark.read.parquet(s"$t/data")
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Sinks.declareShardStats(spark, t, sketchCols = Seq("tag"),
+      retainPrevious = true)
+    val stamp = Sinks.listShardVersions(spark, t).head
+    // the displaced generation: identical rows, pre-evolution manifest
+    val old = Sinks.readShardsAt(spark, t, stamp)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == before, "the retained generation must be the exact " +
+      "pre-evolution corpus (hard links, not copies or mixes)")
+    assert(!Sinks.shardStats(spark, t, Some(stamp)).columns
+        .contains("zhll_tag"),
+      "the retained manifest must be the PRE-declaration one")
+    assert(Sinks.shardStats(spark, t).columns.contains("zhll_tag"),
+      "the live manifest must carry the new declaration")
+  }
+
   test("SQL procedure forms: rebuild_manifest and declare_shard_stats") {
     val work = Files.createTempDirectory("graft_sqlrm_").toString
     val t = s"$work/corpus"
