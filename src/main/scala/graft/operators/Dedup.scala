@@ -395,12 +395,11 @@ object Dedup {
     * n-gram fraction) can't reach. Policy here is REMOVE-EVERYWHERE
     * (the C4/boilerplate stance) rather than keep-one-occurrence:
     * a span common to ≥ minDf documents is treated as template, not
-    * content. Deliberately hash-free — grams travel as their own
-    * text (k≈8 words ≈ tens of bytes), so the operator is exact,
-    * collision-free, and DuckDB-replayable end to end (q111's value
-    * oracle); a 100 TB deployment can swap in 128-bit fingerprints
-    * (the q82 shuffle-byte optimization) without changing the plan
-    * shape.
+    * content. SEMANTICS are hash-free — the df threshold is defined
+    * on the gram text, which is what q111's DuckDB oracle replays —
+    * while the df SHUFFLE carries a 128-bit gram fingerprint (two
+    * xxhash64 lanes, the q82 shuffle-byte convention; a collision
+    * needs two distinct grams sharing both lanes, ~2⁻¹²⁸).
     *
     * Plan: (1) one generate pass expands each doc into its (start,
     * gram) pairs — the gram array is built row-locally by a HOF
@@ -439,13 +438,22 @@ object Dedup {
         transform(sequence(lit(0), size(col("_toks")) - k),
           i => concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
+    // the df shuffle carries a 128-bit gram FINGERPRINT (two
+    // independent xxhash64 lanes — the q82 convention), not the ~k-word
+    // gram string: ~3× fewer shuffle bytes and integer agg keys. The
+    // oracle still replays RAW-gram semantics — a fingerprint collision
+    // (two distinct grams sharing both lanes, ~2⁻¹²⁸ per pair) is the
+    // accepted q82 risk, astronomically below any operational concern.
     val grams = base.select(col("id"),
-      posexplode(gramsOf).as(Seq("_i", "_gram")))
-    val hot = grams.groupBy(col("_gram"))
+        posexplode(gramsOf).as(Seq("_i", "_gram")))
+      .select(col("id"), col("_i"),
+        xxhash64(col("_gram")).as("_f1"),
+        xxhash64(lit(1), col("_gram")).as("_f2"))
+    val hot = grams.groupBy(col("_f1"), col("_f2"))
       .agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") >= minDf)
-      .select(col("_gram"))
-    val hotStarts = grams.join(hot, "_gram")
+      .select(col("_f1"), col("_f2"))
+    val hotStarts = grams.join(hot, Seq("_f1", "_f2"))
       .groupBy(col("id")).agg(collect_list(col("_i")).as("_starts"))
     val kGap = lit(k)
     base.join(hotStarts, Seq("id"), "left")
