@@ -3703,6 +3703,38 @@ object Queries {
       |ORDER BY score_micro DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** q114 — TEMPERATURE-scaled domain rebalancing under a VALUE
+    * oracle ([[graft.operators.Sampling.mixByTemperature]], the
+    * Conneau & Lample / T5 multilingual mixing rule): kept counts per
+    * LANGUAGE ∝ n_d^α with α = 0.5, the rarest language kept in full
+    * (the corpus is genuinely lang-skewed — ~55% English — so the
+    * rates bite; the 20 sources are exactly uniform and would all
+    * rate 1.0).
+    * The rate is Σ-free (one exact integer ratio + one pow per
+    * domain, rounded 6 dp) and the keep decision is the engine's
+    * deterministic Knuth coin, so the oracle replays the EXACT kept
+    * row set — the reweighting step that turns a natural crawl mix
+    * into a flattened training mix, bit-reproducibly. */
+  val q114: Q = (s, dir) =>
+    graft.operators.Sampling.mixByTemperature(
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "doc_id", alpha = 0.5)
+  val q114Sql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+      |), m AS (
+      |  SELECT min(nd) AS nmin FROM c
+      |), r AS (
+      |  SELECT lang, round(pow(CAST(nmin AS DOUBLE) / nd, 0.5), 6)
+      |    AS rate
+      |  FROM c, m
+      |)
+      |SELECT d.lang, d.doc_id, d.n_chars
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+      |      < rate * 4294967296.0""".stripMargin
+
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
     * [[graft.operators.VectorIndex.append]] the remaining 1/7 PLUS a
@@ -3881,6 +3913,7 @@ object Queries {
     "q111_span_excision" -> q111,
     "q112_dsir_weights" -> q112,
     "q113_dsir_resample" -> q113,
+    "q114_temperature_mix" -> q114,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3995,5 +4028,6 @@ object Queries {
     "q111_span_excision" -> q111Sql,
     "q112_dsir_weights" -> q112Sql,
     "q113_dsir_resample" -> q113Sql,
+    "q114_temperature_mix" -> q114Sql,
   )
 }

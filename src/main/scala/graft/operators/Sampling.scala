@@ -118,6 +118,42 @@ object Sampling {
     df.filter(knuthCoin(col(idCol)) < rate * lit(4294967296L))
   }
 
+  /** TEMPERATURE-scaled domain rebalancing — the multilingual /
+    * multi-source sampling rule (Conneau & Lample 2019 §3.1; the T5
+    * mixing-rate form): kept counts per domain are proportional to
+    * n_d^α (α = 1/T ∈ (0,1]; smaller α flattens the mix toward
+    * uniform, α = 1 keeps the natural mix), via per-row keep rate
+    *
+    *   r_d = (n_min / n_d)^(1−α)
+    *
+    * SELF-NORMALIZED to the rarest domain (kept in full) — the
+    * formulation is deliberately Σ-free: a Σ n_e^α normalizer would
+    * be a float sum whose value depends on domain iteration order,
+    * while this rate is one exact integer ratio and ONE pow per
+    * domain, rounded to 6 dp (the q26 transcendental stance) before
+    * it meets the engine-portable Knuth coin — so membership is a
+    * pure function of (id, domain counts), bit-reproducible across
+    * runs, partitionings, and engines (q114's value oracle replays
+    * the exact kept set). One count aggregate (domain-cardinality
+    * shuffle), one broadcast-back join, one filter — no sort, no RNG
+    * state, scan-speed at 100 TB. Docs in domains missing a count
+    * (impossible for an inner self-derived model) simply drop. */
+  def mixByTemperature(df: DataFrame, domainCol: String, idCol: String,
+                       alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"alpha = 1/T must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+    val nMin = counts.agg(min(col("_nd")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(domainCol),
+        round(pow(col("_nmin").cast("double") / col("_nd").cast("double"),
+          1.0 - alpha), 6).as("_rate"))
+    df.join(rates, domainCol)
+      .filter(knuthCoin(col(idCol)).cast("double") <
+        col("_rate") * lit(4294967296.0))
+      .drop("_rate")
+  }
+
   /** THE deterministic per-row coin every sampler here flips —
     * `((id mod 2³¹)·2654435761) mod 2³²` (see [[mixByRate]] for the
     * overflow-free/engine-portability argument). One definition on

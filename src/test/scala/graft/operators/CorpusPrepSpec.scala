@@ -127,4 +127,35 @@ class CorpusPrepSpec extends SparkTestBase {
       assert(rows.length <= 8, s"batch ($b,$bid) has ${rows.length} rows")
     }
   }
+
+  test("mixByTemperature: kept counts track n_d^alpha, the rarest " +
+    "domain survives whole, alpha=1 keeps everything, and membership " +
+    "is partition-invariant") {
+    import spark.implicits._
+    // three domains with 10/90/900 rows: alpha=0.5 rates are
+    // 1, sqrt(1/9)≈.333, sqrt(1/90)≈.105
+    val df = ((0L until 10L).map(i => (i, "rare")) ++
+        (100L until 190L).map(i => (i, "mid")) ++
+        (1000L until 1900L).map(i => (i, "big")))
+      .toDF("id", "dom")
+    val kept = Sampling.mixByTemperature(df, "dom", "id", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byDom = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDom("rare") == 10, "the rarest domain must be kept whole")
+    // expected kept: mid ~ 90*.333=30, big ~ 900*.105=95 — allow the
+    // coin's binomial spread (these are deterministic, the band is
+    // for robustness to fixture edits, not randomness)
+    assert(byDom("mid") > 15 && byDom("mid") < 45, s"mid: ${byDom("mid")}")
+    assert(byDom("big") > 60 && byDom("big") < 135, s"big: ${byDom("big")}")
+    val all = Sampling.mixByTemperature(df, "dom", "id", alpha = 1.0)
+    assert(all.count() == 1000L, "alpha = 1 is the natural mix")
+    val repart = Sampling
+      .mixByTemperature(df.repartition(17), "dom", "id", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(kept.toSet == repart.toSet, "membership must be a pure " +
+      "function of (id, domain counts)")
+    intercept[IllegalArgumentException] {
+      Sampling.mixByTemperature(df, "dom", "id", alpha = 0.0)
+    }
+  }
 }
