@@ -602,6 +602,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               litString(pr, "target_predicate")),
             litString(tc, "text_col"), litString(ic, "id_col")) },
       "(path, text_col, id_col, target_predicate) as string literals")
+    tvf("mix_by_temperature",
+      "mix_by_temperature(path, domain_col, id_col, alpha) - " +
+        "temperature-scaled domain rebalancing " +
+        "(Sampling.mixByTemperature): kept counts per domain of the " +
+        "parquet corpus at path are proportional to n_d^alpha " +
+        "(alpha = 1/T in (0,1]), rarest domain kept whole, " +
+        "deterministic Knuth-coin membership",
+      { case Seq(p, dc, ic, a) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          graft.operators.Sampling.mixByTemperature(
+            s.read.parquet(litString(p, "path")),
+            litString(dc, "domain_col"), litString(ic, "id_col"),
+            litFraction(a, "alpha")) },
+      "(path, domain_col, id_col, alpha) as literals")
     tvf("declare_shard_stats",
       "declare_shard_stats(path, zone_csv, bloom_csv, sketch_csv, " +
         "quantile_csv) - PROCEDURE form of the stat-evolution/healing " +

@@ -505,5 +505,12 @@ class GraftExtensionsSpec extends SparkTestBase {
         spark.read.parquet(dir), col("lang") === "en", "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sqlW == opW && sqlW.size == 4)
+    val sqlMix = spark.sql(
+      s"SELECT * FROM mix_by_temperature('$dir', 'lang', 'doc_id', 0.5)")
+      .collect().map(_.getLong(1)).toSet
+    val opMix = graft.operators.Sampling.mixByTemperature(
+        spark.read.parquet(dir), "lang", "doc_id", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(sqlMix == opMix && sqlMix.nonEmpty)
   }
 }
