@@ -421,16 +421,23 @@ object Queries {
 
   private val wordsSql =
     "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
-  /** The Sampling coin (Knuth multiplicative hash of the id), in the
+  /** The salted Sampling coin ([[graft.operators.Sampling.knuthCoin]]
+    * — quadratic mix then Knuth multiplicative hash), in the
     * pmod-equivalent SQL form shared by every oracle that replays it
-    * (q55/q69/q72): Spark's pmod is always non-negative while DuckDB's
-    * % follows the dividend's sign, so negative 64-bit ids are folded
-    * into [0, 2^31) the same way Spark does. ONE definition on purpose
-    * — a coin fix applied to one oracle but not another shows up as a
-    * phantom cross-engine mismatch. */
-  private val coinSql =
-    """((((doc_id % 2147483648) + 2147483648) % 2147483648)
-      |      * 2654435761) % 4294967296""".stripMargin
+    * (q55/q69/q72/q113/q114): Spark's pmod is always non-negative
+    * while DuckDB's % follows the dividend's sign, so negative 64-bit
+    * ids are folded into [0, 2^30) the same way Spark does (the
+    * +2^30+salt literal below). ONE definition on purpose — a coin
+    * fix applied to one oracle but not another shows up as a phantom
+    * cross-engine mismatch. Each oracle passes its door's salt
+    * (`Sampling.SaltRate`/`SaltSplit`/`SaltWeight`/`SaltGumbel`/
+    * `SaltTemperature`), mirroring the per-door salting that makes
+    * composed sampling doors independent. */
+  private def coinSql(salt: Long, idExpr: String = "doc_id"): String = {
+    val x = s"((($idExpr % 1073741824) + ${1073741824L + salt}) % 1073741824)"
+    val q = s"(($x * (2 * $x + 1)) % 4294967296)"
+    s"((($q % 2147483648) * 2654435761) % 4294967296)"
+  }
   private val punctSql =
     Seq(".", ",", "!", "?", ";", ":").map(markerCountSql).mkString("(", " + ", ")")
   private val stopSql =
@@ -1343,7 +1350,7 @@ object Queries {
   val q55Sql: String =
     s"""WITH coin AS (
       |  SELECT lang, doc_id,
-      |    $coinSql AS c,
+      |    ${coinSql(Sampling.SaltRate)} AS c,
       |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS rate
       |  FROM documents
       |), k AS (
@@ -1849,7 +1856,7 @@ object Queries {
       .map(f => math.floor(f * 4294967296.0).toLong)
     s"""WITH coin AS (
        |  SELECT lang, doc_id,
-       |    $coinSql AS c
+       |    ${coinSql(Sampling.SaltSplit)} AS c
        |  FROM documents)
        |SELECT lang,
        |  CASE WHEN c < ${ts(0)} THEN '${q69Splits(0)._1}'
@@ -1940,7 +1947,7 @@ object Queries {
        |    round(0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
        |        + 0.5 * least(CAST($stopSql AS DOUBLE) * 8.0 / greatest(CAST($wordsSql AS DOUBLE), 1.0), 1.0)
        |        - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score,
-       |    $coinSql AS c
+       |    ${coinSql(Sampling.SaltWeight)} AS c
        |  FROM documents
        |), k AS (
        |  SELECT lang, COUNT(*) AS kept,
@@ -3656,11 +3663,11 @@ object Queries {
     * q112's weighting — Gumbel-top-k over the log importance
     * weights, i.e. k docs sampled without replacement with
     * probability ∝ w(x) (Xie et al. §2). The Gumbel draw is seeded
-    * by the engine's one deterministic coin (the Knuth hash every
-    * sampler flips) and rounded to micro-nats, so the oracle replays
-    * the EXACT selected set — weights, noise, ranking and all —
-    * while execution stays a bounded-heap top-k, never a global
-    * sort. */
+    * by the engine's deterministic SaltGumbel door coin (salted so
+    * the draw is independent of the split/weight doors it composes
+    * with) and rounded to micro-nats, so the oracle replays the
+    * EXACT selected set — weights, noise, ranking and all — while
+    * execution stays a bounded-heap top-k, never a global sort. */
   val q113: Q = (s, dir) => {
     val docs = Tables(s, dir).documents
     val w = graft.operators.Dsir.importanceWeightsWhen(
@@ -3697,11 +3704,12 @@ object Queries {
       |)
       |SELECT doc_id, weight_micro,
       |  weight_micro + CAST(round(-ln(-ln(
-      |      (((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
+      |      (__COIN__ + 0.5)
       |        / 4294967296.0)) * 1e6, 0) AS BIGINT) AS score_micro
       |FROM weights
       |ORDER BY score_micro DESC, doc_id
       |LIMIT 100""".stripMargin
+      .replace("__COIN__", coinSql(Sampling.SaltGumbel))
 
   /** q114 — TEMPERATURE-scaled domain rebalancing under a VALUE
     * oracle ([[graft.operators.Sampling.mixByTemperature]], the
@@ -3721,8 +3729,9 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("n_chars")),
       "lang", "doc_id", alpha = 0.5)
   val q114Sql: String =
-    """WITH c AS (
-      |  SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+    s"""WITH c AS (
+      |  SELECT lang, count(*) AS nd FROM documents
+      |  WHERE lang IS NOT NULL GROUP BY lang
       |), m AS (
       |  SELECT min(nd) AS nmin FROM c
       |), r AS (
@@ -3732,7 +3741,7 @@ object Queries {
       |)
       |SELECT d.lang, d.doc_id, d.n_chars
       |FROM documents d JOIN r USING (lang)
-      |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+      |WHERE ${coinSql(Sampling.SaltTemperature, "d.doc_id")}
       |      < rate * 4294967296.0""".stripMargin
 
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7

@@ -119,8 +119,9 @@ object Dsir {
     * log importance weights = sampling k documents without
     * replacement with probability ∝ w(x)): each doc's selection key
     * is `weight_micro + Gumbel noise`, and the k largest keys win.
-    * The noise is seeded by the engine's ONE deterministic coin
-    * ([[Sampling.knuthCoin]] — Knuth multiplicative hash of the id,
+    * The noise is seeded by the engine's deterministic door coin
+    * ([[Sampling.knuthCoin]] with [[Sampling.SaltGumbel]] — salted so
+    * the draw is independent of every other sampling door's coin;
     * engine-portable integer arithmetic), mapped to (0,1) and through
     * −ln(−ln u), rounded to integer micro-nats like every
     * transcendental here — so the draw is a pure function of
@@ -136,8 +137,8 @@ object Dsir {
     require(k > 0, s"resample needs k > 0, got $k")
     // coin ∈ [0, 2³²) → u ∈ (0,1): the +0.5 keeps both log args
     // strictly inside their domains for every coin value
-    val u = (Sampling.knuthCoin(col(idCol)).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
+    val u = (Sampling.knuthCoin(col(idCol), Sampling.SaltGumbel)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
     val gumbel = round(-log(-log(u)) * 1e6, 0).cast("long")
     weighted.select(col(idCol), col(weightCol),
         (col(weightCol) + gumbel).as("score_micro"))

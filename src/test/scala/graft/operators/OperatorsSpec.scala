@@ -214,15 +214,18 @@ class SamplingSpec extends SparkTestBase {
   test("domain mix: coin is overflow-free and portable for ids near 2^33") {
     // Lake-scale doc_ids exceed 2^32; the coin must equal the
     // infinite-precision value (what a HUGEINT-promoting engine like
-    // DuckDB computes) — the pre-reduction mod 2^31 guarantees the
-    // product never wraps a signed 64-bit long.
+    // DuckDB computes) — the pre-reduction mod 2^30 bounds every
+    // product below 2^63 so it never wraps a signed 64-bit long.
     val base = 1L << 33
     val ids = (0L until 4096L).map(base + _)
     val df = ids.map(id => (id, "en")).toDF("doc_id", "lang")
     val kept = Sampling.mixByRate(df, "lang", "doc_id", Map("en" -> 0.37))
       .select("doc_id").as[Long].collect().toSet
     val expected = ids.filter { id =>
-      val coin = ((BigInt(id).mod(BigInt(2147483648L))) * 2654435761L)
+      val x = (BigInt(id).mod(BigInt(1073741824L)) + Sampling.SaltRate)
+        .mod(BigInt(1073741824L))
+      val q = (x * (2 * x + 1)).mod(BigInt(4294967296L))
+      val coin = (q.mod(BigInt(2147483648L)) * 2654435761L)
         .mod(BigInt(4294967296L))
       BigDecimal(coin) < BigDecimal(0.37) * 4294967296L
     }.toSet
@@ -246,7 +249,9 @@ class SamplingSpec extends SparkTestBase {
     assert((3L until 2000L by 4).forall(kept.contains), "weight 1.5 clamps to always-keep")
     val mids = (2L until 2000L by 4)
     val expectMid = mids.filter { id =>
-      val coin = ((id % 2147483648L) * 2654435761L) % 4294967296L
+      val x = ((id % 1073741824L) + Sampling.SaltWeight) % 1073741824L
+      val q = (x * (2L * x + 1L)) % 4294967296L
+      val coin = ((q % 2147483648L) * 2654435761L) % 4294967296L
       coin.toDouble < 0.5 * 4294967296.0
     }.toSet
     assert(kept.filter(_ % 4 == 2) == expectMid)

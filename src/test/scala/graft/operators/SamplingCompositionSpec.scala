@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** COMPOSED sampling doors must behave like independent coins — the
+  * property the per-door salts in [[Sampling.knuthCoin]] exist for.
+  * Before salting, every door flipped the identical coin, so
+  * `sampleByWeight(0.5)` → `assignSplit(.9/.05/.05)` left val and
+  * test EMPTY (every survivor's coin sat below the train threshold),
+  * stacked rate doors kept min(r, w) instead of r·w, and a
+  * Gumbel-resampled corpus routed systematically into the last
+  * split. These tests pin the product law at the tolerances a
+  * 100k-row binomial allows. */
+class SamplingCompositionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val n = 100000L
+  private lazy val ids = spark.range(n).toDF("doc_id")
+
+  test("sample(0.5) then split(.9/.05/.05) yields ~product proportions") {
+    val surv = Sampling.sampleByWeight(
+      ids.withColumn("w", lit(0.5)), "w", "doc_id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val byLabel = Sampling.assignSplit(surv, "doc_id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = byLabel.values.sum
+    assert(math.abs(total.toDouble / n - 0.5) < 0.01,
+      s"survivor rate ${total.toDouble / n}")
+    splits.foreach { case (label, frac) =>
+      val got = byLabel.getOrElse(label, 0L).toDouble / total
+      // pre-salt behavior: train=1.0, val=test=0.0
+      assert(math.abs(got - frac) < 0.01, s"$label: $got vs $frac")
+    }
+  }
+
+  test("rate door stacked on weight door keeps ~r*w, not min(r, w)") {
+    val df = ids.withColumn("lang", lit("en")).withColumn("w", lit(0.7))
+    val kept = Sampling.sampleByWeight(
+      Sampling.mixByRate(df, "lang", "doc_id", Map("en" -> 0.3)),
+      "w", "doc_id").count()
+    val joint = kept.toDouble / n
+    assert(math.abs(joint - 0.21) < 0.01, s"joint keep $joint vs 0.21")
+  }
+
+  test("temperature door composes independently with the split door") {
+    // two domains, 4:1 skew, alpha=0.5 → rare kept whole, common at
+    // rate (1/4)^0.5 = 0.5; the split of the kept set must still be
+    // ~.9/.05/.05 within each domain
+    val df = ids.withColumn("lang",
+      when(col("doc_id") % 5 === 0, "de").otherwise("en"))
+    val mixed = Sampling.mixByTemperature(df, "lang", "doc_id", alpha = 0.5)
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val byCell = Sampling.assignSplit(mixed, "doc_id", splits)
+      .groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    Seq("en", "de").foreach { lang =>
+      val cell = byCell(lang)
+      val total = cell.values.sum
+      splits.foreach { case (label, frac) =>
+        val got = cell.getOrElse(label, 0L).toDouble / total
+        assert(math.abs(got - frac) < 0.015, s"$lang/$label: $got vs $frac")
+      }
+    }
+  }
+
+  test("Gumbel resample does not skew the split of the selected set") {
+    // equal weights → resample = pure Gumbel-coin top-k; pre-salt,
+    // the top-k by coin were exactly the highest split coins (all
+    // routed to the LAST split = eval contamination by construction)
+    val weighted = ids.withColumn("weight_micro", lit(0L))
+    val k = 10000
+    val top = Dsir.resample(weighted, k = k)
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val byLabel = Sampling.assignSplit(top, "doc_id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    splits.foreach { case (label, frac) =>
+      val got = byLabel.getOrElse(label, 0L).toDouble / k
+      assert(math.abs(got - frac) < 0.015, s"$label: $got vs $frac")
+    }
+  }
+
+  test("each door's marginal keep rate still tracks the target") {
+    val df = ids.withColumn("lang", lit("en"))
+    Seq(0.05, 0.5, 0.9).foreach { r =>
+      val kept = Sampling.mixByRate(df, "lang", "doc_id", Map("en" -> r))
+        .count().toDouble / n
+      assert(math.abs(kept - r) < 0.01, s"mixByRate($r): $kept")
+      val kw = Sampling.sampleByWeight(
+        df.withColumn("w", lit(r)), "w", "doc_id").count().toDouble / n
+      assert(math.abs(kw - r) < 0.01, s"sampleByWeight($r): $kw")
+    }
+  }
+
+  test("mixByTemperature: NULL domains drop and never deflate rates") {
+    // 100 NULL-domain rows would be the rarest stratum if counted —
+    // n_min would shrink 10x and every real domain's rate with it
+    val df = ids.withColumn("lang",
+      when(col("doc_id") < 100, lit(null).cast("string"))
+        .when(col("doc_id") % 5 === 0, "de").otherwise("en"))
+    val out = Sampling.mixByTemperature(df, "lang", "doc_id", alpha = 0.5)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains(null), "NULL-domain rows must drop")
+    // rarest REAL domain (de, ~20k rows) kept whole
+    val deTotal = df.filter(col("lang") === "de").count()
+    assert(byLang("de") == deTotal, s"de kept ${byLang("de")} of $deTotal")
+    // en at rate (nd_de/nd_en)^0.5 ~= 0.5, not the NULL-deflated
+    // (100/80000)^0.5 ~= 0.035
+    val enRate = byLang("en").toDouble /
+      df.filter(col("lang") === "en").count()
+    assert(math.abs(enRate - 0.5) < 0.01, s"en rate $enRate")
+  }
+}
