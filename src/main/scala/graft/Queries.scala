@@ -3585,7 +3585,10 @@ object Queries {
       |  FROM documents
       |), tk AS (
       |  SELECT doc_id,
-      |    regexp_split_to_array(trim(regexp_replace(t, '\s+', ' ', 'g')), ' ') AS w
+      |    CASE WHEN trim(regexp_replace(t, '\s+', ' ', 'g')) = ''
+      |         THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(
+      |           trim(regexp_replace(t, '\s+', ' ', 'g')), ' ') END AS w
       |  FROM f
       |), g AS (
       |  SELECT doc_id, u.i, array_to_string(w[u.i:u.i+7], ' ') AS gram
@@ -3743,6 +3746,54 @@ object Queries {
       |FROM documents d JOIN r USING (lang)
       |WHERE ${coinSql(Sampling.SaltTemperature, "d.doc_id")}
       |      < rate * 4294967296.0""".stripMargin
+
+  /** q115 — BUCKETED-vocabulary DSIR weighting under a VALUE oracle
+    * ([[graft.operators.Dsir.importanceWeightsWhen]] with
+    * `nBuckets = 4096` — Xie et al. §2.1's ACTUAL setup: n-grams
+    * hashed into a bounded bucket space): q112's weights with the
+    * unigram models living on md5-prefix hash buckets instead of the
+    * raw vocabulary. This is the 100 TB form — an open-web crawl's
+    * 10⁹⁺-term vocabulary would push the raw model join to
+    * sort-merge on the corpus-sized exploded side, while the
+    * bucketed model is ≤ 4096 rows, broadcast-sized at ANY corpus
+    * scale. The bucket hash is the engine-portable md5 prefix, so
+    * DuckDB replays the exact bucketed weights (hash compare, not a
+    * tolerance band). */
+  val q115: Q = (s, dir) =>
+    graft.operators.Dsir.importanceWeightsWhen(
+      Tables(s, dir).documents, col("lang") === "en", "text", "doc_id",
+      nBuckets = 4096)
+  val q115Sql: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w0
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, lang,
+      |    (('0x' || substr(md5(w0), 1, 8))::BIGINT) % 4096 AS w
+      |  FROM tk0
+      |), cr AS (
+      |  SELECT w, count(*) AS c_r FROM tk GROUP BY w
+      |), ct AS (
+      |  SELECT w, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY w
+      |), ratio AS (
+      |  SELECT cr.w,
+      |    CAST(round(ln((coalesce(ct.c_t, 0) + 1.0) / (cr.c_r + 1.0))
+      |      * 1e6, 0) AS BIGINT) AS r_micro
+      |  FROM cr LEFT JOIN ct USING (w)
+      |), norm AS (
+      |  SELECT CAST(round(ln(
+      |      ((SELECT CAST(sum(c_r) AS DOUBLE) FROM cr)
+      |        + (SELECT count(*) FROM cr)) /
+      |      ((SELECT CAST(coalesce(sum(c_t), 0) AS DOUBLE) FROM ct)
+      |        + (SELECT count(*) FROM cr))) * 1e6, 0) AS BIGINT)
+      |    AS norm_micro
+      |)
+      |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(r.r_micro) + count(*) * (SELECT norm_micro FROM norm)
+      |    AS BIGINT) AS weight_micro
+      |FROM tk JOIN ratio r USING (w)
+      |GROUP BY tk.doc_id""".stripMargin
 
   /** q105 — vector-index LIFECYCLE under a VALUE oracle: publish 6/7
     * of the embedding corpus as a cell-clustered index, then
@@ -3923,6 +3974,7 @@ object Queries {
     "q112_dsir_weights" -> q112,
     "q113_dsir_resample" -> q113,
     "q114_temperature_mix" -> q114,
+    "q115_dsir_bucketed" -> q115,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4038,5 +4090,6 @@ object Queries {
     "q112_dsir_weights" -> q112Sql,
     "q113_dsir_resample" -> q113Sql,
     "q114_temperature_mix" -> q114Sql,
+    "q115_dsir_bucketed" -> q115Sql,
   )
 }

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -327,6 +327,61 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** The coverage walk of [[graft.operators.Dedup.exciseSharedSpans]]
+  * as ONE native expression: given a document's tokens and the start
+  * positions of its hot (df ≥ minDf) k-grams, return the tokens NOT
+  * covered by any hot gram. Replaces the HOF form
+  * `filter(tokens, (w,i) => !exists(starts, st => i≥st && i<st+k))`,
+  * which is O(tokens × hot-starts) PER ROW — linear on sparse
+  * corpora but quadratic on a heavily-templated long document (hot
+  * starts ≈ tokens: a 10⁵-token boilerplate mirror costs 10¹⁰
+  * comparisons inside one task). Here: sort the starts, one merged
+  * interval walk carrying `coverEnd = max(st + k over st ≤ i)` —
+  * position i is covered iff i < coverEnd — O(tokens + starts·log
+  * starts) with the start pointer advancing monotonically. Semantics
+  * are BIT-IDENTICAL to the HOF (q111's DuckDB oracle replays them);
+  * kept order is document order. */
+case class ExciseKept(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(k >= 1, s"k-gram length must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any, s: Any): Any = {
+    val toks = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val starts = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = toks.numElements()
+    val h = starts.numElements()
+    val st = new Array[Int](h)
+    var i = 0
+    while (i < h) { st(i) = starts.getInt(i); i += 1 }
+    java.util.Arrays.sort(st)
+    val out = new Array[Any](n)
+    var m = 0
+    var j = 0
+    var coverEnd = 0
+    i = 0
+    while (i < n) {
+      while (j < h && st(j) <= i) {
+        val e = st(j) + k
+        if (e > coverEnd) coverEnd = e
+        j += 1
+      }
+      if (i >= coverEnd) {
+        out(m) = toks.getUTF8String(i)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (m == n) out
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m)
+        .asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ExciseKept = copy(left = l, right = r)
+  override def prettyName: String = "excise_kept"
+}
+
 object TextSignatures {
   /** Column API for the native signatures. */
   def minHashSig(c: Column, k: Int, shingleN: Int = 3): Column =
@@ -339,4 +394,7 @@ object TextSignatures {
     ColumnBridge.column(DupShingleStats(ColumnBridge.expression(c), n))
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+  def exciseKept(toks: Column, starts: Column, k: Int): Column =
+    ColumnBridge.column(ExciseKept(
+      ColumnBridge.expression(toks), ColumnBridge.expression(starts), k))
 }

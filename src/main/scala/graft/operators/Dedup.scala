@@ -408,10 +408,12 @@ object Dedup {
     * docs and keeps grams with df ≥ minDf — THE shuffle, Σ grams ≈
     * corpus tokens, with map-side partial aggregation; (3) hot
     * starts join back (the hot set is a tiny fraction of grams —
-    * AQE broadcasts it when it fits) and collect per doc; (4) one
-    * codegen'd HOF projection drops covered positions — per-doc cost
-    * O(tokens × hot-starts), fine because hot starts per doc are
-    * bounded by its copied material. No pair expansion anywhere:
+    * AQE broadcasts it when it fits) and collect per doc; (4) the
+    * native [[graft.expressions.ExciseKept]] kernel drops covered
+    * positions — sorted starts, one merged-interval walk, O(tokens +
+    * starts·log starts) per doc even when the document is ENTIRELY
+    * template (hot starts ≈ tokens), where the HOF `exists` form it
+    * replaced was quadratic. No pair expansion anywhere:
     * unlike [[sharedSpans]]' Σdf² postings combos this is Σdf — the
     * excision door scales strictly better than the detection door.
     *
@@ -419,16 +421,20 @@ object Dedup {
     * spans are verbatim copies, the Lee et al. definition; run
     * [[graft.functions.Text.cjkPreSplit]] upstream for CJK corpora).
     * Documents shorter than k tokens contribute no grams and pass
-    * through untouched. Returns (id, clean_text, n_tokens,
-    * n_removed) — n_tokens counts the ORIGINAL tokens, n_removed
-    * how many were excised. */
+    * through untouched; EMPTY and NULL texts tokenize to ZERO tokens
+    * (not the [""] a naive split of '' yields), so they report
+    * n_tokens = 0. Returns (id, clean_text, n_tokens, n_removed) —
+    * n_tokens counts the ORIGINAL tokens, n_removed how many were
+    * excised. */
   def exciseSharedSpans(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 8, minDf: Long = 2L): DataFrame = {
     require(k >= 1, s"k-gram length must be >= 1, got $k")
     require(minDf >= 2, s"minDf < 2 would excise every position " +
       s"(df >= 1 always holds), got $minDf")
-    val toks = split(trim(regexp_replace(
-      coalesce(col(textCol), lit("")), "\\s+", " ")), " ")
+    val norm = trim(regexp_replace(
+      coalesce(col(textCol), lit("")), "\\s+", " "))
+    val toks = when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
     val base = df.select(col(idCol).as("id"), toks.as("_toks"))
     // (start, gram) pairs via a row-local HOF: the gram array costs
     // k× the text bytes (linear); carrying _toks through the explode
@@ -455,20 +461,17 @@ object Dedup {
       .select(col("_f1"), col("_f2"))
     val hotStarts = grams.join(hot, Seq("_f1", "_f2"))
       .groupBy(col("id")).agg(collect_list(col("_i")).as("_starts"))
-    val kGap = lit(k)
     base.join(hotStarts, Seq("id"), "left")
       .select(col("id"),
         col("_toks"), coalesce(col("_starts"),
           array().cast("array<int>")).as("_st"))
       .select(col("id"), col("_toks"),
-        // covered(i) ⇔ some hot gram starts in (i-k, i]
-        filter(transform(col("_toks"),
-            (w, i) => struct(w.as("w"), i.as("i"))),
-          s => !exists(col("_st"),
-            st => s("i") >= st && s("i") < st + kGap)).as("_kept"))
+        // covered(i) ⇔ some hot gram starts in (i-k, i] — the native
+        // kernel's sorted-starts interval walk (linear per row)
+        graft.expressions.TextSignatures
+          .exciseKept(col("_toks"), col("_st"), k).as("_kept"))
       .select(col("id"),
-        array_join(transform(col("_kept"), s => s("w")), " ")
-          .as("clean_text"),
+        array_join(col("_kept"), " ").as("clean_text"),
         size(col("_toks")).cast("long").as("n_tokens"),
         (size(col("_toks")) - size(col("_kept"))).cast("long")
           .as("n_removed"))

@@ -35,15 +35,34 @@ import graft.functions.Text
   * Scale shape: two explode→count token models (map-side combinable;
   * the shuffle carries the VOCABULARY, not the corpus), one
   * vocab-sized ratio join back to the exploded raw tokens (AQE
-  * broadcasts the model when it fits — the paper hashes n-grams into
-  * 10⁴ buckets for exactly this boundedness; swap `Text.tokens` for
-  * a bucketed hash to reproduce that at 100 TB vocabularies), one
-  * per-doc count-sum, one 1-row broadcast normalizer. Documents with
-  * NULL text tokenize to nothing and drop (no weight is defined on
-  * an empty token stream); reference semantics for selection over
-  * these weights are q72's seeded weighted sample / q27's bounded
-  * top-k. */
+  * broadcasts the model when it fits), one per-doc count-sum, one
+  * 1-row broadcast normalizer. Documents with NULL text tokenize to
+  * nothing and drop (no weight is defined on an empty token stream);
+  * reference semantics for selection over these weights are q72's
+  * seeded weighted sample / q27's bounded top-k.
+  *
+  * BOUNDED-VOCABULARY mode (`nBuckets > 0` — the paper's actual
+  * setup, §2.1: n-grams HASHED into 10⁴ buckets): each token maps to
+  * bucket `md5(token)[0:8] as uint32 mod nBuckets` and both unigram
+  * models live on the buckets. This caps the model at nBuckets rows
+  * NO MATTER the corpus vocabulary — an open-web crawl's 10⁹⁺ terms
+  * (URLs, typos, code) would make the raw-vocab model join go
+  * sort-merge on the corpus-sized exploded side, while the bucketed
+  * model is broadcast-sized at ANY scale. The md5 prefix is the
+  * engine-portable hash of the house (q-sample convention):
+  * DuckDB replays it verbatim (`('0x' || substr(md5(w),1,8))::BIGINT
+  * % nBuckets`), so bucketed weights stay under the value oracle.
+  * Smoothing semantics carry over with V = occupied buckets. */
 object Dsir {
+
+  /** The model key: the raw token, or its md5-prefix hash bucket when
+    * `nBuckets > 0` (engine-portable: the 8-hex-char prefix is an
+    * unsigned 32-bit value, exact in a signed 64-bit long in any
+    * engine). */
+  private def keyOf(w: Column, nBuckets: Int): Column =
+    if (nBuckets <= 0) w
+    else pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
 
   /** Per-document DSIR importance weights of `raw` against `target`
     * (see object doc): returns (idCol, n_tokens, weight_micro) with
@@ -54,12 +73,15 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         textCol: String = "text",
                         idCol: String = "doc_id",
-                        cjkAware: Boolean = false): DataFrame = {
+                        cjkAware: Boolean = false,
+                        nBuckets: Int = 0): DataFrame = {
     val tokenize: Column => Column =
       if (cjkAware) Text.tokensCjk else Text.tokens
     val tokR = raw.select(col(idCol),
-      explode(tokenize(col(textCol))).as("w"))
-    val tokT = target.select(explode(tokenize(col(textCol))).as("w"))
+        explode(tokenize(col(textCol))).as("_w0"))
+      .select(col(idCol), keyOf(col("_w0"), nBuckets).as("w"))
+    val tokT = target.select(explode(tokenize(col(textCol))).as("_w0"))
+      .select(keyOf(col("_w0"), nBuckets).as("w"))
     val cntR = tokR.groupBy("w").agg(count(lit(1)).as("c_r"))
     val cntT = tokT.groupBy("w").agg(count(lit(1)).as("c_t"))
     val model = cntR.join(cntT, Seq("w"), "left")
@@ -78,11 +100,13 @@ object Dsir {
   def importanceWeightsWhen(raw: DataFrame, isTarget: Column,
                             textCol: String = "text",
                             idCol: String = "doc_id",
-                            cjkAware: Boolean = false): DataFrame = {
+                            cjkAware: Boolean = false,
+                            nBuckets: Int = 0): DataFrame = {
     val tokenize: Column => Column =
       if (cjkAware) Text.tokensCjk else Text.tokens
     val tok = raw.select(col(idCol), isTarget.as("_t"),
-      explode(tokenize(col(textCol))).as("w"))
+        explode(tokenize(col(textCol))).as("_w0"))
+      .select(col(idCol), col("_t"), keyOf(col("_w0"), nBuckets).as("w"))
     val model = tok.groupBy("w").agg(
       count(lit(1)).as("c_r"),
       sum(when(col("_t"), 1L).otherwise(0L)).as("c_t"))
