@@ -61,6 +61,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be a non-empty string literal, got: $other")
   }
+  /** [[litString]] for args where '' is a MEANINGFUL sentinel (e.g.
+    * rebuild_manifest's shard_col, where '' selects hash-of-id
+    * sharding) — litString rejects empty literals, which would make
+    * the sentinel unreachable from SQL. */
+  private def litStringAllowEmpty(e: Expression, what: String): String =
+    e match {
+      case Literal(v, _) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal ('' allowed), got: $other")
+    }
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -566,13 +576,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.SparkSession.active,
             litString(p, "path"), litString(ic, "id_col"),
             litInt(n, "n_shards"),
-            Some(litString(sc, "shard_col")).filter(_.nonEmpty))
+            Some(litStringAllowEmpty(sc, "shard_col")).filter(_.nonEmpty))
         case Seq(p, ic, n, sc, z) =>
           graft.sinks.Sinks.rebuildManifest(
             org.apache.spark.sql.SparkSession.active,
             litString(p, "path"), litString(ic, "id_col"),
             litInt(n, "n_shards"),
-            Some(litString(sc, "shard_col")).filter(_.nonEmpty),
+            Some(litStringAllowEmpty(sc, "shard_col")).filter(_.nonEmpty),
             zoneCols = csvCols(z, "zone_csv")) },
       "(path, id_col, n_shards[, shard_col[, zone_csv]]) as literals")
     tvf("excise_shared_spans",

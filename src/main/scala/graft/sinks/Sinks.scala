@@ -2051,14 +2051,35 @@ object Sinks {
         // znull/zsum recounts added to a family stamped before they
         // existed read as new too: the columns are absent outright
         zAll.exists(c => !live.columns.contains(s"znull_$c"))
-      // legacy carries under the EXISTING declarations — evaluated as
-      // boolean FLAGS inside the scan, never by collecting blob
-      // columns (the ShardLayouts driver-bound rule)
+      // stat families whose BASE column vanished from the data (a
+      // displaced rebin spec column like a previous 'qbin'): excluded
+      // from recompute by the dataCols filters above, so they must
+      // also be excluded from the carry flags AND dropped from the
+      // live side of the healing union — otherwise unionByName
+      // resurrects them as NULLs on the healed shards, those shards
+      // re-flag as legacy carries on the next call, and healing never
+      // converges (every call publishes a fresh generation)
+      val vanishedStatCols: Seq[String] =
+        (liveFam("zmin_").filterNot(dataCols.contains).flatMap(c =>
+           Seq(s"zmin_$c", s"zmax_$c", s"znull_$c", s"zsum_$c")) ++
+         liveFam("zbloom_").filterNot(dataCols.contains)
+           .map(c => s"zbloom_$c") ++
+         liveFam("zhll_").filterNot(dataCols.contains)
+           .map(c => s"zhll_$c") ++
+         liveFam("zkll_").filterNot(dataCols.contains)
+           .map(c => s"zkll_$c")).filter(live.columns.contains)
+      // legacy carries under the EXISTING declarations on LIVE data
+      // columns — evaluated as boolean FLAGS inside the scan, never
+      // by collecting blob columns (the ShardLayouts driver-bound
+      // rule)
       val carryFlags: Seq[Column] =
-        liveFam("zbloom_").map(c => col(s"zbloom_$c").isNull) ++
-        liveFam("zhll_").map(c => col(s"zhll_$c").isNull) ++
-        liveFam("zkll_").map(c => col(s"zkll_$c").isNull) ++
-        liveFam("zmin_").flatMap { c =>
+        liveFam("zbloom_").filter(dataCols.contains)
+          .map(c => col(s"zbloom_$c").isNull) ++
+        liveFam("zhll_").filter(dataCols.contains)
+          .map(c => col(s"zhll_$c").isNull) ++
+        liveFam("zkll_").filter(dataCols.contains)
+          .map(c => col(s"zkll_$c").isNull) ++
+        liveFam("zmin_").filter(dataCols.contains).flatMap { c =>
           if (!live.columns.contains(s"znull_$c")) Seq(lit(true))
           else Seq(col(s"znull_$c").isNull,
             col(s"zmin_$c").isNull &&
@@ -2093,7 +2114,8 @@ object Sinks {
         if (newFamily) recomputed
         else stampSpec(
             live.filter(!col("shard").isin(needy: _*))
-              .drop("spec_col", "spec_n", "spec_sort", "spec_id"),
+              .drop("spec_col", "spec_n", "spec_sort", "spec_id")
+              .drop(vanishedStatCols: _*),
             shardColOpt, nShards, sortCols, idCol)
           .unionByName(recomputed, allowMissingColumns = true)
       publishManifestOnly(spark, path, base, fs, manifest, retainPrevious)

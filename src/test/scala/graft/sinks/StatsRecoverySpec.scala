@@ -285,4 +285,71 @@ class StatsRecoverySpec extends SparkTestBase {
         s"SELECT approx_distinct FROM approx_distinct_shards('$t', 'tag')")
       .collect().head.getLong(0) == 13L)
   }
+
+  test("healing CONVERGES when a live stat family's base column " +
+    "vanished from the data: the family drops, healed shards do not " +
+    "re-flag, and the second call is a no-op") {
+    // the displaced-rebin-spec-column case: live manifest carries
+    // zone stats on 'score', but the data generation no longer has a
+    // 'score' column. Pre-fix, the healing union resurrected the
+    // vanished family as NULLs on healed shards, which re-flagged as
+    // legacy carries on every later call — healing never converged.
+    val work = Files.createTempDirectory("graft_heal_").toString
+    val t = s"$work/corpus"
+    Sinks.writeShards(corpus, t, "id", nShards = 4,
+      zoneCols = Seq("score"), sketchCols = Seq("tag"))
+    // 1) the data loses 'score' (rewrite the generation without it)
+    val tmpData = s"$work/data_tmp"
+    spark.read.parquet(s"$t/data").drop("score")
+      .write.mode("overwrite").partitionBy("shard").parquet(tmpData)
+    fs.delete(new Path(s"$t/data"), true)
+    assert(fs.rename(new Path(tmpData), new Path(s"$t/data")))
+    // 2) shard 0 becomes a legacy carry on the LIVE family (zhll_tag)
+    val m = spark.read.parquet(s"$t/manifest")
+    val tagType = m.schema("zhll_tag").dataType
+    val tmpMan = s"$work/man_tmp"
+    m.withColumn("zhll_tag", when(col("shard") === 0L,
+        lit(null).cast(tagType)).otherwise(col("zhll_tag")))
+      .write.mode("overwrite").parquet(tmpMan)
+    fs.delete(new Path(s"$t/manifest"), true)
+    assert(fs.rename(new Path(tmpMan), new Path(s"$t/manifest")))
+    // 3) heal (no new declarations)
+    val healed = Sinks.declareShardStats(spark, t)
+    assert(!healed.columns.exists(_.endsWith("_score")),
+      s"vanished family must DROP, got ${healed.columns.mkString(",")}")
+    assert(healed.filter(col("zhll_tag").isNull).count() == 0,
+      "the legacy carry must heal")
+    // 4) convergence: the next call finds nothing to do — no publish
+    val before = fs.listStatus(new Path(s"$t/manifest"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    Sinks.declareShardStats(spark, t)
+    val after = fs.listStatus(new Path(s"$t/manifest"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    assert(after == before,
+      "a healed layout must be a NO-OP on the next healing call")
+    // and the sketch door still answers on the healed manifest
+    assert(Sinks.approxDistinctShards(spark, t, "tag")
+      .collect().head.getLong(0) == 13L)
+  }
+
+  test("SQL rebuild_manifest accepts shard_col '' (hash-of-id layout) " +
+    "in both the 4- and 5-arg forms") {
+    // pre-fix, litString rejected '' so a hash-sharded layout could
+    // not be rebuilt from SQL at all (round-14 advice)
+    val work = Files.createTempDirectory("graft_sqlrmh_").toString
+    val t = s"$work/corpus"
+    Sinks.writeShards(corpus, t, "id", nShards = 4) // hash-of-id
+    fs.delete(new Path(s"$t/manifest"), true)
+    val rebuilt4 = spark.sql(
+      s"SELECT shard, n_rows FROM rebuild_manifest('$t', 'id', 4, '')")
+    assert(rebuilt4.collect().map(_.getLong(1)).sum == 200L)
+    // manifest lives again; delete and rebuild with zone stats too
+    fs.delete(new Path(s"$t/manifest"), true)
+    val rebuilt5 = spark.sql(
+      s"SELECT shard, n_rows FROM rebuild_manifest('$t', 'id', 4, '', " +
+        "'score')")
+    assert(rebuilt5.collect().map(_.getLong(1)).sum == 200L)
+    assert(spark.read.parquet(s"$t/manifest").columns
+      .contains("zmin_score"))
+  }
 }
