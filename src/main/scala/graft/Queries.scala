@@ -3400,9 +3400,13 @@ object Queries {
     * the oracle replays the exact pre-split regex as an RE2 class.
     * Token count, distinct-token count, segment count and the first
     * 4-word segment are hash-compared — the segmentation itself, not
-    * a summary of it. */
+    * a summary of it. The fixture prefix plants SUPPLEMENTARY-plane
+    * ideographs (𠀋 U+2000B Ext B, 𪜀 U+2A700 Ext C — surrogate
+    * pairs in the JVM) glued to Latin and digits: if either engine's
+    * pre-split broke the pair or missed the plane, seg1 would carry
+    * broken halves or a glued clause and the hash would diverge. */
   val q108: Q = (s, dir) => {
-    val fixture = concat(lit("cjk "),
+    val fixture = concat(lit("cjk 𠀋x𪜀9 "),
       translate(lower(substring(col("text"), 1, 40)),
         "abcdefghijklmnopqrstuvwxyz",
         "一二三四五六七八九十" +
@@ -3421,14 +3425,14 @@ object Queries {
   val q108Sql: String =
     """WITH f AS (
       |  SELECT doc_id,
-      |    'cjk ' || translate(lower(substr(text, 1, 40)),
+      |    'cjk 𠀋x𪜀9 ' || translate(lower(substr(text, 1, 40)),
       |      'abcdefghijklmnopqrstuvwxyz',
       |      '一二三四五六七八九十百千万円年月日時分本人子女山川田') AS t
       |  FROM documents WHERE doc_id < 200
       |), p AS (
       |  SELECT doc_id,
       |    regexp_replace(t,
-      |      '([\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}])',
+      |      '([\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}\x{20000}-\x{3FFFF}])',
       |      ' \1 ', 'g') AS pt
       |  FROM f
       |), w AS (

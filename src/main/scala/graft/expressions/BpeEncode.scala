@@ -50,12 +50,16 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     while (start < n) {
       while (start < n && isSplitWs(text.charAt(start))) start += 1
       var end = start
-      // a CJK char is a standalone word (the fit's cjkPreSplit
+      // a CJK code point is a standalone word (the fit's cjkPreSplit
       // inserts spaces around each one); otherwise extend to the next
-      // whitespace OR CJK boundary
-      if (end < n && graft.functions.Text.isCjk(text.charAt(end))) end += 1
+      // whitespace OR CJK boundary. Walk CODE POINTS: supplementary
+      // ideographs (planes 2-3) are surrogate pairs a char-level walk
+      // would split in half.
+      if (end < n && graft.functions.Text.isCjk(text.codePointAt(end)))
+        end += Character.charCount(text.codePointAt(end))
       else while (end < n && !isSplitWs(text.charAt(end)) &&
-        !graft.functions.Text.isCjk(text.charAt(end))) end += 1
+        !graft.functions.Text.isCjk(text.codePointAt(end)))
+        end += Character.charCount(text.codePointAt(end))
       if (end > start) {
         var syms = graft.operators.Bpe.symbols(text.substring(start, end))
         var i = 0

@@ -24,28 +24,40 @@ object Text {
   /** Whitespace tokens (split on runs of whitespace). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** The BMP ranges this engine treats as "CJK writes without word
+  /** The ranges this engine treats as "CJK writes without word
     * spaces": Hiragana+Katakana (U+3040–30FF), CJK Ext A
     * (U+3400–4DBF), Unified Ideographs (U+4E00–9FFF), Compatibility
-    * Ideographs (U+F900–FAFF). Hangul is NOT included (Korean is
-    * space-delimited), nor are supplementary-plane extensions
-    * (surrogate pairs — the rare tail; a char-level split there would
-    * split the pair). ONE definition: the Column regex, the JVM
-    * kernel ([[isCjk]] — BpeEncode's split), and every oracle's RE2
-    * class (`\x{3040}-…`) must describe the same set or fit/encode/
-    * oracle segmentations drift. */
+    * Ideographs (U+F900–FAFF), plus the SUPPLEMENTARY ideographic
+    * planes U+20000–U+3FFFF (planes 2–3 — Ext B through H and the
+    * compatibility supplement; Unicode dedicates both planes to
+    * ideographs, so the whole-plane test is exact enough and one
+    * compare). Hangul is NOT included (Korean is space-delimited).
+    * Supplementary chars are surrogate PAIRS in JVM strings — the
+    * char-side kernel must walk code points ([[isCjk(cp:Int)*]]), and
+    * regex engines handle the pair atomically. ONE definition: the
+    * Column regex, the JVM kernel (BpeEncode's split), and every
+    * oracle's RE2 class (`\x{3040}-…`) must describe the same set or
+    * fit/encode/oracle segmentations drift. */
   val CjkRegexClass: String =
-    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF]"
+    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF" +
+      "\\x{20000}-\\x{3FFFF}]"
 
-  /** The same set, char-side — shared with [[graft.expressions.BpeEncode]].
-    * One leading compare rejects all of Latin (every range starts at or
-    * above U+3040): this test runs per CHARACTER in the encode scan, so
-    * the common-script fast path matters at corpus scale. */
-  def isCjk(ch: Char): Boolean =
-    ch >= 0x3040 && (ch <= 0x30FF ||
-      (ch >= 0x3400 && ch <= 0x4DBF) ||
-      (ch >= 0x4E00 && ch <= 0x9FFF) ||
-      (ch >= 0xF900 && ch <= 0xFAFF))
+  /** The same set, code-point-side — shared with
+    * [[graft.expressions.BpeEncode]]. One leading compare rejects all
+    * of Latin (every range starts at or above U+3040): this test runs
+    * per character in the encode scan, so the common-script fast path
+    * matters at corpus scale. */
+  def isCjk(cp: Int): Boolean =
+    cp >= 0x3040 && (cp <= 0x30FF ||
+      (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x4E00 && cp <= 0x9FFF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) ||
+      (cp >= 0x20000 && cp <= 0x3FFFF))
+
+  /** BMP-char convenience overload; a surrogate half is never CJK by
+    * itself — callers that may see supplementary text must walk code
+    * points and use the Int form. */
+  def isCjk(ch: Char): Boolean = isCjk(ch.toInt)
 
   /** CJK pre-split: a space around every CJK char, so the whitespace
     * word convention yields ONE WORD PER IDEOGRAPH on scripts that

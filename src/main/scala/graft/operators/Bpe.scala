@@ -39,9 +39,19 @@ object Bpe {
   /** Word → initial symbol sequence (chars, last carrying the
     * end-of-word sentinel). */
   def symbols(w: String): Array[String] = {
-    val cs = w.toCharArray.map(_.toString)
-    if (cs.nonEmpty) cs(cs.length - 1) = cs(cs.length - 1) + Eow
-    cs
+    // per CODE POINT, not per Java char: a supplementary-plane
+    // character (CJK Ext B+, emoji) is a surrogate pair whose halves
+    // are not valid text on their own — a char split would emit
+    // broken symbols that can never merge back across the boundary
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val c = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + c)
+      i += c
+    }
+    if (out.nonEmpty) out(out.length - 1) = out(out.length - 1) + Eow
+    out.toArray
   }
 
   /** Learn `nMerges` merges from a word-frequency table (driver-side,

@@ -74,6 +74,35 @@ class TextSpec extends SparkTestBase {
     assert(pii == "mail <EMAIL> or call <PHONE> from <IP> ok")
   }
 
+  test("supplementary-plane CJK (Ext B+, surrogate pairs): isCjk sees " +
+    "the code point, cjkPreSplit keeps pairs atomic, Bpe.symbols " +
+    "never emits surrogate halves") {
+    // U+2000B (Ext B) and U+2A700 (Ext C) — both plane 2
+    assert(Text.isCjk(0x2000B) && Text.isCjk(0x2A700) &&
+      Text.isCjk(0x323AF))
+    assert(!Text.isCjk(0x1F600), "emoji (plane 1) is not CJK")
+    assert(!Text.isCjk('\uD840'), "a lone surrogate half is not CJK")
+    assert(Text.isCjk('中') && !Text.isCjk('a'), "BMP behavior kept")
+    // pre-split: supplementary ideographs glued to Latin/digits come
+    // out as standalone words, pairs intact
+    val toks = Seq("ab𠀋x𪜀9 tail").toDF("t")
+      .select(Text.tokensCjk($"t").as("w")).as[Seq[String]].head()
+    assert(toks == Seq("ab", "𠀋", "x", "𪜀", "9",
+      "tail"), s"got $toks")
+    // symbols: one symbol per code point, never per char
+    val syms = graft.operators.Bpe.symbols("a𠀋b")
+    assert(syms.toSeq == Seq("a", "𠀋", "b</w>"),
+      s"got ${syms.toSeq}")
+    // encode end-to-end: no output token is a lone surrogate half
+    val enc = Seq("x𠀋𪜀 yz").toDF("t")
+      .select(graft.operators.Bpe.encode($"t", Seq.empty).as("e"))
+      .as[Seq[String]].head()
+    assert(enc.forall(s => !s.exists(c => Character.isSurrogate(c) &&
+        s.length == 1)), s"broken halves in $enc")
+    assert(enc.contains("𠀋</w>"),
+      s"the Ext B ideograph must be a standalone word token: $enc")
+  }
+
   test("bpeish token count splits punctuation") {
     val n = Seq("don't stop, now!").toDF("t")
       .select(size(Text.bpeishTokens($"t")).as("n")).as[Int].head()
