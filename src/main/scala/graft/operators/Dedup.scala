@@ -431,43 +431,66 @@ object Dedup {
     require(k >= 1, s"k-gram length must be >= 1, got $k")
     require(minDf >= 2, s"minDf < 2 would excise every position " +
       s"(df >= 1 always holds), got $minDf")
-    val norm = trim(regexp_replace(
-      coalesce(col(textCol), lit("")), "\\s+", " "))
-    val toks = when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-    val base = df.select(col(idCol).as("id"), toks.as("_toks"))
-    // (start, gram) pairs via a row-local HOF: the gram array costs
-    // k× the text bytes (linear); carrying _toks through the explode
-    // instead would copy the whole token array into every position's
-    // row — the quadratic-bytes mistake the winnow kernel fixed
-    val gramsOf = when(size(col("_toks")) >= k,
-        transform(sequence(lit(0), size(col("_toks")) - k),
-          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    // the df shuffle carries a 128-bit gram FINGERPRINT (two
-    // independent xxhash64 lanes — the q82 convention), not the ~k-word
-    // gram string: ~3× fewer shuffle bytes and integer agg keys. The
-    // oracle still replays RAW-gram semantics — a fingerprint collision
-    // (two distinct grams sharing both lanes, ~2⁻¹²⁸ per pair) is the
-    // accepted q82 risk, astronomically below any operational concern.
-    val grams = base.select(col("id"),
-        posexplode(gramsOf).as(Seq("_i", "_gram")))
-      .select(col("id"), col("_i"),
-        xxhash64(col("_gram")).as("_f1"),
-        xxhash64(lit(1), col("_gram")).as("_f2"))
+    val base = spanBase(df, textCol, idCol)
+    val grams = spanGrams(base, k)
     val hot = grams.groupBy(col("_f1"), col("_f2"))
       .agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") >= minDf)
       .select(col("_f1"), col("_f2"))
     val hotStarts = grams.join(hot, Seq("_f1", "_f2"))
       .groupBy(col("id")).agg(collect_list(col("_i")).as("_starts"))
+    exciseAgainst(base, hotStarts, k)
+  }
+
+  /** [[exciseSharedSpans]]'s tokenized frame: (id, _toks) with the
+    * `\s+` verbatim-word convention and the zero-tokens-on-empty
+    * guard. Shared with the incremental ingest form
+    * ([[graft.streaming.IncrementalExcision]]). */
+  private[graft] def spanBase(df: DataFrame, textCol: String,
+                              idCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      coalesce(col(textCol), lit("")), "\\s+", " "))
+    val toks = when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+    df.select(col(idCol).as("id"), toks.as("_toks"))
+  }
+
+  /** The (id, start, gram-fingerprint) frame of [[exciseSharedSpans]]:
+    * (start, gram) pairs via a row-local HOF — the gram array costs
+    * k× the text bytes (linear); carrying _toks through the explode
+    * instead would copy the whole token array into every position's
+    * row, the quadratic-bytes mistake the winnow kernel fixed. The df
+    * shuffle carries a 128-bit gram FINGERPRINT (two independent
+    * xxhash64 lanes — the q82 convention), not the ~k-word gram
+    * string: ~3× fewer shuffle bytes and integer agg keys. The oracle
+    * still replays RAW-gram semantics — a fingerprint collision (two
+    * distinct grams sharing both lanes, ~2⁻¹²⁸ per pair) is the
+    * accepted q82 risk, astronomically below any operational
+    * concern. */
+  private[graft] def spanGrams(base: DataFrame, k: Int): DataFrame = {
+    val gramsOf = when(size(col("_toks")) >= k,
+        transform(sequence(lit(0), size(col("_toks")) - k),
+          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    base.select(col("id"),
+        posexplode(gramsOf).as(Seq("_i", "_gram")))
+      .select(col("id"), col("_i"),
+        xxhash64(col("_gram")).as("_f1"),
+        xxhash64(lit(1), col("_gram")).as("_f2"))
+  }
+
+  /** The excision tail: cut every position of `base` covered by a
+    * hot-gram start in `hotStarts` = (id, _starts) — the native
+    * [[graft.expressions.ExciseKept]] sorted-starts interval walk
+    * (linear per row). */
+  private[graft] def exciseAgainst(base: DataFrame, hotStarts: DataFrame,
+                                   k: Int): DataFrame =
     base.join(hotStarts, Seq("id"), "left")
       .select(col("id"),
         col("_toks"), coalesce(col("_starts"),
           array().cast("array<int>")).as("_st"))
       .select(col("id"), col("_toks"),
-        // covered(i) ⇔ some hot gram starts in (i-k, i] — the native
-        // kernel's sorted-starts interval walk (linear per row)
+        // covered(i) ⇔ some hot gram starts in (i-k, i]
         graft.expressions.TextSignatures
           .exciseKept(col("_toks"), col("_st"), k).as("_kept"))
       .select(col("id"),
@@ -475,7 +498,6 @@ object Dedup {
         size(col("_toks")).cast("long").as("n_tokens"),
         (size(col("_toks")) - size(col("_kept"))).cast("long")
           .as("n_removed"))
-  }
 
   /** Collapse near-dup candidate pairs into duplicate clusters via
     * GraphX connected components; survivors = the minimum id per

@@ -47,8 +47,9 @@ import graft.operators.Dedup
 object IncrementalDedup {
 
   /** Compact `dirs` after every `every`-th batch (no-op if `every` ≤ 0
-    * or a dir doesn't exist yet). */
-  private def maybeCompact(spark: SparkSession, batchId: Long, every: Int,
+    * or a dir doesn't exist yet). Shared with the other incremental
+    * ingest doors ([[IncrementalExcision]]). */
+  private[streaming] def maybeCompact(spark: SparkSession, batchId: Long, every: Int,
                            dirs: Seq[String], targetBytes: Long): Unit =
     if (every > 0 && batchId % every == every - 1) dirs.foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
