@@ -294,6 +294,18 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         passTimes(pass)(name) = dt
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        // OUTSIDE the timed window: release any RDD blocks a query
+        // left persisted (operator persists unpersist asynchronously
+        // through the GC-driven ContextCleaner, which a GC-free bench
+        // never triggers — at 100× the lingering blocks, q24's ~2 GB
+        // GraphX graphs the largest, pinned the storage region until
+        // a later execution peak OOM'd an 8 GiB heap at q30; the
+        // round-14 diagnosis, ProfileHeap has the per-query numbers).
+        // Between queries no cross-query RDD cache is legitimate, so
+        // a blanket unpersist is safe and keeps the heap envelope
+        // flat no matter how many passes run.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val ioEnd = ioProbeMbps(spark)

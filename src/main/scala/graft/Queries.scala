@@ -3665,6 +3665,50 @@ object Queries {
       |FROM tk JOIN ratio r USING (w)
       |GROUP BY tk.doc_id""".stripMargin
 
+  /** q116 — COMPOSED sampling doors under a VALUE oracle: the
+    * canonical training-data tail `select → sample → split` in one
+    * pipeline — quality-weighted down-sampling (q72's door, the q18
+    * score as the keep probability) followed by the stratified
+    * train/val/test split (q69's door), counted per (lang, split).
+    * This is the composition the round-15 coin salting exists for:
+    * with the pre-salt shared coin every survivor of the weight door
+    * had coin < its weight, so val and test came out EMPTY — the
+    * oracle replays BOTH salted coins and the hash compare proves the
+    * split of the sampled corpus is the product law, row-exactly. */
+  val q116: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents
+    val scored = docs
+      .withColumn("_mc", TextStats.counts(col("text")))
+      .withColumn("q_score", TextStats.qualityScore(col("text"), col("_mc")))
+    Sampling.assignSplit(
+        Sampling.sampleByWeight(scored, "q_score", "doc_id"),
+        "doc_id", q69Splits)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+  val q116Sql: String = {
+    val ts = q69Splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 4294967296.0).toLong)
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    round(0.5 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+       |        + 0.5 * least(CAST($stopSql AS DOUBLE) * 8.0 / greatest(CAST($wordsSql AS DOUBLE), 1.0), 1.0)
+       |        - 0.25 * least(CAST($punctSql AS DOUBLE) * 4.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0), 6) AS q_score,
+       |    ${coinSql(Sampling.SaltWeight)} AS cw,
+       |    ${coinSql(Sampling.SaltSplit)} AS cs
+       |  FROM documents
+       |), kept AS (
+       |  SELECT lang,
+       |    CASE WHEN cs < ${ts(0)} THEN '${q69Splits(0)._1}'
+       |         WHEN cs < ${ts(1)} THEN '${q69Splits(1)._1}'
+       |         ELSE '${q69Splits(2)._1}' END AS split
+       |  FROM s
+       |  WHERE CAST(cw AS DOUBLE) < least(greatest(q_score, 0.0), 1.0) * 4294967296.0
+       |)
+       |SELECT lang, split, COUNT(*) AS n_docs
+       |FROM kept GROUP BY lang, split""".stripMargin
+  }
+
   /** q113 — DSIR RESAMPLING under a VALUE oracle
     * ([[graft.operators.Dsir.resample]]): the selection half of
     * q112's weighting — Gumbel-top-k over the log importance
@@ -3979,6 +4023,7 @@ object Queries {
     "q113_dsir_resample" -> q113,
     "q114_temperature_mix" -> q114,
     "q115_dsir_bucketed" -> q115,
+    "q116_sample_split" -> q116,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4095,5 +4140,6 @@ object Queries {
     "q113_dsir_resample" -> q113Sql,
     "q114_temperature_mix" -> q114Sql,
     "q115_dsir_bucketed" -> q115Sql,
+    "q116_sample_split" -> q116Sql,
   )
 }

@@ -552,9 +552,24 @@ object Dedup {
       import org.apache.spark.graphx.{Edge, Graph}
       val edges = ids.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
       val graph = Graph.fromEdges[Unit, Unit](edges, ())
-      val cc = graph.connectedComponents().vertices // (id, minIdInComponent)
-      spark.createDataFrame(cc.map { case (id, rep) => (id, rep) })
+      val ccGraph = graph.connectedComponents()
+      // MATERIALIZE the small (id, keep_id) result, then RELEASE the
+      // graph: GraphX caches the input graph and the Pregel result as
+      // MEMORY_ONLY RDDs that a lazy return would pin until a
+      // GC-driven cleaner pass — ~2 GB live heap after a 100×-scale
+      // q24, the structure behind round-14's "q30 OOMs an 8 GiB heap"
+      // (the blocks sat in the PROTECTED storage region while the
+      // next big query's execution peak asked for the same memory).
+      // The persisted result is two longs per paired id — orders of
+      // magnitude smaller, and spillable.
+      val out = spark.createDataFrame(
+          ccGraph.vertices.map { case (id, rep) => (id, rep) })
         .toDF("id", "keep_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      ccGraph.unpersist(blocking = false)
+      graph.unpersist(blocking = false)
+      out
     }
   }
 
