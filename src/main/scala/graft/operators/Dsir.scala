@@ -59,7 +59,7 @@ object Dsir {
     * `nBuckets > 0` (engine-portable: the 8-hex-char prefix is an
     * unsigned 32-bit value, exact in a signed 64-bit long in any
     * engine). */
-  private def keyOf(w: Column, nBuckets: Int): Column =
+  private[graft] def keyOf(w: Column, nBuckets: Int): Column =
     if (nBuckets <= 0) w
     else pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"),
       lit(nBuckets.toLong))
@@ -115,7 +115,7 @@ object Dsir {
 
   /** Shared weight tail: per-vocab rounded log-ratios, the 1-row
     * normalizer, the per-doc integer sum. `model` = (w, c_r, c_t). */
-  private def weightsFromModel(tokR: DataFrame, model: DataFrame,
+  private[graft] def weightsFromModel(tokR: DataFrame, model: DataFrame,
                                idCol: String): DataFrame = {
     // one rounded transcendental per VOCAB entry, never per token
     val ratio = model.select(col("w"),
