@@ -217,6 +217,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sample_by_weight expects (id, weight)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("epoch_shuffle_key"),
+      info("epoch_shuffle_key",
+        "epoch_shuffle_key(id, epoch) - deterministic per-(id, epoch) " +
+          "shuffle key: sort by it for epoch N's reproducible training " +
+          "permutation (Sampling.epochShuffleKey)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, e) => ColumnBridge.catalystExpression(
+          Sampling.epochShuffleKey(ColumnBridge.column(id),
+            litInt(e, "epoch")))
+        case _ => throw new IllegalArgumentException(
+          "epoch_shuffle_key expects (id, epoch)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),
       info("top_k_by_score",
         "top_k_by_score(score, id, k) - aggregate: the k best (id, score) " +
@@ -622,6 +635,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(p, dc, ic, a) =>
           val s = org.apache.spark.sql.SparkSession.active
           graft.operators.Sampling.mixByTemperature(
+            s.read.parquet(litString(p, "path")),
+            litString(dc, "domain_col"), litString(ic, "id_col"),
+            litFraction(a, "alpha")) },
+      "(path, domain_col, id_col, alpha) as literals")
+    tvf("mix_by_temperature_upsample",
+      "mix_by_temperature_upsample(path, domain_col, id_col, alpha) - " +
+        "temperature rebalancing by UPSAMPLING " +
+        "(Sampling.mixByTemperatureUpsample): counts per domain " +
+        "proportional to n_d^alpha with the largest domain passing " +
+        "once and rare domains replicating (deterministic fractional " +
+        "copies, copy_idx carried)",
+      { case Seq(p, dc, ic, a) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          graft.operators.Sampling.mixByTemperatureUpsample(
             s.read.parquet(litString(p, "path")),
             litString(dc, "domain_col"), litString(ic, "id_col"),
             litFraction(a, "alpha")) },

@@ -3709,6 +3709,76 @@ object Queries {
        |FROM kept GROUP BY lang, split""".stripMargin
   }
 
+  /** q117 — temperature rebalancing by UPSAMPLING under a VALUE
+    * oracle ([[graft.operators.Sampling.mixByTemperatureUpsample]]):
+    * the same flattened-mix target as q114 (counts ∝ n_d^α, α = 0.5)
+    * but normalized to the LARGEST domain — the common language
+    * passes through exactly once and rare languages REPLICATE toward
+    * the flat mix (the direction the multilingual recipes train
+    * with; q114's sibling throws data away instead). Deterministic
+    * fractional replication: floor(rate) copies plus one more when
+    * the SaltUpsample coin lands under the fraction — the oracle
+    * replays the exact output MULTISET, copy indices and all. */
+  val q117: Q = (s, dir) =>
+    graft.operators.Sampling.mixByTemperatureUpsample(
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "doc_id", alpha = 0.5)
+  val q117Sql: String =
+    s"""WITH c AS (
+      |  SELECT lang, count(*) AS nd FROM documents
+      |  WHERE lang IS NOT NULL GROUP BY lang
+      |), m AS (
+      |  SELECT max(nd) AS nmax FROM c
+      |), r AS (
+      |  SELECT lang, round(pow(CAST(nmax AS DOUBLE) / nd, 0.5), 6)
+      |    AS rate
+      |  FROM c, m
+      |), n AS (
+      |  SELECT d.lang, d.doc_id, d.n_chars,
+      |    CAST(floor(rate) AS BIGINT)
+      |      + CASE WHEN CAST(${coinSql(Sampling.SaltUpsample, "d.doc_id")}
+      |               AS DOUBLE)
+      |             < (rate - floor(rate)) * 4294967296.0
+      |        THEN 1 ELSE 0 END AS copies
+      |  FROM documents d JOIN r USING (lang)
+      |)
+      |SELECT lang, doc_id, n_chars,
+      |  unnest(range(0, copies)) AS copy_idx
+      |FROM n WHERE copies > 0""".stripMargin
+
+  /** q118 — deterministic EPOCH SHUFFLE under a VALUE oracle
+    * ([[graft.operators.Sampling.epochShuffleKey]]): the reproducible
+    * training permutation — each epoch orders the corpus by a
+    * per-(id, epoch) uniform, a DIFFERENT permutation per epoch,
+    * bit-stable across runs/partitionings/engines (step N's batch is
+    * a pure function of (corpus, epoch): the property that makes a
+    * run resumable and auditable). The query takes each epoch's
+    * FIRST BATCH (bounded top-k by the key — TakeOrderedAndProject,
+    * never a global sort; a 100 TB dataloader range-partitions on
+    * the same key) for epochs 0/1/2 and the oracle replays the exact
+    * batches. */
+  val q118: Q = (s, dir) => {
+    val docs = Tables(s, dir).documents.select(col("doc_id"))
+    (0 to 2).map { e =>
+      docs.select(lit(e).as("epoch"), col("doc_id"),
+          graft.operators.Sampling.epochShuffleKey(col("doc_id"), e)
+            .as("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+        .limit(20)
+    }.reduce(_.unionByName(_))
+  }
+  val q118Sql: String = {
+    def one(e: Int): String = {
+      val salt = (Sampling.SaltShuffle + e.toLong * 2654435761L) %
+        1073741824L
+      s"""(SELECT $e AS epoch, doc_id,
+         |  ${coinSql(salt)} AS skey
+         |FROM documents ORDER BY skey, doc_id LIMIT 20)""".stripMargin
+    }
+    Seq(one(0), one(1), one(2)).mkString("\nUNION ALL\n")
+  }
+
   /** q113 — DSIR RESAMPLING under a VALUE oracle
     * ([[graft.operators.Dsir.resample]]): the selection half of
     * q112's weighting — Gumbel-top-k over the log importance
@@ -4024,6 +4094,8 @@ object Queries {
     "q114_temperature_mix" -> q114,
     "q115_dsir_bucketed" -> q115,
     "q116_sample_split" -> q116,
+    "q117_temperature_upsample" -> q117,
+    "q118_epoch_shuffle" -> q118,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4141,5 +4213,7 @@ object Queries {
     "q114_temperature_mix" -> q114Sql,
     "q115_dsir_bucketed" -> q115Sql,
     "q116_sample_split" -> q116Sql,
+    "q117_temperature_upsample" -> q117Sql,
+    "q118_epoch_shuffle" -> q118Sql,
   )
 }

@@ -176,6 +176,8 @@ object Sampling {
   val SaltWeight      = 625206417L  // sampleByWeight    (0x2545f491)
   val SaltSplit       = 668396335L  // assignSplit       (0x27d4eb2f)
   val SaltGumbel      = 375134129L  // Dsir.resample     (0x165667b1)
+  val SaltUpsample    = 177573023L  // upsampleByRate    (0x0a95d91f)
+  val SaltShuffle     = 528734635L  // epochShuffleKey   (0x1f83d9ab)
 
   /** THE deterministic per-row coin every sampler here flips, salted
     * per door:
@@ -242,6 +244,79 @@ object Sampling {
       .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), t)) =>
         when(coin < lit(t), lit(name)).otherwise(acc)
       }
+  }
+
+  /** Deterministic FRACTIONAL UPSAMPLING: replicate each row
+    * `floor(rate)` times plus one more when the [[SaltUpsample]] coin
+    * lands under the fractional part — so a domain at rate 2.3 comes
+    * out at exactly 2.3× in expectation, with membership of the extra
+    * copy a pure function of the id (reproducible across runs,
+    * partitionings, engines; independent of every other door's coin).
+    * Output carries `copy_idx` ∈ [0, copies) so downstream shuffling/
+    * splitting can treat copies as distinct rows. One codegen'd
+    * sequence+explode projection — scan-speed, no shuffle; rows with
+    * rate ≤ 0 drop (zero copies). This is the half of corpus
+    * rebalancing the keep-coin doors can't express: mixByRate and
+    * mixByTemperature only DOWN-sample, while the multilingual
+    * training recipes (Conneau & Lample 2019; T5) UP-sample rare
+    * domains toward the flattened mix. */
+  def upsampleByRate(df: DataFrame, idCol: String,
+                     rate: Column): DataFrame = {
+    val whole = floor(rate.cast("double")).cast("long")
+    val frac = rate.cast("double") - whole.cast("double")
+    val extra = (knuthCoin(col(idCol), SaltUpsample).cast("double") <
+      frac * lit(4294967296.0)).cast("long")
+    val copies = greatest(whole + extra, lit(0L))
+    df.withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+
+  /** TEMPERATURE-scaled rebalancing by UPSAMPLING — the same
+    * flattened-mix target as [[mixByTemperature]] (counts ∝ n_d^α)
+    * but self-normalized to the LARGEST domain instead of the
+    * rarest: rate_d = (n_max/n_d)^(1−α) ≥ 1, so the common domain
+    * passes through exactly once (copy_idx 0) and rare domains
+    * replicate toward the flat mix — the direction the multilingual
+    * recipes actually train with (rare languages repeat; nothing is
+    * thrown away). Σ-free like its sibling (one exact integer ratio
+    * + one pow per domain, rounded 6 dp before the coin), so the
+    * exact output multiset is engine-replayable. NULL-domain rows
+    * drop (the [[mixByTemperature]] policy). One count shuffle, one
+    * broadcast-back join, one explode — scan-speed at 100 TB. */
+  def mixByTemperatureUpsample(df: DataFrame, domainCol: String,
+                               idCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"alpha = 1/T must be in (0, 1], got $alpha")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+    val nMax = counts.agg(max(col("_nd")).as("_nmax"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .select(col(domainCol),
+        round(pow(col("_nmax").cast("double") / col("_nd").cast("double"),
+          1.0 - alpha), 6).as("_rate"))
+    upsampleByRate(df.join(rates, domainCol), idCol, col("_rate"))
+      .drop("_rate")
+  }
+
+  /** Deterministic EPOCH-SHUFFLE key: a per-(id, epoch) uniform that
+    * orders the corpus into a reproducible training permutation —
+    * epoch e's order is `sort by epochShuffleKey(id, e)`, a DIFFERENT
+    * permutation each epoch, bit-stable across runs/partitionings/
+    * engines (the property that makes a training run resumable and
+    * auditable: step N's batch is a pure function of (corpus, epoch)).
+    * The per-epoch salt folds the epoch into [[SaltShuffle]] through
+    * the engine's multiplier mod 2³⁰ — distinct epochs get distinct
+    * salts, every product stays < 2⁶³, and the SQL oracle replays the
+    * identical fold. At 100 TB nobody globally sorts by this key: the
+    * dataloader range-partitions on it (sort within partitions) or
+    * takes bounded batches via top-k — both order-compatible with
+    * this key; the key itself is one codegen'd projection. */
+  def epochShuffleKey(id: Column, epoch: Int): Column = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val salt = (SaltShuffle + epoch.toLong * 2654435761L) % 1073741824L
+    knuthCoin(id, salt)
   }
 
   /** Importance sampling: keep each row with probability equal to its

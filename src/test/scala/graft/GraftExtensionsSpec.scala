@@ -512,5 +512,23 @@ class GraftExtensionsSpec extends SparkTestBase {
         spark.read.parquet(dir), "lang", "doc_id", 0.5)
       .collect().map(_.getLong(1)).toSet
     assert(sqlMix == opMix && sqlMix.nonEmpty)
+    // upsampling sibling: exact output MULTISET (id, copy_idx)
+    val sqlUp = spark.sql(
+      s"SELECT * FROM mix_by_temperature_upsample('$dir', 'lang', " +
+        "'doc_id', 0.5)")
+      .collect().map(r => (r.getLong(1), r.getLong(r.length - 1))).toSet
+    val opUp = graft.operators.Sampling.mixByTemperatureUpsample(
+        spark.read.parquet(dir), "lang", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(r.length - 1))).toSet
+    assert(sqlUp == opUp && sqlUp.nonEmpty)
+    // epoch shuffle key: SQL and Scala flip the identical salted coin
+    val sqlKeys = spark.sql(
+      s"SELECT doc_id, epoch_shuffle_key(doc_id, 3) FROM parquet.`$dir`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val opKeys = spark.read.parquet(dir)
+      .select(col("doc_id"),
+        graft.operators.Sampling.epochShuffleKey(col("doc_id"), 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlKeys == opKeys && sqlKeys.nonEmpty)
   }
 }

@@ -93,6 +93,69 @@ class SamplingCompositionSpec extends SparkTestBase {
     }
   }
 
+  test("upsampleByRate: fractional replication hits the rate, is " +
+    "partition-invariant, and rate <= 0 drops") {
+    val df = ids.withColumn("r", lit(2.3))
+    val out = Sampling.upsampleByRate(df, "doc_id", col("r"))
+    val total = out.count()
+    assert(math.abs(total.toDouble / n - 2.3) < 0.02, s"rate ${total.toDouble / n}")
+    // every id has 2 or 3 copies with contiguous copy_idx
+    val perId = out.groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(perId.forall(c => c._2 == 2L || c._2 == 3L))
+    val again = Sampling.upsampleByRate(df.repartition(13), "doc_id", col("r"))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perId.forall { case (id, c) => again(id) == c },
+      "copy counts must be a pure function of the id")
+    assert(Sampling.upsampleByRate(
+      ids.withColumn("r", lit(0.0)), "doc_id", col("r")).count() == 0)
+    val sub = Sampling.upsampleByRate(
+      ids.withColumn("r", lit(0.4)), "doc_id", col("r")).count()
+    assert(math.abs(sub.toDouble / n - 0.4) < 0.01, s"0.4 rate: ${sub.toDouble / n}")
+  }
+
+  test("mixByTemperatureUpsample: largest domain passes once, rare " +
+    "domains replicate to the flattened mix, NULLs drop") {
+    // en:de = 4:1, alpha 0.5 -> de rate = 2.0, en rate = 1.0
+    val df = ids.withColumn("lang",
+      when(col("doc_id") < 100, lit(null).cast("string"))
+        .when(col("doc_id") % 5 === 0, "de").otherwise("en"))
+    val out = Sampling.mixByTemperatureUpsample(df, "lang", "doc_id", 0.5)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains(null))
+    val enTotal = df.filter(col("lang") === "en").count()
+    val deTotal = df.filter(col("lang") === "de").count()
+    assert(byLang("en") == enTotal, "largest domain: exactly one copy each")
+    val deRate = byLang("de").toDouble / deTotal
+    assert(math.abs(deRate - 2.0) < 0.05, s"de replication $deRate vs 2.0")
+  }
+
+  test("epochShuffleKey: reproducible per epoch, distinct across " +
+    "epochs, independent of the split door") {
+    val e0 = ids.select(col("doc_id"),
+      Sampling.epochShuffleKey(col("doc_id"), 0).as("k"))
+    val order0 = e0.orderBy("k", "doc_id").limit(50)
+      .select("doc_id").as[Long].collect().toSeq
+    val order0b = ids.repartition(7).select(col("doc_id"),
+        Sampling.epochShuffleKey(col("doc_id"), 0).as("k"))
+      .orderBy("k", "doc_id").limit(50).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(order0 == order0b, "epoch order is partition-invariant")
+    val order1 = ids.select(col("doc_id"),
+        Sampling.epochShuffleKey(col("doc_id"), 1).as("k"))
+      .orderBy("k", "doc_id").limit(50).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(order0 != order1, "distinct epochs give distinct permutations")
+    // first 10% of epoch 0 still splits ~.9/.05/.05 (door independence)
+    val batch = e0.orderBy("k", "doc_id").limit((n / 10).toInt)
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val byLabel = Sampling.assignSplit(batch, "doc_id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    splits.foreach { case (label, frac) =>
+      val got = byLabel.getOrElse(label, 0L).toDouble / (n / 10)
+      assert(math.abs(got - frac) < 0.015, s"$label: $got vs $frac")
+    }
+  }
+
   test("mixByTemperature: NULL domains drop and never deflate rates") {
     // 100 NULL-domain rows would be the rarest stratum if counted —
     // n_min would shrink 10x and every real domain's rate with it
