@@ -30,6 +30,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q118: epoch batches are bounded top-k, never a global sort") {
+    val p = plan("q118_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k per epoch:\n$p")
+    assert(!p.contains("Sort "),
+      s"a global sort would not survive 100 TB:\n$p")
+  }
+
+  test("q117: upsampling is one explode over a broadcast rate join " +
+    "(no sort, no cartesian)") {
+    val p = plan("q117_temperature_upsample")
+    assert(p.contains("Generate"), s"expected sequence+explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain rates must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Sort "),
+      s"scan-speed door must not sort or cross:\n$p")
+  }
+
   test("q01: filters/projection reach the parquet scan") {
     val p = Queries.all("q01_agg_sum")(spark, sf)
       .queryExecution.executedPlan.toString
