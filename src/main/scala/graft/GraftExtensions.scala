@@ -219,15 +219,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("epoch_shuffle_key"),
       info("epoch_shuffle_key",
-        "epoch_shuffle_key(id, epoch) - deterministic per-(id, epoch) " +
-          "shuffle key: sort by it for epoch N's reproducible training " +
-          "permutation (Sampling.epochShuffleKey)"),
+        "epoch_shuffle_key(id, epoch[, copy_idx]) - deterministic " +
+          "per-(id, epoch) shuffle key: sort by it for epoch N's " +
+          "reproducible training permutation; pass copy_idx for " +
+          "upsampled corpora so replicas disperse " +
+          "(Sampling.epochShuffleKey)"),
       (args: Seq[Expression]) => args match {
         case Seq(id, e) => ColumnBridge.catalystExpression(
           Sampling.epochShuffleKey(ColumnBridge.column(id),
             litInt(e, "epoch")))
+        case Seq(id, e, c) => ColumnBridge.catalystExpression(
+          Sampling.epochShuffleKey(ColumnBridge.column(id),
+            litInt(e, "epoch"), ColumnBridge.column(c)))
         case _ => throw new IllegalArgumentException(
-          "epoch_shuffle_key expects (id, epoch)")
+          "epoch_shuffle_key expects (id, epoch[, copy_idx])")
       }))
     ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),

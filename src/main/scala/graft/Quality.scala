@@ -107,9 +107,11 @@ object Quality {
     val q11 = Entry("q11_dedup_minhash", "recall_of_jaccard_ge_0.7_pairs",
       ">=", 0.90, recall(minhashPairs, jTruth))
 
-    // q12: the shipped simhash query (maxHamming=8) vs the same truth
+    // q12: the shipped simhash query (maxHamming=10 — round 16, the
+    // thin-floor fix: verification-only bar, zero candidate cost) vs
+    // the same truth
     val simhashPairs = pairSet(
-      Dedup.simHashDup(docs, "text", "doc_id", maxHamming = 8))
+      Dedup.simHashDup(docs, "text", "doc_id", maxHamming = 10))
     val q12 = Entry("q12_dedup_simhash", "recall_of_jaccard_ge_0.7_pairs",
       ">=", 0.80, recall(simhashPairs, jTruth))
 
@@ -191,7 +193,10 @@ object Quality {
 
     // q103: storage-integrated IVF (cell-clustered layout, shard-pruned
     // read) recall@5 vs the same brute-force truth as q23/q67 — the
-    // shipped q103 parameters (16 cells, 6 probed)
+    // shipped q103 parameters (16 cells, 8 probed — round 16 widened
+    // the 0.75-vs-0.70 thin floor to >=15% headroom by probing two
+    // more cells; verification-side cost only, candidates stay
+    // shard-pruned)
     val vroot = java.nio.file.Files
       .createTempDirectory("graft_qual_vix_").toString + "/idx"
     graft.operators.VectorIndex.publish(emb, vroot, "vec_id", "embedding",
@@ -199,7 +204,7 @@ object Quality {
     val vixQs = emb.filter(col("vec_id") < 20)
     val q103 = Entry("q103_vector_index", "recall_at_5_vs_exact",
       ">=", 0.70, recall(topkPairs(graft.operators.VectorIndex.topK(
-        spark, vroot, vixQs, "vec_id", "embedding", k = 5, nProbe = 6)),
+        spark, vroot, vixQs, "vec_id", "embedding", k = 5, nProbe = 8)),
         bruteTruth))
 
     // q104: manifest-HLL distinct estimate vs the exact count (the

@@ -592,3 +592,68 @@ object MaintenanceJob {
     }
   }
 }
+
+/** The canonical TRAINING-DATA TAIL in one pipeline — the composition
+  * every stage of the sampling family was built toward:
+  *
+  *   DSIR weights → Gumbel-top-k resample → temperature UPSAMPLE →
+  *   stratified split → replica-aware epoch shuffle → batch assignment
+  *
+  * (Xie et al.'s data selection, the multilingual flattened-mix
+  * replication, the eval split, and the reproducible dataloader, end
+  * to end.) Every stage flips its OWN salted door coin
+  * ([[graft.operators.Sampling.knuthCoin]]) or a rounded-micro-nat
+  * transcendental, so the output — every row's (doc, copy, batch) —
+  * is a PURE FUNCTION of (corpus, parameters): bit-replayable across
+  * runs, partitionings, and engines (q121's DuckDB oracle replays the
+  * whole chain), and resumable at any training step.
+  *
+  * Scale shape: the weights pass is the corpus tokenize (bucketed
+  * vocabulary — the model broadcasts at any corpus size, q115);
+  * everything after the k-row resample operates on a BOUNDED frame,
+  * pinned once with `localCheckpoint` because four downstream
+  * consumers read it (the upsample's count+data sides, the rank
+  * histogram+data sides) — without the pin each would re-run the
+  * full-corpus tokenize, and the pin is also [[graft.operators
+  * .Ranks]]'s reuse-safe materialization fence. One full-data range
+  * exchange (the batch assignment) after the resample; nothing else
+  * shuffles more than the k selected rows. */
+object TrainingTail {
+  import org.apache.spark.sql.Column
+  import graft.operators.{Batching, Dsir, Sampling}
+
+  /** Returns every row of `epoch`'s TRAIN split with its replica
+    * index, global epoch position, and training batch id:
+    * (idCol, copy_idx, domainCol, epoch_pos, batch_id). Batch counts
+    * and sizes are derivable from the output (`max(batch_id)+1`,
+    * `count per batch_id`) — no side report that would re-execute
+    * the lineage. */
+  def run(spark: SparkSession, docs: DataFrame, targetPred: Column,
+          k: Int, alpha: Double, splits: Seq[(String, Double)],
+          epoch: Int, batchSize: Int,
+          textCol: String = "text", idCol: String = "doc_id",
+          domainCol: String = "lang", nBuckets: Int = 4096): DataFrame = {
+    val weights = Dsir.importanceWeightsWhen(
+      docs, targetPred, textCol, idCol, nBuckets = nBuckets)
+    val picked = Dsir.resample(weights, k, idCol)
+    // k rows: broadcast the selection back onto the corpus for the
+    // domain column, then pin — everything downstream is ≤ k·⌈rate⌉
+    // rows and is read by four consumers (see object doc)
+    val corpus = docs.select(col(idCol), col(domainCol))
+      .join(broadcast(picked.select(idCol)), idCol)
+      .localCheckpoint()
+    val up = Sampling.mixByTemperatureUpsample(corpus, domainCol, idCol, alpha)
+    // second pin, for the RANK fan-out: epochBatches' histogram and
+    // data sides must read ONE reused range exchange, and the
+    // upsample's nested AQE stages (rate broadcast, count shuffle)
+    // under that exchange defeat the canonical-equality reuse check —
+    // RanksSpec's one-materialized-exchange pin caught the double
+    // materialization. A LogicalRDD below the exchange makes the two
+    // consumers trivially equal (and the frame is ≤ k·⌈rate⌉ rows).
+    val train = Sampling.assignSplit(up, idCol, splits)
+      .filter(col("split") === splits.head._1)
+      .localCheckpoint()
+    Batching.epochBatches(train, idCol, epoch, batchSize,
+      copyIdxCol = "copy_idx", keepCols = Seq(domainCol))
+  }
+}

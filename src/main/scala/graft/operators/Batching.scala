@@ -41,10 +41,69 @@ object Batching {
     val base = df.select(keepCols.map(col) :+ toks.cast("long").as("toks"): _*)
       .withColumn("bucket",
         expr(s"((toks + ${bucketQuantum - 1}) div $bucketQuantum) * $bucketQuantum"))
+    // keepCols beyond the id ride as trailing order keys — (toks, id)
+    // is already total, and the reuse contract (Ranks) requires every
+    // carried column to be a range key
     Ranks.globalRowNumbers(base, Seq("bucket"),
-        Seq(col("toks").desc, col(idCol).asc), rankCol = "_g", sizeCol = "_n")
+        Seq(col("toks").desc, col(idCol).asc) ++
+          keepCols.filterNot(_ == idCol).map(c => col(c).asc),
+        rankCol = "_g", sizeCol = "_n")
       .withColumn("batch_id", expr(s"(_g - 1) div $batchSize"))
       .select(keepCols.map(col) ++
         Seq(col("toks"), col("bucket"), col("batch_id")): _*)
+  }
+
+  /** FULL epoch→batch assignment — the reproducible-dataloader door:
+    * every row of epoch `epoch` gets its global position in the
+    * epoch's deterministic permutation (`epoch_pos`, 1-based, ordered
+    * by [[Sampling.epochShuffleKey]]) and its training batch
+    * `batch_id = (epoch_pos − 1) div batchSize`. With this, "step N's
+    * batch" is a pure function of (corpus, epoch, batchSize) — the
+    * resumable/auditable-training property q118 proved only for the
+    * FIRST batch (bounded top-k); this door assigns every batch.
+    *
+    * `copyIdxCol` (pass it for corpora out of [[Sampling
+    * .upsampleByRate]] / [[Sampling.mixByTemperatureUpsample]])
+    * switches to the replica-aware 3-arg key so the ⌈rate⌉ copies of
+    * an upsampled doc disperse across the epoch instead of seating
+    * adjacent in every batch.
+    *
+    * Scale shape: the position is [[Ranks.globalRowNumbers]] — ONE
+    * full-data range exchange on (key, id[, copy]) + a broadcast of
+    * the tiny slice-offset histogram, never a global sort and never a
+    * single-partition window (PlanSpec pins one exchange). At 100 TB
+    * this is exactly the shuffle a dataloader must pay to materialize
+    * a permuted epoch; nothing here pays a second one. */
+  def epochBatches(df: DataFrame, idCol: String, epoch: Int,
+                   batchSize: Int, copyIdxCol: String = null,
+                   keepCols: Seq[String] = Seq.empty): DataFrame = {
+    require(batchSize > 0, s"need positive batchSize, got $batchSize")
+    val copy = Option(copyIdxCol)
+    val carried = (idCol +: copy.toSeq) ++ keepCols
+    val derived = Seq("_skey", "epoch_pos", "batch_id", "_g", "_n")
+    require(!carried.exists(k => derived.exists(_.equalsIgnoreCase(k))),
+      s"epochBatches derives ${derived.mkString("/")}; " +
+        "rename the colliding input columns")
+    val skey = copy match {
+      case Some(c) => Sampling.epochShuffleKey(col(idCol), epoch, col(c))
+      case None    => Sampling.epochShuffleKey(col(idCol), epoch)
+    }
+    val base = df.select(carried.map(col) :+ skey.as("_skey"): _*)
+    // (id, copy) tie-breaks make the permutation total: distinct rows
+    // can share a 32-bit key, never a position. keepCols ride as
+    // TRAILING order keys — after a total order they change nothing
+    // semantically, but making every carried column a range key is
+    // what keeps the two exchange consumers canonically equal
+    // (Ranks' reuse contract: a payload column the histogram side
+    // can prune would fork the exchange — the guard below Ranks
+    // rejects it loudly)
+    val order = (col("_skey").asc +: col(idCol).asc +:
+      copy.map(c => col(c).asc).toSeq) ++ keepCols.map(c => col(c).asc)
+    Ranks.globalRowNumbers(base, Seq.empty, order,
+        rankCol = "_g", sizeCol = "_n")
+      .withColumn("epoch_pos", col("_g"))
+      .withColumn("batch_id", expr(s"(_g - 1) div $batchSize"))
+      .select(carried.map(col) ++
+        Seq(col("epoch_pos"), col("batch_id")): _*)
   }
 }

@@ -514,7 +514,18 @@ object Dedup {
     * CONTRACT: ids must be (castable to) distinct longs — GraphX
     * vertices are Long. String corpus ids (URLs, hashes) must be
     * mapped to a dense/hashed long id upstream; casting would null
-    * non-numeric ids and collide '007' with '7'. */
+    * non-numeric ids and collide '007' with '7'.
+    *
+    * CALLER-MUST-UNPERSIST (round-15 advisor): the GraphX path
+    * returns its (id, keep_id) result PERSISTED (MEMORY_AND_DISK) —
+    * that pin is what lets the operator release the ~2 GB graph RDDs
+    * eagerly instead of leaking them (the r14 q30-OOM fix), but it
+    * means each invocation leaves one small cached frame behind.
+    * Long-lived sessions must `result.unpersist()` after their
+    * downstream consumption materializes (Bench sweeps persistent
+    * RDDs between queries for the same reason); one-shot jobs can
+    * ignore it — the frame is two longs per paired id and dies with
+    * the session. */
   def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession,
                         smallEdgeLimit: Long = 100000L): DataFrame = {
     require(smallEdgeLimit >= 0 && smallEdgeLimit < Int.MaxValue,

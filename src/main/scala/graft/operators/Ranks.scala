@@ -121,6 +121,37 @@ object Ranks {
     walk(df.queryExecution.optimizedPlan)
   }
 
+  /** Differential column pruning is the FOURTH way a caller can break
+    * the reused-exchange invariant (round 16): a payload column the
+    * data consumer outputs but the histogram consumer doesn't need
+    * gets pruned below ONE of the two range exchanges, the subtrees
+    * stop being canonically equal, and each materializes its own
+    * boundary sample — q121's `keepCols = lang` did exactly this
+    * (caught by RanksSpec's one-materialized-exchange pin; with two
+    * independent stages AQE can coalesce them differently, which
+    * misaligns the histogram's _pid offsets with the data rows =
+    * silently wrong ranks). Contract, enforced here: every input
+    * column must be a range KEY (rank callers — join payloads back
+    * on the id afterwards, or append them as trailing order keys:
+    * after a total order they change nothing), except `allowed`
+    * columns that BOTH consumers provably retain (cumsum's value
+    * column, summed by the histogram and output by the data side). */
+  private def requireNoPrunablePayload(df: DataFrame, ranged: DataFrame,
+                                       what: String,
+                                       allowed: Set[String]): Unit = {
+    val keyRefs = ranged.queryExecution.analyzed.expressions
+      .flatMap(_.references.map(_.name.toLowerCase)).toSet
+    val payload = df.columns.filterNot(c =>
+      keyRefs.contains(c.toLowerCase) || allowed.contains(c))
+    require(payload.isEmpty,
+      s"$what: column(s) [${payload.mkString(", ")}] are neither range " +
+        "keys nor retained by both exchange consumers — differential " +
+        "column pruning below the range exchange would defeat stage " +
+        "reuse (wrong ranks, silently). Select only key columns and " +
+        "join the payload back by id, or append it to orderCols as a " +
+        "trailing key (harmless after a total order)")
+  }
+
   /** Add global per-group 1-based row numbers (`rankCol`, long) and the
     * group size (`sizeCol`, long) to `df`, computed scale-safe as
     * described above.
@@ -151,6 +182,7 @@ object Ranks {
     val ranged =
       if (parts > 0) df.repartitionByRange(parts, keys: _*)
       else df.repartitionByRange(keys: _*)
+    requireNoPrunablePayload(df, ranged, "globalRowNumbers", Set.empty)
     // Histogram side: COUNTS ONLY, over the unsorted exchange read —
     // this consumer never sorts and never sees a payload column after
     // pruning. `monotonically_increasing_id` is documented as
@@ -369,6 +401,11 @@ object Ranks {
     val ranged =
       if (parts > 0) checked.repartitionByRange(parts, keys: _*)
       else checked.repartitionByRange(keys: _*)
+    // valueCol is the one allowed non-key column: the histogram side
+    // SUMS it and the data side outputs it, so both consumers retain
+    // it and the subtrees stay canonically equal
+    requireNoPrunablePayload(checked, ranged, "globalCumSum",
+      Set(valueCol))
     val hist = ranged.withColumn("_pid", spark_partition_id())
       .groupBy((col("_pid") +: gCols): _*)
       .agg(sum(col(valueCol)).as("_c"))

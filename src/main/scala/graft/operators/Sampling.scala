@@ -148,8 +148,7 @@ object Sampling {
                        alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1,
       s"alpha = 1/T must be in (0, 1], got $alpha")
-    val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+    val counts = domainCounts(df, domainCol)
     val nMin = counts.agg(min(col("_nd")).as("_nmin"))
     val rates = counts.crossJoin(broadcast(nMin))
       .select(col(domainCol),
@@ -160,6 +159,23 @@ object Sampling {
         col("_rate") * lit(4294967296.0))
       .drop("_rate")
   }
+
+  /** Per-domain row counts with NULL domains dropped — the count pass
+    * of both temperature mixers. The null-drop sits ABOVE the
+    * aggregate on purpose (identical values: `count(1)` per non-null
+    * group is unchanged by when the null group is discarded): with
+    * the aggregate DIRECTLY over the scan, the grouped metadata-only
+    * rewrite ([[graft.plans.ManifestAggregates]]) answers this pass
+    * from the MANIFEST when `df` is a published layout sharded
+    * single-group on the domain (the q87/q101 doors) — the counts
+    * side then opens ZERO data files, so a temperature mix over a
+    * published corpus pays one scan, not two
+    * (MixingManifestCountsSpec pins the plan). A pre-aggregate
+    * `filter(isNotNull)` would block the rewrite: the rule fires only
+    * on the exact Aggregate-over-scan shape. */
+  private def domainCounts(df: DataFrame, domainCol: String): DataFrame =
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+      .filter(col(domainCol).isNotNull)
 
   /** Per-DOOR salts for [[knuthCoin]]. Every sampling operator flips
     * a coin from the same family but with its OWN salt — without
@@ -215,7 +231,15 @@ object Sampling {
   def knuthCoin(id: Column, salt: Long): Column = {
     require(salt >= 0 && salt < 1073741824L,
       s"coin salt must be in [0, 2^30), got $salt")
-    val x = pmod(pmod(id.cast("long"), lit(1073741824L)) + lit(salt),
+    coinOf(id, lit(salt))
+  }
+
+  /** [[knuthCoin]] with a COLUMN salt (the replica-aware
+    * [[epochShuffleKey]] derives its salt from `copy_idx` per row).
+    * Callers must keep the salt in [0, 2³⁰) — the bound the require
+    * in [[knuthCoin]] enforces for literal salts. */
+  private def coinOf(id: Column, salt: Column): Column = {
+    val x = pmod(pmod(id.cast("long"), lit(1073741824L)) + salt,
       lit(1073741824L))
     val q = pmod(x * (x * lit(2L) + lit(1L)), lit(4294967296L))
     pmod(pmod(q, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
@@ -253,7 +277,9 @@ object Sampling {
     * copy a pure function of the id (reproducible across runs,
     * partitionings, engines; independent of every other door's coin).
     * Output carries `copy_idx` ∈ [0, copies) so downstream shuffling/
-    * splitting can treat copies as distinct rows. One codegen'd
+    * splitting can treat copies as distinct rows — the epoch shuffle
+    * MUST consume it via the replica-aware 3-arg [[epochShuffleKey]]
+    * (the id-only key would seat all copies adjacent every epoch). One codegen'd
     * sequence+explode projection — scan-speed, no shuffle; rows with
     * rate ≤ 0 drop (zero copies). This is the half of corpus
     * rebalancing the keep-coin doors can't express: mixByRate and
@@ -262,15 +288,26 @@ object Sampling {
     * domains toward the flattened mix. */
   def upsampleByRate(df: DataFrame, idCol: String,
                      rate: Column): DataFrame = {
+    // withColumn would silently OVERWRITE a pre-existing copy_idx —
+    // re-upsampling an already-upsampled frame would drop the first
+    // replication's indices and corrupt the multiset. Refuse loudly;
+    // callers who really mean to re-replicate should fold the old
+    // copy_idx into the id (or rename it) first.
+    val derived = Seq("copy_idx", "_upsample_n")
+    require(!df.columns.exists(c => derived.exists(_.equalsIgnoreCase(c))),
+      s"upsampleByRate derives ${derived.mkString("/")}; the input " +
+        "already has one of these columns — rename it (re-upsampling " +
+        "an upsampled frame silently drops the first copy_idx)")
     val whole = floor(rate.cast("double")).cast("long")
     val frac = rate.cast("double") - whole.cast("double")
     val extra = (knuthCoin(col(idCol), SaltUpsample).cast("double") <
       frac * lit(4294967296.0)).cast("long")
     val copies = greatest(whole + extra, lit(0L))
-    df.withColumn("_n", copies)
-      .filter(col("_n") > 0)
-      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
-      .drop("_n")
+    df.withColumn("_upsample_n", copies)
+      .filter(col("_upsample_n") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_upsample_n") - 1)))
+      .drop("_upsample_n")
   }
 
   /** TEMPERATURE-scaled rebalancing by UPSAMPLING — the same
@@ -289,8 +326,7 @@ object Sampling {
                                idCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1,
       s"alpha = 1/T must be in (0, 1], got $alpha")
-    val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("_nd"))
+    val counts = domainCounts(df, domainCol)
     val nMax = counts.agg(max(col("_nd")).as("_nmax"))
     val rates = counts.crossJoin(broadcast(nMax))
       .select(col(domainCol),
@@ -312,11 +348,50 @@ object Sampling {
     * identical fold. At 100 TB nobody globally sorts by this key: the
     * dataloader range-partitions on it (sort within partitions) or
     * takes bounded batches via top-k — both order-compatible with
-    * this key; the key itself is one codegen'd projection. */
+    * this key; the key itself is one codegen'd projection.
+    *
+    * UPSAMPLED corpora must use the replica-aware overload
+    * ([[epochShuffleKey(id:org\.apache\.spark\.sql\.Column,epoch:Int,copyIdx:org\.apache\.spark\.sql\.Column)*
+    * 3-arg form]]) — this id-only key cannot tell copies apart. */
   def epochShuffleKey(id: Column, epoch: Int): Column = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val salt = (SaltShuffle + epoch.toLong * 2654435761L) % 1073741824L
     knuthCoin(id, salt)
+  }
+
+  /** Multiplier folding `copy_idx` into the shuffle salt. DISTINCT
+    * from the epoch fold's 2654435761 on purpose: with a shared
+    * multiplier, salt(epoch, copy) = salt(epoch + copy, 0), pinning
+    * replica c of every doc to exactly where the doc itself sits in
+    * epoch e + c — a deterministic cross-epoch echo instead of an
+    * independent position. 2246822519 is xxhash32's PRIME32_2 (odd,
+    * so the fold sweeps all residues mod 2³⁰). */
+  private[graft] val CopyFold = 2246822519L
+
+  /** REPLICA-AWARE [[epochShuffleKey]]: a per-(id, copy_idx, epoch)
+    * uniform for corpora that passed through [[upsampleByRate]] /
+    * [[mixByTemperatureUpsample]]. The id-only key gives all ⌈rate⌉
+    * copies of an upsampled document the IDENTICAL key, so they sit
+    * adjacent in EVERY epoch's order forever — a rare-language doc
+    * replicated 4× would land 4 times in the same training batch,
+    * the opposite of what replication is for. This overload folds
+    * `copy_idx` into the salt the same bounded-multiplier way the
+    * epoch folds in: salt = (base + (copy mod 2³⁰)·[[CopyFold]]) mod
+    * 2³⁰ — every product stays < 2⁶² (the < 2⁶³ engine-portability
+    * envelope holds: Spark's wrapping and DuckDB's promoting
+    * arithmetic agree for any id and any copy_idx), and copy 0
+    * reproduces the 2-arg key EXACTLY (base + 0 ≡ base), so a
+    * non-upsampled corpus (all copy_idx = 0) orders identically
+    * under either overload. SamplingCompositionSpec pins both the
+    * copy-0 identity and the replica dispersion (adjacent-replica
+    * count ≈ the random expectation, not n_copies). */
+  def epochShuffleKey(id: Column, epoch: Int, copyIdx: Column): Column = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val base = (SaltShuffle + epoch.toLong * 2654435761L) % 1073741824L
+    val salt = pmod(lit(base) +
+      pmod(copyIdx.cast("long"), lit(1073741824L)) * lit(CopyFold),
+      lit(1073741824L))
+    coinOf(id, salt)
   }
 
   /** Importance sampling: keep each row with probability equal to its

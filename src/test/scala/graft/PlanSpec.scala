@@ -48,6 +48,18 @@ class PlanSpec extends SparkTestBase {
       s"scan-speed door must not sort or cross:\n$p")
   }
 
+  test("q119: upsample->shuffle composition keeps the q117/q118 " +
+    "shapes — broadcast rate join, explode, bounded top-k, no sort") {
+    val p = plan("q119_upsample_shuffle")
+    assert(p.contains("Generate"), s"expected sequence+explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain rates must broadcast back:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k per epoch:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Sort "),
+      s"composition must not global-sort or cross:\n$p")
+  }
+
   test("q01: filters/projection reach the parquet scan") {
     val p = Queries.all("q01_agg_sum")(spark, sf)
       .queryExecution.executedPlan.toString

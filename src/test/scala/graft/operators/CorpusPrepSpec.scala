@@ -130,6 +130,60 @@ class CorpusPrepSpec extends SparkTestBase {
     }
   }
 
+  test("epochBatches equals the sort reference: every row's position " +
+    "and batch, partition-invariant") {
+    val d = docs.select($"doc_id")
+    val out = Batching.epochBatches(d, "doc_id", epoch = 1, batchSize = 32)
+      .select("doc_id", "epoch_pos", "batch_id")
+      .as[(Long, Long, Long)].collect()
+    // reference: replay the key in plain Scala, sort locally
+    val salt = (Sampling.SaltShuffle + 2654435761L) % 1073741824L
+    def key(id: Long): Long = {
+      val x = ((id % 1073741824L) + 1073741824L + salt) % 1073741824L
+      val q = (x * (2L * x + 1L)) % 4294967296L
+      ((q % 2147483648L) * 2654435761L) % 4294967296L
+    }
+    val ref = d.as[Long].collect().toSeq
+      .sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, i) => (id, i + 1L, i.toLong / 32) }.toSet
+    assert(out.toSet == ref)
+    // partition-invariance: a 13-way reshuffle assigns identically
+    val again = Batching.epochBatches(d.repartition(13), "doc_id",
+        epoch = 1, batchSize = 32)
+      .select("doc_id", "epoch_pos", "batch_id")
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet == ref)
+  }
+
+  test("epochBatches with copyIdxCol: replica-aware key, all batches " +
+    "full except the last, replicas spread over batches") {
+    val d = docs.select($"doc_id").limit(200)
+      .withColumn("copy_idx", explode(sequence(lit(0L), lit(3L))))
+    val out = Batching.epochBatches(d, "doc_id", epoch = 0,
+        batchSize = 16, copyIdxCol = "copy_idx")
+      .select("doc_id", "copy_idx", "epoch_pos", "batch_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 800)
+    assert(out.map(_._3).toSet == (1L to 800L).toSet,
+      "positions are exactly 1..n")
+    val sizes = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(_ == 16), "800/16: every batch full")
+    // replica dispersion at batch granularity: no doc puts all 4
+    // copies in one batch (the id-only key would put EVERY doc's 4
+    // copies in one batch)
+    val worst = out.groupBy(r => (r._1, r._4)).view.mapValues(_.length)
+      .values.max
+    assert(worst <= 2, s"a doc landed $worst copies in one batch")
+  }
+
+  test("epochBatches rejects derived-column collisions") {
+    intercept[IllegalArgumentException] {
+      Batching.epochBatches(docs.withColumnRenamed("text", "epoch_pos"),
+        "doc_id", epoch = 0, batchSize = 8,
+        keepCols = Seq("epoch_pos"))
+    }
+  }
+
   test("mixByTemperature: kept counts track n_d^alpha, the rarest " +
     "domain survives whole, alpha=1 keeps everything, and membership " +
     "is partition-invariant") {

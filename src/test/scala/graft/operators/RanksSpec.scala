@@ -157,13 +157,16 @@ class RanksSpec extends SparkTestBase {
     val outCols = Seq("grp", "v", "id", "toks", "_g", "_n").map(col)
     spark.conf.set("spark.graft.ranks.selfCheck", "true")
     try {
+      // toks rides as a TRAILING order key: (v, id) is already total
+      // (unique ids), so ranks are unchanged — and the round-16 reuse
+      // contract requires every carried column to be a range key
       val ranked = Ranks.globalRowNumbers(df, Seq("grp"),
-        Seq(col("v"), col("id")), parts = 5)
+        Seq(col("v"), col("id"), col("toks")), parts = 5)
       assert(rows(ranked.select(outCols: _*)) ==
         rows(native.select(outCols: _*)))
       // pruned form: subsequence invariant (bounds + strict ascent)
       val top2 = Ranks.globalRowNumbers(df, Seq("grp"),
-        Seq(col("v"), col("id")), parts = 5,
+        Seq(col("v"), col("id"), col("toks")), parts = 5,
         slicePred = (off, _, _) => off < 2, rowPred = (g, _) => g <= 2)
       assert(top2.count() == 5) // 1 + 2 + 2
       // cumsum recurrence, long and double value columns
@@ -171,8 +174,9 @@ class RanksSpec extends SparkTestBase {
         Seq(col("v"), col("id")), "toks", cumCol = "cum", parts = 5)
       assert(cumL.count() == 408)
       val cumD = Ranks.globalCumSum(
-        df.withColumn("dv", col("toks").cast("double")), Seq("grp"),
-        Seq(col("v"), col("id")), "dv", cumCol = "cum", parts = 5)
+        df.withColumn("dv", col("toks").cast("double")).drop("toks"),
+        Seq("grp"), Seq(col("v"), col("id")), "dv", cumCol = "cum",
+        parts = 5)
       assert(cumD.count() == 408)
     } finally spark.conf.set("spark.graft.ranks.selfCheck", "false")
   }
@@ -275,8 +279,10 @@ class RanksSpec extends SparkTestBase {
     val wr = Window.partitionBy(col("grp")).orderBy(col("id"))
     val (winRH, _) = fp(df.withColumn("cum",
       row_number().over(wr).cast("long")))
-    val (rnkRH, _) = fp(Ranks.globalRowNumbers(df, Seq("grp"),
-      Seq(col("id")), rankCol = "cum").drop("_n"))
+    // key columns only (toks would be prunable payload — the round-16
+    // reuse contract rejects it; the fingerprint never reads toks)
+    val (rnkRH, _) = fp(Ranks.globalRowNumbers(df.select("grp", "id"),
+      Seq("grp"), Seq(col("id")), rankCol = "cum").drop("_n"))
     assert(rnkRH == winRH, "globalRowNumbers diverges from the window form at volume")
     } finally freeCheckpoint()
   }
@@ -284,7 +290,8 @@ class RanksSpec extends SparkTestBase {
   test("ranked queries execute exactly ONE range shuffle stage (reuse is load-bearing)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     Seq("q38_rank_lag", "q40_percentile", "q43_ntile",
-        "q58_seq_pack", "q65_token_budget", "q71_length_batching")
+        "q58_seq_pack", "q65_token_budget", "q71_length_batching",
+        "q120_epoch_batches", "q121_training_tail")
       .foreach { name =>
       val df = Queries.all(name)(spark, sf)
       df.collect()

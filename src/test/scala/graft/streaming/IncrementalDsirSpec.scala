@@ -85,9 +85,90 @@ class IncrementalDsirSpec extends SparkTestBase {
       .filter(col("doc_id") === 2L).collect().head.getLong(2)
     assert(w2 == expect,
       s"replay inflated the model: got $w2, uninflated law says $expect")
+    // the round-15 advisor's medium: the REPLAYED attempt itself must
+    // re-emit bit-identical output rows — its model read excludes the
+    // first attempt's half-committed store generation (batch_id <
+    // batchId), so both attempts weigh doc 1 under the same (empty ⊕
+    // own-counts) model. Two appends, ONE distinct row.
+    val doc1 = spark.read.parquet(s"$work/out")
+      .filter(col("doc_id") === 1L)
+    assert(doc1.count() == 2L, "both attempts appended")
+    assert(doc1.distinct().count() == 1L,
+      "replayed attempt emitted different rows than the first — " +
+        "the model-as-of-first-arrival contract is broken")
     intercept[IllegalArgumentException] {
       IncrementalDsir.processBatch(spark, b, 9L, s"$work/store",
         s"$work/out", col("lang") === "en", "text", "doc_id", nBuckets = 0)
     }
+  }
+
+  test("collapseStore: N batches + collapse + replay ≡ uncollapsed " +
+    "model; store rows bound to the bucket count; crash windows " +
+    "(sentinel-appended-deletes-pending, replayed collapse) exact") {
+    val work = tmp()   // collapsed store
+    val workU = tmp()  // uncollapsed twin — the ≡ oracle
+    def step(rows: Seq[(Long, String, String)], id: Long, w: String): Unit =
+      IncrementalDsir.processBatch(spark,
+        rows.toDF("doc_id", "lang", "text"), id, s"$w/store", s"$w/out",
+        col("lang") === "en", "text", "doc_id", nBuckets = 64)
+    val batches = Seq(
+      Seq((1L, "en", "alpha beta gamma"), (2L, "de", "beta gamma")),
+      Seq((3L, "en", "gamma gamma delta")),
+      Seq((4L, "de", "alpha delta epsilon")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      step(rows, i.toLong, work); step(rows, i.toLong, workU)
+    }
+    val (before, after) =
+      IncrementalDsir.collapseStore(spark, s"$work/store", 3L)
+    assert(before > after,
+      s"collapse must shrink the store (rows $before -> $after)")
+    // post-collapse rows = ONE sentinel generation = live buckets
+    val store = spark.read.parquet(s"$work/store")
+    assert(after == store.select("w").distinct().count(),
+      "steady-state store = one row per live bucket")
+    assert(store.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(-3L),
+      "sentinel batch_id encodes the watermark: -(thru+1) = -3")
+    // batch 3 under collapsed vs uncollapsed stores: identical rows
+    val b3 = Seq((5L, "en", "beta delta zeta"))
+    step(b3, 3L, work); step(b3, 3L, workU)
+    def rowsOf(w: String) = spark.read.parquet(s"$w/out")
+      .filter(col("doc_id") === 5L).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(work) == rowsOf(workU),
+      "collapsed model diverged from the uncollapsed law")
+    // replay of batch 3 over the collapsed store: identical rows again
+    step(b3, 3L, work)
+    val doc5 = spark.read.parquet(s"$work/out")
+      .filter(col("doc_id") === 5L)
+    assert(doc5.count() == 2L && doc5.distinct().count() == 1L,
+      "replay over a collapsed store must re-emit identical rows")
+    // crash window: a REPLAYED collapse (same watermark) — sentinel
+    // appended twice, deletes already done. Reader must max-collapse
+    // the duplicate sentinel, and the next collapse reclaims it.
+    IncrementalDsir.collapseStore(spark, s"$work/store", 3L)
+    IncrementalDsir.collapseStore(spark, s"$work/store", 3L)
+    val b4 = Seq((6L, "de", "alpha zeta"))
+    step(b4, 4L, work); step(b4, 4L, workU)
+    def rows6(w: String) = spark.read.parquet(s"$w/out")
+      .filter(col("doc_id") === 6L).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows6(work) == rows6(workU),
+      "duplicate sentinel inflated the model")
+    // and a LATER collapse folds sentinel + newer generations into a
+    // fresh sentinel with the advanced watermark
+    val (_, after2) = IncrementalDsir.collapseStore(spark, s"$work/store", 5L)
+    val store2 = spark.read.parquet(s"$work/store")
+    assert(store2.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(-5L),
+      "re-collapse advances the sentinel watermark to -(4+1)")
+    assert(after2 == store2.select("w").distinct().count())
+    val b5 = Seq((7L, "en", "epsilon epsilon"))
+    step(b5, 5L, work); step(b5, 5L, workU)
+    def rows7(w: String) = spark.read.parquet(s"$w/out")
+      .filter(col("doc_id") === 7L).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows7(work) == rows7(workU),
+      "advanced-watermark collapse diverged from the uncollapsed law")
   }
 }
