@@ -3986,6 +3986,59 @@ object Queries {
        |FROM pos""".stripMargin
   }
 
+  /** q122's published epoch layout, cached per session (the q76
+    * convention — Bench prices the publish separately as
+    * `q122_write_sec`; catalog passes measure the PRUNED READ). */
+  private val q122Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+  def q122Publish(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q122_").toString
+    val pub = s"$root/epoch0"
+    graft.apps.EpochExport.exportEpoch(s,
+      Tables(s, dir).documents.select(col("doc_id")),
+      pub, "doc_id", epoch = 0, batchSize = 32, nShards = 4)
+    q122Published.put(s, (dir, pub))
+    pub
+  }
+
+  /** q122 — EPOCH SHARD EXPORT + batch-range read under a VALUE
+    * oracle ([[graft.apps.EpochExport]]): epoch 0 materialized as a
+    * published layout whose shards are contiguous batch ranges
+    * (zone-mapped + sorted on batch_id), then "resume at step 4:
+    * give me batches 4–7" as a manifest-pruned shard read
+    * ([[graft.sinks.Sinks.readShardsBetween]]) — the dataloader
+    * artifact at the end of the training tail. The oracle replays
+    * the epoch permutation in SQL and filters the same batch range,
+    * so the hash compare proves the published artifact's batch
+    * membership equals the pure function of (corpus, epoch,
+    * batchSize) — resumable training, file-level pruning and all.
+    * At 100 TB the read opens |range|/batchesPerShard shards, never
+    * the corpus (EpochExportSpec pins the pruned path list). */
+  val q122: Q = (s, dir) => {
+    val cached = q122Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q122Publish(s, dir)
+    graft.sinks.Sinks.readShardsBetween(s, pub, "batch_id", 4L, 7L)
+      .select("doc_id", "epoch_pos", "batch_id")
+  }
+  val q122Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, ${coinSql(Sampling.SaltShuffle)} AS skey
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+       |      AS epoch_pos
+       |  FROM keyed
+       |)
+       |SELECT doc_id, epoch_pos,
+       |  (epoch_pos - 1) // 32 AS batch_id
+       |FROM pos
+       |WHERE (epoch_pos - 1) // 32 BETWEEN 4 AND 7""".stripMargin
+
   /** q113 — DSIR RESAMPLING under a VALUE oracle
     * ([[graft.operators.Dsir.resample]]): the selection half of
     * q112's weighting — Gumbel-top-k over the log importance
@@ -4306,6 +4359,7 @@ object Queries {
     "q119_upsample_shuffle" -> q119,
     "q120_epoch_batches" -> q120,
     "q121_training_tail" -> q121,
+    "q122_epoch_export" -> q122,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4428,5 +4482,6 @@ object Queries {
     "q119_upsample_shuffle" -> q119Sql,
     "q120_epoch_batches" -> q120Sql,
     "q121_training_tail" -> q121Sql,
+    "q122_epoch_export" -> q122Sql,
   )
 }

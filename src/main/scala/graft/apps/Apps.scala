@@ -657,3 +657,43 @@ object TrainingTail {
       copyIdxCol = "copy_idx", keepCols = Seq(domainCol))
   }
 }
+
+/** EPOCH SHARD EXPORT — the dataloader ARTIFACT at the end of
+  * [[TrainingTail]]'s chain: materialize one epoch of a (possibly
+  * upsampled) corpus as a published shard layout whose shards are
+  * contiguous BATCH RANGES, zone-mapped and sorted on `batch_id` —
+  * so a trainer resuming at step N reads `batches [a, b)` as a
+  * manifest-pruned, shard-pruned, row-group-ordered scan
+  * ([[graft.sinks.Sinks.readShardsBetween]] on `batch_id`), never a
+  * corpus scan. Combined with the replica-aware shuffle key, the
+  * whole artifact is a pure function of (corpus, epoch, batchSize):
+  * re-exporting after a crash reproduces byte-identical batch
+  * membership (q122 VALUE-oracles the pruned read against DuckDB
+  * replaying the permutation).
+  *
+  * One `count()` of the input prices the shard geometry
+  * (`batchesPerShard = ⌈batches / nShards⌉` — shard ids always fit
+  * [0, nShards) at any corpus size); the assignment itself is
+  * [[graft.operators.Batching.epochBatches]]'s one range exchange,
+  * and the publish is the engine's standard manifest-verified shard
+  * write. */
+object EpochExport {
+  import graft.operators.Batching
+
+  def exportEpoch(spark: SparkSession, df: DataFrame, path: String,
+                  idCol: String, epoch: Int, batchSize: Int,
+                  nShards: Int, copyIdxCol: String = null,
+                  keepCols: Seq[String] = Seq.empty): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val assigned = Batching.epochBatches(df, idCol, epoch, batchSize,
+      copyIdxCol, keepCols)
+    val total = df.count()
+    val batches = math.max(1L, (total + batchSize - 1) / batchSize)
+    val perShard = math.max(1L, (batches + nShards - 1) / nShards)
+    val withShard = assigned.withColumn("shard_key",
+      expr(s"batch_id div $perShard"))
+    Sinks.writeShards(withShard, path, idCol, nShards = nShards,
+      zoneCols = Seq("batch_id"), shardCol = Some("shard_key"),
+      sortCols = Seq("batch_id", "epoch_pos"))
+  }
+}
