@@ -46,7 +46,7 @@ object ProfileIngestExcision {
         === b.toLong)
       val t0 = System.nanoTime()
       graft.streaming.IncrementalExcision.processBatch(
-        spark, batch, store, out, "text", "doc_id", k, minDf)
+        spark, batch, b.toLong, store, out, "text", "doc_id", k, minDf)
       val sec = (System.nanoTime() - t0) / 1e9
       // token accounting outside the timer (same tokenizer as the door)
       cumTokens += batch.select(

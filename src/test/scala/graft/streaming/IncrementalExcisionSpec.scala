@@ -70,28 +70,52 @@ class IncrementalExcisionSpec extends SparkTestBase {
       "global re-excision must clean the lagged first carrier")
   }
 
-  test("replayed postings are harmless: re-processing a batch does " +
-    "not inflate df (countDistinct over distinct postings)") {
+  test("replayed batches are harmless: re-processing a batch does " +
+    "not inflate df (batch-keyed partials, max-dedup, strictly-before " +
+    "model read) and re-emits bit-identical rows") {
     val work = tmp()
     val store = s"$work/store"
     val out = s"$work/out"
     val b1 = Seq((1L, s"$template a")).toDF("doc_id", "text")
     // the same batch processed twice (at-least-once replay): one doc
     // carrying the template must NOT become df=2
-    IncrementalExcision.processBatch(spark, b1, store, out,
+    IncrementalExcision.processBatch(spark, b1, 0L, store, out,
       "text", "doc_id", k = 4, minDf = 2L)
-    IncrementalExcision.processBatch(spark, b1, store, out,
+    IncrementalExcision.processBatch(spark, b1, 0L, store, out,
       "text", "doc_id", k = 4, minDf = 2L)
     val outs = spark.read.parquet(out).collect()
       .map(r => (r.getString(1), r.getLong(3)))
-    assert(outs.forall(_ == ((s"$template a", 0L))),
-      s"replay must not trip hotness: ${outs.toSeq}")
+    assert(outs.length == 2 && outs.forall(_ == ((s"$template a", 0L))),
+      s"replay must not trip hotness and must re-emit identical rows: " +
+        s"${outs.toSeq}")
+    // the store holds duplicate (batch, gram, df) partials — later
+    // reads max-collapse them, so df stays 1 per gram as of batch 1
+    val perGram = spark.read.parquet(store)
+      .groupBy("_f1", "_f2", "batch_id").count().collect()
+    assert(perGram.forall(_.getLong(3) == 2L), "both appends present")
     // a genuine second carrier then trips it
     IncrementalExcision.processBatch(spark,
-      Seq((2L, s"b $template")).toDF("doc_id", "text"), store, out,
+      Seq((2L, s"b $template")).toDF("doc_id", "text"), 1L, store, out,
       "text", "doc_id", k = 4, minDf = 2L)
     val doc2 = spark.read.parquet(out).filter(col("id") === 2L)
       .collect().head
     assert(doc2.getString(1) == "b" && doc2.getLong(3) == 4L)
+  }
+
+  test("df partials: the store holds one row per (batch, distinct " +
+    "gram), not one per (gram, doc) posting") {
+    val work = tmp()
+    // one doc repeating the template 5 times: 5+ gram POSITIONS but
+    // each distinct gram contributes ONE partial row with df=1
+    val rep = (s"$template " * 5).trim
+    IncrementalExcision.processBatch(spark,
+      Seq((1L, rep), (2L, rep)).toDF("doc_id", "text"), 0L,
+      s"$work/store", s"$work/out", "text", "doc_id", k = 4, minDf = 2L)
+    val storeRows = spark.read.parquet(s"$work/store")
+    val grams = storeRows.select("_f1", "_f2").distinct().count()
+    assert(storeRows.count() == grams,
+      "one partial row per distinct gram per batch")
+    // and df counted distinct DOCS (2), not positions (10)
+    assert(storeRows.agg(max("_df")).head.getLong(0) == 2L)
   }
 }
