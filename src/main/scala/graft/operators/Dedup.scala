@@ -168,9 +168,26 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
 
+  /** `probeBits = 1` turns on MULTIPROBE banding (the LSH multiprobe
+    * idea on the quarter-band index): one join side also carries
+    * every one-bit-flipped variant of each 16-bit band key (16 extra
+    * keys per band), which raises the candidate GUARANTEE from
+    * hamming ≤ 3 (plain pigeonhole over 4 exact bands) to
+    * hamming ≤ 7 (4 quarters can't all differ by ≥ 2 below total 8) —
+    * closing the measured q12 gap where hamming-4/5 truth pairs
+    * spread one differing bit into every quarter and shared no exact
+    * band (QualityMarginSpec's missed-pair diagnostics). Cost is
+    * explicit: the probe side's band frame grows 17×, so the shipped
+    * q12 keeps probeBits = 0 and the floor is owned by the margin
+    * spec; turn multiprobe on when recall at hamming 4–7 is worth a
+    * 17× candidate-side shuffle (it stays ids+sig only). */
   def simHashDup(df: DataFrame, textCol: String, idCol: String,
                  maxHamming: Int = 3, maxBucket: Int = 10000,
-                 censusFraction: Double = 0.05): DataFrame = {
+                 censusFraction: Double = 0.05,
+                 probeBits: Int = 0): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (exact bands) or 1 (one-bit multiprobe), " +
+        s"got $probeBits")
     // uncached on purpose; guard-then-shuffle with one shared exchange
     // — see minHashLsh. The guard matters here too: exact duplicates
     // share ALL quarter-bands (identical signatures), so boilerplate
@@ -183,7 +200,15 @@ object Dedup {
     val guarded = hotBucketGuard(simBandFrame(df, textCol, idCol),
       census, maxBucket, f)
       .repartition(col("band"), col("band_key"))
-    val a = guarded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val probed =
+      if (probeBits == 0) guarded
+      else guarded.select(col("band"),
+        explode(array((col("band_key") +:
+          (0 until 16).map(bit =>
+            col("band_key").bitwiseXOR(lit(1L << bit)))): _*))
+          .as("band_key"),
+        col("id"), col("sig"))
+    val a = probed.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))

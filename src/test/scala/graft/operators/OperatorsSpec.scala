@@ -355,6 +355,30 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.simHashDup(df, "text", "doc_id").count() == 3)
   }
 
+  test("simhash multiprobe: a pair whose differing bits spread one " +
+    "per quarter shares no exact band but is found with probeBits=1") {
+    // build two sigs at hamming 4, one flipped bit in EVERY 16-bit
+    // quarter — the q12 margin spec's measured miss pattern. Use the
+    // sf0.01 fixture docs that exhibit it (45,267): cheaper here to
+    // synthesize via the real signature function over the real docs.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01").documents
+      .filter(col("doc_id").isin(45L, 267L, 120L, 332L))
+    // exact bands miss them (the pre-round-16 behavior)
+    val exact = Dedup.simHashDup(docs, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!exact.contains((45L, 267L)) && !exact.contains((120L, 332L)),
+      s"fixture drifted: these pairs used to share no exact band ($exact)")
+    // one-bit multiprobe finds them (hamming 4-5: guaranteed <= 7)
+    val probed = Dedup.simHashDup(docs, "text", "doc_id",
+      maxHamming = 10, probeBits = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probed.contains((45L, 267L)) && probed.contains((120L, 332L)),
+      s"multiprobe must recover the spread-bit pairs: $probed")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDup(docs, "text", "doc_id", probeBits = 2)
+    }
+  }
+
   test("duplicate clustering: transitive pairs collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
