@@ -102,6 +102,42 @@ class IncrementalDsirSpec extends SparkTestBase {
     }
   }
 
+  test("run(collapseEvery): the streaming wiring collapses at the " +
+    "batch boundary and weights keep matching the uncollapsed law") {
+    implicit val sc = spark.sqlContext
+    val work = tmp()
+    val in = MemoryStream[(Long, String, String)]
+    val q = IncrementalDsir.run(spark,
+      in.toDF().toDF("doc_id", "lang", "text"),
+      s"$work/store", s"$work/out", s"$work/ckpt",
+      isTarget = col("lang") === "en", nBuckets = 64,
+      collapseEvery = 2)
+    val batches = Seq(
+      Seq((1L, "en", "alpha beta"), (2L, "de", "beta gamma")),
+      Seq((3L, "en", "gamma delta")),
+      Seq((4L, "de", "alpha epsilon")),
+      Seq((5L, "en", "delta delta zeta")))
+    try {
+      batches.foreach { rows => in.addData(rows: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // collapses fired at batches 2 (thru=1): the store's history
+    // below the newest watermark is one sentinel generation
+    val ids = spark.read.parquet(s"$work/store")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ < 0), s"no sentinel generation in store: $ids")
+    // last batch's weights equal the batch door over the full corpus
+    // (the model-as-of-arrival tail law, THROUGH the collapse)
+    val inc = spark.read.parquet(s"$work/out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = graft.operators.Dsir.importanceWeightsWhen(
+        batches.flatten.toDF("doc_id", "lang", "text"),
+        col("lang") === "en", nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(inc(5L) == full(5L),
+      s"tail law broke through the collapse: inc=${inc(5L)} full=${full(5L)}")
+  }
+
   test("collapseStore: N batches + collapse + replay ≡ uncollapsed " +
     "model; store rows bound to the bucket count; crash windows " +
     "(sentinel-appended-deletes-pending, replayed collapse) exact") {
