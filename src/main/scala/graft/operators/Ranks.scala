@@ -141,8 +141,13 @@ object Ranks {
                                        allowed: Set[String]): Unit = {
     val keyRefs = ranged.queryExecution.analyzed.expressions
       .flatMap(_.references.map(_.name.toLowerCase)).toSet
+    // `allowed` lowercased to match keyRefs: Spark resolution is
+    // case-insensitive by default, so a declared valueCol whose case
+    // differs from the frame's column case is the SAME column — the
+    // guard must not spuriously reject it (round-16 advisor)
+    val allowedLc = allowed.map(_.toLowerCase)
     val payload = df.columns.filterNot(c =>
-      keyRefs.contains(c.toLowerCase) || allowed.contains(c))
+      keyRefs.contains(c.toLowerCase) || allowedLc.contains(c.toLowerCase))
     require(payload.isEmpty,
       s"$what: column(s) [${payload.mkString(", ")}] are neither range " +
         "keys nor retained by both exchange consumers — differential " +
