@@ -46,12 +46,17 @@ object ProfileDsirStore {
     }
     val (before, after) = graft.streaming.IncrementalDsir
       .collapseStore(spark, s"$work/store", nBatches.toLong)
-    // replay the last batch over the COLLAPSED store: same rows, the
-    // model read now scans one sentinel generation
-    val replaySec = step(nBatches.toLong - 1, batchOf(nBatches - 1))
+    // measure the collapsed-store model read with a FRESH batch id
+    // (nBatches): the sentinel's watermark is thru = nBatches−1, so
+    // re-running batch nBatches−1 would read a model that ALREADY
+    // contains that batch's counts and then add them again — an
+    // inflated model and non-identical out rows (round-16 advisor).
+    // batch id nBatches keeps the sentinel strictly before, so this
+    // measures exactly the steady-state O(nBuckets) read.
+    val freshSec = step(nBatches.toLong, batchOf(nBatches - 1))
     println(f"""{"collapse_rows_before":$before,"collapse_rows_after":$after,""" +
       f""""first_batch_sec":$first%.3f,"last_batch_sec":$last%.3f,""" +
-      f""""replay_after_collapse_sec":$replaySec%.3f,""" +
+      f""""fresh_batch_after_collapse_sec":$freshSec%.3f,""" +
       f""""n_batches":$nBatches,"n_buckets":$nBuckets,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -102,6 +102,35 @@ class IncrementalDsirSpec extends SparkTestBase {
     }
   }
 
+  test("readWeights: replay + consumer read ≡ no-replay read (the " +
+    "set-semantics contract, executable)") {
+    val wA = tmp(); val wB = tmp()
+    val b0 = Seq((1L, "en", "alpha alpha beta"),
+      (2L, "de", "gamma alpha")).toDF("doc_id", "lang", "text")
+    val b1 = Seq((3L, "en", "beta beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    def drive(w: String, replayB1: Boolean): Unit = {
+      IncrementalDsir.processBatch(spark, b0, 0L, s"$w/store",
+        s"$w/out", col("lang") === "en", "text", "doc_id", nBuckets = 64)
+      IncrementalDsir.processBatch(spark, b1, 1L, s"$w/store",
+        s"$w/out", col("lang") === "en", "text", "doc_id", nBuckets = 64)
+      if (replayB1) // at-least-once window: batch 1 delivered again
+        IncrementalDsir.processBatch(spark, b1, 1L, s"$w/store",
+          s"$w/out", col("lang") === "en", "text", "doc_id",
+          nBuckets = 64)
+    }
+    drive(wA, replayB1 = false)
+    drive(wB, replayB1 = true)
+    assert(spark.read.parquet(s"$wB/out").count() >
+      spark.read.parquet(s"$wA/out").count(),
+      "precondition: the replay really appended duplicates")
+    val a = IncrementalDsir.readWeights(spark, s"$wA/out")
+      .collect().map(_.toSeq).toSet
+    val b = IncrementalDsir.readWeights(spark, s"$wB/out")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "the consumer door must fold replays out exactly")
+  }
+
   test("run(collapseEvery): the streaming wiring collapses at the " +
     "batch boundary and weights keep matching the uncollapsed law") {
     implicit val sc = spark.sqlContext
