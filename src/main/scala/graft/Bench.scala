@@ -196,6 +196,14 @@ object Bench {
       Queries.q122Publish(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }.min
+    // q123's tail→export capstone publish (full training tail +
+    // shard artifact), same treatment: the catalog q123 number is
+    // the multi-shard batch-range PRUNED READ alone.
+    val q123Write = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      Queries.q123Publish(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // The write-door catalog numbers blend fixture-build with the
     // measured door (round-13 verdict task 2): price them APART here —
     // fixture = the corpus-sized publishes the door needs to exist
@@ -339,11 +347,13 @@ object Bench {
       s""""q76_write_sec":${f3(q76Write)},""" +
       s""""q103_write_sec":${f3(q103Write)},""" +
       s""""q122_write_sec":${f3(q122Write)},""" +
+      s""""q123_write_sec":${f3(q123Write)},""" +
       s""""write_splits":$splitsJson,"sf":"$sfDir"}"""
     val compactLine =
       s"""{"metric":"total","unit":"sec","queries":$qs,""" +
       s""""q57_write_sec":${f3(q57Write)},"q76_write_sec":${f3(q76Write)},""" +
       s""""q103_write_sec":${f3(q103Write)},"q122_write_sec":${f3(q122Write)},""" +
+      s""""q123_write_sec":${f3(q123Write)},""" +
       s""""write_splits":$splitsJson,""" +
       s""""value":${f3(total)},""" +
       s""""io_mbps":${f3(ioStart)},"io_attempts":$ioStartAttempts,""" +
@@ -361,6 +371,7 @@ object Bench {
     println(s"""{"metric":"total","unit":"sec","n_queries":${entries.size},""" +
       s""""q57_write_sec":${f3(q57Write)},"q76_write_sec":${f3(q76Write)},""" +
       s""""q103_write_sec":${f3(q103Write)},"q122_write_sec":${f3(q122Write)},""" +
+      s""""q123_write_sec":${f3(q123Write)},""" +
       s""""value":${f3(total)},""" +
       s""""io_mbps":${f3(ioStart)},"io_attempts":$ioStartAttempts,""" +
       s""""io_mbps_end":${f3(ioEnd)},""" +

@@ -4039,6 +4039,55 @@ object Queries {
        |FROM pos
        |WHERE (epoch_pos - 1) // 32 BETWEEN 4 AND 7""".stripMargin
 
+  /** q123's published tail artifact, cached per session (the
+    * q76/q122 convention — Bench prices the publish separately as
+    * `q123_write_sec`; catalog passes measure the PRUNED READ). */
+  private val q123Published = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, String)]())
+  def q123Publish(s: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q123_").toString
+    val pub = s"$root/tail_epoch0"
+    graft.apps.TrainingTail.exportTail(s, Tables(s, dir).documents,
+      col("lang") === "en", k = 400, alpha = 0.5, splits = q69Splits,
+      epoch = 0, batchSize = 16, nShards = 4, path = pub,
+      nBuckets = 4096)
+    q123Published.put(s, (dir, pub))
+    pub
+  }
+
+  /** q123 — the CAPSTONE tail→export composition under a VALUE
+    * oracle ([[graft.apps.TrainingTail.exportTail]]): the FULL
+    * training tail (DSIR weights → Gumbel-top-k resample →
+    * temperature upsample → stratified split → replica-aware epoch
+    * shuffle → batch assignment, q121's five salted doors plus the
+    * shard publish) materialized as the epoch artifact, then "resume
+    * training at step N" as a manifest-pruned read of batches 4–9 —
+    * the batch range deliberately CROSSES a shard boundary, so the
+    * pruned read proves multi-shard range union, not one lucky
+    * shard. Unlike q122 (which exports the PLAIN corpus), the
+    * exported bytes here carry `copy_idx` and the 3-arg
+    * replica-aware shuffle key's dispersion — the round-15 replica
+    * fix, now proven IN the dataloader artifact a trainer would
+    * actually read (AppsSpec asserts the dispersion on the exported
+    * bytes; the oracle hash-compares every resumed row against
+    * DuckDB replaying all six doors). */
+  val q123: Q = (s, dir) => {
+    val cached = q123Published.get(s)
+    val pub =
+      if (cached != null && cached._1 == dir &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(cached._2)))
+        cached._2
+      else q123Publish(s, dir)
+    graft.sinks.Sinks.readShardsBetween(s, pub, "batch_id", 4L, 9L)
+      .select("doc_id", "copy_idx", "lang", "epoch_pos", "batch_id")
+  }
+  val q123Sql: String =
+    s"""WITH tail AS (
+       |${q121Sql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT doc_id, copy_idx, lang, epoch_pos, batch_id
+       |FROM tail WHERE batch_id BETWEEN 4 AND 9""".stripMargin
+
   /** q113 — DSIR RESAMPLING under a VALUE oracle
     * ([[graft.operators.Dsir.resample]]): the selection half of
     * q112's weighting — Gumbel-top-k over the log importance
@@ -4360,6 +4409,7 @@ object Queries {
     "q120_epoch_batches" -> q120,
     "q121_training_tail" -> q121,
     "q122_epoch_export" -> q122,
+    "q123_tail_export" -> q123,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4483,5 +4533,6 @@ object Queries {
     "q120_epoch_batches" -> q120Sql,
     "q121_training_tail" -> q121Sql,
     "q122_epoch_export" -> q122Sql,
+    "q123_tail_export" -> q123Sql,
   )
 }

@@ -89,4 +89,63 @@ class EpochExportSpec extends SparkTestBase {
       s"a doc landed $worst copies in one exported batch — the " +
         "replica-aware key must disperse them")
   }
+
+  test("exportTail capstone: the UPSAMPLED training tail's exported " +
+    "bytes equal the inline assignment row-for-row, the resume read " +
+    "prunes and crosses a shard boundary, and replica dispersion " +
+    "holds IN the artifact") {
+    val docs = Tables(spark, sf).documents
+    val work = Files.createTempDirectory("graft_eexp3_").toString
+    val pub = s"$work/tail"
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    // alpha 0.15 = aggressive temperature flattening -> rare langs
+    // replicate hard (rates >> 1), so copy_idx really exercises the
+    // 3-arg key in the exported bytes
+    TrainingTail.exportTail(spark, docs, col("lang") === "en",
+      k = 400, alpha = 0.15, splits = splits, epoch = 0,
+      batchSize = 16, nShards = 4, path = pub)
+    val expect = TrainingTail.run(spark, docs, col("lang") === "en",
+      k = 400, alpha = 0.15, splits = splits, epoch = 0, batchSize = 16)
+      .select("doc_id", "copy_idx", "lang", "epoch_pos", "batch_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val full = spark.read.parquet(s"$pub/data")
+      .select("doc_id", "copy_idx", "lang", "epoch_pos", "batch_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(full == expect,
+      "exported tail diverged from the inline assignment")
+    assert(expect.exists(_._2 > 0L),
+      "fixture must actually upsample (some copy_idx > 0)")
+
+    // resume read across shard 0's upper boundary (derived from the
+    // manifest, so the crossing is guaranteed at any corpus
+    // geometry) — values exact, shard-pruned, multi-shard union
+    val manifest = spark.read.parquet(s"$pub/manifest")
+      .select("shard", "zmin_batch_id", "zmax_batch_id")
+      .as[(Long, Long, Long)].collect()
+    assert(manifest.length > 2, s"fixture too small: ${manifest.toSeq}")
+    val b0max = manifest.find(_._1 == 0L).get._3
+    val (lo, hi) = (b0max - 1, b0max + 2)
+    val got = Sinks.readShardsBetween(spark, pub, "batch_id", lo, hi)
+      .select("doc_id", "copy_idx", "lang", "epoch_pos", "batch_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(got == expect.filter(r => r._5 >= lo && r._5 <= hi))
+    val covering = manifest.filter(m => m._3 >= lo && m._2 <= hi).map(_._1).toSet
+    assert(covering.size > 1, s"range [$lo,$hi] must cross a shard " +
+      s"boundary: $covering of ${manifest.toSeq}")
+    assert(covering.size < manifest.length,
+      "fixture must leave some shard outside the range")
+
+    // replica dispersion IN the bytes: walking the artifact in
+    // epoch order, siblings (same doc) are not adjacent beyond the
+    // random expectation band — the id-only key would put EVERY
+    // sibling adjacent
+    val ordered = spark.read.parquet(s"$pub/data")
+      .orderBy("epoch_pos").select("doc_id").as[Long].collect()
+    val copies = full.size - full.map(_._1).size
+    val adjacent = ordered.sliding(2).count(p => p(0) == p(1))
+    assert(adjacent.toDouble < math.max(4.0, 0.1 * copies),
+      s"adjacent same-doc pairs in the exported epoch: $adjacent " +
+        s"over ${ordered.length} rows ($copies replica copies; " +
+        "id-only key scores ~all of them)")
+  }
 }
