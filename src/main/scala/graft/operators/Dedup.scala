@@ -200,14 +200,30 @@ object Dedup {
     val guarded = hotBucketGuard(simBandFrame(df, textCol, idCol),
       census, maxBucket, f)
       .repartition(col("band"), col("band_key"))
-    val probed =
-      if (probeBits == 0) guarded
-      else guarded.select(col("band"),
+    def oneBitProbes(fr: DataFrame): DataFrame =
+      fr.select(col("band"),
         explode(array((col("band_key") +:
           (0 until 16).map(bit =>
             col("band_key").bitwiseXOR(lit(1L << bit)))): _*))
           .as("band_key"),
         col("id"), col("sig"))
+    val probed =
+      if (probeBits == 0) guarded
+      else
+        // the hot-bucket cap must hold on the PROBED keys too
+        // (round-16 advisor): the exact-key guard above bounds each
+        // surviving exact bucket, but 16 one-bit neighborhoods can
+        // CONVERGE on one flipped key (boilerplate sigs cluster),
+        // rebuilding up to 17× maxBucket on a single join key — so
+        // re-census the flipped frame and drop its hot buckets the
+        // same way. The probe census flips the SAME sampled rows,
+        // including ones the exact guard dropped — a conservative
+        // over-estimate that errs toward dropping (the guard's
+        // winnowing stance).
+        hotBucketGuard(oneBitProbes(guarded),
+          oneBitProbes(census.select(col("band"), col("band_key"),
+            col("id"), col("sig"))),
+          maxBucket, f)
     val a = probed.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))

@@ -278,8 +278,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, planes: Int = 8,
               probeBits: Int = 1): DataFrame = {
-    require(probeBits == 0 || probeBits == 1,
-      s"probeBits 0 (exact bucket) or 1 (hamming-1 multi-probe); got $probeBits")
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits 0 (exact bucket), 1 (hamming-1 multi-probe) or 2 " +
+        s"(hamming-2); got $probeBits")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("bucket", Vectors.rpBucket(col("cv"), planes))
       .withColumn("c_norm", Vectors.norm(col("cv")))
@@ -287,11 +288,21 @@ object Similarity {
       .withColumn("_b0", Vectors.rpBucket(col("qv"), planes))
       .withColumn("q_norm", Vectors.norm(col("qv")))
     // a corpus row has ONE bucket and the probe buckets are distinct,
-    // so each (query, corpus) pair matches at most once — no dedup
-    val probes =
-      if (probeBits == 0) array(col("_b0"))
-      else array(col("_b0") +:
-        (0 until planes).map(b => col("_b0").bitwiseXOR(lit(1L << b))): _*)
+    // so each (query, corpus) pair matches at most once — no dedup.
+    // probeBits = 2 adds the C(planes, 2) two-bit flips: the probe
+    // list lives on the BROADCAST query side, so widening it scales
+    // the scored candidates, not the corpus scan — recall at cos≈0.97
+    // rises from ~P(hamming≤1) to ~P(hamming≤2) of the plane flips
+    // (q15's floor headroom, round-17)
+    val oneBit = (0 until planes).map(b => col("_b0").bitwiseXOR(lit(1L << b)))
+    val twoBit = for {
+      i <- 0 until planes; j <- i + 1 until planes
+    } yield col("_b0").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probes = probeBits match {
+      case 0 => array(col("_b0"))
+      case 1 => array(col("_b0") +: oneBit: _*)
+      case _ => array((col("_b0") +: oneBit) ++ twoBit: _*)
+    }
     val q = qBase.withColumn("bucket", explode(probes)).drop("_b0")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
