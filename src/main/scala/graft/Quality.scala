@@ -164,9 +164,10 @@ object Quality {
     // q24: truth-pair mates land in one cluster (shipped q24 params)
     val clusterPairs = Dedup.minHashLsh(docs, "text", "doc_id",
       numHashes = 64, bands = 16, estThreshold = 0.2)
-    val clusters = Dedup.clusterDuplicates(clusterPairs, spark)
-      .select(col("id").cast("long"), col("keep_id").cast("long"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.clusterDuplicatesScoped(clusterPairs, spark) {
+      cl => cl.select(col("id").cast("long"), col("keep_id").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     val together = jTruth.count { case (a, b) =>
       clusters.get(a).exists(ca => clusters.get(b).contains(ca))
     }

@@ -358,8 +358,16 @@ object CorpusCuration {
 
     val pairs = Dedup.minHashLsh(exact, "text", "doc_id",
       estThreshold = nearDupThreshold)
-    val clusters = Dedup.clusterDuplicates(pairs, spark)
-    val dupLosers = clusters.filter(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
+    // scoped clustering (round-17): the loser-id set is pinned
+    // (localCheckpoint — ids only, duplicate-bounded) INSIDE the
+    // scope, so the cached cluster frame is released immediately and
+    // neither the downstream counts nor the publish re-run the
+    // clustering — the old form leaked one cached frame per
+    // invocation (the round-15 advisor's long-lived-session finding)
+    val dupLosers = Dedup.clusterDuplicatesScoped(pairs, spark) { clusters =>
+      clusters.filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id")).localCheckpoint()
+    }
     val deduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
     val afterNearDup = deduped.count()
     val semDeduped = semantic match {

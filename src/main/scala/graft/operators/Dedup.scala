@@ -567,6 +567,23 @@ object Dedup {
     * RDDs between queries for the same reason); one-shot jobs can
     * ignore it — the frame is two longs per paired id and dies with
     * the session. */
+  /** [[clusterDuplicates]] with the CALLER-MUST-UNPERSIST contract
+    * discharged structurally (round-15 advisor, round-16 task 7):
+    * `f` consumes the clusters frame and MUST MATERIALIZE that
+    * consumption before returning (collect, count, localCheckpoint —
+    * anything that executes; a lazily-escaping frame would recompute
+    * the clustering, correct but expensive on the GraphX path). The
+    * persisted frame is released when `f` returns, so long-lived
+    * sessions stop accumulating one cached frame per invocation. */
+  def clusterDuplicatesScoped[T](pairs: DataFrame,
+                                 spark: org.apache.spark.sql.SparkSession,
+                                 smallEdgeLimit: Long = 100000L)
+                                (f: DataFrame => T): T = {
+    val clusters = clusterDuplicates(pairs, spark, smallEdgeLimit)
+    try f(clusters)
+    finally { clusters.unpersist(); () }
+  }
+
   def clusterDuplicates(pairs: DataFrame, spark: org.apache.spark.sql.SparkSession,
                         smallEdgeLimit: Long = 100000L): DataFrame = {
     require(smallEdgeLimit >= 0 && smallEdgeLimit < Int.MaxValue,

@@ -392,6 +392,24 @@ class DedupSpec extends SparkTestBase {
     assert(large.toSeq == expected)
   }
 
+  test("clusterDuplicatesScoped: the GraphX result cache is released " +
+    "when the scope exits (no persistent RDDs left behind)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // limit 0 forces the Pregel path — the one that persists its result
+    val got = Dedup.clusterDuplicatesScoped(pairs, spark,
+      smallEdgeLimit = 0L) { cl =>
+      val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leftover.nonEmpty,
+        "precondition: the GraphX path must persist inside the scope")
+      cl.orderBy("id").as[(Long, Long)].collect().toSeq
+    }
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"scoped call leaked persistent RDD(s): $after")
+  }
+
   test("duplicate clustering at the Pregel boundary: 165k edges, both paths equal") {
     // The GraphX branch only engages above smallEdgeLimit (default
     // 100k) and so never runs in the per-query bench. Drive it with a
