@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * must sit at early-batch wall instead of climbing.
   *
   * `runMain graft.ProfileIngestExcision <sfDir> <nBatches> [k] [minDf]
-  * [collapseEvery]`
-  * splits the documents table into `nBatches` deterministic
-  * micro-batches (`doc_id % nBatches`) — pass a LARGE nBatches for
-  * the trickle regime (many small batches, the streaming-production
-  * shape) — drives the ingest path batch by batch with the run()
-  * wiring's collapse cadence, and prints one JSON line per batch:
+  * [collapseEvery] [mode]`
+  * mode `split` (default) partitions the documents table into
+  * `nBatches` deterministic micro-batches (`doc_id % nBatches`) —
+  * pass a LARGE nBatches for the trickle regime (many small batches,
+  * the streaming-production shape). Mode `repeat` feeds the WHOLE
+  * corpus every batch under fresh doc ids (ids offset per batch) —
+  * the template-heavy / re-crawl shape where every batch re-carries
+  * the same grams: without collapse the store grows one generation
+  * per batch over a FIXED vocabulary (the pure history term); with
+  * collapse it folds back to one vocabulary-sized sentinel, which is
+  * exactly the regime the history collapse exists for. Drives the
+  * ingest path batch by batch with the run() wiring's collapse
+  * cadence, and prints one JSON line per batch:
   * {batch, sec, store_bytes, cum_tokens, bytes_per_token} — `sec` is
   * the full processBatch wall time (probe + hot set + excision +
   * appends), token accounting runs OUTSIDE the timer; collapse
@@ -33,6 +40,8 @@ object ProfileIngestExcision {
     val k = if (args.length > 2) args(2).toInt else 8
     val minDf = if (args.length > 3) args(3).toLong else 2L
     val collapseEvery = if (args.length > 4) args(4).toInt else 0
+    val mode = if (args.length > 5) args(5) else "split"
+    require(mode == "split" || mode == "repeat", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus.toInt)
     val work = java.nio.file.Files
@@ -59,8 +68,14 @@ object ProfileIngestExcision {
         println(f"""{"collapse_at":$b,"rows_before":$before,""" +
           f""""rows_after":$after,"collapse_sec":$cSec%.3f}""")
       }
-      val batch = docs.filter(pmod(col("doc_id"), lit(nBatches.toLong))
-        === b.toLong)
+      val batch =
+        if (mode == "split")
+          docs.filter(pmod(col("doc_id"), lit(nBatches.toLong))
+            === b.toLong)
+        else // repeat: same corpus, fresh ids per batch (offset keeps
+             // the one-batch-per-doc contract while every gram repeats)
+          docs.select((col("doc_id") + lit(b * 100000000L)).as("doc_id"),
+            col("text"))
       val t0 = System.nanoTime()
       graft.streaming.IncrementalExcision.processBatch(
         spark, batch, b.toLong, store, out, "text", "doc_id", k, minDf)

@@ -119,13 +119,15 @@ object Quality {
     val q11 = Entry("q11_dedup_minhash", "recall_of_jaccard_ge_0.7_pairs",
       ">=", 0.90, recall(minhashPairs, jTruth))
 
-    // q12: the shipped simhash query (maxHamming=10 — round 16, the
-    // thin-floor fix: verification-only bar, zero candidate cost) vs
+    // q12: the shipped simhash query (maxHamming=10, probeBits=1 —
+    // round 17: the adopted one-bit multiprobe; recall 0.88 -> 1.00
+    // here, 0.977 at sf0.1, floor raised 0.80 -> 0.90 to match) vs
     // the same truth
     val simhashPairs = pairSet(
-      Dedup.simHashDup(docs, "text", "doc_id", maxHamming = 10))
+      Dedup.simHashDup(docs, "text", "doc_id", maxHamming = 10,
+        probeBits = 1))
     val q12 = Entry("q12_dedup_simhash", "recall_of_jaccard_ge_0.7_pairs",
-      ">=", 0.80, recall(simhashPairs, jTruth))
+      ">=", 0.90, recall(simhashPairs, jTruth))
 
     // q15: planted-neighbor recall@5 (each query's true nearest
     // neighbor is its source vector, cos≈0.97 vs <=0.48 ambient)
