@@ -303,8 +303,22 @@ object Quality {
     val q107 = Entry("q107_bpe_fit", "tokens_per_char_after_40_merges",
       "<=", 0.80, bstats.getDouble(0) / bstats.getDouble(1))
 
+    // q125: FFD bin packing has no SQL oracle (driver-side histogram
+    // solve) — floor its packing efficiency Σtoks / (bins · capacity).
+    // DETERMINISTIC (no hash seeds: the histogram fixes the solve), so
+    // the floor is a pure regression tripwire; measured 0.99 at the
+    // gate SF vs floor 0.85 (16.7% headroom).
+    val packed = graft.operators.Packing.packBins(
+      docs, "doc_id",
+      size(graft.functions.Text.tokens(col("text"))), contextLen = 256)
+    val pstats = packed.agg(
+      sum(col("toks")).cast("double"),
+      (countDistinct(col("bin_id")) * 256).cast("double")).collect().head
+    val q125 = Entry("q125_pack_bins", "pack_efficiency_vs_capacity",
+      ">=", 0.85, pstats.getDouble(0) / pstats.getDouble(1))
+
     Seq(q11, q12, q15, q16, q23, q24, q50, q67, q68, q103, q104, q106,
-      q107)
+      q107, q125)
   }
 
   /** Render + write `QUALITY.json`; returns the entries. */

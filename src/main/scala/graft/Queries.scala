@@ -4091,6 +4091,64 @@ object Queries {
        |SELECT doc_id, copy_idx, lang, epoch_pos, batch_id
        |FROM tail WHERE batch_id BETWEEN 4 AND 9""".stripMargin
 
+  /** q124 — SEQUENCE PACKING, concat-and-chunk, under a VALUE oracle
+    * ([[graft.operators.Packing.packSegments]]): documents laid end
+    * to end in epoch 0's deterministic shuffle order and cut every
+    * 256 tokens — one row per (document, window) SEGMENT with full
+    * provenance (window, position in window, offset in doc, length),
+    * i.e. the GPT-style zero-padding dataloader artifact plus the
+    * boundary metadata an attention mask needs. Execution is ONE
+    * range exchange ([[graft.operators.Ranks.globalCumSum]] — no
+    * global sort, no single-partition window) + a codegen'd explode
+    * bounded by ⌈toks/256⌉+1 segments per doc; the oracle replays
+    * every segment's arithmetic from the same salted shuffle key. */
+  val q124: Q = (s, dir) =>
+    Packing.packSegments(Tables(s, dir).documents, "doc_id",
+      size(Text.tokens(col("text"))), contextLen = 256, epoch = 0)
+  val q124Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks,
+       |    ${coinSql(Sampling.SaltShuffle)} AS skey
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(sum(toks) OVER (ORDER BY skey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+       |      AS BIGINT) AS off
+       |  FROM t
+       |), seg AS (
+       |  SELECT doc_id, toks, off,
+       |    unnest(generate_series(off // 256, (off + toks - 1) // 256))
+       |      AS w
+       |  FROM c
+       |)
+       |SELECT doc_id, toks,
+       |  CAST(w AS BIGINT) AS window_id,
+       |  CAST(greatest(off, w * 256) - w * 256 AS BIGINT) AS win_pos,
+       |  CAST(greatest(off, w * 256) - off AS BIGINT) AS doc_off,
+       |  CAST(least(off + toks, (w + 1) * 256) - greatest(off, w * 256)
+       |    AS BIGINT) AS seg_len
+       |FROM seg""".stripMargin
+
+  /** q125 — PADDING-FREE BIN PACKING ([[graft.operators.Packing
+    * .packBins]]): every document assigned WHOLE to a 256-token bin
+    * via first-fit-decreasing solved on the length HISTOGRAM (Krell
+    * et al. 2021, arXiv:2107.02027 — the no-cross-contamination
+    * alternative to q124's concat-and-chunk). No DuckDB oracle: the
+    * FFD solve is a driver-side loop over the ≤256-row histogram,
+    * not SQL — correctness lives in PackingSpec's invariants
+    * (exactly-once, capacity, in-bin tiling, first-fit bound,
+    * partitioning-independent determinism) and the QUALITY.json
+    * packing-efficiency floor (measured 0.99 vs floor 0.85).
+    * Scale shape: histogram ≤ contextLen rows by construction (the
+    * one driver collect — parameter-bounded, corpus-independent),
+    * then ONE range exchange + a broadcast interval join. */
+  val q125: Q = (s, dir) =>
+    Packing.packBins(Tables(s, dir).documents, "doc_id",
+      size(Text.tokens(col("text"))), contextLen = 256)
+
   /** q113 — DSIR RESAMPLING under a VALUE oracle
     * ([[graft.operators.Dsir.resample]]): the selection half of
     * q112's weighting — Gumbel-top-k over the log importance
@@ -4413,6 +4471,8 @@ object Queries {
     "q121_training_tail" -> q121,
     "q122_epoch_export" -> q122,
     "q123_tail_export" -> q123,
+    "q124_pack_segments" -> q124,
+    "q125_pack_bins" -> q125,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4537,5 +4597,6 @@ object Queries {
     "q121_training_tail" -> q121Sql,
     "q122_epoch_export" -> q122Sql,
     "q123_tail_export" -> q123Sql,
+    "q124_pack_segments" -> q124Sql,
   )
 }
