@@ -4149,6 +4149,53 @@ object Queries {
     Packing.packBins(Tables(s, dir).documents, "doc_id",
       size(Text.tokens(col("text"))), contextLen = 256)
 
+  /** q126 — the PACKED TRAINING STREAM under a VALUE oracle
+    * ([[graft.apps.TrainingTail.packedStream]]): q121's full tail
+    * (DSIR → Gumbel-top-k → temperature upsample → stratified split)
+    * laid end to end in the replica-aware epoch-0 order and cut
+    * every 64 tokens — every segment of every context window of the
+    * epoch, as a pure function of (corpus, parameters). The oracle
+    * replays the six salted doors and then the packing arithmetic
+    * ORDERED BY the replayed `epoch_pos` — which is the PROOF that
+    * pack order ≡ batch order (the Spark side recomputes the 3-arg
+    * key inside packSegments; the oracle never sees that key, only
+    * q121's rank — hash-equality means the two permutations are the
+    * same one). contextLen 64 (not 256) so the gate corpus yields
+    * multi-segment windows AND split docs at sf0.01's ~54-token
+    * docs. */
+  val q126: Q = (s, dir) =>
+    graft.apps.TrainingTail.packedStream(s, Tables(s, dir).documents,
+      col("lang") === "en", k = 400, alpha = 0.5, splits = q69Splits,
+      epoch = 0, contextLen = 64)
+  val q126Sql: String =
+    s"""WITH tail AS (
+       |${q121Sql.linesIterator.map("  " + _).mkString("\n")}
+       |), tk AS (
+       |  SELECT t.doc_id, t.copy_idx, t.lang,
+       |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+       |      AS BIGINT) AS toks,
+       |    t.epoch_pos
+       |  FROM tail t JOIN documents d USING (doc_id)
+       |), c AS (
+       |  SELECT doc_id, copy_idx, lang, toks,
+       |    CAST(sum(toks) OVER (ORDER BY epoch_pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+       |      AS BIGINT) AS off
+       |  FROM tk
+       |), seg AS (
+       |  SELECT doc_id, copy_idx, lang, toks, off,
+       |    unnest(generate_series(off // 64, (off + toks - 1) // 64))
+       |      AS w
+       |  FROM c
+       |)
+       |SELECT doc_id, copy_idx, lang, toks,
+       |  CAST(w AS BIGINT) AS window_id,
+       |  CAST(greatest(off, w * 64) - w * 64 AS BIGINT) AS win_pos,
+       |  CAST(greatest(off, w * 64) - off AS BIGINT) AS doc_off,
+       |  CAST(least(off + toks, (w + 1) * 64) - greatest(off, w * 64)
+       |    AS BIGINT) AS seg_len
+       |FROM seg""".stripMargin
+
   /** q113 — DSIR RESAMPLING under a VALUE oracle
     * ([[graft.operators.Dsir.resample]]): the selection half of
     * q112's weighting — Gumbel-top-k over the log importance
@@ -4473,6 +4520,7 @@ object Queries {
     "q123_tail_export" -> q123,
     "q124_pack_segments" -> q124,
     "q125_pack_bins" -> q125,
+    "q126_packed_stream" -> q126,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4598,5 +4646,6 @@ object Queries {
     "q122_epoch_export" -> q122Sql,
     "q123_tail_export" -> q123Sql,
     "q124_pack_segments" -> q124Sql,
+    "q126_packed_stream" -> q126Sql,
   )
 }

@@ -698,6 +698,41 @@ object TrainingTail {
     EpochExport.exportEpoch(spark, train, path, idCol, epoch, batchSize,
       nShards, copyIdxCol = "copy_idx", keepCols = Seq(domainCol))
   }
+
+  /** The PACKED token stream of the tail's train split — the last
+    * dataloader step: [[trainSplit]]'s (doc, copy) rows laid end to
+    * end in the replica-aware epoch order and cut every `contextLen`
+    * tokens ([[graft.operators.Packing.packSegments]] with the 3-arg
+    * key). Pack order ≡ [[run]]'s batch order by construction (same
+    * key, same tie-breaks), so "window w of epoch e" and "batch b of
+    * epoch e" index the SAME permutation — q126 VALUE-oracles every
+    * segment of the stream against DuckDB replaying all six doors
+    * plus the packing arithmetic, ordered by the replayed epoch_pos.
+    *
+    * Token counts come from one corpus-scan projection joined to the
+    * k-row selection via a broadcast of the SELECTION (never the
+    * corpus); the joined frame is pinned (`localCheckpoint`, ≤
+    * k·⌈rate⌉ rows) for the same reason as [[trainSplit]]'s second
+    * pin — the broadcast stage under the pack's range exchange would
+    * otherwise defeat the canonical-equality exchange reuse. */
+  def packedStream(spark: SparkSession, docs: DataFrame, targetPred: Column,
+                   k: Int, alpha: Double, splits: Seq[(String, Double)],
+                   epoch: Int, contextLen: Int,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   domainCol: String = "lang",
+                   nBuckets: Int = 4096): DataFrame = {
+    import graft.operators.Packing
+    import graft.functions.Text
+    val train = trainSplit(spark, docs, targetPred, k, alpha, splits,
+      textCol, idCol, domainCol, nBuckets)
+    val withToks = docs
+      .select(col(idCol), size(Text.tokens(col(textCol))).as("_ntoks"))
+      .join(broadcast(train.select(idCol, "copy_idx", domainCol)), idCol)
+      .select(col(idCol), col("copy_idx"), col(domainCol), col("_ntoks"))
+      .localCheckpoint()
+    Packing.packSegments(withToks, idCol, col("_ntoks"), contextLen,
+      epoch = epoch, copyIdxCol = "copy_idx", keepCols = Seq(domainCol))
+  }
 }
 
 /** EPOCH SHARD EXPORT — the dataloader ARTIFACT at the end of

@@ -230,8 +230,17 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Text.hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: hamming is computable per candidate row
+      // (sig rides the band frame — unlike minHashLsh, no re-join
+      // needed), and filter∘distinct ≡ distinct∘filter, so cutting
+      // the ~99% of candidates that fail the radius BEFORE the
+      // distinct's exchange shrinks that shuffle from candidate-set
+      // size to output size. With multiprobe (probeBits = 1) this is
+      // the difference between shuffling 4.8× the exact-band
+      // candidates and shuffling the same output pairs either way
+      // (measured at 100×: 80.9 s → see SCALING.md round-17).
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by any

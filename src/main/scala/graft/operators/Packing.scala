@@ -68,27 +68,43 @@ object Packing {
     * Rows with `toksCol` ≤ 0 or null are REJECTED at execution (a
     * zero-length doc has no place in a token stream and a silent drop
     * would hide upstream tokenizer bugs — filter them first).
+    *
+    * `copyIdxCol` (pass it for UPSAMPLED corpora out of [[Sampling
+    * .upsampleByRate]] / [[Sampling.mixByTemperatureUpsample]])
+    * switches to the replica-aware 3-arg shuffle key — same contract
+    * as [[Batching.epochBatches]]: the ⌈rate⌉ copies of a doc
+    * disperse through the token stream instead of sitting adjacent,
+    * and because the key AND tie-breaks match epochBatches exactly,
+    * pack order ≡ batch order for the same (corpus, epoch).
     */
   def packSegments(df: DataFrame, idCol: String, toksCol: Column,
                    contextLen: Int, epoch: Int = 0,
+                   copyIdxCol: String = null,
                    keepCols: Seq[String] = Seq.empty): DataFrame = {
     require(contextLen > 0, s"need positive contextLen, got $contextLen")
+    val copy = Option(copyIdxCol)
+    val carried = (idCol +: copy.toSeq) ++ keepCols
     val derived = Seq("toks", "window_id", "win_pos", "doc_off", "seg_len",
       "_skey", "_cum", "_off")
-    guardDerived(idCol +: keepCols, derived, "packSegments")
+    guardDerived(carried, derived, "packSegments")
     val L = contextLen.toLong
     val base = df
-      .select((idCol +: keepCols).map(col) :+ toksCol.cast("long").as("toks"): _*)
+      .select(carried.map(col) :+ toksCol.cast("long").as("toks"): _*)
       .withColumn("toks",
         when(col("toks") > 0L, col("toks")).otherwise(raise_error(lit(
           s"packSegments: non-positive token count for a row — a token " +
             "stream cannot place an empty document; filter toks > 0 first"))))
-      .withColumn("_skey", Sampling.epochShuffleKey(col(idCol), epoch))
-    // keepCols ride as TRAILING order keys (after the (skey, id) total
-    // order they change nothing) — Ranks' reuse contract requires every
-    // carried column to be a range key, see Ranks.requireNoPrunablePayload
+      .withColumn("_skey", copy match {
+        case Some(c) => Sampling.epochShuffleKey(col(idCol), epoch, col(c))
+        case None    => Sampling.epochShuffleKey(col(idCol), epoch)
+      })
+    // keepCols ride as TRAILING order keys (after the (skey, id[,
+    // copy]) total order they change nothing) — Ranks' reuse contract
+    // requires every carried column to be a range key, see
+    // Ranks.requireNoPrunablePayload
     Ranks.globalCumSum(base, Seq.empty,
-        (col("_skey").asc +: col(idCol).asc +: keepCols.map(c => col(c).asc)),
+        (col("_skey").asc +: col(idCol).asc +:
+          copy.map(c => col(c).asc).toSeq) ++ keepCols.map(c => col(c).asc),
         "toks", cumCol = "_cum")
       .withColumn("_off", col("_cum") - col("toks"))
       .withColumn("window_id",
@@ -101,7 +117,7 @@ object Packing {
       .withColumn("seg_len",
         least(col("_off") + col("toks"), (col("window_id") + 1) * L) -
           greatest(col("_off"), col("window_id") * L))
-      .select((idCol +: keepCols).map(col) ++ Seq(col("toks"),
+      .select(carried.map(col) ++ Seq(col("toks"),
         col("window_id"), col("win_pos"), col("doc_off"), col("seg_len")): _*)
   }
 

@@ -82,6 +82,34 @@ class PackingSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("packSegments: replica-aware key — pack order ≡ epochBatches order, " +
+    "copies disperse") {
+    // an upsampled-shaped frame: 100 docs × 3 copies, deterministic lengths
+    val df = spark.range(100).toDF("doc_id")
+      .withColumn("copy_idx", explode(lit((0 until 3).toArray)))
+      .withColumn("toks", col("doc_id") % 37 + 3)
+    val packed = Packing.packSegments(df, "doc_id", col("toks"), 64,
+      epoch = 1, copyIdxCol = "copy_idx")
+    // stream order (doc starts by (window, position)) must equal the
+    // batch permutation — same key, same tie-breaks
+    val packOrder = packed.filter(col("doc_off") === 0)
+      .orderBy("window_id", "win_pos")
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val batchOrder = Batching.epochBatches(df.select("doc_id", "copy_idx"),
+        "doc_id", epoch = 1, batchSize = 16, copyIdxCol = "copy_idx")
+      .orderBy("epoch_pos")
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(packOrder == batchOrder)
+    assert(packOrder.size == 300)
+    // replica dispersion lands in the stream itself: adjacent
+    // same-doc pairs ≪ the 200 an id-only key would force
+    val adjacentSameDoc = packOrder.sliding(2)
+      .count(p => p.size == 2 && p.head._1 == p.last._1)
+    assert(adjacentSameDoc < 10, s"adjacent same-doc pairs: $adjacentSameDoc")
+  }
+
   test("packSegments: refuses non-positive token counts at execution") {
     val bad = Seq((1L, 5L), (2L, 0L)).toDF("doc_id", "toks")
     val e = intercept[Exception] {
