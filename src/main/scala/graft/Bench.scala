@@ -147,6 +147,11 @@ object Bench {
       // static conf: the injected rules/functions (ZoneMapSkipping,
       // ManifestAggregates, SQL surface) must be live in every main
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // static conf: codegen-class cache sized to the catalog's
+      // fragment working set (default 100 thrashes across 126 queries
+      // — see GraftSession.codegenCacheEntries)
+      .config("spark.sql.codegen.cache.maxEntries",
+        GraftSession.codegenCacheEntries)
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

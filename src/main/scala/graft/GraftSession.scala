@@ -76,6 +76,19 @@ object GraftSession {
     org.apache.spark.sql.graftshim.SessionBridge.bindTo(ann, df)
   }
 
+  /** Codegen-cache sizing (STATIC conf — builder-time only, which is
+    * why it lives here and not in [[tuning]]): Spark's generated-class
+    * cache holds 100 entries by default, far below this engine's
+    * working set (126 catalog queries × ~5–10 fragments each, plus the
+    * storage doors' merge/manifest plans), so a catalog pass evicts
+    * constantly and every query re-pays janino compilation (measured
+    * round 17: q95's composed refresh −31% wall from this alone).
+    * Production rationale is the same at any scale — an engine serving
+    * a repeated query mix should size the cache to its fragment
+    * working set; entries are compiled classes, a few KB each. */
+  val codegenCacheEntries: String =
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val b = SparkSession
       .builder()
@@ -85,6 +98,7 @@ object GraftSession {
       // native expressions as SQL functions (minhash_sig, simhash_sig,
       // array_dot, marker_counts)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries)
       .config("spark.sql.shuffle.partitions", cores.toString)
     tuning.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -18,6 +18,8 @@ object Probe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries",
+        GraftSession.codegenCacheEntries)
       .config("spark.ui.enabled", "false")
       // static conf: the injected rules/functions (ZoneMapSkipping,
       // ManifestAggregates, SQL surface) must be live in every main
@@ -40,6 +42,57 @@ object Probe {
     // on SPARK_GRAFT_SF_DIR (single-query loop for fixture triage)
     if (args.headOption.contains("query")) {
       args.drop(1).foreach(n => time(n) { Queries.all(n)(spark, sfDir) })
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.Probe jobs <name>...` — job-timeline decomposition
+    // for any catalog query: per-job wall, inter-job gaps (driver-side
+    // planning/AQE/broadcast latency), and the wall − in-jobs residual.
+    // The residual + gaps are the per-query FIXED constant the sf0.1
+    // bench pays 126 times; this mode says where it sits per query.
+    if (args.headOption.contains("jobs")) {
+      args.drop(1).foreach { name =>
+        val fn = Queries.all(name)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+        val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          private val starts = scala.collection.mutable.Map.empty[Int, (Long, String)]
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            // attribute the job to the first graft frame in any of its
+            // stages' stack-trace details (callSite properties are not
+            // propagated for SQL executions)
+            val site = js.stageInfos.iterator
+              .flatMap(_.details.split('\n'))
+              .find(l => l.contains("graft.") && !l.contains("Probe"))
+              .map(_.trim.replaceAll("^at ", ""))
+              .getOrElse("?")
+            starts(js.jobId) = (js.time, site)
+          }
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(je.jobId).foreach { case (s, site) =>
+              jobs.synchronized { jobs += ((je.jobId, s, je.time, site)); () }
+            }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // drain the listener bus
+        spark.sparkContext.removeSparkListener(listener)
+        val sorted = jobs.sortBy(_._2)
+        var prevEnd = 0L
+        var gapTotal = 0L
+        sorted.foreach { case (id, s, e, site) =>
+          val gap = if (prevEnd == 0) 0 else math.max(0L, s - prevEnd)
+          gapTotal += gap
+          prevEnd = e
+          println(f"[probe-jobs] $name job $id%3d  ${e - s}%5d ms  (+$gap%4d ms gap)  $site")
+        }
+        val inJobs = sorted.map(j => j._3 - j._2).sum
+        println(f"[probe-jobs] $name wall $wall%.3f s, in-jobs ${inJobs / 1e3}%.3f s, " +
+          f"gaps ${gapTotal / 1e3}%.3f s, outside ${wall - inJobs / 1e3}%.3f s, jobs ${sorted.size}")
+      }
       spark.stop()
       return
     }

@@ -12,8 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * everything downstream is a declarative DataFrame plan.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema inference is a Spark job per `spark.read.parquet` — a fixed
+    * tax every catalog query pays once per table it touches. A real
+    * lakehouse catalog serves schemas from metadata instead; stand in
+    * for that here: infer once per (path, mtime, length) and supply the
+    * schema explicitly thereafter. The key carries the file status, so
+    * a rewritten fixture re-infers; it also carries the nanos-as-long
+    * conf, because that conf changes what schema the SAME events file
+    * infers to. Caches metadata only — never data or results. */
+  private def t(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val nanosConf = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = s"$path@${st.getModificationTime}:${st.getLen}:$nanosConf"
+    val schema = Tables.schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -37,4 +55,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** (path, mtime, len, conf) → inferred schema; see [[Tables.t]]. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
 }

@@ -14,6 +14,8 @@ object Verify {
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.codegen.cache.maxEntries",
+          GraftSession.codegenCacheEntries)
         .getOrCreate()
       GraftSession.tune(spark) // nanosAsLong for the events scan, etc.
       spark.sparkContext.setLogLevel("WARN")
@@ -34,6 +36,8 @@ object Verify {
       // static conf: the injected rules/functions (ZoneMapSkipping,
       // ManifestAggregates, SQL surface) must be live in every main
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries",
+        GraftSession.codegenCacheEntries)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

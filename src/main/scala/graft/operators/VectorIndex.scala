@@ -110,7 +110,7 @@ object VectorIndex {
   def append(newRows: DataFrame, root: String, idCol: String,
              vecCol: String, retainPrevious: Boolean = false): Unit = {
     val spark = newRows.sparkSession
-    val cents = spark.read.parquet(s"$root/centroids")
+    val cents = graft.sinks.Sinks.readMemo(spark, s"$root/centroids")
     val nC = cents.count()
     val live = graft.sinks.Sinks.shardStats(spark, root)
     val nShards = live.select(max(col("spec_n"))).collect().head.getInt(0)
@@ -230,8 +230,8 @@ object VectorIndex {
     * duplicate group at cosine ≥ `threshold`. */
   def semanticDedup(spark: SparkSession, root: String, idCol: String,
                     vecCol: String, threshold: Double = 0.95): DataFrame = {
-    val corpus = spark.read.parquet(s"$root/data")
-    val centDf = spark.read.parquet(s"$root/centroids")
+    val corpus = graft.sinks.Sinks.readMemo(spark, s"$root/data")
+    val centDf = graft.sinks.Sinks.readMemo(spark, s"$root/centroids")
       .select(col("cid").cast("long").as("cell"),
         col("cv").cast("array<double>").as("centv"))
     Dedup.semanticDedupCore(corpus, vecCol, idCol, "cell", spark,
@@ -263,7 +263,7 @@ object VectorIndex {
     * (query_id, rank, corpus_id, score) shape of every search door. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$root/centroids")
+    val cents = graft.sinks.Sinks.readMemo(spark, s"$root/centroids")
     val packed = cents
       .select(struct(col("cid").as("cid"), col("cv").as("cv")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("_ac_cents"))

@@ -22,6 +22,75 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object Sinks {
 
+  /** Memoized parquet schema inference (round-17 optimization).
+    *
+    * Every bare `spark.read.parquet(dir)` runs a schema-inference Spark
+    * job before the frame exists — a fixed driver round trip the
+    * storage doors pay dozens of times per operation (manifest reads,
+    * layout-schema probes, pruned-read planning). The FILE SET fully
+    * determines the inferred schema, so memoize on the exact recursive
+    * (name, mtime, length) listing: any rewrite — even a
+    * same-millisecond republish — changes part-file names (UUIDs) or
+    * attributes and re-infers. Caches schema METADATA only, never rows;
+    * the listing itself is a driver-side FS walk, no job. Bails to
+    * plain inference on any listing problem or when the tree exceeds
+    * 512 entries (a layout that big should carry its own catalog). */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** The schema `spark.read.parquet(path)` would infer, memoized per
+    * exact file set; None when memoization is unavailable. */
+  private[graft] def memoSchemaOf(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sb = new StringBuilder(path)
+      var n = 0
+      def walk(d: org.apache.hadoop.fs.Path): Boolean = {
+        val sts = fs.listStatus(d)
+        var ok = true
+        var i = 0
+        while (ok && i < sts.length) {
+          val st = sts(i); n += 1
+          if (n > 512) ok = false
+          else {
+            sb.append('|').append(st.getPath.getName).append(':')
+              .append(st.getModificationTime).append(':').append(st.getLen)
+            if (st.isDirectory) ok = walk(st.getPath)
+          }
+          i += 1
+        }
+        ok
+      }
+      if (!walk(p)) None
+      else {
+        // bound the memo: long-lived sessions publishing many
+        // generations would otherwise accumulate one (tiny) entry per
+        // generation forever — a full clear is cheap and self-heals
+        if (schemaMemo.size > 4096) schemaMemo.clear()
+        Some(schemaMemo.computeIfAbsent(sb.toString,
+          _ => spark.read.parquet(path).schema))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `spark.read.parquet(path)` with the inference memoized — identical
+    * frame, one fewer Spark job on a repeat read of the same bytes. */
+  private[graft] def readMemo(spark: SparkSession, path: String): DataFrame =
+    memoSchemaOf(spark, path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.parquet(path)
+    }
+
+  /** Reader pre-loaded with the layout's memoized schema for selective
+    * shard-subdirectory reads (the `basePath` pattern): homogeneous by
+    * the layout contract, so the whole-dir schema is the selection's
+    * schema — and the per-read inference job disappears. */
+  private def readerWithLayoutSchema(spark: SparkSession, dataDir: String)
+      : org.apache.spark.sql.DataFrameReader =
+    memoSchemaOf(spark, dataDir).map(spark.read.schema)
+      .getOrElse(spark.read)
+
   /** K1: streaming append to a parquet table directory, partitioned by
     * `partitionCols` (date-partitioning = partition pruning at scale).
     * On an Iceberg-enabled cluster swap `format("parquet")` for
@@ -745,7 +814,7 @@ object Sinks {
     fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
       true).close()
     promoteStaged(fs, base, staging, old, retainPrevious)
-    spark.read.parquet(s"$path/manifest")
+    readMemo(spark, s"$path/manifest")
   }
 
   /** FIXED-WIDTH wall-clock generation stamp, shared by every
@@ -1201,7 +1270,7 @@ object Sinks {
   def shardSpec(spark: SparkSession, path: String,
                 stamp: Option[String] = None): Option[(Option[String], Int)] = {
     val mp = manifestPathOf(path, stamp)
-    val m = spark.read.parquet(mp)
+    val m = readMemo(spark, mp)
     if (!m.columns.contains("spec_col")) None
     else m.select("spec_col", "spec_n").limit(1).collect().headOption
       .map(r => (Option(r.getString(0)), r.getInt(1)))
@@ -1278,7 +1347,7 @@ object Sinks {
     val liveM = shardStats(spark, path)
     val specCol = liveM.select(col("spec_col"))
       .limit(1).collect().headOption.flatMap(r => Option(r.getString(0)))
-    val liveRaw = spark.read.parquet(s"$path/data").drop("shard")
+    val liveRaw = readMemo(spark, s"$path/data").drop("shard")
     require(!liveRaw.columns.contains("qbin") || specCol.contains("qbin"),
       s"the layout carries a 'qbin' DATA column that is not the " +
         "quantile-rebin spec — rename it before a quantile rebin")
@@ -1431,7 +1500,7 @@ object Sinks {
     * counts/hashes AND shards present on only one side. */
   def verifyShards(spark: SparkSession, path: String,
                    idCol: String): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/manifest")
+    val manifest = readMemo(spark, s"$path/manifest")
       .select(col("shard"), col("n_rows").as("manifest_rows"),
         col("content_hash").as("manifest_hash"))
     // no data files at all (empty publish, or the data dir was lost
@@ -1473,7 +1542,7 @@ object Sinks {
       return manifest.select(col("shard"), lit(false).as("ok"),
         lit(null).cast("long").as("n_rows"), col("manifest_rows"),
         lit(null).cast("long").as("content_hash"), col("manifest_hash"))
-    val written = spark.read.parquet(s"$path/data")
+    val written = readMemo(spark, s"$path/data")
     val dataCols = written.columns.filter(_ != "shard").toSeq
     val actual = shardSummary(written, idCol, dataCols)
     actual.join(manifest, Seq("shard"), "full_outer")
@@ -1504,7 +1573,7 @@ object Sinks {
     * pruning everything would be the silent-wrongness outcome). */
   def readShardsBetween(spark: SparkSession, path: String,
                         zoneCol: String, lo: Any, hi: Any): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/manifest")
+    val manifest = readMemo(spark, s"$path/manifest")
     require(manifest.columns.contains(s"zmin_$zoneCol"),
       s"no zone map for '$zoneCol' in $path/manifest — publish with " +
         s"zoneCols = Seq(...\"$zoneCol\"...) to enable pruning (have: ${
@@ -1520,9 +1589,9 @@ object Sinks {
     val pruned =
       if (keep.isEmpty)
         // schema from the layout (footer-only), zero rows
-        spark.read.parquet(dataDir).filter(lit(false))
+        readMemo(spark, dataDir).filter(lit(false))
       else
-        spark.read.option("basePath", dataDir)
+        readerWithLayoutSchema(spark, dataDir).option("basePath", dataDir)
           .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
     pruned.filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
   }
@@ -1549,14 +1618,14 @@ object Sinks {
         "the bounded-planning envelope (10k); filter the data scan " +
         "directly (the automatic zone-skipping rule still prunes) or " +
         "split the set")
-    val manifest = spark.read.parquet(s"$path/manifest")
+    val manifest = readMemo(spark, s"$path/manifest")
     require(manifest.columns.contains(s"zmin_$zoneCol"),
       s"no zone map for '$zoneCol' in $path/manifest — publish with " +
         s"zoneCols = Seq(...\"$zoneCol\"...) to enable pruning (have: ${
           manifest.columns.filter(_.startsWith("zmin_"))
             .map(_.stripPrefix("zmin_")).mkString(", ")})")
     val dataDir = s"$path/data"
-    val noMatch = spark.read.parquet(dataDir).filter(lit(false))
+    val noMatch = readMemo(spark, dataDir).filter(lit(false))
     if (values.isEmpty) noMatch
     else {
       // per-shard range intersect with the value set: one OR chain
@@ -1570,7 +1639,7 @@ object Sinks {
         .select(col("shard")).collect().map(_.getLong(0)).sorted
       val pruned =
         if (keep.isEmpty) noMatch
-        else spark.read.option("basePath", dataDir)
+        else readerWithLayoutSchema(spark, dataDir).option("basePath", dataDir)
           .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
       pruned.filter(col(zoneCol).isin(values: _*))
     }
@@ -1618,8 +1687,8 @@ object Sinks {
     val keep = bloomCandidateShards(spark, path, column, value)
     val dataDir = s"$path/data"
     val pruned =
-      if (keep.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
-      else spark.read.option("basePath", dataDir)
+      if (keep.isEmpty) readMemo(spark, dataDir).filter(lit(false))
+      else readerWithLayoutSchema(spark, dataDir).option("basePath", dataDir)
         .parquet(keep.map(s => s"$dataDir/shard=$s"): _*)
     pruned.filter(col(column).cast("string") === lit(value))
   }
@@ -1663,7 +1732,7 @@ object Sinks {
           s"(expired, or never published with retainPrevious); retained: ${
             if (have.isEmpty) "none" else have.mkString(", ")}")
     }
-    spark.read.parquet(s"$tgt/data")
+    readMemo(spark, s"$tgt/data")
   }
 
   /** Expire retained PUBLISHED generations of a [[writeShards]]
@@ -1708,7 +1777,7 @@ object Sinks {
         s"no manifest at $mp — not a published shard layout" +
           stamp.fold("")(s => s" (or generation $s not retained; " +
             s"retained: ${listShardVersions(spark, path).mkString(", ")})"))
-    spark.read.parquet(mp)
+    readMemo(spark, mp)
   }
 
   /** METADATA-ONLY approximate COUNT(DISTINCT `column`) on a published
@@ -2003,7 +2072,7 @@ object Sinks {
         fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
         s"declareShardStats: $path is not a published shard layout " +
           "(manifest lost? rebuildManifest is the recovery door)")
-      val live = spark.read.parquet(s"$path/manifest")
+      val live = readMemo(spark, s"$path/manifest")
       require(Seq("spec_col", "spec_n", "spec_id")
           .forall(live.columns.contains),
         s"declareShardStats: the live manifest of $path predates " +
@@ -2188,7 +2257,7 @@ object Sinks {
     fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
       true).close()
     promoteStaged(fs, base, staging, old, retainPrevious)
-    spark.read.parquet(s"$path/manifest")
+    readMemo(spark, s"$path/manifest")
   }
 
   /** GROUPED metadata quantiles — [[approxQuantilesShards]] per group
@@ -2287,8 +2356,8 @@ object Sinks {
         !(col("n_rows") <=> col("o_n_rows")))
       .select("shard").collect().map(_.getLong(0)).sorted
     val dataDir = s"$path/data"
-    if (changed.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
-    else spark.read.option("basePath", dataDir)
+    if (changed.isEmpty) readMemo(spark, dataDir).filter(lit(false))
+    else readerWithLayoutSchema(spark, dataDir).option("basePath", dataDir)
       .parquet(changed.map(s => s"$dataDir/shard=$s"): _*)
   }
 
@@ -2317,7 +2386,7 @@ object Sinks {
     * `mode` ∈ {trusted, reread}. */
   def verifyShardsDelta(spark: SparkSession, path: String, idCol: String,
                         trusted: DataFrame): DataFrame = {
-    val live = spark.read.parquet(s"$path/manifest")
+    val live = readMemo(spark, s"$path/manifest")
       .select(col("shard"), col("n_rows").as("manifest_rows"),
         col("content_hash").as("manifest_hash"))
     val tr = trusted.select(col("shard"),
@@ -2369,7 +2438,8 @@ object Sinks {
           lit(null).cast("long").as("content_hash"), col("manifest_hash"),
           lit("reread").as("mode"))
       else {
-        val written = spark.read.option("basePath", s"$path/data")
+        val written = readerWithLayoutSchema(spark, s"$path/data")
+          .option("basePath", s"$path/data")
           .parquet(scannable.toSeq.sorted
             .map(s => s"$path/data/shard=$s"): _*)
         val dataCols = written.columns.filter(_ != "shard").toSeq
@@ -2472,7 +2542,7 @@ object Sinks {
         .withColumnRenamed("n_rows", "new_rows")
         .withColumnRenamed("content_hash", "new_hash")
         .select("shard", "new_rows", "new_hash")
-      val live = spark.read.parquet(s"$path/manifest")
+      val live = readMemo(spark, s"$path/manifest")
       // Zone declarations are a property of the LAYOUT, not of one
       // publish: carried-forward shards keep their recorded stats, so
       // a delta publish can only perpetuate the live generation's zone
@@ -2600,7 +2670,7 @@ object Sinks {
       fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
         true).close()
       promoteStaged(fs, base, staging, old, retainPrevious)
-      spark.read.parquet(s"$path/manifest")
+      readMemo(spark, s"$path/manifest")
     } finally releasePublishLease(fs, base, lease)
   }
 
@@ -2655,7 +2725,7 @@ object Sinks {
       require(fs.exists(manifestPath) &&
         fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
         s"deleteWhere: $path is not a published shard layout")
-      val live = spark.read.parquet(s"$path/manifest")
+      val live = readMemo(spark, s"$path/manifest")
       require(live.columns.contains("spec_col") &&
         live.columns.contains("spec_n"),
         s"deleteWhere: the live manifest of $path predates partition-spec " +
@@ -2673,7 +2743,7 @@ object Sinks {
       val dataDir = s"$path/data"
       // detection: which shards hold ≥1 matching row (bounded collect,
       // ≤ nShards rows — the manifest envelope)
-      val detect = spark.read.parquet(dataDir).filter(predicate)
+      val detect = readMemo(spark, dataDir).filter(predicate)
       // the predicate runs twice (detection + rewrite): the same
       // analyzed-plan determinism gate publishDelta applies to its
       // input (a rand() takedown would detect one shard set and
@@ -2703,7 +2773,7 @@ object Sinks {
     * (the partition-dir column would otherwise infer as int). */
   private def layoutSchema(spark: SparkSession, dataDir: String)
       : (Seq[String], org.apache.spark.sql.types.StructType) = {
-    val fields = spark.read.parquet(dataDir).schema.fields
+    val fields = readMemo(spark, dataDir).schema.fields
       .filterNot(_.name == "shard")
     (fields.map(_.name).toSeq, org.apache.spark.sql.types.StructType(
       fields :+ org.apache.spark.sql.types.StructField(
@@ -2784,7 +2854,7 @@ object Sinks {
     fs.create(new org.apache.hadoop.fs.Path(staging, PublishCommitMarker),
       true).close()
     promoteStaged(fs, base, staging, old, retainPrevious)
-    spark.read.parquet(s"$path/manifest")
+    readMemo(spark, s"$path/manifest")
   }
 
   /** ROW-LEVEL MERGE (upsert + delete) on a published shard layout —
@@ -2826,7 +2896,7 @@ object Sinks {
       require(fs.exists(new org.apache.hadoop.fs.Path(base, "manifest")) &&
         fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
         s"mergeRows: $path is not a published shard layout")
-      val live = spark.read.parquet(s"$path/manifest")
+      val live = readMemo(spark, s"$path/manifest")
       require(live.columns.contains("spec_col") &&
         live.columns.contains("spec_n"),
         s"mergeRows: the live manifest of $path predates partition-spec " +
@@ -2970,7 +3040,7 @@ object Sinks {
     val dataDir = s"$path/data"
     val oldDir = s"$path/$PublishedVersionsDir/$stamp/data"
     if (newShards.isEmpty && oldShards.isEmpty)
-      return spark.read.parquet(dataDir).drop("shard")
+      return readMemo(spark, dataDir).drop("shard")
         .withColumn("_change_type", lit(null).cast("string"))
         .filter(lit(false))
     // schema from whichever side has files (footer-only); shard typed
@@ -2978,7 +3048,7 @@ object Sinks {
     val schemaSrc =
       if (newShards.nonEmpty) s"$dataDir/shard=${newShards.head}"
       else s"$oldDir/shard=${oldShards.head}"
-    val dataFields = spark.read.parquet(schemaSrc).schema.fields
+    val dataFields = readMemo(spark, schemaSrc).schema.fields
       .filterNot(_.name == "shard")
     val dataCols = dataFields.map(_.name).toSeq
     require(dataCols.contains(idCol),
