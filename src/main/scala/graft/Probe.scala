@@ -66,7 +66,8 @@ object Probe {
               .flatMap(_.details.split('\n'))
               .find(l => l.contains("graft.") && !l.contains("Probe"))
               .map(_.trim.replaceAll("^at ", ""))
-              .getOrElse("?")
+              .getOrElse(js.stageInfos.headOption.map(_.name)
+                .getOrElse("?"))
             starts(js.jobId) = (js.time, site)
           }
           override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =

@@ -696,6 +696,34 @@ object Sinks {
     } finally releasePublishLease(fs, base, lease)
   }
 
+  /** One-column `shard` schema for validation reads — parquet serves
+    * projections, so supplying this skips schema inference entirely. */
+  private val shardOnlySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Total row count of a staged parquet directory from the part-file
+    * FOOTERS, on the driver — the same number `df.count()` returns for
+    * a metadata-only parquet count, without paying a Spark job and its
+    * scheduling round trip (round 17; the dirs here are
+    * publish-staging trees of ≤ nShards × a few files). */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path,
+                             conf: org.apache.hadoop.conf.Configuration): Long = {
+    var total = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, conf))
+        try total += rd.getRecordCount finally rd.close()
+      }
+    }
+    total
+  }
+
   /** Shard id column: hash of the row id by default (stable across
     * runs/partitionings/engines), or the caller's explicit assignment
     * column cast to long (clustered layouts for zone-map pruning). */
@@ -778,8 +806,12 @@ object Sinks {
       if (bloomCols.isEmpty) None
       else {
         import graft.expressions.BloomOps
+        // row count from the staged FOOTERS on the driver — same
+        // number a parquet-metadata count() job returns, no job
         val perShard = math.max(64L, math.ceil(
-          written.count().toDouble * 2 / nShards).toLong)
+          footerRowCount(fs, stagedData,
+            spark.sparkContext.hadoopConfiguration).toDouble * 2 / nShards)
+          .toLong)
         val mBits = BloomOps.sizeFor(perShard, bloomFpp)
         Some((bloomCols, mBits, BloomOps.hashesFor(perShard, mBits)))
       }
@@ -794,7 +826,7 @@ object Sinks {
     // for — abort here and the crash envelope discards the staging,
     // old generation intact. One tiny read of the just-written manifest.
     if (shardCol.nonEmpty) {
-      val bad = spark.read.parquet(
+      val bad = spark.read.schema(shardOnlySchema).parquet(
           new org.apache.hadoop.fs.Path(staging, "manifest").toString)
         .filter(col("shard").isNull || col("shard") < 0 ||
           col("shard") >= nShards)
@@ -1241,6 +1273,47 @@ object Sinks {
         .limit(1).collect().headOption
         .map(r => (cols, r.getSeq[Long](0).length * 64, r.getInt(1)))
     }
+  }
+
+  /** ONE bounded collect of the live manifest (≤ nShards rows) serving
+    * every driver-side fact the row-level doors need — spec row, live
+    * shard set, bloom declaration. The pre-round-17 form fetched these
+    * with three separate jobs per merge (spec limit-collect, shard
+    * collect, bloom limit-collect); at ~40 ms of fixed cost per driver
+    * round trip the batching is pure win and the collect stays inside
+    * the manifest envelope. None = manifest predates spec recording. */
+  private final case class LiveManifestMeta(
+      specCol: Option[String], specN: Int, sortCols: Seq[String],
+      liveShards: Set[Long], bloomSpec: Option[(Seq[String], Int, Int)],
+      isEmpty: Boolean)
+
+  private def collectLiveMeta(live: DataFrame): Option[LiveManifestMeta] = {
+    val cols = live.columns
+    if (!cols.contains("spec_col") || !cols.contains("spec_n")) return None
+    val bloomCols = cols.filter(_.startsWith("zbloom_"))
+      .map(_.stripPrefix("zbloom_")).toSeq
+    val c0 = bloomCols.headOption
+    val sel = Seq(
+      col("spec_col"), col("spec_n"),
+      (if (cols.contains("spec_sort")) col("spec_sort")
+       else lit(null).cast("string")).as("spec_sort"),
+      col("shard"),
+      c0.map(c => col(s"zbloom_$c")).getOrElse(lit(null)).as("_b"),
+      c0.map(c => col(s"zbloomk_$c")).getOrElse(lit(null)
+        .cast("int")).as("_bk"))
+    val rows = live.select(sel: _*).collect()
+    if (rows.isEmpty)
+      return Some(LiveManifestMeta(None, 0, Nil, Set.empty, None,
+        isEmpty = true))
+    val h = rows.head
+    val bloomSpec =
+      if (bloomCols.isEmpty) None
+      else rows.find(r => !r.isNullAt(4) && !r.isNullAt(5))
+        .map(r => (bloomCols, r.getSeq[Long](4).length * 64, r.getInt(5)))
+    Some(LiveManifestMeta(
+      Option(h.getString(0)), h.getInt(1),
+      Option(h.getString(2)).map(_.split(',').toSeq).getOrElse(Seq.empty),
+      rows.map(_.getLong(3)).toSet, bloomSpec, isEmpty = false))
   }
 
   /** Stamp a manifest with the generation's DECLARED partition spec
@@ -2726,18 +2799,14 @@ object Sinks {
         fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
         s"deleteWhere: $path is not a published shard layout")
       val live = readMemo(spark, s"$path/manifest")
-      require(live.columns.contains("spec_col") &&
-        live.columns.contains("spec_n"),
-        s"deleteWhere: the live manifest of $path predates partition-spec " +
-          "recording; republish (writeShards) once to stamp it")
-      val specRow = live.select(col("spec_col"), col("spec_n"),
-        (if (live.columns.contains("spec_sort")) col("spec_sort")
-         else lit(null).cast("string")).as("spec_sort")).limit(1).collect()
-      if (specRow.isEmpty) return live // empty corpus: nothing to delete
-      val shardColOpt = Option(specRow.head.getString(0))
-      val nShards = specRow.head.getInt(1)
-      val sortCols = Option(specRow.head.getString(2))
-        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      val meta = collectLiveMeta(live).getOrElse(
+        throw new IllegalArgumentException(
+          s"deleteWhere: the live manifest of $path predates partition-spec " +
+            "recording; republish (writeShards) once to stamp it"))
+      if (meta.isEmpty) return live // empty corpus: nothing to delete
+      val shardColOpt = meta.specCol
+      val nShards = meta.specN
+      val sortCols = meta.sortCols
       val zones = live.columns.filter(_.startsWith("zmin_"))
         .map(_.stripPrefix("zmin_")).toSeq
       val dataDir = s"$path/data"
@@ -2761,7 +2830,7 @@ object Sinks {
       val src = spark.read.schema(writtenSchema)
         .option("basePath", dataDir)
         .parquet(hit.map(s => s"$dataDir/shard=$s"): _*)
-      publishRewrite(spark, path, base, fs, live,
+      publishRewrite(spark, path, base, fs, live, meta,
         src.filter(!coalesce(predicate, lit(false))), hit, idCol,
         dataCols, writtenSchema, zones, shardColOpt, nShards, sortCols,
         retainPrevious)
@@ -2789,14 +2858,13 @@ object Sinks {
     * explicit shard ids, seal, promote. Caller holds the lease. */
   private def publishRewrite(spark: SparkSession, path: String,
       base: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
-      live: DataFrame, rows: DataFrame, rewrite: Seq[Long],
+      live: DataFrame, meta: LiveManifestMeta, rows: DataFrame,
+      rewrite: Seq[Long],
       idCol: String, dataCols: Seq[String],
       writtenSchema: org.apache.spark.sql.types.StructType,
       zones: Seq[String], shardColOpt: Option[String], nShards: Int,
       sortCols: Seq[String], retainPrevious: Boolean): DataFrame = {
-    val liveShards = live.select(col("shard")).collect()
-      .map(_.getLong(0)).toSet
-    val kept = (liveShards -- rewrite).toSeq.sorted
+    val kept = (meta.liveShards -- rewrite).toSeq.sorted
     val stamp = genStamp()
     val staging = new org.apache.hadoop.fs.Path(base, s"_staging_$stamp")
     val old = new org.apache.hadoop.fs.Path(base, s"_old_$stamp")
@@ -2823,7 +2891,7 @@ object Sinks {
       val rewrittenManifest = stampSpec(shardSummary(
         spark.read.schema(writtenSchema).parquet(stagedData.toString)
           .filter(col("shard").isin(rewrite: _*)), idCol, dataCols, zones,
-        bloomSpecOf(live), sketchColsOf(live), quantileColsOf(live)),
+        meta.bloomSpec, sketchColsOf(live), quantileColsOf(live)),
         shardColOpt, nShards, sortCols, idCol)
       val keptManifest = stampSpec(
         (if (kept.isEmpty) live.filter(lit(false))
@@ -2838,7 +2906,10 @@ object Sinks {
       // writeShards gate): a merged-in shard id outside [0, nShards)
       // would publish a directory no loader plans for
       if (shardColOpt.nonEmpty) {
-        val bad = spark.read.parquet(
+        // read ONLY the shard column with an explicit schema: parquet
+        // serves a projection of its columns, and skipping inference
+        // skips a whole driver round trip (round 17)
+        val bad = spark.read.schema(shardOnlySchema).parquet(
             new org.apache.hadoop.fs.Path(staging, "manifest").toString)
           .filter(col("shard").isNull || col("shard") < 0 ||
             col("shard") >= nShards)
@@ -2897,20 +2968,16 @@ object Sinks {
         fs.exists(new org.apache.hadoop.fs.Path(base, "data")),
         s"mergeRows: $path is not a published shard layout")
       val live = readMemo(spark, s"$path/manifest")
-      require(live.columns.contains("spec_col") &&
-        live.columns.contains("spec_n"),
-        s"mergeRows: the live manifest of $path predates partition-spec " +
-          "recording; republish (writeShards) once to stamp it")
-      val specRow = live.select(col("spec_col"), col("spec_n"),
-        (if (live.columns.contains("spec_sort")) col("spec_sort")
-         else lit(null).cast("string")).as("spec_sort")).limit(1).collect()
-      require(specRow.nonEmpty,
+      val meta = collectLiveMeta(live).getOrElse(
+        throw new IllegalArgumentException(
+          s"mergeRows: the live manifest of $path predates partition-spec " +
+            "recording; republish (writeShards) once to stamp it"))
+      require(!meta.isEmpty,
         s"mergeRows: $path has an empty manifest — publish (writeShards) " +
           "the initial corpus first")
-      val shardColOpt = Option(specRow.head.getString(0))
-      val nShards = specRow.head.getInt(1)
-      val sortCols = Option(specRow.head.getString(2))
-        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      val shardColOpt = meta.specCol
+      val nShards = meta.specN
+      val sortCols = meta.sortCols
       val zones = live.columns.filter(_.startsWith("zmin_"))
         .map(_.stripPrefix("zmin_")).toSeq
       val dataDir = s"$path/data"
@@ -2964,8 +3031,7 @@ object Sinks {
           s"(the layout's assignment column '${shardColOpt.getOrElse(idCol)}' " +
           "must be non-null)")
       val hit = u.getSeq[Long](4).sorted
-      val liveShards = live.select(col("shard")).collect()
-        .map(_.getLong(0)).toSet
+      val liveShards = meta.liveShards
       val existingHit = hit.filter(liveShards.contains)
       // rewrite = existing rows of the target shards minus patched
       // ids, plus the patch's upsert rows (delete-marked rows simply
@@ -2983,7 +3049,7 @@ object Sinks {
       val upserts = deleteWhen.fold(sharded)(d =>
         sharded.filter(!coalesce(d, lit(false))))
         .select((dataCols.map(col) :+ col("shard")): _*)
-      publishRewrite(spark, path, base, fs, live,
+      publishRewrite(spark, path, base, fs, live, meta,
         keptRows.unionByName(upserts), hit, idCol, dataCols,
         writtenSchema, zones, shardColOpt, nShards, sortCols,
         retainPrevious)
