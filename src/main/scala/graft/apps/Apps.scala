@@ -725,10 +725,18 @@ object TrainingTail {
     import graft.functions.Text
     val train = trainSplit(spark, docs, targetPred, k, alpha, splits,
       textCol, idCol, domainCol, nBuckets)
+    // tokenize AFTER the selection join (round 17 — guide §1.2 "don't
+    // compute things you throw away"): the pre-round-17 form counted
+    // tokens for EVERY corpus document and then kept k·⌈rate⌉ of them;
+    // joining the broadcast selection first tokenizes only survivors —
+    // at 100 TB that is the difference between a corpus-wide tokenize
+    // and a selection-sized one. Values are identical per row, so the
+    // pack (and its q126 oracle) is unchanged.
     val withToks = docs
-      .select(col(idCol), size(Text.tokens(col(textCol))).as("_ntoks"))
+      .select(col(idCol), col(textCol))
       .join(broadcast(train.select(idCol, "copy_idx", domainCol)), idCol)
-      .select(col(idCol), col("copy_idx"), col(domainCol), col("_ntoks"))
+      .select(col(idCol), col("copy_idx"), col(domainCol),
+        size(Text.tokens(col(textCol))).as("_ntoks"))
       .localCheckpoint()
     Packing.packSegments(withToks, idCol, col("_ntoks"), contextLen,
       epoch = epoch, copyIdxCol = "copy_idx", keepCols = Seq(domainCol))
